@@ -1,0 +1,405 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators (SURVEY §7.5, BASELINE.json north
+  * star): deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard,
+  * embedding-cosine), similarity search (brute-force + LSH-bucketed ANN), text
+  * analysis (language-ID, quality scoring, token counting, fingerprinting) and
+  * multimodal column plumbing — expressed over the driver's `documents` /
+  * `embeddings` / `events` tables with DuckDB oracles.
+  *
+  * Scale design: every near-dup operator is *blocked* (LSH bands / blocking
+  * keys), never all-pairs over the corpus — candidate generation is a
+  * hash-partitioned self-join on a small bucket key, so the shuffle volume is
+  * O(candidates), not O(n^2). Determinism: hashes are md5 hex strings
+  * (identical in both engines), numeric scores are integer-ratio or verified
+  * double arithmetic, and every query ends in a total ORDER BY.
+  */
+object ExtensionQueries {
+
+  import Tables._
+
+  /** Distinct whitespace tokens of the lowercased text — shared tokenizer of
+    * the dedup/text family. Same shape as the oracle's
+    * `list_distinct(string_split(lower(text), ' '))`.
+    */
+  private val tokExpr = "array_distinct(split(lower(text), ' '))"
+  private val tokSqlA = "list_distinct(string_split(lower(a.text), ' '))"
+  private val tokSqlB = "list_distinct(string_split(lower(b.text), ' '))"
+
+  // ---- SimHash: 32-bit signature from md5 of each distinct token ----------
+  // Bit j of token-hash = j-th bit of the first 8 hex chars of md5(token),
+  // extracted via a hex->binary lookup string (dialect-portable: no native
+  // bit ops needed). Majority vote over tokens, ties -> '1'.
+  private val hexToBits =
+    "0000000100100011010001010110011110001001101010111100110111101111"
+
+  /** `CASE WHEN <bit j of md5(tok)> = '1' THEN 1 ELSE -1 END` — identical text
+    * is used in Spark and DuckDB so the arithmetic matches bitwise.
+    */
+  private def bitTerm(j: Int): String = {
+    val hexPos = j / 4 + 1
+    val bitOff = j % 4
+    s"(CASE WHEN substring('$hexToBits', (instr('0123456789abcdef', substring(md5(tok), $hexPos, 1)) - 1) * 4 + $bitOff + 1, 1) = '1' THEN 1 ELSE -1 END)"
+  }
+  private def simhashSumCols: String =
+    (0 until 32).map(j => s"SUM(${bitTerm(j)}) AS s$j").mkString(", ")
+  private def simhashAssemble: String =
+    "concat(" + (0 until 32).map(j => s"(CASE WHEN s$j >= 0 THEN '1' ELSE '0' END)").mkString(", ") + ") AS simhash"
+
+  val queries: Seq[Q] = Seq(
+    // ------------------------------------------------------------- dedup ops
+    Q(
+      "d1_dedup_exact",
+      "Exact dedup: keep-first per identical text, survivors per lang (hash-groupBy; scale: single shuffle on text hash)",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("text").orderBy("doc_id")
+        documents(s, d)
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("survivors"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, COUNT(*) AS survivors FROM (
+             |  SELECT lang, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+             |  FROM documents) WHERE rn = 1
+             |GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
+    Q(
+      "d2_dedup_minhash_lsh",
+      "MinHash(8 perms as md5-keyed min-hash) + LSH banding (4 bands x 2) -> candidate pairs -> exact Jaccard >= 0.9; near-dup pair counts per lang",
+      (s, d) => {
+        val perms = 0 until 8
+        val docs = documents(s, d)
+          .selectExpr("doc_id", "lang", s"$tokExpr AS toks")
+          .selectExpr(
+            Seq("doc_id", "lang", "toks") ++
+              perms.map(i => s"array_min(transform(toks, t -> md5(concat('$i:', t)))) AS h$i"): _*)
+        val bands = docs.selectExpr(
+          "doc_id",
+          "stack(4, 0, md5(concat(h0, h1)), 1, md5(concat(h2, h3)), 2, md5(concat(h4, h5)), 3, md5(concat(h6, h7))) AS (band, bkey)")
+        val cands = bands.as("x")
+          .join(bands.as("y"), expr("x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id"))
+          .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+          .distinct()
+        val t = docs.select(col("doc_id"), col("lang"), col("toks"))
+        cands
+          .join(t.as("a"), col("id_a") === col("a.doc_id"))
+          .join(t.as("b"), col("id_b") === col("b.doc_id"))
+          .where(expr(
+            "size(array_intersect(a.toks, b.toks)) * 1.0 / (size(a.toks) + size(b.toks) - size(array_intersect(a.toks, b.toks))) >= 0.9"))
+          .groupBy(col("a.lang").as("lang"))
+          .agg(count(lit(1)).as("near_dup_pairs"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, lang, list_distinct(string_split(lower(text), ' ')) AS toks FROM documents),
+              |sigs AS (
+              |  SELECT doc_id, lang, toks,
+              |${(0 until 8).map(i => s"    list_min(list_transform(toks, t -> md5('$i:' || t))) AS h$i").mkString(",\n")}
+              |  FROM toks),
+              |bands AS (
+              |  SELECT doc_id, 0 AS band, md5(h0 || h1) AS bkey FROM sigs
+              |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sigs
+              |  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sigs
+              |  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sigs),
+              |cands AS (
+              |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b FROM bands x
+              |  JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+              |SELECT a.lang AS lang, COUNT(*) AS near_dup_pairs FROM cands
+              |JOIN sigs a ON id_a = a.doc_id JOIN sigs b ON id_b = b.doc_id
+              |WHERE length(list_intersect(a.toks, b.toks)) * 1.0 /
+              |      (length(a.toks) + length(b.toks) - length(list_intersect(a.toks, b.toks))) >= 0.9
+              |GROUP BY a.lang ORDER BY lang""".stripMargin)
+    ),
+    Q(
+      "d3_dedup_simhash",
+      "SimHash 32-bit signatures (md5-bit majority over distinct tokens); per-doc signature for near-dup banding",
+      (s, d) =>
+        documents(s, d)
+          .selectExpr("doc_id", s"$tokExpr AS toks")
+          .selectExpr("doc_id", "explode(toks) AS tok")
+          .groupBy("doc_id")
+          .agg(expr(s"count(1) AS ntok"), (0 until 32).map(j => expr(s"SUM(${bitTerm(j)}) AS s$j")): _*)
+          .selectExpr("doc_id", "ntok", simhashAssemble)
+          .orderBy("doc_id"),
+      Some(s"""WITH tokens AS (
+              |  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok FROM documents),
+              |sums AS (
+              |  SELECT doc_id, count(1) AS ntok, $simhashSumCols FROM tokens GROUP BY doc_id)
+              |SELECT doc_id, ntok, $simhashAssemble FROM sums ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
+      "d4_dedup_ngram_jaccard",
+      "Blocked n-gram/token-set Jaccard near-dup: block on (lang, source), pairwise Jaccard >= 0.9; pair counts per lang (blocking keeps pairs O(block^2), not O(n^2))",
+      (s, d) => {
+        val t = documents(s, d).selectExpr("doc_id", "lang", "source", s"$tokExpr AS toks")
+        t.as("a")
+          .join(t.as("b"), expr("a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id"))
+          .where(expr(
+            "size(array_intersect(a.toks, b.toks)) * 1.0 / (size(a.toks) + size(b.toks) - size(array_intersect(a.toks, b.toks))) >= 0.9"))
+          .groupBy(col("a.lang").as("lang"))
+          .agg(count(lit(1)).as("pairs"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, lang, source,
+              |  list_distinct(string_split(lower(text), ' ')) AS toks FROM documents)
+              |SELECT a.lang AS lang, COUNT(*) AS pairs FROM t a
+              |JOIN t b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+              |WHERE length(list_intersect(a.toks, b.toks)) * 1.0 /
+              |      (length(a.toks) + length(b.toks) - length(list_intersect(a.toks, b.toks))) >= 0.9
+              |GROUP BY a.lang ORDER BY lang""".stripMargin)
+    ),
+    Q(
+      "d5_dedup_embedding_cosine",
+      "Embedding-cosine near-dup pairs (cos >= 0.35, the data 99.9th pctile), blocked by label; explicit fold dot-product in both engines",
+      (s, d) => {
+        val e = embeddings(s, d)
+          .selectExpr(
+            "vec_id",
+            "label",
+            "cast(embedding AS array<double>) AS v",
+            "sqrt(aggregate(cast(embedding AS array<double>), 0D, (acc, x) -> acc + x * x)) AS nrm")
+        e.as("a")
+          .join(e.as("b"), expr("a.label = b.label AND a.vec_id < b.vec_id"))
+          .withColumn("cos",
+            expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x) / (a.nrm * b.nrm)"))
+          .where(col("cos") >= 0.35)
+          .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), col("a.label").as("label"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             |  sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), (acc, x) -> acc + x)) AS nrm
+             |  FROM embeddings)
+             |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label FROM e a
+             |JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+             |WHERE list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]), (acc, x) -> acc + x)
+             |      / (a.nrm * b.nrm) >= 0.35
+             |ORDER BY id_a, id_b""".stripMargin)
+    ),
+    // --------------------------------------------------------------- ANN ops
+    Q(
+      "n1_ann_bruteforce_topk",
+      "Brute-force cosine top-5 neighbors for 10 query vectors (baseline ANN; broadcast queries x corpus, no n^2)",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = embeddings(s, d)
+          .selectExpr(
+            "vec_id",
+            "cast(embedding AS array<double>) AS v",
+            "sqrt(aggregate(cast(embedding AS array<double>), 0D, (acc, x) -> acc + x * x)) AS nrm")
+        val q = e.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+        val w = Window.partitionBy("qid").orderBy(desc("cos"), col("vec_id"))
+        e.join(broadcast(q), expr("vec_id <> qid"))
+          .withColumn("cos",
+            expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x) / (qnrm * nrm)"))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 5)
+          .select("qid", "rank", "vec_id", "cos")
+          .orderBy("qid", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             |  sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), (acc, x) -> acc + x)) AS nrm
+             |  FROM embeddings),
+             |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM e WHERE vec_id < 10),
+             |scored AS (
+             |  SELECT qid, vec_id,
+             |    list_reduce(list_transform(list_zip(qv, v), p -> p[1] * p[2]), (acc, x) -> acc + x) / (qnrm * nrm) AS cos,
+             |    row_number() OVER (PARTITION BY qid ORDER BY
+             |      list_reduce(list_transform(list_zip(qv, v), p -> p[1] * p[2]), (acc, x) -> acc + x) / (qnrm * nrm) DESC,
+             |      vec_id) AS rank
+             |  FROM e JOIN q ON vec_id <> qid)
+             |SELECT qid, rank, vec_id, cos FROM scored WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)
+    ),
+    Q(
+      "n2_ann_lsh_bucketed",
+      "LSH-bucketed ANN: 16-bit sign signature over leading dims, 4 bands x 4 bits; candidates share a band, exact cosine top-3 (the 100 TB scale path: bucket join, no full scan per query)",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val sigBand = (b: Int) =>
+          s"concat(${(b * 4 until b * 4 + 4).map(i => s"(CASE WHEN element_at(v, ${i + 1}) >= 0 THEN '1' ELSE '0' END)").mkString(", ")})"
+        val e = embeddings(s, d)
+          .selectExpr(
+            "vec_id",
+            "cast(embedding AS array<double>) AS v",
+            "sqrt(aggregate(cast(embedding AS array<double>), 0D, (acc, x) -> acc + x * x)) AS nrm")
+          .selectExpr(Seq("vec_id", "v", "nrm") ++ (0 until 4).map(b => s"${sigBand(b)} AS band$b"): _*)
+        val bands = e.selectExpr(
+          "vec_id",
+          "stack(4, 0, band0, 1, band1, 2, band2, 3, band3) AS (band, bkey)")
+        val q = e.where(col("vec_id") < 10)
+        val qBands = bands.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("band"), col("bkey"))
+        val cands = bands.join(broadcast(qBands), Seq("band", "bkey"))
+          .where(expr("vec_id <> qid"))
+          .select("qid", "vec_id")
+          .distinct()
+        val w = Window.partitionBy("qid").orderBy(desc("cos"), col("vec_id"))
+        cands
+          .join(e.select("vec_id", "v", "nrm"), Seq("vec_id"))
+          .join(
+            broadcast(q.select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))),
+            Seq("qid"))
+          .withColumn("cos",
+            expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x) / (qnrm * nrm)"))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 3)
+          .select("qid", "rank", "vec_id", "cos")
+          .orderBy("qid", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             |  sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), (acc, x) -> acc + x)) AS nrm
+             |  FROM embeddings),
+             |sig AS (SELECT vec_id, v, nrm,
+             |""".stripMargin +
+        (0 until 4).map(b =>
+          "  concat(" + (b * 4 until b * 4 + 4).map(i =>
+            s"(CASE WHEN v[${i + 1}] >= 0 THEN '1' ELSE '0' END)").mkString(", ") + s") AS band$b").mkString(",\n") +
+        """
+          |  FROM e),
+          |bands AS (
+          |  SELECT vec_id, 0 AS band, band0 AS bkey FROM sig
+          |  UNION ALL SELECT vec_id, 1, band1 FROM sig
+          |  UNION ALL SELECT vec_id, 2, band2 FROM sig
+          |  UNION ALL SELECT vec_id, 3, band3 FROM sig),
+          |cands AS (
+          |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS vec_id FROM bands q
+          |  JOIN bands c ON q.band = c.band AND q.bkey = c.bkey AND q.vec_id < 10 AND c.vec_id <> q.vec_id),
+          |scored AS (
+          |  SELECT qid, c.vec_id AS vec_id,
+          |    list_reduce(list_transform(list_zip(qe.v, ce.v), p -> p[1] * p[2]), (acc, x) -> acc + x) / (qe.nrm * ce.nrm) AS cos
+          |  FROM cands c JOIN e qe ON c.qid = qe.vec_id JOIN e ce ON c.vec_id = ce.vec_id),
+          |ranked AS (
+          |  SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+          |  FROM scored)
+          |SELECT qid, rank, vec_id, cos FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)
+    ),
+    // ------------------------------------------------------------- text ops
+    Q(
+      "t1_text_langid",
+      "Language-ID by stopword-hit heuristic, argmax with deterministic tiebreak; confusion counts vs labeled lang",
+      (s, d) => {
+        val stop = Map(
+          "de" -> Seq("der", "die", "das", "und", "ein"),
+          "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+          "es" -> Seq("el", "los", "de", "y", "en"),
+          "fr" -> Seq("le", "la", "et", "un", "des"),
+          "zh" -> Seq("de1", "shi4", "le5"))
+        def hits(l: String) = {
+          val arr = stop(l).map(w => s"'$w'").mkString(", ")
+          s"size(array_intersect(toks, array($arr)))"
+        }
+        documents(s, d)
+          .selectExpr("doc_id", "lang", s"$tokExpr AS toks")
+          .selectExpr(
+            Seq("doc_id", "lang") ++ stop.keys.toSeq.sorted.map(l => s"${hits(l)} AS s_$l"): _*)
+          .withColumn("m", expr("greatest(s_de, s_en, s_es, s_fr, s_zh)"))
+          .withColumn("pred",
+            expr("CASE WHEN s_de = m THEN 'de' WHEN s_en = m THEN 'en' WHEN s_es = m THEN 'es' WHEN s_fr = m THEN 'fr' ELSE 'zh' END"))
+          .groupBy("lang", "pred")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("lang", "pred")
+      },
+      Some("""WITH scored AS (
+             |  SELECT lang,
+             |    length(list_distinct(list_intersect(string_split(lower(text), ' '), ['der','die','das','und','ein']))) AS s_de,
+             |    length(list_distinct(list_intersect(string_split(lower(text), ' '), ['the','a','of','and','to','in','is']))) AS s_en,
+             |    length(list_distinct(list_intersect(string_split(lower(text), ' '), ['el','los','de','y','en']))) AS s_es,
+             |    length(list_distinct(list_intersect(string_split(lower(text), ' '), ['le','la','et','un','des']))) AS s_fr,
+             |    length(list_distinct(list_intersect(string_split(lower(text), ' '), ['de1','shi4','le5']))) AS s_zh
+             |  FROM documents),
+             |p AS (SELECT lang, greatest(s_de, s_en, s_es, s_fr, s_zh) AS m, * FROM scored)
+             |SELECT lang,
+             |  CASE WHEN s_de = m THEN 'de' WHEN s_en = m THEN 'en' WHEN s_es = m THEN 'es'
+             |       WHEN s_fr = m THEN 'fr' ELSE 'zh' END AS pred,
+             |  COUNT(*) AS n
+             |FROM p GROUP BY 1, 2 ORDER BY lang, pred""".stripMargin)
+    ),
+    Q(
+      "t2_text_quality",
+      "Quality scoring: token count, avg word length, stopword ratio -> tiered label (length/stopword heuristics per LLM-pipeline practice)",
+      (s, d) =>
+        documents(s, d)
+          .selectExpr(
+            "doc_id",
+            "lang",
+            "size(split(text, ' ')) AS ntok",
+            "length(replace(text, ' ', '')) AS nalpha",
+            s"size(filter(split(lower(text), ' '), t -> array_contains(array('the', 'a', 'of', 'and', 'to', 'in', 'is'), t))) AS stop_hits")
+          .withColumn("avg_wlen", expr("nalpha * 1.0 / ntok"))
+          .withColumn("stop_ratio", expr("stop_hits * 1.0 / ntok"))
+          .withColumn("quality",
+            expr("CASE WHEN ntok >= 40 AND stop_ratio >= 0.05 THEN 'high' WHEN ntok >= 15 THEN 'medium' ELSE 'low' END"))
+          .groupBy("lang", "quality")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("lang", "quality"),
+      Some("""WITH f AS (
+             |  SELECT lang,
+             |    length(string_split(text, ' ')) AS ntok,
+             |    length(replace(text, ' ', '')) AS nalpha,
+             |    length(list_filter(string_split(lower(text), ' '),
+             |           t -> list_contains(['the','a','of','and','to','in','is'], t))) AS stop_hits
+             |  FROM documents)
+             |SELECT lang,
+             |  CASE WHEN ntok >= 40 AND stop_hits * 1.0 / ntok >= 0.05 THEN 'high'
+             |       WHEN ntok >= 15 THEN 'medium' ELSE 'low' END AS quality,
+             |  COUNT(*) AS n
+             |FROM f GROUP BY 1, 2 ORDER BY lang, quality""".stripMargin)
+    ),
+    Q(
+      "t3_text_tokens",
+      "Token counting: whitespace tokens + regex word-chunk (BPE-ish) tokens, totals per lang",
+      (s, d) =>
+        documents(s, d)
+          .selectExpr(
+            "lang",
+            "size(split(text, ' ')) AS ws",
+            "size(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)) AS bpe")
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("docs"),
+            sum(col("ws")).as("ws_tokens"),
+            sum(col("bpe")).as("bpe_tokens"))
+          .orderBy("lang"),
+      Some("""SELECT lang, COUNT(*) AS docs,
+             |SUM(length(string_split(text, ' '))) AS ws_tokens,
+             |SUM(length(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS bpe_tokens
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
+    Q(
+      "t4_text_fingerprint",
+      "Document fingerprint: md5 over sorted distinct token set; corpus dedup summary",
+      (s, d) =>
+        documents(s, d)
+          .selectExpr("doc_id", s"md5(concat_ws(' ', sort_array($tokExpr))) AS fp")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(col("fp")).as("n_fingerprints"))
+          .withColumn("n_redundant", expr("n_docs - n_fingerprints")),
+      Some("""SELECT COUNT(*) AS n_docs,
+             |COUNT(DISTINCT md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' '))) AS n_fingerprints,
+             |COUNT(*) - COUNT(DISTINCT md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' '))) AS n_redundant
+             |FROM documents""".stripMargin)
+    ),
+    // -------------------------------------------------------- multimodal ops
+    Q(
+      "m1_multimodal_meta",
+      "Opaque binary payload + typed JSON metadata plumbing: byte length + extracted metadata key, grouped (decode itself is the stubbed Pandas-UDF step in graft.ext.Multimodal)",
+      (s, d) =>
+        events(s, d)
+          .selectExpr(
+            "length(cast(props AS BINARY)) AS nbytes",
+            "cast(get_json_object(props, '$.k') AS INT) AS k")
+          .groupBy(expr("k % 10").as("k_bucket"))
+          .agg(count(lit(1)).as("n"), sum(col("nbytes")).as("total_bytes"))
+          .orderBy("k_bucket"),
+      Some("""SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+             |COUNT(*) AS n, SUM(octet_length(CAST(props AS BLOB))) AS total_bytes
+             |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin)
+    )
+  )
+}

@@ -1,0 +1,658 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** The dashboard/pipeline query library: every relational operator from
+  * SURVEY.md §2 (operator ids in query names), transplanted onto the
+  * driver-provided star schema (TESTDATA.md) and paired with a DuckDB oracle.
+  *
+  * Reference provenance is cited per query (file:line inside
+  * `/root/reference/`). The HOW is Spark-first: declarative DataFrame plans so
+  * Catalyst does pruning/pushdown, decimal-cast aggregation for bitwise
+  * reproducibility, broadcast hints for dimension joins.
+  *
+  * Scale notes (100 TB design intent), applied throughout:
+  *  - aggregates are partial-aggregation-friendly (sum/count/min/max/collect_set
+  *    with bounded key domains) → map-side combine before shuffle;
+  *  - joins on the fact table's key shuffle once; dimension joins broadcast;
+  *  - no `collect()`-then-compute: every query is one lazy plan;
+  *  - top-k via orderBy+limit → TakeOrderedAndProject (no global sort
+  *    materialization).
+  */
+object RelationalQueries {
+
+  import Tables._
+
+  /** Exact, addition-order-independent SUM of a 2-decimal money column:
+    * decimal accumulate, double result. Mirrors oracle
+    * `CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)`.
+    */
+  private def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  val queries: Seq[Q] = Seq(
+    // ----------------------------------------------------------------- scans
+    Q(
+      "s1_scan_project_filter",
+      "Scan with projection+filter pushdown (extractor/main.go:716-779 $select/$where pushdown)",
+      (s, d) =>
+        lineitem(s, d)
+          .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    ),
+    Q(
+      "o1_global_sort",
+      "Stable global pagination order (extractor/main.go:732 $order=crash_date,crash_record_id)",
+      (s, d) =>
+        orders(s, d)
+          .orderBy("o_orderdate", "o_orderkey")
+          .select("o_orderkey", "o_orderdate", "o_totalprice")
+          .limit(1000),
+      Some("""SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+             |ORDER BY o_orderdate, o_orderkey LIMIT 1000""".stripMargin)
+    ),
+    // --------------------------------------------------- projections/filters
+    Q(
+      "p3_predicate_range",
+      "Half-open date-range predicate [start,end) (extractor/main.go:202-222 buildWhere)",
+      (s, d) =>
+        orders(s, d)
+          .where(
+            col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+          .groupBy(month(col("o_orderdate")).as("m"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("m"),
+      Some("""SELECT CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS m, COUNT(*) AS n
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+             |GROUP BY 1 ORDER BY m""".stripMargin)
+    ),
+    Q(
+      "p5_keep_list_null_patch",
+      "Keep-list projection + missing-column null patch (cleaner/cleaning_rules.py:31-51)",
+      (s, d) =>
+        orders(s, d)
+          .select(
+            col("o_orderkey"),
+            col("o_orderstatus"),
+            lit(null).cast("int").as("lane_cnt"))
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_orderstatus, CAST(NULL AS INTEGER) AS lane_cnt
+             |FROM orders ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
+      "p7_bbox_filter_nullsafe",
+      "Bounding-box validity filter with null passthrough (cleaner/cleaning_rules.py:128-143; pandas NaN-comparison edge, SURVEY §7.4)",
+      (s, d) =>
+        events(s, d)
+          .where(expr("NOT COALESCE(value = 0.0 OR value < 10.0 OR value > 190.0, FALSE)"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(*) AS n FROM events
+             |WHERE NOT COALESCE(value = 0.0 OR value < 10.0 OR value > 190.0, FALSE)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+    Q(
+      "p9_quantile_outlier_filter",
+      "Keep rows below the 0.95 quantile (streamlit_frontend.py:1365)",
+      (s, d) => {
+        val li = lineitem(s, d)
+        val q95 = li.agg(percentile(col("l_extendedprice"), lit(0.95)).as("q"))
+        li.join(broadcast(q95))
+          .where(col("l_extendedprice") < col("q"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      },
+      Some("""SELECT COUNT(*) AS n,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem
+             |WHERE l_extendedprice < (SELECT quantile_cont(l_extendedprice, 0.95) FROM lineitem)""".stripMargin)
+    ),
+    Q(
+      "p12_deterministic_sample",
+      "Capped pseudo-random sample, md5-ordered for determinism (streamlit_frontend.py:1308 df.sample(5000))",
+      (s, d) =>
+        orders(s, d)
+          .orderBy(md5(col("o_orderkey").cast("string")), col("o_orderkey"))
+          .limit(500)
+          .select("o_orderkey", "o_totalprice")
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_totalprice FROM
+             |(SELECT * FROM orders ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey LIMIT 500)
+             |ORDER BY o_orderkey""".stripMargin)
+    ),
+    // ------------------------------------------------------------------ joins
+    Q(
+      "j1_semi_join",
+      "ID semi-join: the extractor's batched IN-list enrich fetch collapses to left_semi (extractor/main.go:654-683,781-812)",
+      (s, d) =>
+        customer(s, d)
+          .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin)
+    ),
+    Q(
+      "j2_enrich_left_join",
+      "Silver merge: fact left-join many-to-one rolled-up enrich aggregates (transformer/transformer.py:249-256)",
+      (s, d) => {
+        val liAgg = lineitem(s, d)
+          .groupBy("l_orderkey")
+          .agg(count(lit(1)).as("li_count"), dsum(col("l_quantity")).as("qty_sum"))
+        orders(s, d)
+          .join(liAgg, col("o_orderkey") === col("l_orderkey"), "left")
+          .select(
+            col("o_orderkey"),
+            col("o_orderstatus"),
+            coalesce(col("li_count"), lit(0L)).as("li_count"),
+            coalesce(col("qty_sum"), lit(0.0)).as("qty_sum"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus,
+             |COALESCE(a.li_count, 0) AS li_count, COALESCE(a.qty_sum, 0.0) AS qty_sum
+             |FROM orders LEFT JOIN (
+             |  SELECT l_orderkey, COUNT(*) AS li_count,
+             |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum
+             |  FROM lineitem GROUP BY l_orderkey) a ON o_orderkey = a.l_orderkey
+             |ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
+      "j4_join_of_aggregates",
+      "Hourly totals left-join hourly subset counts, fillna(0) (streamlit_frontend.py:1137)",
+      (s, d) => {
+        val ev = events(s, d)
+        val tot = ev.groupBy(hour(col("ts")).as("h")).agg(count(lit(1)).as("total"))
+        val err = ev
+          .where(col("event_type") === "error")
+          .groupBy(hour(col("ts")).as("h"))
+          .agg(count(lit(1)).as("errors"))
+        tot
+          .join(err, Seq("h"), "left")
+          .na.fill(0L, Seq("errors"))
+          .withColumn("err_rate", col("errors") * lit(100.0) / col("total"))
+          .orderBy("h")
+      },
+      Some("""SELECT t.h AS h, t.total, COALESCE(e.errors, 0) AS errors,
+             |COALESCE(e.errors, 0) * 100.0 / t.total AS err_rate
+             |FROM (SELECT CAST(EXTRACT(hour FROM ts) AS INTEGER) AS h, COUNT(*) AS total FROM events GROUP BY 1) t
+             |LEFT JOIN (SELECT CAST(EXTRACT(hour FROM ts) AS INTEGER) AS h, COUNT(*) AS errors FROM events
+             |           WHERE event_type = 'error' GROUP BY 1) e ON t.h = e.h
+             |ORDER BY t.h""".stripMargin)
+    ),
+    Q(
+      "j5_upsert_anti_join",
+      "Idempotent upsert: incoming-minus-existing left-anti, then append (cleaner/duckdb_writer.py:141-207 ON CONFLICT DO NOTHING)",
+      (s, d) => {
+        val o = orders(s, d)
+        val existing = o.where(col("o_orderkey") % 3 === 0).select("o_orderkey")
+        val incoming = o.where(col("o_orderkey") % 2 === 0)
+        incoming
+          .join(existing, Seq("o_orderkey"), "left_anti")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("inserted"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS inserted FROM orders i
+             |WHERE i.o_orderkey % 2 = 0 AND NOT EXISTS (
+             |  SELECT 1 FROM orders e WHERE e.o_orderkey % 3 = 0 AND e.o_orderkey = i.o_orderkey)
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    ),
+    // ----------------------------------------------------------- aggregations
+    Q(
+      "a1_many_to_one_rollup",
+      "Many-to-one roll-up: per-key count + sorted distinct value list (transformer/transformer.py:207-219 implode)",
+      (s, d) =>
+        lineitem(s, d)
+          .groupBy("l_orderkey")
+          .agg(
+            count(lit(1)).as("li_count"),
+            concat_ws(",", sort_array(collect_set(col("l_returnflag")))).as("flags"))
+          .orderBy("l_orderkey"),
+      Some("""SELECT l_orderkey, COUNT(*) AS li_count,
+             |array_to_string(list_sort(list_distinct(array_agg(l_returnflag))), ',') AS flags
+             |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)
+    ),
+    Q(
+      "a2_distinct",
+      "Full-row distinct (transformer/transformer.py:205 unique)",
+      (s, d) =>
+        lineitem(s, d)
+          .select("l_returnflag", "l_linestatus")
+          .distinct()
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    ),
+    Q(
+      "a3_dedup_keep_first",
+      "Deterministic keep-first-per-key dedup via row_number (transformer/transformer.py:258; SURVEY §7.4 determinism note)",
+      (s, d) => {
+        // (l_orderkey, l_linenumber) is not unique in the fixture — the
+        // tiebreak must be a total order or "first" is engine-dependent
+        // (SURVEY §7.4 determinism hazard).
+        val w = Window
+          .partitionBy("l_orderkey")
+          .orderBy("l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice")
+        lineitem(s, d)
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+          .orderBy("l_orderkey")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY l_orderkey
+             |    ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice) AS rn
+             |  FROM lineitem) WHERE rn = 1
+             |ORDER BY l_orderkey""".stripMargin)
+    ),
+    Q(
+      "a5_rate_by_group",
+      "Grouped sum+count -> percentage rate, the dashboard workhorse (streamlit_frontend.py:1045-1074 hit-and-run rate by category)",
+      (s, d) =>
+        lineitem(s, d)
+          .groupBy(year(col("l_shipdate")).as("y"))
+          .agg(
+            sum(when(col("l_returnflag") === "R", 1).otherwise(0)).as("returns"),
+            count(lit(1)).as("n"))
+          .withColumn("rate", col("returns") * lit(100.0) / col("n"))
+          .orderBy("y"),
+      Some("""SELECT CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS y,
+             |SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS returns,
+             |COUNT(*) AS n,
+             |SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) * 100.0 / COUNT(*) AS rate
+             |FROM lineitem GROUP BY 1 ORDER BY y""".stripMargin)
+    ),
+    Q(
+      "a6_group_size",
+      "Group size counts (streamlit_frontend.py:1134-1135 groupby.size)",
+      (s, d) =>
+        events(s, d)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("event_type"),
+      Some("SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type ORDER BY event_type")
+    ),
+    Q(
+      "a7_global_stats",
+      "Global scalar aggregates: count/min/max/sum/avg (streamlit_frontend.py:455,960-963,1472-1475)",
+      (s, d) =>
+        orders(s, d).agg(
+          count(lit(1)).as("n"),
+          min(col("o_orderdate")).as("first_date"),
+          max(col("o_orderdate")).as("last_date"),
+          dsum(col("o_totalprice")).as("sum_price"),
+          (dsum(col("o_totalprice")) / count(lit(1))).as("avg_price")),
+      Some("""SELECT COUNT(*) AS n, MIN(o_orderdate) AS first_date, MAX(o_orderdate) AS last_date,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+             |FROM orders""".stripMargin)
+    ),
+    Q(
+      "a8_run_stats_topk",
+      "Per-key multi-aggregate ordered desc, top-10 (streamlit_frontend.py:1455-1461,1867-1879 run history)",
+      (s, d) =>
+        events(s, d)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n"), min(col("ts")).as("started"), max(col("ts")).as("ended"))
+          .orderBy(desc("ended"), col("user_id"))
+          .limit(10),
+      Some("""SELECT user_id, COUNT(*) AS n, MIN(ts) AS started, MAX(ts) AS ended
+             |FROM events GROUP BY user_id ORDER BY ended DESC, user_id LIMIT 10""".stripMargin)
+    ),
+    Q(
+      "a9_value_counts_topk",
+      "Categorical frequency table top-k (streamlit_frontend.py:978,1276-1284 value_counts)",
+      (s, d) =>
+        part(s, d)
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("p_brand"))
+          .limit(5),
+      Some("""SELECT p_brand, COUNT(*) AS n FROM part GROUP BY p_brand
+             |ORDER BY n DESC, p_brand LIMIT 5""".stripMargin)
+    ),
+    Q(
+      "a11_median",
+      "Exact interpolating median per group (cleaner/cleaning_rules.py:198-202 median imputation statistic)",
+      (s, d) =>
+        lineitem(s, d)
+          .groupBy("l_linestatus")
+          .agg(percentile(col("l_quantity"), lit(0.5)).as("med_qty"))
+          .orderBy("l_linestatus"),
+      Some("""SELECT l_linestatus, quantile_cont(l_quantity, 0.5) AS med_qty
+             |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)
+    ),
+    Q(
+      "a12_correlation",
+      "Pearson correlation via exact decimal co-moments (streamlit_frontend.py:1400-1406 corr matrix)",
+      (s, d) => {
+        val li = lineitem(s, d)
+        val comps = li.agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sx"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sy"),
+          sum(col("l_quantity").cast(DecimalType(9, 2)) * col("l_quantity").cast(DecimalType(9, 2)))
+            .cast("double").as("sxx"),
+          sum(col("l_extendedprice").cast(DecimalType(12, 2)) * col("l_extendedprice").cast(DecimalType(12, 2)))
+            .cast("double").as("syy"),
+          sum(col("l_quantity").cast(DecimalType(9, 2)) * col("l_extendedprice").cast(DecimalType(12, 2)))
+            .cast("double").as("sxy"))
+        comps.select(
+          expr("(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))").as("corr_qty_price"))
+      },
+      Some("""WITH c AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sxx,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+             |  FROM lineitem)
+             |SELECT (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+             |FROM c""".stripMargin)
+    ),
+    Q(
+      "a13_duplicate_keys",
+      "Integrity: keys appearing more than once (cleaner/duckdb_writer.py:246-251)",
+      (s, d) =>
+        lineitem(s, d)
+          .groupBy("l_orderkey")
+          .agg(count(lit(1)).as("cnt"))
+          .where(col("cnt") > 1)
+          .agg(count(lit(1)).as("dup_keys"), sum(col("cnt")).as("dup_rows")),
+      Some("""SELECT COUNT(*) AS dup_keys, SUM(cnt) AS dup_rows FROM (
+             |  SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) > 1)""".stripMargin)
+    ),
+    Q(
+      "a14_null_pk_check",
+      "Integrity: null primary keys (cleaner/duckdb_writer.py:262-264)",
+      (s, d) =>
+        orders(s, d)
+          .where(col("o_orderkey").isNull)
+          .agg(count(lit(1)).as("null_pks")),
+      Some("SELECT COUNT(*) AS null_pks FROM orders WHERE o_orderkey IS NULL")
+    ),
+    Q(
+      "a17_ud3_scoring_confusion",
+      "Linear-model scoring at threshold + confusion-matrix aggregation (streamlit_frontend.py:2282-2287,2354-2365; logit-space threshold avoids exp for bitwise determinism)",
+      (s, d) =>
+        lineitem(s, d)
+          .select(
+            when(col("l_returnflag") === "R", 1).otherwise(0).as("label"),
+            when(
+              expr("-0.08 * l_quantity + 12.0 * l_discount + -6.0 * l_tax + 1.2") >=
+                lit(-1.0459685551826876),
+              1).otherwise(0).as("pred"))
+          .groupBy("label", "pred")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("label", "pred"),
+      Some("""SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS label,
+             |CASE WHEN -0.08 * l_quantity + 12.0 * l_discount + -6.0 * l_tax + 1.2 >= -1.0459685551826876
+             |     THEN 1 ELSE 0 END AS pred,
+             |COUNT(*) AS n
+             |FROM lineitem GROUP BY 1, 2 ORDER BY label, pred""".stripMargin)
+    ),
+    // ------------------------------------------------------- windows / top-k
+    Q(
+      "w1_latest_per_key",
+      "Latest-run-per-key via ranking window (streamlit_frontend.py:1455-1461)",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
+        events(s, d)
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select("user_id", "event_id", "event_type")
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, event_id, event_type FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin)
+    ),
+    Q(
+      "w3_running_sum",
+      "Running per-key cumulative sum window frame (capability beyond reference; SURVEY §2.5)",
+      (s, d) => {
+        // Total frame order: (orderkey, linenumber) alone is non-unique in the
+        // fixture, which would make the running prefix engine-dependent.
+        val w = Window
+          .partitionBy("l_suppkey")
+          .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        lineitem(s, d)
+          .withColumn("running_qty", sum(col("l_quantity").cast(DecimalType(18, 2))).over(w).cast("double"))
+          .select("l_suppkey", "l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice", "running_qty")
+          .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice")
+      },
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey, l_extendedprice,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+             |  PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey, l_extendedprice
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+             |FROM lineitem
+             |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_partkey, l_extendedprice""".stripMargin)
+    ),
+    Q(
+      "o2_topk_ordered",
+      "Top-k by measure desc with deterministic tiebreak -> TakeOrderedAndProject (streamlit_frontend.py:1455-1461 LIMIT 10)",
+      (s, d) =>
+        orders(s, d)
+          .orderBy(desc("o_totalprice"), col("o_orderkey"))
+          .select("o_orderkey", "o_totalprice", "o_orderstatus")
+          .limit(10),
+      Some("""SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)
+    ),
+    Q(
+      "o4_p8_range_limit_preview",
+      "Date-range + row-limit preview query (streamlit_frontend.py:2132-2137)",
+      (s, d) =>
+        orders(s, d)
+          .where(
+            col("o_orderdate") >= lit("1998-01-01").cast("timestamp") &&
+              col("o_orderdate") <= lit("1998-12-31").cast("timestamp"))
+          .orderBy("o_orderkey")
+          .select("o_orderkey", "o_orderdate", "o_orderstatus", "o_totalprice")
+          .limit(100),
+      Some("""SELECT o_orderkey, o_orderdate, o_orderstatus, o_totalprice FROM orders
+             |WHERE o_orderdate BETWEEN TIMESTAMP '1998-01-01' AND TIMESTAMP '1998-12-31'
+             |ORDER BY o_orderkey LIMIT 100""".stripMargin)
+    ),
+    // -------------------------------------------------------------- set ops
+    Q(
+      "u1_union_distinct",
+      "Union-all of sources then grouped distinct count (transformer/transformer.py:194-199 page concat + dedup)",
+      (s, d) => {
+        val sup = supplier(s, d).select(col("s_nationkey").as("nk"))
+        val cus = customer(s, d).select(col("c_nationkey").as("nk"))
+        sup
+          .unionByName(cus)
+          .join(broadcast(nation(s, d)), col("nk") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("n_name")
+      },
+      Some("""SELECT n_name, COUNT(*) AS n FROM (
+             |  SELECT s_nationkey AS nk FROM supplier
+             |  UNION ALL SELECT c_nationkey AS nk FROM customer) u
+             |JOIN nation ON nk = n_nationkey GROUP BY n_name ORDER BY n_name""".stripMargin)
+    ),
+    // ---------------------------------------------------------- scalar funcs
+    Q(
+      "f2_bool_standardize",
+      "Boolean standardization whitelist -> 0/1 (cleaner/cleaning_rules.py:57-88)",
+      (s, d) =>
+        orders(s, d)
+          .withColumn(
+            "flag",
+            when(
+              lower(trim(col("o_orderstatus"))).isin("f", "y", "yes", "true", "t", "1", "1.0"),
+              1).otherwise(0))
+          .groupBy("o_orderstatus", "flag")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus,
+             |CASE WHEN lower(trim(o_orderstatus)) IN ('f','y','yes','true','t','1','1.0') THEN 1 ELSE 0 END AS flag,
+             |COUNT(*) AS n FROM orders GROUP BY 1, 2 ORDER BY o_orderstatus""".stripMargin)
+    ),
+    Q(
+      "f4_hour_bin",
+      "Chained-when hour binning night/morning/afternoon/evening (cleaner/cleaning_rules.py:100-112)",
+      (s, d) =>
+        events(s, d)
+          .withColumn("h", hour(col("ts")))
+          .withColumn(
+            "hour_bin",
+            when(col("h") <= 6, "night")
+              .when(col("h") <= 12, "morning")
+              .when(col("h") <= 18, "afternoon")
+              .when(col("h") <= 23, "evening")
+              .otherwise(lit(null).cast("string")))
+          .groupBy("hour_bin")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("hour_bin"),
+      Some("""SELECT CASE WHEN EXTRACT(hour FROM ts) <= 6 THEN 'night'
+             |            WHEN EXTRACT(hour FROM ts) <= 12 THEN 'morning'
+             |            WHEN EXTRACT(hour FROM ts) <= 18 THEN 'afternoon'
+             |            WHEN EXTRACT(hour FROM ts) <= 23 THEN 'evening' END AS hour_bin,
+             |COUNT(*) AS n FROM events GROUP BY 1 ORDER BY hour_bin""".stripMargin)
+    ),
+    Q(
+      "f6_f7_grid_id",
+      "Round-to-bin + decimal-canonical string concat grid id (cleaner/cleaning_rules.py:146-150; SURVEY §7.4 float-format hazard)",
+      (s, d) =>
+        events(s, d)
+          .withColumn("vbin", round(col("value"), 0).cast(DecimalType(6, 1)))
+          .withColumn("h", hour(col("ts")))
+          .withColumn("grid_id", concat_ws("_", col("vbin").cast("string"), col("h").cast("string")))
+          .groupBy("grid_id")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("grid_id"),
+      Some("""SELECT CAST(CAST(round(value, 0) AS DECIMAL(6,1)) AS VARCHAR) || '_' ||
+             |CAST(CAST(EXTRACT(hour FROM ts) AS INTEGER) AS VARCHAR) AS grid_id,
+             |COUNT(*) AS n FROM events GROUP BY 1 ORDER BY grid_id""".stripMargin)
+    ),
+    Q(
+      "f11_binning",
+      "Numeric range binning into labels (streamlit_frontend.py:1041-1043 pd.cut speed bins)",
+      (s, d) =>
+        orders(s, d)
+          .withColumn(
+            "price_bin",
+            when(col("o_totalprice") <= 50000, "0-50k")
+              .when(col("o_totalprice") <= 100000, "50-100k")
+              .when(col("o_totalprice") <= 200000, "100-200k")
+              .when(col("o_totalprice") <= 300000, "200-300k")
+              .otherwise("300k+"))
+          .groupBy("price_bin")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("price_bin"),
+      Some("""SELECT CASE WHEN o_totalprice <= 50000 THEN '0-50k'
+             |            WHEN o_totalprice <= 100000 THEN '50-100k'
+             |            WHEN o_totalprice <= 200000 THEN '100-200k'
+             |            WHEN o_totalprice <= 300000 THEN '200-300k'
+             |            ELSE '300k+' END AS price_bin,
+             |COUNT(*) AS n FROM orders GROUP BY 1 ORDER BY price_bin""".stripMargin)
+    ),
+    Q(
+      "f17_pivot",
+      "Pivot crosstab hour x category (streamlit_frontend.py:1223,1252)",
+      (s, d) =>
+        events(s, d)
+          .groupBy(hour(col("ts")).as("h"))
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .agg(count(lit(1)))
+          .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
+          .orderBy("h"),
+      Some("""SELECT CAST(EXTRACT(hour FROM ts) AS INTEGER) AS h,
+             |SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+             |SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+             |SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+             |SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+             |SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+             |FROM events GROUP BY 1 ORDER BY h""".stripMargin)
+    ),
+    Q(
+      "f19_pct_of_total",
+      "Percent-of-total via window-free scalar join (streamlit_frontend.py:942,982,1049)",
+      (s, d) => {
+        val ev = events(s, d)
+        val counts = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+        val total = ev.agg(count(lit(1)).as("total"))
+        counts
+          .join(broadcast(total))
+          .withColumn("pct", col("n") * lit(100.0) / col("total"))
+          .select("event_type", "n", "pct")
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |COUNT(*) * 100.0 / (SELECT COUNT(*) FROM events) AS pct
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+    Q(
+      "f5_f16_date_parse_extract",
+      "String->timestamp round-trip parse + year extraction (cleaner/cleaning_rules.py:119; extractor/main.go:476-487)",
+      (s, d) =>
+        orders(s, d)
+          .withColumn("dstr", col("o_orderdate").cast("string"))
+          .withColumn("parsed", to_timestamp(col("dstr")))
+          .groupBy(year(col("parsed")).as("y"))
+          .agg(count(lit(1)).as("n"), max(col("parsed")).as("max_d"))
+          .orderBy("y"),
+      Some("""SELECT CAST(EXTRACT(year FROM CAST(CAST(o_orderdate AS VARCHAR) AS TIMESTAMP)) AS INTEGER) AS y,
+             |COUNT(*) AS n, MAX(CAST(CAST(o_orderdate AS VARCHAR) AS TIMESTAMP)) AS max_d
+             |FROM orders GROUP BY 1 ORDER BY y""".stripMargin)
+    ),
+    Q(
+      "f13_nested_to_json",
+      "Nested list column -> JSON string serialization (transformer/transformer.py:263-305 make_csv_safe)",
+      (s, d) =>
+        lineitem(s, d)
+          .groupBy("l_orderkey")
+          .agg(to_json(sort_array(collect_set(col("l_linestatus")))).as("status_json"))
+          .orderBy("l_orderkey"),
+      Some("""SELECT l_orderkey,
+             |CAST(to_json(list_sort(list_distinct(array_agg(l_linestatus)))) AS VARCHAR) AS status_json
+             |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)
+    ),
+    Q(
+      "f15_fingerprint",
+      "Deterministic query/row fingerprint hash (extractor/main.go:501-513 sha1 marker key; md5 here, both engines)",
+      (s, d) =>
+        orders(s, d)
+          .withColumn(
+            "fp",
+            substring(
+              md5(concat_ws("|", col("o_orderkey").cast("string"), col("o_orderstatus"))),
+              1,
+              12))
+          .select("o_orderkey", "fp")
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |substring(md5(CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus), 1, 12) AS fp
+             |FROM orders ORDER BY o_orderkey""".stripMargin)
+    ),
+    // ----------------------------------------------------- streaming (batch analog)
+    Q(
+      "st1_tumbling_window",
+      "Event-time tumbling 1h window aggregate — batch analog of the incremental watermark flow (extractor/main.go:583-599; Structured Streaming variant in graft.streaming)",
+      (s, d) =>
+        events(s, d)
+          .groupBy(date_trunc("hour", col("ts")).as("win"), col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .orderBy("win", "event_type"),
+      Some("""SELECT date_trunc('hour', ts) AS win, event_type, COUNT(*) AS n,
+             |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY win, event_type""".stripMargin)
+    )
+  )
+}

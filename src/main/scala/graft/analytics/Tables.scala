@@ -1,0 +1,34 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loaders for the driver-provided star schema
+  * (`/root/testdata/sf*`; see TESTDATA.md). Plain parquet scans: Catalyst
+  * handles column pruning and filter pushdown, so queries never need to
+  * pre-trim these.
+  */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame   = t(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame     = t(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame   = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = t(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame     = t(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame     = t(s, d, "region")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    * rejects. Read it as raw nanos (`nanosAsLong`) and truncate to
+    * microseconds — exactly what DuckDB's TIMESTAMP_NS->TIMESTAMP cast does,
+    * so oracle values agree.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events").withColumn(
+      "ts",
+      org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+}
