@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Incremental semantics (SURVEY §2.9): the reference's "streaming" is
+  * watermark-driven micro-batch re-extraction (extractor/main.go:202-222,
+  * 433-473), mapped here onto both forms Spark offers:
+  *
+  *  1. [[incrementalBatch]] — checkpointed max-event-time watermark driving the
+  *     next batch's predicate: the literal translation of ST1/ST2.
+  *  2. [[fileStream]] — a Structured Streaming file source with event-time
+  *     watermark + within-watermark dedup + idempotent foreachBatch upsert:
+  *     the native form (ST4/ST5 exactly-once via checkpoint offsets).
+  */
+object Incremental {
+
+  /** One incremental micro-batch over a batch source: select rows newer than
+    * the stored watermark, and return the advanced watermark (max event time
+    * seen, monotone — reference: extractor/main.go:583-599 runMax).
+    */
+  def incrementalBatch(
+      df: DataFrame,
+      eventTimeCol: String,
+      watermark: Option[String]): (DataFrame, Option[String]) = {
+    val fresh = watermark match {
+      case Some(wm) => df.where(col(eventTimeCol) > lit(wm).cast("timestamp"))
+      case None     => df
+    }
+    val maxTs = fresh
+      .agg(max(col(eventTimeCol).cast("timestamp")).cast("string").as("wm"))
+      .first()
+      .getString(0)
+    val advanced = (watermark ++ Option(maxTs)).reduceOption((a, b) => if (a > b) a else b)
+    (fresh, advanced)
+  }
+
+  /** Structured Streaming source over a landing directory: event-time
+    * watermark, within-watermark dedup (ST4's at-least-once tolerance), and a
+    * per-micro-batch idempotent sink callback (the foreachBatch MERGE analog
+    * of the Gold upsert). `Trigger.AvailableNow` drains the backlog exactly
+    * once then stops — the streaming analog of a queue-driven run (ST6).
+    */
+  def fileStream(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      eventTimeCol: String,
+      key: String,
+      checkpoint: String)(sink: (DataFrame, Long) => Unit): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 16)
+      .json(path)
+      .withColumn(eventTimeCol, to_timestamp(col(eventTimeCol)))
+      .withWatermark(eventTimeCol, "1 day")
+      .dropDuplicatesWithinWatermark(key)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) => sink(batch, id) }
+      .start()
+
+  /** Event-time tumbling-window aggregate as a streaming plan — the streaming
+    * form of the batch `st1_tumbling_window` query (counts+sums per window per
+    * type with a lateness bound).
+    */
+  def tumblingCounts(stream: DataFrame, eventTimeCol: String, keyCol: String): DataFrame =
+    stream
+      .withWatermark(eventTimeCol, "10 minutes")
+      .groupBy(window(col(eventTimeCol), "1 hour"), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+}
