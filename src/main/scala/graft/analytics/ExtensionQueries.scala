@@ -25,8 +25,30 @@ object ExtensionQueries {
     * `list_distinct(string_split(lower(text), ' '))`.
     */
   private val tokExpr = "array_distinct(split(lower(text), ' '))"
-  private val tokSqlA = "list_distinct(string_split(lower(a.text), ' '))"
-  private val tokSqlB = "list_distinct(string_split(lower(b.text), ' '))"
+
+  /** Distinct 3-gram word shingles — the dedup family's unit of comparison.
+    * Unigram token sets are degenerate on a small shared vocabulary (every
+    * document contains the globally-min-hashing token, so MinHash buckets
+    * collapse into one giant candidate bucket); 3-gram shingles are
+    * order-sensitive and keep buckets near-singleton. The Spark form guards
+    * short docs because `sequence(1, 0)` counts DOWN in Spark.
+    */
+  /** Token-split step — materialized as its own projection so the shingle
+    * lambda reads an array column instead of re-splitting the text per
+    * element (which is O(tokens^2) work per document).
+    */
+  private val splitExpr = "split(lower(text), ' ') AS t"
+  private val shingleExpr =
+    """CASE WHEN size(t) < 3 THEN array(concat_ws(' ', t))
+      |ELSE array_distinct(transform(
+      |  sequence(1, size(t) - 2),
+      |  i -> concat(element_at(t, i), ' ',
+      |              element_at(t, i + 1), ' ',
+      |              element_at(t, i + 2)))) END""".stripMargin
+  private val shingleSql =
+    """CASE WHEN len(string_split(lower(text), ' ')) < 3 THEN [lower(text)]
+      |ELSE list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |  for i in generate_series(1, len(t) - 2)]) END""".stripMargin
 
   // ---- SimHash: 32-bit signature from md5 of each distinct token ----------
   // Bit j of token-hash = j-th bit of the first 8 hex chars of md5(token),
@@ -70,14 +92,15 @@ object ExtensionQueries {
     ),
     Q(
       "d2_dedup_minhash_lsh",
-      "MinHash(8 perms as md5-keyed min-hash) + LSH banding (4 bands x 2) -> candidate pairs -> exact Jaccard >= 0.9; near-dup pair counts per lang",
+      "Shingle (3-gram) -> MinHash (8 md5-keyed min-hashes) -> LSH banding (4 bands x 2) -> bucket-join candidates -> exact Jaccard >= 0.8 verify; near-dup pairs per lang. The 100 TB path: candidates are O(near-dups), not O(n^2)",
       (s, d) => {
         val perms = 0 until 8
         val docs = documents(s, d)
-          .selectExpr("doc_id", "lang", s"$tokExpr AS toks")
+          .selectExpr("doc_id", "lang", splitExpr)
+          .selectExpr("doc_id", "lang", s"($shingleExpr) AS sh")
           .selectExpr(
-            Seq("doc_id", "lang", "toks") ++
-              perms.map(i => s"array_min(transform(toks, t -> md5(concat('$i:', t)))) AS h$i"): _*)
+            Seq("doc_id", "lang", "sh") ++
+              perms.map(i => s"array_min(transform(sh, t -> md5(concat('$i:', t)))) AS h$i"): _*)
         val bands = docs.selectExpr(
           "doc_id",
           "stack(4, 0, md5(concat(h0, h1)), 1, md5(concat(h2, h3)), 2, md5(concat(h4, h5)), 3, md5(concat(h6, h7))) AS (band, bkey)")
@@ -85,22 +108,24 @@ object ExtensionQueries {
           .join(bands.as("y"), expr("x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id"))
           .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
           .distinct()
-        val t = docs.select(col("doc_id"), col("lang"), col("toks"))
+        val t = docs.select(col("doc_id"), col("lang"), col("sh"))
         cands
           .join(t.as("a"), col("id_a") === col("a.doc_id"))
           .join(t.as("b"), col("id_b") === col("b.doc_id"))
           .where(expr(
-            "size(array_intersect(a.toks, b.toks)) * 1.0 / (size(a.toks) + size(b.toks) - size(array_intersect(a.toks, b.toks))) >= 0.9"))
+            "size(array_intersect(a.sh, b.sh)) * 1.0 / (size(a.sh) + size(b.sh) - size(array_intersect(a.sh, b.sh))) >= 0.8"))
           .groupBy(col("a.lang").as("lang"))
           .agg(count(lit(1)).as("near_dup_pairs"))
           .orderBy("lang")
       },
-      Some(s"""WITH toks AS (
-              |  SELECT doc_id, lang, list_distinct(string_split(lower(text), ' ')) AS toks FROM documents),
+      Some(s"""WITH sp AS (
+              |  SELECT doc_id, lang, text, string_split(lower(text), ' ') AS t FROM documents),
+              |sh AS (
+              |  SELECT doc_id, lang, ($shingleSql) AS sh FROM sp),
               |sigs AS (
-              |  SELECT doc_id, lang, toks,
-              |${(0 until 8).map(i => s"    list_min(list_transform(toks, t -> md5('$i:' || t))) AS h$i").mkString(",\n")}
-              |  FROM toks),
+              |  SELECT doc_id, lang, sh,
+              |${(0 until 8).map(i => s"    list_min(list_transform(sh, t -> md5('$i:' || t))) AS h$i").mkString(",\n")}
+              |  FROM sh),
               |bands AS (
               |  SELECT doc_id, 0 AS band, md5(h0 || h1) AS bkey FROM sigs
               |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sigs
@@ -111,8 +136,8 @@ object ExtensionQueries {
               |  JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
               |SELECT a.lang AS lang, COUNT(*) AS near_dup_pairs FROM cands
               |JOIN sigs a ON id_a = a.doc_id JOIN sigs b ON id_b = b.doc_id
-              |WHERE length(list_intersect(a.toks, b.toks)) * 1.0 /
-              |      (length(a.toks) + length(b.toks) - length(list_intersect(a.toks, b.toks))) >= 0.9
+              |WHERE length(list_intersect(a.sh, b.sh)) * 1.0 /
+              |      (length(a.sh) + length(b.sh) - length(list_intersect(a.sh, b.sh))) >= 0.8
               |GROUP BY a.lang ORDER BY lang""".stripMargin)
     ),
     Q(
@@ -134,23 +159,36 @@ object ExtensionQueries {
     ),
     Q(
       "d4_dedup_ngram_jaccard",
-      "Blocked n-gram/token-set Jaccard near-dup: block on (lang, source), pairwise Jaccard >= 0.9; pair counts per lang (blocking keeps pairs O(block^2), not O(n^2))",
+      "Blocked 3-gram-shingle Jaccard near-dup: block on (lang, source), pairwise Jaccard >= 0.8; pair counts per lang (blocking keeps pairs O(block^2), not O(n^2))",
       (s, d) => {
-        val t = documents(s, d).selectExpr("doc_id", "lang", "source", s"$tokExpr AS toks")
+        // Inverted-index formulation: explode shingles to postings, self-join
+        // on (block, shingle) so only pairs that actually SHARE a shingle are
+        // ever materialized, and |a∩b| falls out of a count per pair. Shuffle
+        // volume is O(postings + collisions), not O(block^2) — the shape that
+        // survives 100 TB (a pairwise block join does not).
+        val t = documents(s, d)
+          .selectExpr("doc_id", "lang", "source", splitExpr)
+          .selectExpr("doc_id", "lang", "source", s"($shingleExpr) AS sh")
+          .selectExpr("doc_id", "lang", "source", "size(sh) AS n", "explode(sh) AS shingle")
         t.as("a")
-          .join(t.as("b"), expr("a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id"))
-          .where(expr(
-            "size(array_intersect(a.toks, b.toks)) * 1.0 / (size(a.toks) + size(b.toks) - size(array_intersect(a.toks, b.toks))) >= 0.9"))
-          .groupBy(col("a.lang").as("lang"))
+          .join(t.as("b"), expr(
+            "a.lang = b.lang AND a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id"))
+          .groupBy(
+            col("a.lang").as("lang"), col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+            col("a.n").as("na"), col("b.n").as("nb"))
+          .agg(count(lit(1)).as("inter"))
+          .where(expr("inter * 1.0 / (na + nb - inter) >= 0.8"))
+          .groupBy("lang")
           .agg(count(lit(1)).as("pairs"))
           .orderBy("lang")
       },
-      Some(s"""WITH t AS (SELECT doc_id, lang, source,
-              |  list_distinct(string_split(lower(text), ' ')) AS toks FROM documents)
-              |SELECT a.lang AS lang, COUNT(*) AS pairs FROM t a
-              |JOIN t b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-              |WHERE length(list_intersect(a.toks, b.toks)) * 1.0 /
-              |      (length(a.toks) + length(b.toks) - length(list_intersect(a.toks, b.toks))) >= 0.9
+      Some(s"""WITH sp AS (SELECT doc_id, lang, source, text,
+              |  string_split(lower(text), ' ') AS t FROM documents),
+              |d AS (SELECT doc_id, lang, source, ($shingleSql) AS sh FROM sp)
+              |SELECT a.lang AS lang, COUNT(*) AS pairs FROM d a
+              |JOIN d b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+              |WHERE length(list_intersect(a.sh, b.sh)) * 1.0 /
+              |      (length(a.sh) + length(b.sh) - length(list_intersect(a.sh, b.sh))) >= 0.8
               |GROUP BY a.lang ORDER BY lang""".stripMargin)
     ),
     Q(

@@ -29,6 +29,20 @@ object Tables {
       "ts",
       org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }
-  def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+  /** The fixture parquet files are single-row-group (unsplittable), so a scan
+    * is one task no matter the cluster size. The document/embedding operators
+    * do heavy per-row work (shingling, md5 minhashing, 64-dim folds), so we
+    * hash-repartition by key right after the scan to spread that work across
+    * all cores — the same move a 100 TB pipeline makes when handed a few
+    * giant unsplittable inputs. The cheap relational queries keep the plain
+    * scan (a shuffle would cost more than it buys).
+    */
+  def documents(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    t(s, d, "documents").repartition(col("doc_id"))
+  }
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    t(s, d, "embeddings").repartition(col("vec_id"))
+  }
 }
