@@ -1,0 +1,167 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The dashboard query library over the crash Gold table — every EDA /
+  * Reports / Quality analytical query from the reference's Streamlit surface
+  * (SURVEY §2.4-§2.8, §3.3), as composable DataFrame programs over a Gold
+  * frame rather than `SELECT *`-into-pandas.
+  *
+  * The reference loads the whole table client-side and aggregates in pandas
+  * (streamlit_frontend.py:913); here every aggregation pushes into the
+  * engine, so the dashboard reads k-row summaries off a 100 TB table.
+  */
+object Dashboard {
+
+  /** Hit-and-run rate by an arbitrary dimension — the A5 workhorse shape
+    * instantiated 7x in the reference (streamlit_frontend.py:1045-1074,
+    * 1108-1112, 1154-1158, 1384-1388).
+    */
+  def rateBy(gold: DataFrame, dim: String): DataFrame =
+    gold
+      .groupBy(dim)
+      .agg(
+        sum("hit_and_run_i").as("hit_run"),
+        count(lit(1)).as("n"))
+      .withColumn("rate_pct", col("hit_run") * lit(100.0) / col("n"))
+      .orderBy(dim)
+
+  /** Speed-bin rate: pd.cut([0,20,30,40,50,100]) then A5
+    * (streamlit_frontend.py:1041-1049).
+    */
+  def rateBySpeedBin(gold: DataFrame): DataFrame =
+    rateBy(
+      gold.withColumn("speed_bin",
+        when(col("posted_speed_limit") <= 20, "0-20")
+          .when(col("posted_speed_limit") <= 30, "21-30")
+          .when(col("posted_speed_limit") <= 40, "31-40")
+          .when(col("posted_speed_limit") <= 50, "41-50")
+          .otherwise("51+")),
+      "speed_bin")
+
+  /** Crashes per hour, split by class (streamlit_frontend.py:1134-1137 J4). */
+  def hourlyWithClass(gold: DataFrame): DataFrame = {
+    val tot = gold.groupBy("crash_hour").agg(count(lit(1)).as("total"))
+    val hr = gold.where(col("hit_and_run_i") === 1)
+      .groupBy("crash_hour").agg(count(lit(1)).as("hit_run"))
+    tot.join(hr, Seq("crash_hour"), "left")
+      .na.fill(0L, Seq("hit_run"))
+      .orderBy("crash_hour")
+  }
+
+  /** Day-of-week name counts with the EDA display mapping — engine-wide the
+    * convention is the cleaner's 1=Sun..7=Sat; the 0-6 pandas mapping in the
+    * EDA tab is display-layer only (SURVEY §2.8 F12 note).
+    */
+  def byDayName(gold: DataFrame): DataFrame =
+    gold
+      .withColumn("day_name",
+        element_at(
+          map(
+            lit(1), lit("Sun"), lit(2), lit("Mon"), lit(3), lit("Tue"),
+            lit(4), lit("Wed"), lit(5), lit("Thu"), lit(6), lit("Fri"),
+            lit(7), lit("Sat")),
+          col("crash_day_of_week")))
+      .groupBy("crash_day_of_week", "day_name")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("crash_day_of_week")
+
+  /** Hour x day pivot crosstab, counts (streamlit_frontend.py:1223 F17). */
+  def hourDayPivot(gold: DataFrame): DataFrame =
+    gold
+      .groupBy("crash_hour")
+      .pivot("crash_day_of_week", Seq(1, 2, 3, 4, 5, 6, 7))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("crash_hour")
+
+  /** Top-k categorical frequency tables (streamlit_frontend.py:978,1276-1284 A9). */
+  def topK(gold: DataFrame, dim: String, k: Int): DataFrame =
+    gold.groupBy(dim).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col(dim)).limit(k)
+
+  /** Numeric correlation matrix over the Gold numerics excluding lat/lng
+    * (streamlit_frontend.py:1400-1406 A12), as tidy (col1, col2, corr) rows.
+    *
+    * Computed from co-moment sums with a lazy zero-variance guard: pandas
+    * `.corr()` yields NaN for constant columns, while Spark's `corr` under
+    * ANSI mode (the 4.x default) raises DIVIDE_BY_ZERO — so a constant
+    * column maps to null here, not a query failure.
+    */
+  def correlationMatrix(gold: DataFrame): DataFrame = {
+    val cols = Seq("crash_hour", "crash_day_of_week", "num_units",
+      "injuries_total", "posted_speed_limit", "hit_and_run_i")
+    val pairs = for {
+      (a, i) <- cols.zipWithIndex; (b, j) <- cols.zipWithIndex if i < j
+    } yield (a, b)
+    val aggs = count(lit(1)).cast("double").as("n") +:
+      (cols.flatMap(c => Seq(
+        sum(col(c).cast("double")).as(s"s_$c"),
+        sum(col(c).cast("double") * col(c).cast("double")).as(s"ss_$c"))) ++
+        pairs.map { case (a, b) =>
+          sum(col(a).cast("double") * col(b).cast("double")).as(s"sp_${a}__$b")
+        })
+    val wide = gold.agg(aggs.head, aggs.tail: _*)
+    val corrExprs = pairs.map { case (a, b) =>
+      val num = s"(n * `sp_${a}__$b` - `s_$a` * `s_$b`)"
+      val den = s"(sqrt(n * `ss_$a` - `s_$a` * `s_$a`) * sqrt(n * `ss_$b` - `s_$b` * `s_$b`))"
+      s"CASE WHEN $den = 0.0 THEN CAST(NULL AS DOUBLE) ELSE $num / $den END AS `${a}__$b`"
+    }
+    val stacked = pairs.map { case (a, b) => s"'$a', '$b', `${a}__$b`" }.mkString(", ")
+    wide.selectExpr(corrExprs: _*)
+      .selectExpr(s"stack(${pairs.size}, $stacked) AS (col1, col2, corr)")
+  }
+
+  /** Quality metrics: per-column missing rate, duplicate keys, hit-run rate
+    * (streamlit_frontend.py:1610-1644 + A15).
+    */
+  def qualityMetrics(gold: DataFrame): DataFrame = {
+    val checkCols = Seq("crash_date", "latitude", "longitude", "weather_condition")
+    val aggs = Seq(
+      count(lit(1)).as("rows"),
+      (count(lit(1)) - countDistinct(col("crash_record_id"))).as("duplicate_keys"),
+      avg(col("hit_and_run_i")).as("hit_run_rate")) ++
+      checkCols.map(c =>
+        (sum(when(col(c).isNull, 1).otherwise(0)) * lit(100.0) / count(lit(1)))
+          .as(s"${c}_missing_pct"))
+    gold.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Run history: per-corr_id stats ordered by recency, top-k
+    * (streamlit_frontend.py:1455-1461,1668-1679 A8).
+    */
+  def runHistory(gold: DataFrame, k: Int = 10): DataFrame =
+    gold
+      .groupBy("corr_id")
+      .agg(
+        count(lit(1)).as("rows"),
+        min("inserted_at").as("started"),
+        max("inserted_at").as("ended"),
+        min("crash_date").as("first_crash"),
+        max("crash_date").as("last_crash"))
+      .orderBy(desc("ended"), col("corr_id"))
+      .limit(k)
+
+  /** Deterministic capped geo sample for map rendering
+    * (streamlit_frontend.py:1305-1327 P10+P12; md5 order replaces
+    * `df.sample` so results are reproducible).
+    */
+  def geoSample(gold: DataFrame, cap: Int, hitRunOnly: Boolean = false): DataFrame = {
+    val base = gold.na.drop(Seq("latitude", "longitude"))
+    val filtered = if (hitRunOnly) base.where(col("hit_and_run_i") === 1) else base
+    filtered
+      .orderBy(md5(col("crash_record_id")), col("crash_record_id"))
+      .limit(cap)
+      .select("crash_record_id", "latitude", "longitude", "hit_and_run_i")
+  }
+
+  /** Gold preview with date-range + row cap (streamlit_frontend.py:530-545,
+    * 2132-2137 P8/O4).
+    */
+  def preview(gold: DataFrame, start: String, end: String, limit: Int): DataFrame =
+    gold
+      .where(col("crash_date").between(lit(start), lit(end)))
+      .orderBy("crash_record_id")
+      .limit(limit)
+}

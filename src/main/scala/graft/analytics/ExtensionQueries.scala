@@ -195,16 +195,13 @@ object ExtensionQueries {
       "d5_dedup_embedding_cosine",
       "Embedding-cosine near-dup pairs (cos >= 0.35, the data 99.9th pctile), blocked by label; explicit fold dot-product in both engines",
       (s, d) => {
+        graft.functions.GraftFunctions.register(s)
         val e = embeddings(s, d)
-          .selectExpr(
-            "vec_id",
-            "label",
-            "cast(embedding AS array<double>) AS v",
-            "sqrt(aggregate(cast(embedding AS array<double>), 0D, (acc, x) -> acc + x * x)) AS nrm")
+          .selectExpr("vec_id", "label", "cast(embedding AS array<double>) AS v")
+          .selectExpr("vec_id", "label", "v", "sqrt(array_dot(v, v)) AS nrm")
         e.as("a")
           .join(e.as("b"), expr("a.label = b.label AND a.vec_id < b.vec_id"))
-          .withColumn("cos",
-            expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x) / (a.nrm * b.nrm)"))
+          .withColumn("cos", expr("array_dot(a.v, b.v) / (a.nrm * b.nrm)"))
           .where(col("cos") >= 0.35)
           .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), col("a.label").as("label"))
           .orderBy("id_a", "id_b")
@@ -224,17 +221,15 @@ object ExtensionQueries {
       "Brute-force cosine top-5 neighbors for 10 query vectors (baseline ANN; broadcast queries x corpus, no n^2)",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        graft.functions.GraftFunctions.register(s)
         val e = embeddings(s, d)
-          .selectExpr(
-            "vec_id",
-            "cast(embedding AS array<double>) AS v",
-            "sqrt(aggregate(cast(embedding AS array<double>), 0D, (acc, x) -> acc + x * x)) AS nrm")
+          .selectExpr("vec_id", "cast(embedding AS array<double>) AS v")
+          .selectExpr("vec_id", "v", "sqrt(array_dot(v, v)) AS nrm")
         val q = e.where(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
         val w = Window.partitionBy("qid").orderBy(desc("cos"), col("vec_id"))
         e.join(broadcast(q), expr("vec_id <> qid"))
-          .withColumn("cos",
-            expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x) / (qnrm * nrm)"))
+          .withColumn("cos", expr("array_dot(qv, v) / (qnrm * nrm)"))
           .withColumn("rank", row_number().over(w))
           .where(col("rank") <= 5)
           .select("qid", "rank", "vec_id", "cos")
@@ -260,11 +255,10 @@ object ExtensionQueries {
         import org.apache.spark.sql.expressions.Window
         val sigBand = (b: Int) =>
           s"concat(${(b * 4 until b * 4 + 4).map(i => s"(CASE WHEN element_at(v, ${i + 1}) >= 0 THEN '1' ELSE '0' END)").mkString(", ")})"
+        graft.functions.GraftFunctions.register(s)
         val e = embeddings(s, d)
-          .selectExpr(
-            "vec_id",
-            "cast(embedding AS array<double>) AS v",
-            "sqrt(aggregate(cast(embedding AS array<double>), 0D, (acc, x) -> acc + x * x)) AS nrm")
+          .selectExpr("vec_id", "cast(embedding AS array<double>) AS v")
+          .selectExpr("vec_id", "v", "sqrt(array_dot(v, v)) AS nrm")
           .selectExpr(Seq("vec_id", "v", "nrm") ++ (0 until 4).map(b => s"${sigBand(b)} AS band$b"): _*)
         val bands = e.selectExpr(
           "vec_id",
@@ -282,8 +276,7 @@ object ExtensionQueries {
           .join(
             broadcast(q.select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))),
             Seq("qid"))
-          .withColumn("cos",
-            expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x) / (qnrm * nrm)"))
+          .withColumn("cos", expr("array_dot(qv, v) / (qnrm * nrm)"))
           .withColumn("rank", row_number().over(w))
           .where(col("rank") <= 3)
           .select("qid", "rank", "vec_id", "cos")

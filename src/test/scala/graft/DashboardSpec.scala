@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Dashboard
+
+/** Dashboard query library over a synthetic Gold frame (SURVEY §3.3). */
+class DashboardSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val gold: DataFrame = Seq(
+    ("c1", "CLEAR", 1, 10, 2, 30, 41.85, -87.65, 1.0, "run-1", "2024-01-01 10:00:00"),
+    ("c2", "CLEAR", 0, 10, 3, 45, 41.90, -87.70, 0.0, "run-1", "2024-01-01 10:00:00"),
+    ("c3", "RAIN", 1, 22, 7, 25, 41.80, -87.60, 2.0, "run-2", "2024-01-02 10:00:00"),
+    ("c4", "RAIN", 1, 22, 7, 55, 41.82, -87.62, 0.0, "run-2", "2024-01-02 10:00:00"))
+    .toDF("crash_record_id", "weather_condition", "hit_and_run_i", "crash_hour",
+      "crash_day_of_week", "posted_speed_limit", "latitude", "longitude",
+      "injuries_total", "corr_id", "ins")
+    .withColumn("inserted_at", to_timestamp($"ins")).drop("ins")
+    .withColumn("num_units", lit(2))
+    .withColumn("crash_date", to_date($"inserted_at"))
+
+  test("rateBy computes sum/count -> percentage per dimension (A5 workhorse)") {
+    val r = Dashboard.rateBy(gold, "weather_condition").collect()
+    val m = r.map(x => x.getString(0) -> x.getDouble(3)).toMap
+    assert(m("CLEAR") == 50.0 && m("RAIN") == 100.0)
+  }
+
+  test("rateBySpeedBin buckets with pd.cut boundaries") {
+    val bins = Dashboard.rateBySpeedBin(gold).collect().map(_.getString(0)).toSet
+    assert(bins == Set("21-30", "41-50", "51+"))
+  }
+
+  test("hourlyWithClass left-joins subset counts with zero fill (J4)") {
+    val r = Dashboard.hourlyWithClass(gold).collect()
+      .map(x => x.getInt(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(10) == (2L, 1L) && r(22) == (2L, 2L))
+  }
+
+  test("hourDayPivot yields 7 day columns zero-filled (F17)") {
+    val p = Dashboard.hourDayPivot(gold)
+    assert(p.columns.toSeq == Seq("crash_hour", "1", "2", "3", "4", "5", "6", "7"))
+    val row22 = p.where($"crash_hour" === 22).collect()(0)
+    assert(row22.getLong(7) == 2 && row22.getLong(1) == 0)
+  }
+
+  test("correlationMatrix emits tidy upper-triangle pairs (A12)") {
+    val c = Dashboard.correlationMatrix(gold)
+    assert(c.count() == 15) // C(6,2)
+    val hourVsDay = c.where($"col1" === "crash_hour" && $"col2" === "crash_day_of_week")
+      .collect()(0).getDouble(2)
+    assert(hourVsDay > 0.9, s"strongly correlated in fixture, got $hourVsDay")
+    // constant column (num_units) -> null corr (pandas-NaN analog), not an
+    // ANSI divide-by-zero failure
+    val constPair = c.where($"col1" === "num_units").collect()
+    assert(constPair.nonEmpty && constPair.forall(_.isNullAt(2)))
+  }
+
+  test("qualityMetrics reports rows, dup keys, missing pcts, hit-run rate") {
+    val r = Dashboard.qualityMetrics(gold).collect()(0)
+    assert(r.getAs[Long]("rows") == 4)
+    assert(r.getAs[Long]("duplicate_keys") == 0)
+    assert(r.getAs[Double]("hit_run_rate") == 0.75)
+    assert(r.getAs[Double]("latitude_missing_pct") == 0.0)
+  }
+
+  test("runHistory groups per corr_id ordered by recency (A8)") {
+    val r = Dashboard.runHistory(gold).collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("run-2", "run-1"))
+    assert(r(0).getAs[Long]("rows") == 2)
+  }
+
+  test("geoSample caps deterministically and filters class (P10/P12)") {
+    val s1 = Dashboard.geoSample(gold, 2).collect()
+    val s2 = Dashboard.geoSample(gold, 2).collect()
+    assert(s1.map(_.getString(0)).toSeq == s2.map(_.getString(0)).toSeq)
+    assert(Dashboard.geoSample(gold, 10, hitRunOnly = true).count() == 3)
+  }
+}

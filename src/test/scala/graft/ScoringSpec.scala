@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ml.Scoring
+
+/** ML scoring path (UD3/A17): train, score at threshold, metrics. */
+class ScoringSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val gold = {
+    // Separable synthetic data: hit-and-run concentrates at night hours.
+    val rows = (0 until 200).map { i =>
+      val hitRun = if (i % 5 < 2) 1 else 0
+      val hour = if (hitRun == 1) 2 + i % 4 else 12 + i % 6
+      (s"c$i", hour, 1 + i % 7, if (i % 7 >= 6) 1 else 0, 2, i % 3 * 1.0,
+        30 + (i % 4) * 5, 41.7 + (i % 10) * 0.01, -87.9 + (i % 10) * 0.01,
+        if (hitRun == 1) "DARKNESS" else "DAYLIGHT",
+        if (i % 2 == 0) "CLEAR" else "RAIN", "DRY", "TRAFFIC SIGNAL",
+        "NO INJURY / DRIVE AWAY", if (hour < 7) "night" else "morning", hitRun)
+    }
+    rows.toDF("crash_record_id", "crash_hour", "crash_day_of_week", "is_weekend",
+      "num_units", "injuries_total", "posted_speed_limit", "latitude", "longitude",
+      "lighting_condition", "weather_condition", "roadway_surface_cond",
+      "traffic_control_device", "crash_type", "hour_bin", "hit_and_run_i")
+  }
+
+  test("missingFeatures flags absent columns (S12 upload validation)") {
+    assert(Scoring.missingFeatures(gold).isEmpty)
+    assert(Scoring.missingFeatures(gold.drop("crash_hour")) == Seq("crash_hour"))
+  }
+
+  test("train -> score -> metrics recovers the separable signal") {
+    val model = Scoring.train(gold)
+    val scored = Scoring.score(model, gold, threshold = 0.26)
+    assert(scored.columns.contains("p1") && scored.columns.contains("pred"))
+    val m = Scoring.metrics(scored)
+    assert(m.tp + m.fn == 80, "positive support")
+    assert(m.f1 > 0.9, s"separable fixture should score high, got $m")
+  }
+
+  test("probability histogram has bounded buckets summing to row count") {
+    val model = Scoring.train(gold)
+    val h = Scoring.probabilityHistogram(Scoring.score(model, gold)).collect()
+    assert(h.map(_.getLong(1)).sum == 200)
+    assert(h.forall(r => r.getLong(0) >= 0 && r.getLong(0) <= 19))
+  }
+}
