@@ -641,6 +641,53 @@ object RelationalQueries {
              |substring(md5(CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus), 1, 12) AS fp
              |FROM orders ORDER BY o_orderkey""".stripMargin)
     ),
+    Q(
+      "a10_distinct_count",
+      "Distinct-count of partitions/runs (streamlit_frontend.py:1499-1507: count distinct corr over the file index)",
+      (s, d) =>
+        events(s, d)
+          .groupBy("event_type")
+          .agg(
+            countDistinct(col("user_id")).as("distinct_users"),
+            count(lit(1)).as("n"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(DISTINCT user_id) AS distinct_users, COUNT(*) AS n
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+    Q(
+      "f12_value_remap",
+      "Map-literal value remapping 0/1 -> No/Yes, day number -> name (streamlit_frontend.py:1015,1174-1176; engine convention 1=Sun..7=Sat per SURVEY §7.4)",
+      (s, d) =>
+        events(s, d)
+          .withColumn("dow", dayofweek(col("ts")))
+          .withColumn("day_name",
+            element_at(
+              map(
+                lit(1), lit("Sun"), lit(2), lit("Mon"), lit(3), lit("Tue"),
+                lit(4), lit("Wed"), lit(5), lit("Thu"), lit(6), lit("Fri"),
+                lit(7), lit("Sat")),
+              col("dow")))
+          .groupBy("dow", "day_name")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("dow"),
+      Some("""SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+             |CASE CAST(dayofweek(ts) + 1 AS INTEGER)
+             |  WHEN 1 THEN 'Sun' WHEN 2 THEN 'Mon' WHEN 3 THEN 'Tue' WHEN 4 THEN 'Wed'
+             |  WHEN 5 THEN 'Thu' WHEN 6 THEN 'Fri' WHEN 7 THEN 'Sat' END AS day_name,
+             |COUNT(*) AS n FROM events GROUP BY 1, 2 ORDER BY dow""".stripMargin)
+    ),
+    Q(
+      "f18_histogram",
+      "Fixed-width histogram binning, 20 buckets (streamlit_frontend.py:1017-1027,2437-2443 plotly nbins)",
+      (s, d) =>
+        lineitem(s, d)
+          .withColumn("bucket", floor(col("l_extendedprice") / 5000).cast("long"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("bucket"),
+      Some("""SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bucket, COUNT(*) AS n
+             |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin)
+    ),
     // ----------------------------------------------------- streaming (batch analog)
     Q(
       "st1_tumbling_window",

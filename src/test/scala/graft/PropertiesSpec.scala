@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.gold.{Cleaner, GoldWriter}
+import graft.silver.Transformer
+
+/** ScalaCheck properties for the algebraic operator laws (SURVEY §5):
+  * dedup/upsert idempotence, imputation totality, boolean standardization
+  * domain.
+  */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic property runner: evaluate `gen` over fixed seeds (the
+    * scalatest+scalacheck bridge isn't in the offline cache, so properties
+    * are driven directly).
+    */
+  private def forAllSeeded[A](gen: Gen[A], n: Int = 15)(body: A => Unit): Unit =
+    (1 to n).foreach { i =>
+      gen(Gen.Parameters.default, Seed(42L + i)).foreach(body)
+    }
+
+  private val keyGen = Gen.oneOf("k1", "k2", "k3", "k4")
+  private val rowsGen = Gen.listOfN(12, Gen.zip(keyGen, Gen.choose(0, 99)))
+
+  test("property: dedupKeepFirst is idempotent and keeps one row per key") {
+    forAllSeeded(rowsGen) { rows =>
+      if (rows.nonEmpty) {
+        val df = rows.toDF("id", "v")
+        val once = Transformer.dedupKeepFirst(df, "id", Seq(col("v")))
+        val twice = Transformer.dedupKeepFirst(once, "id", Seq(col("v")))
+        val a = once.orderBy("id").collect().toSeq
+        assert(a == twice.orderBy("id").collect().toSeq)
+        assert(once.select("id").distinct().count() == once.count())
+      }
+    }
+  }
+
+  test("property: upsert is idempotent — write(write(db,b),b) == write(db,b)") {
+    forAllSeeded(Gen.listOfN(6, Gen.zip(keyGen, Gen.choose(0, 9))), n = 6) { rows =>
+      if (rows.nonEmpty) {
+        val path = tmpDir("prop-gold") + "/gold"
+        val batch = rows.toDF("crash_record_id", "v")
+        GoldWriter.upsert(spark, batch, path)
+        val after1 = spark.read.parquet(path).orderBy("crash_record_id", "v").collect().toSeq
+        val r2 = GoldWriter.upsert(spark, batch, path)
+        val after2 = spark.read.parquet(path).orderBy("crash_record_id", "v").collect().toSeq
+        assert(r2.insertedRows == 0)
+        assert(after1 == after2)
+      }
+    }
+  }
+
+  test("property: boolean standardization is total with range {0,1}") {
+    forAllSeeded(Gen.option(Gen.oneOf("Y", "yes", "t", "junk", "0", "1.0", "NO", " y ", ""))) { v =>
+      val schema = StructType(Seq(StructField("b", StringType)))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(v.orNull))), schema)
+      val out = df.select(Cleaner.standardizeBoolean(col("b")).as("r")).collect()(0)
+      assert(!out.isNullAt(0) && Set(0, 1).contains(out.getInt(0)))
+    }
+  }
+
+  test("property: the cleaning chain leaves no nulls in imputed columns") {
+    val hourGen = Gen.option(Gen.choose(0, 23)).map(_.map(_.toString).orNull)
+    forAllSeeded(Gen.listOfN(5, hourGen), n = 5) { hours =>
+      val cols = Cleaner.reqCols
+      val rows = hours.zipWithIndex.map { case (h, i) =>
+        Row.fromSeq(cols.map {
+          case "crash_record_id" => s"c$i"
+          case "crash_date"      => "2024-01-03T10:30:00"
+          case "crash_hour"      => h
+          case "latitude"        => "41.85"
+          case "longitude"       => "-87.65"
+          case _                 => null
+        })
+      }
+      val schema = StructType(cols.map(c => StructField(c, StringType)))
+      val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+      val out = Cleaner.cleanData(df)
+      // Constant/categorical/bool imputation is total. Median imputation is
+      // total only when the column has at least one observed value — the
+      // reference's pandas median of an all-NaN column is NaN and its fillna
+      // is then a no-op (cleaning_rules.py:198-202), and we replicate that.
+      val alwaysFilled = (Cleaner.categoricalFillCols ++ Cleaner.boolCols :+
+        "injuries_total" :+ "latitude" :+ "longitude").distinct
+      val hourFilled = if (hours.exists(_ != null)) Seq("crash_hour") else Nil
+      val checkCols = alwaysFilled ++ hourFilled
+      val nullCounts = out
+        .select(checkCols.map(c => sum(when(col(c).isNull, 1).otherwise(0)).as(c)): _*)
+        .collect()(0)
+      checkCols.indices.foreach { i =>
+        assert(nullCounts.getLong(i) == 0, s"nulls remain in ${checkCols(i)}")
+      }
+    }
+  }
+}
