@@ -95,12 +95,20 @@ object ExtensionQueries {
       "Shingle (3-gram) -> MinHash (8 md5-keyed min-hashes) -> LSH banding (4 bands x 2) -> bucket-join candidates -> exact Jaccard >= 0.8 verify; near-dup pairs per lang. The 100 TB path: candidates are O(near-dups), not O(n^2)",
       (s, d) => {
         val perms = 0 until 8
+        // Materialize the signature table once: this subplan feeds four
+        // consumers (two band-join sides, two verify-join sides) and without
+        // a lineage cut Spark recomputes the md5 minhashes for each (observed:
+        // 16 copies of the projection in the executed plan — a repartition
+        // doesn't help because the optimizer collapses it below the
+        // projection). localCheckpoint is the production-LSH move anyway:
+        // signatures are computed once per corpus and reused.
         val docs = documents(s, d)
           .selectExpr("doc_id", "lang", splitExpr)
           .selectExpr("doc_id", "lang", s"($shingleExpr) AS sh")
           .selectExpr(
             Seq("doc_id", "lang", "sh") ++
               perms.map(i => s"array_min(transform(sh, t -> md5(concat('$i:', t)))) AS h$i"): _*)
+          .localCheckpoint(eager = false)
         val bands = docs.selectExpr(
           "doc_id",
           "stack(4, 0, md5(concat(h0, h1)), 1, md5(concat(h2, h3)), 2, md5(concat(h4, h5)), 3, md5(concat(h6, h7))) AS (band, bkey)")
@@ -166,12 +174,23 @@ object ExtensionQueries {
         // ever materialized, and |a∩b| falls out of a count per pair. Shuffle
         // volume is O(postings + collisions), not O(block^2) — the shape that
         // survives 100 TB (a pairwise block join does not).
-        val t = documents(s, d)
+        // Shingle arrays materialized BEFORE the explode. Two reasons: the
+        // self-join's sides share the computation, and — measured — Spark
+        // merges the (non-codegen, lambda-bearing) shingle expression into
+        // the Generate node, re-evaluating it per OUTPUT row: explode over
+        // the live expression ran ~30x slower than over materialized arrays.
+        val sh = documents(s, d)
           .selectExpr("doc_id", "lang", "source", splitExpr)
           .selectExpr("doc_id", "lang", "source", s"($shingleExpr) AS sh")
-          .selectExpr("doc_id", "lang", "source", "size(sh) AS n", "explode(sh) AS shingle")
+          .localCheckpoint(eager = false)
+        val t = sh.selectExpr(
+          "doc_id", "lang", "source", "size(sh) AS n", "explode(sh) AS shingle")
+        // SHUFFLE_HASH: the posting table is too big to broadcast cheaply
+        // (Catalyst would build and ship a 245k-entry hash relation to every
+        // task) but partitions perfectly on the fine-grained shingle key —
+        // shuffle both sides once, build small per-partition hash maps.
         t.as("a")
-          .join(t.as("b"), expr(
+          .join(t.as("b").hint("SHUFFLE_HASH"), expr(
             "a.lang = b.lang AND a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id"))
           .groupBy(
             col("a.lang").as("lang"), col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
