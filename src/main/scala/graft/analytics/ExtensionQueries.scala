@@ -435,6 +435,40 @@ object ExtensionQueries {
              |COUNT(*) - COUNT(DISTINCT md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' '))) AS n_redundant
              |FROM documents""".stripMargin)
     ),
+    Q(
+      "t5_tfidf",
+      "TF-IDF top-5 terms per lang: term frequency within lang x inverse document frequency over the corpus (tokenize -> explode -> two aggregations, all map-side-combining)",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = documents(s, d)
+          .selectExpr("doc_id", "lang", s"$tokExpr AS toks")
+          .localCheckpoint(eager = false) // explode over live lambda expr re-evaluates per output row
+          .selectExpr("doc_id", "lang", "explode(toks) AS term")
+        val n = documents(s, d).count()
+        val df_ = toks.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+        val tf = toks.groupBy("lang", "term").agg(count(lit(1)).as("tf"))
+        val w = Window.partitionBy("lang").orderBy(desc("tfidf"), col("term"))
+        tf.join(df_, Seq("term"))
+          .withColumn("tfidf", expr(s"tf * ln($n.0 / df)"))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 5)
+          .select("lang", "rank", "term", "tf", "df")
+          .orderBy("lang", "rank")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, lang, unnest(list_distinct(string_split(lower(text), ' '))) AS term
+             |  FROM documents),
+             |n AS (SELECT COUNT(*) AS n FROM documents),
+             |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+             |tf AS (SELECT lang, term, COUNT(*) AS tf FROM toks GROUP BY lang, term),
+             |scored AS (
+             |  SELECT lang, tf.term AS term, tf, df,
+             |    row_number() OVER (PARTITION BY lang
+             |      ORDER BY tf * ln((SELECT n * 1.0 FROM n) / df) DESC, tf.term) AS rank
+             |  FROM tf JOIN dfreq ON tf.term = dfreq.term)
+             |SELECT lang, rank, term, tf, df FROM scored WHERE rank <= 5
+             |ORDER BY lang, rank""".stripMargin)
+    ),
     // -------------------------------------------------------- multimodal ops
     Q(
       "m1_multimodal_meta",

@@ -108,7 +108,13 @@ object RelationalQueries {
       "Keep rows below the 0.95 quantile (streamlit_frontend.py:1365)",
       (s, d) => {
         val li = lineitem(s, d)
-        val q95 = li.agg(percentile(col("l_extendedprice"), lit(0.95)).as("q"))
+        // Exact percentile accumulates every value into its partial buffer;
+        // over the single-row-group fixture that is one task holding 600k
+        // doubles. Repartition first so buffers build in parallel and only
+        // the merge is single-threaded.
+        val q95 = li.select("l_extendedprice")
+          .repartition(col("l_extendedprice"))
+          .agg(percentile(col("l_extendedprice"), lit(0.95)).as("q"))
         li.join(broadcast(q95))
           .where(col("l_extendedprice") < col("q"))
           .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
