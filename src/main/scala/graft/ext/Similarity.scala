@@ -1,0 +1,128 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Similarity search over embedding columns as a reusable library (the
+  * registered queries n1/n2 are instantiations of these shapes).
+  *
+  * Scale contract:
+  *  - queries are broadcast, the corpus streams: one scan, no corpus
+  *    self-join;
+  *  - ranking state is bounded: either a per-query window (small k) or the
+  *    [[TopK]] typed Aggregator, whose buffer holds at most k entries per
+  *    group through partial aggregation — the map side reduces each
+  *    partition to k candidates before any shuffle;
+  *  - the LSH-bucketed variant probes only sign-signature collisions — the
+  *    sub-linear path when the query set is large.
+  */
+object Similarity {
+
+  /** (score, id) pair kept in the top-k buffer. */
+  final case class Scored(score: Double, id: Long)
+
+  /** Typed top-k Aggregator (SURVEY §7.5's "top-k heap aggregator"): the
+    * buffer is a bounded sorted list, merged associatively, so partial
+    * aggregation ships at most k rows per partition per group instead of the
+    * whole candidate set.
+    */
+  final class TopK(k: Int) extends Aggregator[Scored, List[Scored], List[Scored]] {
+    override def zero: List[Scored] = Nil
+
+    private def insert(buf: List[Scored], s: Scored): List[Scored] = {
+      // descending by score, ties broken by ascending id (deterministic)
+      val merged = (s :: buf).sortBy(x => (-x.score, x.id))
+      if (merged.length > k) merged.take(k) else merged
+    }
+
+    override def reduce(buf: List[Scored], in: Scored): List[Scored] = insert(buf, in)
+
+    override def merge(a: List[Scored], b: List[Scored]): List[Scored] =
+      (a ++ b).sortBy(x => (-x.score, x.id)).take(k)
+
+    override def finish(buf: List[Scored]): List[Scored] = buf
+
+    override def bufferEncoder: Encoder[List[Scored]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Scored]]()
+    override def outputEncoder: Encoder[List[Scored]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Scored]]()
+  }
+
+  /** Normalize an embedding table: `(id, v: array<double>, nrm)`. */
+  def prepare(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    embeddings
+      .selectExpr(s"$idCol AS id", s"cast($vecCol AS array<double>) AS v")
+      .selectExpr("id", "v", "sqrt(array_dot(v, v)) AS nrm")
+  }
+
+  /** Brute-force cosine top-k for each query vector, via the TopK Aggregator:
+    * corpus scanned once, queries broadcast, k-bounded state end to end.
+    * Output: (qid, rank, id, score).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val q = queries.select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = corpus
+      .join(broadcast(q), expr("id <> qid"))
+      .selectExpr("qid", "id", "array_dot(qv, v) / (qnrm * nrm) AS score")
+      .as[(Long, Long, Double)]
+    val topk = new TopK(k).toColumn
+    scored
+      .groupByKey(_._1)
+      .mapValues { case (_, id, score) => Scored(score, id) }
+      .agg(topk.name("topk"))
+      .toDF("qid", "topk")
+      .selectExpr("qid", "posexplode(topk) AS (pos, hit)")
+      .selectExpr("qid", "pos + 1 AS rank", "hit.id AS id", "hit.score AS score")
+      .orderBy("qid", "rank")
+  }
+
+  /** Sign-LSH signature over the first `bits` dimensions, banded — the bucket
+    * key set for the sub-linear probe path.
+    */
+  def signBands(prepared: DataFrame, bits: Int = 16, bands: Int = 4): DataFrame = {
+    val perBand = bits / bands
+    val bandExprs = (0 until bands).map { b =>
+      val bitExprs = (b * perBand until (b + 1) * perBand)
+        .map(i => s"(CASE WHEN element_at(v, ${i + 1}) >= 0 THEN '1' ELSE '0' END)")
+      s"concat(${bitExprs.mkString(", ")}) AS band$b"
+    }
+    val withBands = prepared.selectExpr(Seq("id", "v", "nrm") ++ bandExprs: _*)
+    withBands.selectExpr(
+      "id", "v", "nrm",
+      s"stack($bands, ${(0 until bands).map(b => s"$b, band$b").mkString(", ")}) AS (band, bkey)")
+  }
+
+  /** LSH-bucketed ANN: candidates share at least one band with the query;
+    * exact cosine re-ranking on candidates only.
+    */
+  def lshTopK(prepared: DataFrame, queries: DataFrame, k: Int,
+      bits: Int = 16, bands: Int = 4): DataFrame = {
+    val spark = prepared.sparkSession
+    GraftFunctions.register(spark)
+    val cb = signBands(prepared, bits, bands).select("id", "band", "bkey")
+    val qb = signBands(queries, bits, bands)
+      .select(col("id").as("qid"), col("band"), col("bkey"))
+    val cands = cb.join(broadcast(qb), Seq("band", "bkey"))
+      .where(expr("id <> qid"))
+      .select("qid", "id")
+      .distinct()
+    val q = queries.select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("qid").orderBy(desc("score"), col("id"))
+    cands
+      .join(prepared, Seq("id"))
+      .join(broadcast(q), Seq("qid"))
+      .selectExpr("qid", "id", "array_dot(qv, v) / (qnrm * nrm) AS score")
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("qid", "rank", "id", "score")
+      .orderBy("qid", "rank")
+  }
+}
