@@ -48,7 +48,7 @@ object Pipeline {
     if (primary.isEmpty) {
       val goldPath = s"$base/gold"
       val report =
-        if (new java.io.File(goldPath).exists())
+        if (GoldWriter.tableExists(spark, goldPath))
           GoldWriter.integrityCheck(spark, goldPath, job.joinKey, 0L)
         else GoldWriter.IntegrityReport(0L, 0L, 0L, 0L)
       Ingest.writeManifest(base, corrId, job.mode, "", now.toString, now.toString)
@@ -71,15 +71,23 @@ object Pipeline {
     }
 
     // ---- transform: partition-pruned read of this run, silver merge (A1-A3,
-    //      J2/J3, F13).
+    //      J2/J3, F13). Enrich reads use the SAME alias resolution as the
+    //      writes above, and tolerate an empty/absent landing dir the way the
+    //      reference tolerates empty pages (transformer.py:201-252 is_empty
+    //      guards): an all-filtered semi-join writes only _SUCCESS, which
+    //      spark.read.json cannot infer a schema from.
     val bCrashes = Ingest.readBronze(spark, base, "crashes", corrId)
-    def readEnrich(alias: String): DataFrame =
-      spark.read.json(s"$base/$alias/corr=$corrId")
+    def readEnrich(i: Int): DataFrame = {
+      val alias = job.enrich.lift(i).map(e => e.alias.getOrElse(e.id))
+      alias match {
+        case None => spark.emptyDataFrame
+        case Some(a) =>
+          try spark.read.json(s"$base/$a/corr=$corrId")
+          catch { case _: org.apache.spark.sql.AnalysisException => spark.emptyDataFrame }
+      }
+    }
     val merged = Transformer.mergeCrashVehiclesPeople(
-      bCrashes,
-      readEnrich(job.enrich.headOption.flatMap(_.alias).getOrElse("vehicles")),
-      readEnrich(job.enrich.lift(1).flatMap(_.alias).getOrElse("people")),
-      job.joinKey)
+      bCrashes, readEnrich(0), readEnrich(1), job.joinKey)
     val silver = Transformer.makeCsvSafe(merged)
     silver.write.mode("overwrite").option("header", "true")
       .csv(s"$base/silver/corr=$corrId")
@@ -92,7 +100,9 @@ object Pipeline {
     val report = GoldWriter.upsert(spark, gold, s"$base/gold")
 
     // ---- commit watermark (streaming only; backfill never advances — ST1/ST3).
-    val newWm = primary
+    // Computed from the landed Bronze (partition-pruned) rather than
+    // re-running the raw-source filter.
+    val newWm = bCrashes
       .agg(org.apache.spark.sql.functions.max(
         org.apache.spark.sql.functions.to_timestamp(
           org.apache.spark.sql.functions.col("crash_date"))).cast("string"))
@@ -100,6 +110,8 @@ object Pipeline {
     Option(newWm).foreach(wm => Ingest.saveWatermark(wmPath, wm, job.mode))
     Ingest.writeManifest(base, corrId, job.mode, "", now.toString, now.toString)
 
-    RunResult(corrId, silver.count(), report, Ingest.loadWatermark(wmPath))
+    // Row count from the materialized Silver CSV — the merge plan already ran
+    // for the write; counting `silver` would execute it a second time.
+    RunResult(corrId, silverBack.count(), report, Ingest.loadWatermark(wmPath))
   }
 }

@@ -57,7 +57,9 @@ object Dashboard {
   def byDayName(gold: DataFrame): DataFrame =
     gold
       .withColumn("day_name",
-        element_at(
+        // try_element_at: a dirty out-of-range day code maps to null (the
+        // pandas-.map NaN analog) instead of ANSI MAP_KEY_DOES_NOT_EXIST.
+        try_element_at(
           map(
             lit(1), lit("Sun"), lit(2), lit("Mon"), lit(3), lit("Tue"),
             lit(4), lit("Wed"), lit(5), lit("Thu"), lit(6), lit("Fri"),

@@ -239,19 +239,12 @@ object ExtensionQueries {
       "n1_ann_bruteforce_topk",
       "Brute-force cosine top-5 neighbors for 10 query vectors (baseline ANN; broadcast queries x corpus, no n^2)",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        graft.functions.GraftFunctions.register(s)
-        val e = embeddings(s, d)
-          .selectExpr("vec_id", "cast(embedding AS array<double>) AS v")
-          .selectExpr("vec_id", "v", "sqrt(array_dot(v, v)) AS nrm")
-        val q = e.where(col("vec_id") < 10)
-          .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
-        val w = Window.partitionBy("qid").orderBy(desc("cos"), col("vec_id"))
-        e.join(broadcast(q), expr("vec_id <> qid"))
-          .withColumn("cos", expr("array_dot(qv, v) / (qnrm * nrm)"))
-          .withColumn("rank", row_number().over(w))
-          .where(col("rank") <= 5)
-          .select("qid", "rank", "vec_id", "cos")
+        // Instantiates graft.ext.Similarity.bruteForceTopK (TopK Aggregator
+        // ranking path) — column names aligned with the oracle.
+        val prepared = graft.ext.Similarity.prepare(embeddings(s, d), "vec_id", "embedding")
+        graft.ext.Similarity
+          .bruteForceTopK(prepared, prepared.where(col("id") < 10), k = 5)
+          .selectExpr("qid", "rank", "id AS vec_id", "score AS cos")
           .orderBy("qid", "rank")
       },
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -271,34 +264,12 @@ object ExtensionQueries {
       "n2_ann_lsh_bucketed",
       "LSH-bucketed ANN: 16-bit sign signature over leading dims, 4 bands x 4 bits; candidates share a band, exact cosine top-3 (the 100 TB scale path: bucket join, no full scan per query)",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val sigBand = (b: Int) =>
-          s"concat(${(b * 4 until b * 4 + 4).map(i => s"(CASE WHEN element_at(v, ${i + 1}) >= 0 THEN '1' ELSE '0' END)").mkString(", ")})"
-        graft.functions.GraftFunctions.register(s)
-        val e = embeddings(s, d)
-          .selectExpr("vec_id", "cast(embedding AS array<double>) AS v")
-          .selectExpr("vec_id", "v", "sqrt(array_dot(v, v)) AS nrm")
-          .selectExpr(Seq("vec_id", "v", "nrm") ++ (0 until 4).map(b => s"${sigBand(b)} AS band$b"): _*)
-        val bands = e.selectExpr(
-          "vec_id",
-          "stack(4, 0, band0, 1, band1, 2, band2, 3, band3) AS (band, bkey)")
-        val q = e.where(col("vec_id") < 10)
-        val qBands = bands.where(col("vec_id") < 10)
-          .select(col("vec_id").as("qid"), col("band"), col("bkey"))
-        val cands = bands.join(broadcast(qBands), Seq("band", "bkey"))
-          .where(expr("vec_id <> qid"))
-          .select("qid", "vec_id")
-          .distinct()
-        val w = Window.partitionBy("qid").orderBy(desc("cos"), col("vec_id"))
-        cands
-          .join(e.select("vec_id", "v", "nrm"), Seq("vec_id"))
-          .join(
-            broadcast(q.select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))),
-            Seq("qid"))
-          .withColumn("cos", expr("array_dot(qv, v) / (qnrm * nrm)"))
-          .withColumn("rank", row_number().over(w))
-          .where(col("rank") <= 3)
-          .select("qid", "rank", "vec_id", "cos")
+        // Instantiates graft.ext.Similarity.lshTopK (16-bit sign signature,
+        // 4 bands, exact re-rank on bucket collisions).
+        val prepared = graft.ext.Similarity.prepare(embeddings(s, d), "vec_id", "embedding")
+        graft.ext.Similarity
+          .lshTopK(prepared, prepared.where(col("id") < 10), k = 3)
+          .selectExpr("qid", "rank", "id AS vec_id", "score AS cos")
           .orderBy("qid", "rank")
       },
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

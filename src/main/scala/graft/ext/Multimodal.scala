@@ -123,7 +123,12 @@ object Multimodal {
   def sampleFrames(media: DataFrame, everyMs: Int): DataFrame =
     media.select(
       col("media_id"),
-      explode(sequence(lit(0), col("meta.duration_ms") - 1, lit(everyMs)))
+      // Guard zero/negative durations (stills in a mixed table): sequence
+      // with start > stop throws; an empty array explodes to zero rows.
+      explode(
+        when(col("meta.duration_ms") > 0,
+          sequence(lit(0), col("meta.duration_ms") - 1, lit(everyMs)))
+          .otherwise(array().cast("array<int>")))
         .as("frame_ms"))
 
   /** Resize = metadata rewrite + (stub) content passthrough: the plan-side

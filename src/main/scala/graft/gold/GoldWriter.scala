@@ -36,9 +36,7 @@ object GoldWriter {
     val tiebreak = batch.columns.filter(_ != key).sorted.map(col).toSeq
     val deduped = Transformer.dedupKeepFirst(batch.where(col(key).isNotNull), key, tiebreak)
 
-    val exists = new java.io.File(path).exists() &&
-      new java.io.File(path).listFiles() != null &&
-      new java.io.File(path).listFiles().exists(_.getName.endsWith(".parquet"))
+    val exists = tableExists(spark, path)
     val toInsert =
       if (exists) {
         val existingKeys = spark.read.parquet(path).select(key)
@@ -54,14 +52,37 @@ object GoldWriter {
     integrityCheck(spark, path, key, nInserted)
   }
 
+  /** Filesystem-agnostic existence probe (a java.io.File check would always
+    * say "missing" on hdfs:// or s3a:// paths and silently break the
+    * conflict skip).
+    */
+  def tableExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+  }
+
   /** Post-write checks mirrored from the reference: duplicate-PK grouping and
     * null-PK count (reference: cleaner/duckdb_writer.py:228-288 A13/A14).
+    * One aggregation pass over the key column only — this runs per
+    * micro-batch in the streaming path, so it must not cost three full-table
+    * scans.
     */
   def integrityCheck(spark: SparkSession, path: String, key: String,
       inserted: Long): IntegrityReport = {
-    val gold = spark.read.parquet(path)
-    val dups = gold.groupBy(key).count().where(col("count") > 1).count()
-    val nulls = gold.where(col(key).isNull).count()
-    IntegrityReport(gold.count(), dups, nulls, inserted)
+    val perKey = spark.read.parquet(path)
+      .select(key)
+      .groupBy(key)
+      .agg(count(lit(1)).as("cnt"))
+    val r = perKey.agg(
+      sum(col("cnt")).as("total"),
+      sum(when(col("cnt") > 1, 1).otherwise(0)).as("dups"),
+      sum(when(col(key).isNull, col("cnt")).otherwise(0L)).as("nulls"))
+      .collect()(0)
+    IntegrityReport(
+      Option(r.get(0)).map(_.toString.toLong).getOrElse(0L),
+      Option(r.get(1)).map(_.toString.toLong).getOrElse(0L),
+      Option(r.get(2)).map(_.toString.toLong).getOrElse(0L),
+      inserted)
   }
 }

@@ -69,14 +69,18 @@ object JobSpec {
           f <- str(v \ "field"); s <- str(v \ "start"); e <- str(v \ "end")
         } yield DateRange(f, s, e)
     }
-    // Defaults mirror applyDefaults (reference: extractor/main.go:159-199).
+    // Defaults mirror applyDefaults (reference: extractor/main.go:159-199;
+    // missing mode defaults to "streaming" there, main.go:160-162).
     JobSpec(
-      mode = str(j \ "mode").getOrElse("backfill"),
+      mode = str(j \ "mode").getOrElse("streaming"),
       source = str(j \ "source").getOrElse("crash"),
       joinKey = str(j \ "join_key").getOrElse(Schemas.JoinKey),
       primary = primary,
       enrich = enrich,
-      where = str(j \ "where"),
+      // The reference carries the explicit predicate on the primary dataset
+      // (extractor/main.go:121 DatasetSpec.Where); accept a top-level `where`
+      // as a convenience fallback.
+      where = str(j \ "primary" \ "where").orElse(str(j \ "where")),
       dateRange = dr,
       sinceDays = int(j \ "primary" \ "where_by" \ "since_days"),
       idBatchSize = int(j \ "batching" \ "id_batch_size").getOrElse(300),

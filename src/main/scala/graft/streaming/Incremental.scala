@@ -72,4 +72,34 @@ object Incremental {
       .withWatermark(eventTimeCol, "10 minutes")
       .groupBy(window(col(eventTimeCol), "1 hour"), col(keyCol))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** The full streaming pipeline: landed Bronze pages stream in, each
+    * micro-batch runs the Silver cleaning/Gold chain, and the Gold sink is
+    * the idempotent anti-join upsert — the reference's queue-chained
+    * extract->transform->clean (ST6) as ONE continuously-running query with
+    * exactly-once page semantics from the checkpoint (ST5) and late/dup
+    * tolerance from watermark dedup + first-write-wins (ST4).
+    *
+    * Crashes arrive pre-merged here (the enrich roll-up is a batch join in
+    * `Pipeline`); this path is the incremental Gold maintenance loop.
+    */
+  def streamingGold(
+      spark: SparkSession,
+      bronzePath: String,
+      goldPath: String,
+      checkpoint: String,
+      corrId: String): StreamingQuery =
+    fileStream(
+      spark, bronzePath, graft.model.Schemas.bronzeCrashes,
+      "crash_date", "crash_record_id", checkpoint) { (batch, batchId) =>
+      if (!batch.isEmpty) {
+        val cleaned = graft.gold.Cleaner.cleanData(
+          batch.withColumn("crash_date", col("crash_date").cast("string")))
+        val gold = graft.gold.Cleaner.toGold(
+          cleaned, s"$corrId-b$batchId",
+          new java.sql.Timestamp(0L)) // deterministic metadata for replays
+        graft.gold.GoldWriter.upsert(spark, gold, goldPath)
+        ()
+      }
+    }
 }

@@ -60,6 +60,38 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 2)
   }
 
+  test("streamingGold: landed Bronze pages -> cleaned Gold via one streaming query, replay-safe") {
+    val bronze = tmpDir("sg-bronze")
+    val gold = tmpDir("sg-gold") + "/gold"
+    val chk = tmpDir("sg-chk")
+    // Two pages, with a cross-page duplicate of c1 and one dirty row.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$bronze/p1.json"),
+      """{"crash_record_id":"c1","crash_date":"2024-01-01T10:30:00","crash_hour":"10","crash_day_of_week":"2","latitude":"41.85","longitude":"-87.65","weather_condition":"SLEET/HAIL","hit_and_run_i":"Y","num_units":"2","posted_speed_limit":"30","injuries_total":"0","crash_type":"NO INJURY / DRIVE AWAY"}
+        |{"crash_record_id":"c2","crash_date":"2024-01-01T22:00:00","crash_hour":"22","crash_day_of_week":"7","latitude":"0","longitude":"0","weather_condition":"RAIN","hit_and_run_i":"N","num_units":"14","posted_speed_limit":"99","injuries_total":"1","crash_type":"X"}
+        |""".stripMargin)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$bronze/p2.json"),
+      """{"crash_record_id":"c1","crash_date":"2024-01-01T10:30:00","crash_hour":"10","crash_day_of_week":"2","latitude":"41.85","longitude":"-87.65","weather_condition":"CLEAR","hit_and_run_i":"Y","num_units":"2","posted_speed_limit":"30","injuries_total":"0","crash_type":"NO INJURY / DRIVE AWAY"}
+        |{"crash_record_id":"c3","crash_date":"2024-01-02T05:00:00","crash_hour":"5","crash_day_of_week":"3","latitude":"41.90","longitude":"-87.70","weather_condition":"CLEAR","hit_and_run_i":"N","num_units":"1","posted_speed_limit":"25","injuries_total":"0","crash_type":"X"}
+        |""".stripMargin)
+
+    val q = graft.streaming.Incremental.streamingGold(spark, bronze, gold, chk, "stream-run")
+    q.awaitTermination(180000)
+
+    val out = spark.read.parquet(gold)
+    // c2 dropped by bbox; c1 deduped across pages; c3 cleaned.
+    assert(out.count() == 2)
+    val c1 = out.where($"crash_record_id" === "c1").collect()(0)
+    assert(c1.getAs[String]("hour_bin") == "morning")
+    assert(c1.getAs[Int]("hit_and_run_i") == 1)
+
+    // Restarting the query over the same directory is a no-op (checkpoint).
+    val q2 = graft.streaming.Incremental.streamingGold(spark, bronze, gold, chk, "stream-run")
+    q2.awaitTermination(180000)
+    assert(spark.read.parquet(gold).count() == 2)
+  }
+
   test("streaming tumbling-window aggregate over a bounded file source (memory sink)") {
     val dir = tmpDir("stream-ev")
     java.nio.file.Files.writeString(
