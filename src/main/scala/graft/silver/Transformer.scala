@@ -23,6 +23,17 @@ object Transformer {
   def standardize(df: DataFrame): DataFrame =
     df.toDF(df.columns.map(_.trim.toLowerCase): _*).distinct()
 
+  /** Union pages with ragged schemas: different extraction runs may carry
+    * different select lists, and the Bronze page concat must align columns
+    * (absent ones null) rather than fail (reference:
+    * transformer/transformer.py:194-199 rows_all.extend across
+    * heterogeneous pages; SURVEY §7.4 schema-drift tolerance).
+    */
+  def unionRagged(dfs: Seq[DataFrame]): DataFrame = {
+    require(dfs.nonEmpty, "unionRagged needs at least one frame")
+    dfs.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+  }
+
   /** Many-to-one roll-up: group by the join key; emit `{prefix}_count` plus,
     * for the first <=5 string columns, `{prefix}_{col}_list` = sorted distinct
     * non-null values (reference: transformer/transformer.py:207-219;

@@ -65,4 +65,37 @@ class PipelineSpec extends SparkSpec {
     assert(res2.report.insertedRows == 0)
     assert(res2.silverRows == 0)
   }
+
+  test("schema drift: a run whose source lacks several expected columns still lands Gold (SURVEY §7.4)") {
+    val base = tmpDir("drift")
+    // Minimal select list — most of the 22 Gold inputs absent entirely.
+    val job = JobSpec.parse(
+      """{"mode":"backfill", "join_key":"crash_record_id",
+        |  "date_range": {"field":"crash_date",
+        |    "start":"2024-01-01T00:00:00","end":"2024-02-01T00:00:00"},
+        |  "primary": {"id":"x", "alias":"crashes",
+        |    "select":"crash_record_id,crash_date,crash_hour"},
+        |  "enrich": []}""".stripMargin)
+    val raw = Map("crashes" -> Seq(("d1", "2024-01-10T09:00:00", "9"))
+      .toDF("crash_record_id", "crash_date", "crash_hour"))
+    val res = Pipeline.run(spark, job, raw, base, "drift-run",
+      java.time.LocalDate.parse("2024-02-01"))
+    assert(res.report.insertedRows == 1)
+    val g = spark.read.parquet(s"$base/gold").collect()(0)
+    assert(g.getAs[String]("crash_record_id") == "d1")
+    assert(g.getAs[String]("hour_bin") == "morning")       // present column used
+    assert(g.getAs[Int]("hit_and_run_i") == 0)             // absent flag -> 0
+    assert(g.getAs[String]("weather_condition") == "OTHER") // absent categorical -> OTHER
+  }
+
+  test("unionRagged aligns pages with different select lists (null-patching absent columns)") {
+    val p1 = Seq(("c1", "2024-01-01T00:00:00", "X"))
+      .toDF("crash_record_id", "crash_date", "crash_type")
+    val p2 = Seq(("c2", "2024-01-02T00:00:00", "41.9"))
+      .toDF("crash_record_id", "crash_date", "latitude")
+    val u = graft.silver.Transformer.unionRagged(Seq(p1, p2))
+    assert(u.columns.toSet == Set("crash_record_id", "crash_date", "crash_type", "latitude"))
+    val c2 = u.where(org.apache.spark.sql.functions.col("crash_record_id") === "c2").collect()(0)
+    assert(c2.isNullAt(c2.fieldIndex("crash_type")))
+  }
 }
