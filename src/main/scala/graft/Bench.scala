@@ -14,10 +14,20 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JIT/codegen and file-listing caches so the first measured
-    // query doesn't absorb one-time session startup cost.
-    (1 to 2).foreach { _ =>
-      spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .groupBy("l_returnflag").count().collect()
+    // query doesn't absorb one-time session startup cost. Covers the major
+    // physical operator families (hash agg, sort/window, exact percentile,
+    // broadcast join) — each JITs its own codegen paths on first use.
+    locally {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      li.groupBy("l_returnflag").count().collect()
+      spark.sql(
+        s"""SELECT l_returnflag, percentile(l_quantity, 0.5),
+           |row_number() OVER (PARTITION BY l_returnflag ORDER BY l_orderkey) AS rn
+           |FROM parquet.`$sfDir/lineitem.parquet`
+           |GROUP BY l_returnflag, l_orderkey ORDER BY rn LIMIT 5""".stripMargin).collect()
+      li.limit(1000).join(
+        org.apache.spark.sql.functions.broadcast(li.limit(10).select("l_orderkey")),
+        "l_orderkey").count()
     }
     // Stable name order so per-query timings are comparable across rounds
     // (Map iteration order would shuffle which query absorbs residual warmup).
