@@ -355,8 +355,12 @@ object RelationalQueries {
             .cast("double").as("syy"),
           sum(col("l_quantity").cast(DecimalType(9, 2)) * col("l_extendedprice").cast(DecimalType(12, 2)))
             .cast("double").as("sxy"))
+        // Rounded to 9 decimals: beyond ~2^53 the decimal->double conversion
+        // itself differs between engines (DuckDB converts int128 then
+        // divides — two roundings; Java BigDecimal rounds once), so the last
+        // 1-2 ulps of the raw correlation are not meaningful at sf >= 0.1.
         comps.select(
-          expr("(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))").as("corr_qty_price"))
+          expr("round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9)").as("corr_qty_price"))
       },
       Some("""WITH c AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
              |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
@@ -365,7 +369,7 @@ object RelationalQueries {
              |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
              |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
              |  FROM lineitem)
-             |SELECT (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+             |SELECT round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9) AS corr_qty_price
              |FROM c""".stripMargin)
     ),
     Q(
