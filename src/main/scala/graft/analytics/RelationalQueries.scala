@@ -698,6 +698,78 @@ object RelationalQueries {
       Some("""SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bucket, COUNT(*) AS n
              |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin)
     ),
+    // --------------------------------------------- beyond-reference capabilities
+    Q(
+      "st2_sessionize",
+      "Sessionization: split each user's event stream at >30min gaps via lag + cumulative flag sum; per-user session stats (capability beyond the reference, the batch form of streaming session windows)",
+      (s, d) =>
+        events(s, d)
+          .selectExpr("user_id", "event_id", "ts",
+            "CASE WHEN ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess")
+          .selectExpr("user_id", "ts",
+            "sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess_id")
+          .groupBy("user_id")
+          .agg(
+            (max(col("sess_id")) + 1).as("sessions"),
+            count(lit(1)).as("events"))
+          .orderBy("user_id"),
+      Some("""WITH flagged AS (
+             |  SELECT user_id, event_id, ts,
+             |    CASE WHEN ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) + INTERVAL 30 MINUTE
+             |         THEN 1 ELSE 0 END AS new_sess
+             |  FROM events),
+             |sess AS (
+             |  SELECT user_id, ts,
+             |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess_id
+             |  FROM flagged)
+             |SELECT user_id, max(sess_id) + 1 AS sessions, COUNT(*) AS events
+             |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin)
+    ),
+    Q(
+      "f20_cube",
+      "CUBE grouping sets over two dimensions with grouping() markers (capability beyond the reference: multi-level subtotal aggregation in one pass)",
+      (s, d) =>
+        lineitem(s, d)
+          .cube("l_returnflag", "l_linestatus")
+          .agg(
+            count(lit(1)).as("n"),
+            dsum(col("l_quantity")).as("sum_qty"),
+            grouping(col("l_returnflag")).as("g_flag"),
+            grouping(col("l_linestatus")).as("g_status"))
+          .orderBy(col("g_flag"), col("g_status"), col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |CAST(GROUPING(l_returnflag) AS TINYINT) AS g_flag,
+             |CAST(GROUPING(l_linestatus) AS TINYINT) AS g_status
+             |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+             |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin)
+    ),
+    Q(
+      "w4_asof_last_event",
+      "As-of semantics: each error event matched to the user's latest PRIOR click (last_value IGNORE NULLS over a trailing frame); click-to-error latency per user (capability beyond the reference)",
+      (s, d) =>
+        events(s, d)
+          .selectExpr("user_id", "event_id", "event_type", "ts",
+            """last_value(CASE WHEN event_type = 'click' THEN ts END) IGNORE NULLS OVER (
+              |  PARTITION BY user_id ORDER BY ts, event_id
+              |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_click""".stripMargin)
+          .where(col("event_type") === "error" && col("prior_click").isNotNull)
+          .groupBy("user_id")
+          .agg(
+            count(lit(1)).as("errors_after_click"),
+            sum(expr("unix_micros(ts) - unix_micros(prior_click)")).as("total_latency_us"))
+          .orderBy("user_id"),
+      Some("""WITH m AS (
+             |  SELECT user_id, event_type, ts,
+             |    last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_click
+             |  FROM events)
+             |SELECT user_id, COUNT(*) AS errors_after_click,
+             |SUM(epoch_us(ts) - epoch_us(prior_click)) AS total_latency_us
+             |FROM m WHERE event_type = 'error' AND prior_click IS NOT NULL
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)
+    ),
     // ----------------------------------------------------- streaming (batch analog)
     Q(
       "st1_tumbling_window",
