@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.ScaleOps
+
+/** Skew-salting and bucketed-join utilities: result transparency plus the
+  * physical-plan properties they exist for.
+  */
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin returns exactly the rows of the plain join on skewed data") {
+    // 10k rows, 90% on one hot key — the pathological single-key flood.
+    val large = (1 to 10000)
+      .map(i => (if (i % 10 == 0) s"k$i" else "HOT", i))
+      .toDF("key", "v")
+    val small = Seq(("HOT", "hot-dim"), ("k10", "cold-dim"), ("k20", "cold-dim2"))
+      .toDF("key", "attr")
+
+    val plain = large.join(small, Seq("key")).orderBy("key", "v").collect()
+    val salted = ScaleOps.saltedJoin(large, small, "key", salt = 8)
+      .orderBy("key", "v").collect()
+    assert(salted.toSeq == plain.toSeq)
+    assert(salted.length == 9002) // 9000 HOT + k10 + k20
+  }
+
+  test("saltedJoin left-outer preserves unmatched large-side rows") {
+    val large = Seq(("a", 1), ("b", 2)).toDF("key", "v")
+    val small = Seq(("a", "x")).toDF("key", "attr")
+    val out = ScaleOps.saltedJoin(large, small, "key", salt = 4, joinType = "left")
+      .orderBy("key").collect()
+    assert(out.length == 2)
+    assert(out(1).isNullAt(2), "unmatched b keeps a null attr")
+  }
+
+  test("bucketed tables join with zero shuffle exchanges") {
+    val db = "graft_test"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    try {
+      val orders = (1 to 1000).map(i => (i.toLong, s"status${i % 3}")).toDF("k", "status")
+      val items = (1 to 3000).map(i => ((i % 1000 + 1).toLong, i * 1.0)).toDF("k", "amt")
+      ScaleOps.writeBucketed(orders, s"$db.orders_b", "k", buckets = 8)
+      ScaleOps.writeBucketed(items, s"$db.items_b", "k", buckets = 8)
+
+      val joined = ScaleOps.bucketedJoin(spark, s"$db.orders_b", s"$db.items_b", "k")
+      assert(joined.count() == 3000)
+
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ, plan:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle, plan:\n$plan")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $db.orders_b")
+      spark.sql(s"DROP TABLE IF EXISTS $db.items_b")
+      spark.sql(s"DROP DATABASE IF EXISTS $db")
+    }
+  }
+}
