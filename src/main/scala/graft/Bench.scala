@@ -34,15 +34,27 @@ object Bench {
     }
     // Stable name order so per-query timings are comparable across rounds
     // (Map iteration order would shuffle which query absorbs residual warmup).
+    // Failures are recorded by name, never silently absorbed as a fast
+    // timing: a broken query must make the bench visibly fail, not improve
+    // the total.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err =
+        try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}") }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) =>
+      "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ") + "\""
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    results.foreach { case (k, _, err) =>
+      err.foreach(e => System.err.println(s"BENCH FAILURE $k: $e"))
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    if (results.exists(_._3.isDefined)) { spark.stop(); sys.exit(1) }
     spark.stop()
   }
 }

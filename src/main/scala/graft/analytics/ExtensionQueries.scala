@@ -102,12 +102,24 @@ object ExtensionQueries {
         // doesn't help because the optimizer collapses it below the
         // projection). localCheckpoint is the production-LSH move anyway:
         // signatures are computed once per corpus and reused.
+        // Two md5 digests per shingle, not eight: each digest's four 8-hex
+        // slices are independent 32-bit hashes (lexicographic min on
+        // fixed-width lowercase hex == numeric min), so 8 permutations cost
+        // 2 digest passes + cheap substring transforms. Measured r1: the
+        // 8-digest variant dominated the whole bench at 13s.
         val docs = documents(s, d)
           .selectExpr("doc_id", "lang", splitExpr)
           .selectExpr("doc_id", "lang", s"($shingleExpr) AS sh")
+          .selectExpr("doc_id", "lang", "sh",
+            "transform(sh, t -> md5(t)) AS ha",
+            "transform(sh, t -> md5(concat('x', t))) AS hb")
           .selectExpr(
             Seq("doc_id", "lang", "sh") ++
-              perms.map(i => s"array_min(transform(sh, t -> md5(concat('$i:', t)))) AS h$i"): _*)
+              perms.map { i =>
+                val src = if (i < 4) "ha" else "hb"
+                val off = (i % 4) * 8 + 1
+                s"array_min(transform($src, h -> substring(h, $off, 8))) AS h$i"
+              }: _*)
           .localCheckpoint(eager = false)
         val bands = docs.selectExpr(
           "doc_id",
@@ -130,10 +142,19 @@ object ExtensionQueries {
               |  SELECT doc_id, lang, text, string_split(lower(text), ' ') AS t FROM documents),
               |sh AS (
               |  SELECT doc_id, lang, ($shingleSql) AS sh FROM sp),
+              |hs AS (
+              |  SELECT doc_id, lang, sh,
+              |    list_transform(sh, t -> md5(t)) AS ha,
+              |    list_transform(sh, t -> md5('x' || t)) AS hb
+              |  FROM sh),
               |sigs AS (
               |  SELECT doc_id, lang, sh,
-              |${(0 until 8).map(i => s"    list_min(list_transform(sh, t -> md5('$i:' || t))) AS h$i").mkString(",\n")}
-              |  FROM sh),
+              |${(0 until 8).map { i =>
+                 val src = if (i < 4) "ha" else "hb"
+                 val off = (i % 4) * 8 + 1
+                 s"    list_min(list_transform($src, h -> substring(h, $off, 8))) AS h$i"
+               }.mkString(",\n")}
+              |  FROM hs),
               |bands AS (
               |  SELECT doc_id, 0 AS band, md5(h0 || h1) AS bkey FROM sigs
               |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sigs
@@ -212,27 +233,51 @@ object ExtensionQueries {
     ),
     Q(
       "d5_dedup_embedding_cosine",
-      "Embedding-cosine near-dup pairs (cos >= 0.35, the data 99.9th pctile), blocked by label; explicit fold dot-product in both engines",
+      "Embedding-cosine near-dup pairs: sign-LSH band bucket join generates candidates (16-bit signature, 4 bands x 4 bits — O(collisions), never all-pairs), exact cosine >= 0.35 + same-label verify. The r1 label-blocked all-pairs form was O(n^2/labels), a 100 TB scale-killer",
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
         val e = embeddings(s, d)
           .selectExpr("vec_id", "label", "cast(embedding AS array<double>) AS v")
           .selectExpr("vec_id", "label", "v", "sqrt(array_dot(v, v)) AS nrm")
-        e.as("a")
-          .join(e.as("b"), expr("a.label = b.label AND a.vec_id < b.vec_id"))
-          .withColumn("cos", expr("array_dot(a.v, b.v) / (a.nrm * b.nrm)"))
-          .where(col("cos") >= 0.35)
-          .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), col("a.label").as("label"))
+        val bands = graft.ext.Similarity
+          .signBands(e.selectExpr("vec_id AS id", "v", "nrm"))
+          .select("id", "band", "bkey")
+        val cands = bands.as("x")
+          .join(bands.as("y"), expr("x.band = y.band AND x.bkey = y.bkey AND x.id < y.id"))
+          .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+          .distinct()
+        cands
+          .join(e.as("a"), col("id_a") === col("a.vec_id"))
+          .join(e.as("b"), col("id_b") === col("b.vec_id"))
+          .where(expr(
+            "a.label = b.label AND array_dot(a.v, b.v) / (a.nrm * b.nrm) >= 0.35"))
+          .select(col("id_a"), col("id_b"), col("a.label").as("label"))
           .orderBy("id_a", "id_b")
       },
       Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
              |  sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), (acc, x) -> acc + x)) AS nrm
-             |  FROM embeddings)
-             |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label FROM e a
-             |JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-             |WHERE list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]), (acc, x) -> acc + x)
-             |      / (a.nrm * b.nrm) >= 0.35
-             |ORDER BY id_a, id_b""".stripMargin)
+             |  FROM embeddings),
+             |sig AS (SELECT vec_id,
+             |""".stripMargin +
+        (0 until 4).map(b =>
+          "  concat(" + (b * 4 until b * 4 + 4).map(i =>
+            s"(CASE WHEN v[${i + 1}] >= 0 THEN '1' ELSE '0' END)").mkString(", ") + s") AS band$b").mkString(",\n") +
+        """
+          |  FROM e),
+          |bands AS (
+          |  SELECT vec_id, 0 AS band, band0 AS bkey FROM sig
+          |  UNION ALL SELECT vec_id, 1, band1 FROM sig
+          |  UNION ALL SELECT vec_id, 2, band2 FROM sig
+          |  UNION ALL SELECT vec_id, 3, band3 FROM sig),
+          |cands AS (
+          |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b FROM bands x
+          |  JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id)
+          |SELECT id_a, id_b, a.label AS label FROM cands
+          |JOIN e a ON id_a = a.vec_id JOIN e b ON id_b = b.vec_id
+          |WHERE a.label = b.label AND
+          |  list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]), (acc, x) -> acc + x)
+          |  / (a.nrm * b.nrm) >= 0.35
+          |ORDER BY id_a, id_b""".stripMargin)
     ),
     // --------------------------------------------------------------- ANN ops
     Q(
@@ -386,9 +431,10 @@ object ExtensionQueries {
             sum(col("ws")).as("ws_tokens"),
             sum(col("bpe")).as("bpe_tokens"))
           .orderBy("lang"),
+      // CAST AS BIGINT: DuckDB integer SUM is HUGEINT, Spark's is LongType.
       Some("""SELECT lang, COUNT(*) AS docs,
-             |SUM(length(string_split(text, ' '))) AS ws_tokens,
-             |SUM(length(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS bpe_tokens
+             |CAST(SUM(length(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+             |CAST(SUM(length(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS BIGINT) AS bpe_tokens
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
     ),
     Q(
@@ -421,7 +467,7 @@ object ExtensionQueries {
         val w = Window.partitionBy("lang").orderBy(desc("tfidf"), col("term"))
         tf.join(df_, Seq("term"))
           .withColumn("tfidf", expr(s"tf * ln($n.0 / df)"))
-          .withColumn("rank", row_number().over(w))
+          .withColumn("rank", row_number().over(w).cast("long"))
           .where(col("rank") <= 5)
           .select("lang", "rank", "term", "tf", "df")
           .orderBy("lang", "rank")
@@ -445,15 +491,17 @@ object ExtensionQueries {
       "m1_multimodal_meta",
       "Opaque binary payload + typed JSON metadata plumbing: byte length + extracted metadata key, grouped (decode itself is the stubbed Pandas-UDF step in graft.ext.Multimodal)",
       (s, d) =>
+        // One from_json with an explicit schema (r1: get_json_object +
+        // binary cast ran 15x slower than the other events queries).
         events(s, d)
           .selectExpr(
-            "length(cast(props AS BINARY)) AS nbytes",
-            "cast(get_json_object(props, '$.k') AS INT) AS k")
+            "octet_length(props) AS nbytes",
+            "from_json(props, 'k INT').k AS k")
           .groupBy(expr("k % 10").as("k_bucket"))
           .agg(count(lit(1)).as("n"), sum(col("nbytes")).as("total_bytes"))
           .orderBy("k_bucket"),
       Some("""SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
-             |COUNT(*) AS n, SUM(octet_length(CAST(props AS BLOB))) AS total_bytes
+             |COUNT(*) AS n, CAST(SUM(octet_length(CAST(props AS BLOB))) AS BIGINT) AS total_bytes
              |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin)
     )
   )

@@ -274,10 +274,12 @@ object RelationalQueries {
             count(lit(1)).as("n"))
           .withColumn("rate", col("returns") * lit(100.0) / col("n"))
           .orderBy("y"),
+      // DuckDB integer SUM returns HUGEINT (int128); cast to BIGINT so the
+      // driver's typed hash matches Spark's LongType (VERDICT r1 item 1).
       Some("""SELECT CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS y,
-             |SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS returns,
+             |CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS returns,
              |COUNT(*) AS n,
-             |SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) * 100.0 / COUNT(*) AS rate
+             |CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) * 100.0 / COUNT(*) AS rate
              |FROM lineitem GROUP BY 1 ORDER BY y""".stripMargin)
     ),
     Q(
@@ -381,7 +383,7 @@ object RelationalQueries {
           .agg(count(lit(1)).as("cnt"))
           .where(col("cnt") > 1)
           .agg(count(lit(1)).as("dup_keys"), sum(col("cnt")).as("dup_rows")),
-      Some("""SELECT COUNT(*) AS dup_keys, SUM(cnt) AS dup_rows FROM (
+      Some("""SELECT COUNT(*) AS dup_keys, CAST(SUM(cnt) AS BIGINT) AS dup_rows FROM (
              |  SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) > 1)""".stripMargin)
     ),
     Q(
@@ -584,11 +586,11 @@ object RelationalQueries {
           .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
           .orderBy("h"),
       Some("""SELECT CAST(EXTRACT(hour FROM ts) AS INTEGER) AS h,
-             |SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-             |SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-             |SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-             |SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-             |SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+             |CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+             |CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+             |CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+             |CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+             |CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
              |FROM events GROUP BY 1 ORDER BY h""".stripMargin)
     ),
     Q(
@@ -698,6 +700,65 @@ object RelationalQueries {
       Some("""SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bucket, COUNT(*) AS n
              |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin)
     ),
+    Q(
+      "f8_f9_f10_clean_chain",
+      "Composite Gold cleaning chain, oracle-gated end to end: F8 whitelist recode incl. snow pre-map (null/off-list -> OTHER), F9 exact-median + categorical imputation, F10 cap — over a deterministic synthetic frame derived from orders (cleaner/cleaning_rules.py:153-222; behavior pinned by cleaner/testing.ipynb)",
+      (s, d) => {
+        // Deterministic raw frame: weather strings cycling through on-list,
+        // snow-family, off-list and NULL values; a direction column with
+        // planted nulls (F9 categorical fill); a speed column with planted
+        // nulls (F9 exact-median impute) feeding the F10 cap.
+        val raw = orders(s, d).selectExpr(
+          """CASE CAST(o_orderkey % 11 AS INT)
+            |  WHEN 0 THEN 'clear' WHEN 1 THEN 'Rain' WHEN 2 THEN 'SNOW'
+            |  WHEN 3 THEN 'blowing snow' WHEN 4 THEN 'sleet/hail'
+            |  WHEN 5 THEN 'freezing rain/drizzle' WHEN 6 THEN 'cloudy/overcast'
+            |  WHEN 7 THEN 'fog' WHEN 8 THEN NULL
+            |  ELSE 'severe cross wind' END AS weather_raw""".stripMargin,
+          """CASE WHEN o_orderkey % 4 = 2 THEN NULL WHEN o_orderkey % 4 = 0 THEN 'N'
+            |     WHEN o_orderkey % 4 = 1 THEN 'S' ELSE 'E' END AS dir_raw""".stripMargin,
+          """CASE WHEN o_orderkey % 5 = 0 THEN CAST(NULL AS DOUBLE)
+            |     ELSE CAST(o_orderkey % 120 AS DOUBLE) END AS speed_raw""".stripMargin)
+        val recoded = raw
+          .withColumn("weather", graft.gold.Cleaner.weatherRecode(col("weather_raw")))
+          .withColumn("dir", coalesce(col("dir_raw"), lit("OTHER")))
+        // Exact interpolating median as an in-plan broadcast scalar (the
+        // library's Cleaner.cleanData computes the same statistic; here it
+        // stays a join so the query is one distributed plan).
+        val med = recoded.agg(percentile(col("speed_raw"), lit(0.5)).as("med"))
+        recoded.join(broadcast(med))
+          .withColumn("speed", least(coalesce(col("speed_raw"), col("med")), lit(75.0)))
+          .groupBy("weather", "dir")
+          .agg(count(lit(1)).as("n"), dsum(col("speed")).as("sum_speed"))
+          .orderBy("weather", "dir")
+      },
+      Some("""WITH raw AS (
+             |  SELECT
+             |    CASE CAST(o_orderkey % 11 AS INTEGER)
+             |      WHEN 0 THEN 'clear' WHEN 1 THEN 'Rain' WHEN 2 THEN 'SNOW'
+             |      WHEN 3 THEN 'blowing snow' WHEN 4 THEN 'sleet/hail'
+             |      WHEN 5 THEN 'freezing rain/drizzle' WHEN 6 THEN 'cloudy/overcast'
+             |      WHEN 7 THEN 'fog' WHEN 8 THEN NULL
+             |      ELSE 'severe cross wind' END AS weather_raw,
+             |    CASE WHEN o_orderkey % 4 = 2 THEN NULL WHEN o_orderkey % 4 = 0 THEN 'N'
+             |         WHEN o_orderkey % 4 = 1 THEN 'S' ELSE 'E' END AS dir_raw,
+             |    CASE WHEN o_orderkey % 5 = 0 THEN CAST(NULL AS DOUBLE)
+             |         ELSE CAST(o_orderkey % 120 AS DOUBLE) END AS speed_raw
+             |  FROM orders),
+             |rec AS (
+             |  SELECT *,
+             |    CASE WHEN snow_mapped IN ('CLOUDY/OVERCAST','CLEAR','RAIN','SNOW')
+             |         THEN snow_mapped ELSE 'OTHER' END AS weather,
+             |    COALESCE(dir_raw, 'OTHER') AS dir
+             |  FROM (SELECT *,
+             |    CASE WHEN upper(weather_raw) IN ('SNOW','BLOWING SNOW','SLEET/HAIL','FREEZING RAIN/DRIZZLE')
+             |         THEN 'SNOW' ELSE upper(weather_raw) END AS snow_mapped FROM raw)),
+             |med AS (SELECT quantile_cont(speed_raw, 0.5) AS med FROM rec)
+             |SELECT weather, dir, COUNT(*) AS n,
+             |  CAST(SUM(CAST(least(COALESCE(speed_raw, med), 75.0) AS DECIMAL(18,2))) AS DOUBLE) AS sum_speed
+             |FROM rec, med
+             |GROUP BY weather, dir ORDER BY weather, dir""".stripMargin)
+    ),
     // --------------------------------------------- beyond-reference capabilities
     Q(
       "st2_sessionize",
@@ -722,7 +783,7 @@ object RelationalQueries {
              |  SELECT user_id, ts,
              |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess_id
              |  FROM flagged)
-             |SELECT user_id, max(sess_id) + 1 AS sessions, COUNT(*) AS events
+             |SELECT user_id, CAST(max(sess_id) + 1 AS BIGINT) AS sessions, COUNT(*) AS events
              |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin)
     ),
     Q(
@@ -766,7 +827,7 @@ object RelationalQueries {
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_click
              |  FROM events)
              |SELECT user_id, COUNT(*) AS errors_after_click,
-             |SUM(epoch_us(ts) - epoch_us(prior_click)) AS total_latency_us
+             |CAST(SUM(epoch_us(ts) - epoch_us(prior_click)) AS BIGINT) AS total_latency_us
              |FROM m WHERE event_type = 'error' AND prior_click IS NOT NULL
              |GROUP BY user_id ORDER BY user_id""".stripMargin)
     ),

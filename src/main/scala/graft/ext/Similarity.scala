@@ -79,7 +79,7 @@ object Similarity {
       .agg(topk.name("topk"))
       .toDF("qid", "topk")
       .selectExpr("qid", "posexplode(topk) AS (pos, hit)")
-      .selectExpr("qid", "pos + 1 AS rank", "hit.id AS id", "hit.score AS score")
+      .selectExpr("qid", "CAST(pos + 1 AS BIGINT) AS rank", "hit.id AS id", "hit.score AS score")
       .orderBy("qid", "rank")
   }
 
@@ -120,7 +120,7 @@ object Similarity {
       .join(prepared, Seq("id"))
       .join(broadcast(q), Seq("qid"))
       .selectExpr("qid", "id", "array_dot(qv, v) / (qnrm * nrm) AS score")
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select("qid", "rank", "id", "score")
       .orderBy("qid", "rank")

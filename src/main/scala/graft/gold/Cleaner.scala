@@ -75,6 +75,15 @@ object Cleaner {
   private val validTraffic  = Seq("NO CONTROLS", "TRAFFIC SIGNAL", "STOP SIGN/FLASHER", "UNKNOWN")
   private val validCrashType = Seq("NO INJURY / DRIVE AWAY", "INJURY AND / OR TOW DUE TO CRASH")
 
+  /** F8 weather recode including the snow consolidation pre-map; null and
+    * off-list -> 'OTHER' (reference: cleaner/cleaning_rules.py:140-181).
+    */
+  def weatherRecode(c: Column): Column = {
+    val u = upper(c.cast("string"))
+    val snowMapped = when(u.isin(snowConditions: _*), "SNOW").otherwise(u)
+    when(snowMapped.isin(validWeather: _*), snowMapped).otherwise("OTHER")
+  }
+
   /** Chicago bounding box; (0,0) and out-of-range dropped, null coordinates
     * SURVIVE (reference: cleaner/cleaning_rules.py:128-143).
     */
@@ -139,11 +148,7 @@ object Cleaner {
       // F8 whitelist recodes (null -> OTHER)
       .withColumn("roadway_surface_cond", whitelistRecode(col("roadway_surface_cond"), validRoadway))
       .withColumn("lighting_condition", whitelistRecode(col("lighting_condition"), validLighting))
-      .withColumn("weather_condition", {
-        val u = upper(col("weather_condition").cast("string"))
-        val snowMapped = when(u.isin(snowConditions: _*), "SNOW").otherwise(u)
-        when(snowMapped.isin(validWeather: _*), snowMapped).otherwise("OTHER")
-      })
+      .withColumn("weather_condition", weatherRecode(col("weather_condition")))
       .withColumn("traffic_control_device", whitelistRecode(col("traffic_control_device"), validTraffic))
       .withColumn("crash_type", whitelistRecode(col("crash_type"), validCrashType))
       // F9a: injuries_total -> 0

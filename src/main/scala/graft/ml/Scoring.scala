@@ -61,9 +61,11 @@ object Scoring {
     * `pred` (0/1) columns.
     */
   def score(model: PipelineModel, df: DataFrame, threshold: Double = 0.26): DataFrame = {
-    val p1 = udf((v: org.apache.spark.ml.linalg.Vector) => v(1))
+    // vector_to_array is the built-in (codegen-friendly) vector accessor —
+    // keeps the repo UDF-free.
+    val p1 = org.apache.spark.ml.functions.vector_to_array(col("probability")).getItem(1)
     model.transform(df)
-      .withColumn("p1", p1(col("probability")))
+      .withColumn("p1", p1)
       .withColumn("pred", when(col("p1") >= threshold, 1).otherwise(0))
   }
 

@@ -42,7 +42,7 @@ class SimilaritySpec extends SparkSpec {
     assert(out.length == 3)
     assert(out(0).getAs[Long]("id") == 19, "planted dup of vec 0 must rank first")
     assert(out(0).getAs[Double]("score") > 0.99)
-    assert(out.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+    assert(out.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L))
   }
 
   test("lshTopK agrees with brute force on the planted neighbor (recall on strong pairs)") {

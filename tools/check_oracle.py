@@ -51,6 +51,19 @@ def main() -> None:
             print(f"FAIL {name}: rows {len(g)} vs {len(w)}")
             n_fail += 1
             continue
+        # dtype-strict: the driver's gate hashes typed values, so a HUGEINT
+        # oracle column vs a BIGINT spark column must fail here too even
+        # though pandas `==` would coerce them equal (VERDICT r1 item 2).
+        dt_mism = [
+            (c, str(g[c].dtype), str(w[c].dtype))
+            for c in g.columns if g[c].dtype != w[c].dtype
+        ]
+        if dt_mism:
+            c, gd, wd = dt_mism[0]
+            print(f"FAIL {name}: {len(dt_mism)} col(s) dtype-differ; first: "
+                  f"col={c} spark={gd} oracle={wd}")
+            n_fail += 1
+            continue
         mism = []
         for c in g.columns:
             a, b = g[c], w[c]
