@@ -158,6 +158,25 @@ object Dashboard {
       .select("crash_record_id", "latitude", "longitude", "hit_and_run_i")
   }
 
+  /** Catalog introspection: one (table, column, dtype) row per column of every
+    * table/view visible in the session catalog — the first thing the reference
+    * UI does on load (streamlit_frontend.py:440-444 `information_schema.tables`,
+    * :515 `DESCRIBE`). Pure driver-side metadata from `spark.catalog`; no data
+    * is scanned, so this is O(columns) regardless of table size.
+    */
+  def catalog(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.catalog.listTables().collect().toSeq
+      .flatMap { t =>
+        val fq = Option(t.database).filter(_.nonEmpty)
+          .map(db => s"$db.${t.name}").getOrElse(t.name)
+        spark.table(fq).schema.fields
+          .map(f => (t.name, f.name, f.dataType.simpleString))
+      }
+      .toDF("table", "column", "dtype")
+      .orderBy("table", "column")
+  }
+
   /** Gold preview with date-range + row cap (streamlit_frontend.py:530-545,
     * 2132-2137 P8/O4).
     */

@@ -501,20 +501,22 @@ object RelationalQueries {
     // ---------------------------------------------------------- scalar funcs
     Q(
       "f2_bool_standardize",
-      "Boolean standardization whitelist -> 0/1 (cleaner/cleaning_rules.py:57-88)",
+      "Boolean standardization with the reference-exact whitelist: Y/yes/true/t/1/1.0 -> 1, everything else (incl. 'f' and null) -> 0 (cleaner/cleaning_rules.py:57-88). Input variety is synthesized from o_orderkey so every branch — mixed-case truthy, padded truthy, falsy 'f', null — is exercised",
       (s, d) =>
         orders(s, d)
-          .withColumn(
-            "flag",
-            when(
-              lower(trim(col("o_orderstatus"))).isin("f", "y", "yes", "true", "t", "1", "1.0"),
-              1).otherwise(0))
-          .groupBy("o_orderstatus", "flag")
+          .withColumn("raw", expr(
+            "CASE CAST(o_orderkey % 6 AS INT) WHEN 0 THEN 'Y' WHEN 1 THEN 'yes' " +
+              "WHEN 2 THEN ' TRUE ' WHEN 3 THEN '1.0' WHEN 4 THEN 'f' ELSE NULL END"))
+          .withColumn("flag", graft.gold.Cleaner.standardizeBoolean(col("raw")))
+          .groupBy("raw", "flag")
           .agg(count(lit(1)).as("n"))
-          .orderBy("o_orderstatus"),
-      Some("""SELECT o_orderstatus,
-             |CASE WHEN lower(trim(o_orderstatus)) IN ('f','y','yes','true','t','1','1.0') THEN 1 ELSE 0 END AS flag,
-             |COUNT(*) AS n FROM orders GROUP BY 1, 2 ORDER BY o_orderstatus""".stripMargin)
+          .orderBy(asc_nulls_first("raw")),
+      Some("""WITH r AS (SELECT CASE CAST(o_orderkey % 6 AS INTEGER)
+             |  WHEN 0 THEN 'Y' WHEN 1 THEN 'yes' WHEN 2 THEN ' TRUE '
+             |  WHEN 3 THEN '1.0' WHEN 4 THEN 'f' ELSE NULL END AS raw FROM orders)
+             |SELECT raw,
+             |CASE WHEN lower(trim(raw)) IN ('y','yes','true','t','1','1.0') THEN 1 ELSE 0 END AS flag,
+             |COUNT(*) AS n FROM r GROUP BY 1, 2 ORDER BY raw NULLS FIRST""".stripMargin)
     ),
     Q(
       "f4_hour_bin",

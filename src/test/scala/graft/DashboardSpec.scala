@@ -71,6 +71,20 @@ class DashboardSpec extends SparkSpec {
     assert(r(0).getAs[Long]("rows") == 2)
   }
 
+  test("catalog lists (table, column, dtype) for registered views (information_schema analog)") {
+    gold.createOrReplaceTempView("gold_catalog_probe")
+    try {
+      val rows = Dashboard.catalog(spark)
+        .where($"table" === "gold_catalog_probe").collect()
+      assert(rows.length == gold.schema.fields.length)
+      val byCol = rows.map(r => r.getString(1) -> r.getString(2)).toMap
+      assert(byCol("crash_record_id") == "string")
+      assert(byCol("hit_and_run_i") == "int")
+      assert(byCol("latitude") == "double")
+      assert(byCol("inserted_at") == "timestamp")
+    } finally spark.catalog.dropTempView("gold_catalog_probe")
+  }
+
   test("geoSample caps deterministically and filters class (P10/P12)") {
     val s1 = Dashboard.geoSample(gold, 2).collect()
     val s2 = Dashboard.geoSample(gold, 2).collect()
