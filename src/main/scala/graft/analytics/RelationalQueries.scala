@@ -108,15 +108,15 @@ object RelationalQueries {
       "Keep rows below the 0.95 quantile (streamlit_frontend.py:1365)",
       (s, d) => {
         val li = lineitem(s, d)
-        // Exact percentile accumulates every value into its partial buffer;
-        // over the single-row-group fixture that is one task holding 600k
-        // doubles. Repartition first so buffers build in parallel and only
-        // the merge is single-threaded.
-        val q95 = li.select("l_extendedprice")
-          .repartition(col("l_extendedprice"))
-          .agg(percentile(col("l_extendedprice"), lit(0.95)).as("q"))
-        li.join(broadcast(q95))
-          .where(col("l_extendedprice") < col("q"))
+        // Scale-safe exact quantile: Spark's `percentile` buffers every value
+        // in aggregation state (an executor-memory bomb at 100 TB), so the
+        // threshold comes from ScaleOps.exactQuantile — iterative histogram
+        // refinement, O(bins) executor state, O(log n) bounded passes, same
+        // PERCENTILE_CONT interpolation bit-for-bit.
+        val q95 = graft.ops.ScaleOps
+          .exactQuantile(li, "l_extendedprice", 0.95)
+          .getOrElse(Double.NaN)
+        li.where(col("l_extendedprice") < lit(q95))
           .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
       },
       Some("""SELECT COUNT(*) AS n,
@@ -333,12 +333,14 @@ object RelationalQueries {
     ),
     Q(
       "a11_median",
-      "Exact interpolating median per group (cleaner/cleaning_rules.py:198-202 median imputation statistic)",
-      (s, d) =>
-        lineitem(s, d)
-          .groupBy("l_linestatus")
-          .agg(percentile(col("l_quantity"), lit(0.5)).as("med_qty"))
-          .orderBy("l_linestatus"),
+      "Exact interpolating median per group (cleaner/cleaning_rules.py:198-202 median imputation statistic), via ScaleOps.exactQuantileByGroup — histogram-refinement passes with O(bins) executor state instead of percentile's buffer-everything aggregation",
+      (s, d) => {
+        val meds = graft.ops.ScaleOps
+          .exactQuantileByGroup(lineitem(s, d), "l_linestatus", "l_quantity", 0.5)
+        s.createDataFrame(meds.toSeq.sortBy(_._1))
+          .toDF("l_linestatus", "med_qty")
+          .orderBy("l_linestatus")
+      },
       Some("""SELECT l_linestatus, quantile_cont(l_quantity, 0.5) AS med_qty
              |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)
     ),

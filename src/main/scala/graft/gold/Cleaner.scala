@@ -154,16 +154,18 @@ object Cleaner {
       // F9a: injuries_total -> 0
       .withColumn("injuries_total", coalesce(col("injuries_total"), lit(0.0)))
 
-    // F9b: exact-median imputation (two-pass; pandas interpolating median ==
-    // Spark exact percentile 0.5 — SURVEY §7.4 warns against approxQuantile).
-    val medians = derived
-      .agg(
-        percentile(col(medianCols.head), lit(0.5)).as(medianCols.head),
-        medianCols.tail.map(c => percentile(col(c), lit(0.5)).as(c)): _*)
-      .first()
-    val medianFilled = medianCols.zipWithIndex.foldLeft(derived) { case (df, (c, i)) =>
-      if (medians.isNullAt(i)) df
-      else df.withColumn(c, coalesce(col(c), lit(medians.getDouble(i))))
+    // F9b: exact-median imputation (pandas interpolating median — SURVEY §7.4
+    // warns against approxQuantile). Computed by ScaleOps.exactQuantiles:
+    // all nine columns share each histogram-refinement pass, executor state
+    // stays O(bins) — the scale-safe form of `percentile(c, 0.5)`, same
+    // interpolation bit-for-bit. All-null columns are absent from the map and
+    // left unfilled (matching percentile's null).
+    val medians = graft.ops.ScaleOps.exactQuantiles(derived, medianCols, 0.5)
+    val medianFilled = medianCols.foldLeft(derived) { (df, c) =>
+      medians.get(c) match {
+        case Some(m) => df.withColumn(c, coalesce(col(c), lit(m)))
+        case None    => df
+      }
     }
 
     // F9c: categorical fill + F10 caps.

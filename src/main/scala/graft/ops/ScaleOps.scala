@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Shuffle-management utilities for the 100 TB deployment shapes the rest of
   * the engine assumes (SCALE.md): skew salting and bucketed co-located joins.
@@ -56,4 +57,195 @@ object ScaleOps {
   def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
       key: String): DataFrame =
     spark.table(leftTable).hint("merge").join(spark.table(rightTable), Seq(key))
+
+  // ------------------------------------------------------------------------
+  // Exact interpolated quantiles in O(1) executor memory.
+  //
+  // Spark's built-in exact `percentile` buffers EVERY value in aggregation
+  // state (OpenHashMap per partial, fully materialized at merge) — correct
+  // and fast at sf0.1, an executor-memory bomb at 100 TB. This is the
+  // scale-safe replacement: iterative histogram refinement. Each pass bins
+  // the candidate value range into `bins` buckets and counts per bucket
+  // (a map-side-combining groupBy whose state is <= bins rows), the driver
+  // narrows to the bucket holding the target rank, and recursion stops when
+  // the bucket collapses to a single value or its population fits
+  // `collectThreshold` (then one bounded sorted fetch finishes the job).
+  // Passes are O(log_bins(n)); executor state is O(bins) throughout.
+  //
+  // The result is EXACT and interpolates identically to DuckDB
+  // `quantile_cont` / Spark `percentile` / pandas' interpolating median
+  // (reference behavior: cleaner/cleaning_rules.py:198-202): with
+  // h = q*(n-1), floor/ceil ranks kLo/kHi, the value is
+  // `vLo*(kHi-h) + vHi*(h-kLo)` — the SQL-standard PERCENTILE_CONT formula,
+  // computed over rank values recovered exactly (never from bucket
+  // midpoints).
+  // ------------------------------------------------------------------------
+
+  /** Per-group descent state: the target ranks sit inside [lo, hi], `base`
+    * values are strictly below `lo`, `cnt` rows are inside the range.
+    */
+  private final case class QRange(
+      kLo: Long, kHi: Long, base: Long, lo: Double, hi: Double, cnt: Long)
+
+  /** Exact q-quantile of one column. None when the column is empty/all-null. */
+  def exactQuantile(df: DataFrame, valueCol: String, q: Double,
+      bins: Int = 1024, collectThreshold: Long = 65536): Option[Double] =
+    exactQuantiles(df, Seq(valueCol), q, bins, collectThreshold).get(valueCol)
+
+  /** Exact q-quantile of several columns in shared passes (one explode'd scan
+    * per refinement round instead of one round-set per column). Columns that
+    * are entirely null/NaN are absent from the result map.
+    */
+  def exactQuantiles(df: DataFrame, valueCols: Seq[String], q: Double,
+      bins: Int = 1024, collectThreshold: Long = 65536): Map[String, Double] = {
+    val pairs = df
+      .select(explode(array(valueCols.map(c =>
+        struct(lit(c).as("g"), col(c).cast("double").as("v"))): _*)).as("p"))
+      .select(col("p.g").as("g"), col("p.v").as("v"))
+    quantileOfPairs(pairs, q, bins, collectThreshold)
+  }
+
+  /** Exact q-quantile per group (group key stringified; intended for bounded
+    * group domains — the driver holds one small range record per group).
+    */
+  def exactQuantileByGroup(df: DataFrame, groupCol: String, valueCol: String,
+      q: Double, bins: Int = 1024, collectThreshold: Long = 65536): Map[String, Double] =
+    quantileOfPairs(
+      df.select(col(groupCol).cast("string").as("g"), col(valueCol).cast("double").as("v"))
+        .where(col("g").isNotNull),
+      q, bins, collectThreshold)
+
+  /** Chained `when` mapping each group key to a per-group double constant —
+    * how every group carries its own [lo, hi] through one shared pass.
+    */
+  private def perGroup(m: Seq[(String, Double)]): Column =
+    m.tail.foldLeft(when(col("g") === m.head._1, lit(m.head._2))) {
+      case (acc, (k, v)) => acc.when(col("g") === k, lit(v))
+    }
+
+  /** The shared engine over (g: string, v: double) pairs. Nulls and NaNs are
+    * dropped (the imputation/statistic semantics of the callers; the fixture
+    * and Gold numerics carry no NaN).
+    */
+  private def quantileOfPairs(pairsRaw: DataFrame, q: Double, bins: Int,
+      collectThreshold: Long): Map[String, Double] = {
+    require(q >= 0.0 && q <= 1.0, s"quantile out of range: $q")
+    require(bins >= 2, "need at least 2 bins")
+    // The refinement re-scans the pair projection O(log n) times; persist the
+    // narrow (g, v) projection so upstream plans (e.g. the Gold clean chain)
+    // compute once. At cluster scale this spills to local disk — still a
+    // narrow two-column cache, never aggregation state.
+    val pairs = pairsRaw.where(col("v").isNotNull && !isnan(col("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val stats = pairs.groupBy("g")
+        .agg(count(lit(1)).as("n"), min("v").as("mn"), max("v").as("mx"))
+        .collect()
+
+      // h, kLo, kHi per group; resolvedLo/Hi accumulate the exact rank values.
+      var hOf = Map.empty[String, (Double, Long, Long)]
+      var resolvedLo = Map.empty[String, Double]
+      var resolvedHi = Map.empty[String, Double]
+      var states = Map.empty[String, QRange]
+      stats.foreach { r =>
+        val g = r.getString(0)
+        val n = r.getLong(1)
+        val h = q * (n - 1).toDouble
+        val kLo = math.floor(h).toLong
+        val kHi = math.ceil(h).toLong
+        hOf += g -> ((h, kLo, kHi))
+        val mn = r.getDouble(2); val mx = r.getDouble(3)
+        if (mn == mx) { resolvedLo += g -> mn; resolvedHi += g -> mn }
+        else states += g -> QRange(kLo, kHi, 0L, mn, mx, n)
+      }
+
+      var toCollect = Map.empty[String, QRange]
+      var passes = 0
+      val maxPasses = 64 // backstop; the range shrinks ~bins-fold per pass
+      while (states.nonEmpty) {
+        val (small, big) =
+          states.partition { case (_, st) => st.cnt <= collectThreshold || passes >= maxPasses }
+        toCollect ++= small
+        states = big
+        if (states.nonEmpty) {
+          passes += 1
+          val keys = states.keys.toSeq.sorted
+          val loE = perGroup(keys.map(k => k -> states(k).lo))
+          val hiE = perGroup(keys.map(k => k -> states(k).hi))
+          // Bucket index, hardened against float edges: operands are
+          // pre-scaled by /bins so hi-lo can't overflow to Infinity at the
+          // double extremes, NaN from a sub-ulp-collapsed width maps to
+          // bucket 1 (nanvl — ANSI would throw on a NaN->int cast), and
+          // bucket 0 is reserved for v == lo exactly, which guarantees every
+          // pass strictly shrinks the range even when the scaled arithmetic
+          // degenerates. Monotone in v, equal values share a bucket — the
+          // only two properties correctness needs.
+          val frac = (col("v") / bins - loE / bins) / (hiE / bins - loE / bins)
+          val scaled = least(lit((bins - 1).toDouble),
+            greatest(lit(1.0), floor(nanvl(frac, lit(0.0)) * bins)))
+          val idx = when(col("v") === loE, lit(0.0)).otherwise(scaled).cast("int")
+          val rows = pairs
+            .where(col("g").isin(keys: _*) && col("v") >= loE && col("v") <= hiE)
+            .groupBy(col("g"), idx.as("b"))
+            .agg(count(lit(1)).as("c"), min("v").as("mn"), max("v").as("mx"))
+            .collect()
+          val byG = rows.groupBy(_.getString(0))
+          var next = Map.empty[String, QRange]
+          states.foreach { case (g, st) =>
+            val bs = byG(g)
+              .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+              .sortBy(_._1)
+            // locate the bucket holding rank kLo (0-based within [lo, hi])
+            val r1 = st.kLo - st.base
+            var cumBefore = 0L
+            var i = 0
+            while (cumBefore + bs(i)._2 <= r1) { cumBefore += bs(i)._2; i += 1 }
+            val (_, c1, mn1, mx1) = bs(i)
+            val bothHere = st.kHi == st.kLo || (st.kHi - st.base) < cumBefore + c1
+            if (bothHere) {
+              if (mn1 == mx1) {
+                resolvedLo += g -> mn1; resolvedHi += g -> mn1
+              } else {
+                next += g -> QRange(st.kLo, st.kHi, st.base + cumBefore, mn1, mx1, c1)
+              }
+            } else {
+              // kLo is the LAST rank of bucket i and kHi the FIRST of the next
+              // non-empty bucket — both are bucket extrema, already exact.
+              resolvedLo += g -> mx1
+              resolvedHi += g -> bs(i + 1)._3
+            }
+          }
+          states = next
+        }
+      }
+
+      if (toCollect.nonEmpty) {
+        val keys = toCollect.keys.toSeq.sorted
+        val loE = perGroup(keys.map(k => k -> toCollect(k).lo))
+        val hiE = perGroup(keys.map(k => k -> toCollect(k).hi))
+        val got = pairs
+          .where(col("g").isin(keys: _*) && col("v") >= loE && col("v") <= hiE)
+          .groupBy("g")
+          .agg(sort_array(collect_list(col("v"))).as("vs"))
+          .collect()
+        got.foreach { r =>
+          val g = r.getString(0)
+          val st = toCollect(g)
+          val vs = r.getSeq[Double](1)
+          resolvedLo += g -> vs((st.kLo - st.base).toInt)
+          resolvedHi += g -> vs((st.kHi - st.base).toInt)
+        }
+      }
+
+      resolvedLo.keys.map { g =>
+        val (h, kLo, kHi) = hOf(g)
+        val v =
+          if (kLo == kHi) resolvedLo(g)
+          // SQL-standard PERCENTILE_CONT interpolation, same operand shape as
+          // Spark Percentile.getPercentile and DuckDB quantile_cont.
+          else resolvedLo(g) * (kHi - h) + resolvedHi(g) * (h - kLo)
+        g -> v
+      }.toMap
+    } finally pairs.unpersist(blocking = false)
+  }
 }

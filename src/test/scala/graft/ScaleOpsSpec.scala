@@ -34,6 +34,44 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out(1).isNullAt(2), "unmatched b keeps a null attr")
   }
 
+  test("exactQuantile matches Spark percentile bitwise across qs (forced multi-pass)") {
+    val rnd = new scala.util.Random(7)
+    // duplicates + irregular spacing; floor/4 keeps plenty of ties
+    val vals = (1 to 5000).map(_ => math.floor(rnd.nextGaussian() * 1000) / 4)
+    val df = vals.toDF("x")
+    for (q <- Seq(0.0, 0.25, 0.5, 0.77, 0.95, 1.0)) {
+      val want = df.agg(percentile(col("x"), lit(q))).first().getDouble(0)
+      // tiny bins + threshold force several histogram-refinement passes
+      val deep = ScaleOps.exactQuantile(df, "x", q, bins = 4, collectThreshold = 2).get
+      val defaults = ScaleOps.exactQuantile(df, "x", q).get
+      assert(deep == want, s"multi-pass q=$q: $deep != $want")
+      assert(defaults == want, s"default-params q=$q: $defaults != $want")
+    }
+  }
+
+  test("exactQuantileByGroup matches percentile per group (odd/even counts, ties)") {
+    val df = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 9.0),
+      ("b", 5.0), ("b", 7.0), ("b", -1.0), ("c", 4.25))
+      .toDF("g", "x")
+    val want = df.groupBy("g").agg(percentile(col("x"), lit(0.5)).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val got = ScaleOps.exactQuantileByGroup(df, "g", "x", 0.5, bins = 4, collectThreshold = 1)
+    assert(got == want)
+  }
+
+  test("exactQuantiles: shared passes over many columns, nulls dropped, all-null absent") {
+    val df = Seq(
+      (Some(1.0), Some(10.0), None: Option[Double]),
+      (Some(3.0), None, None),
+      (Some(2.0), Some(30.0), None))
+      .toDF("a", "b", "c")
+    val got = ScaleOps.exactQuantiles(df, Seq("a", "b", "c"), 0.5, bins = 4, collectThreshold = 1)
+    assert(got("a") == 2.0)
+    assert(got("b") == 20.0, "even-count interpolation: (10+30)/2")
+    assert(!got.contains("c"), "all-null column yields no quantile (percentile-null analog)")
+  }
+
   test("bucketed tables join with zero shuffle exchanges") {
     val db = "graft_test"
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
