@@ -121,9 +121,17 @@ object ExtensionQueries {
                 s"array_min(transform($src, h -> substring(h, $off, 8))) AS h$i"
               }: _*)
           .localCheckpoint(eager = false)
-        val bands = docs.selectExpr(
-          "doc_id",
-          "stack(4, 0, md5(concat(h0, h1)), 1, md5(concat(h2, h3)), 2, md5(concat(h4, h5)), 3, md5(concat(h6, h7))) AS (band, bkey)")
+        // Bucket-size guard: one degenerate band key (a bucket holding a
+        // large corpus fraction) would re-create the quadratic self-join the
+        // banding exists to avoid — cap buckets before joining. 1000 is far
+        // above any honest near-dup cluster at this banding width (fixture
+        // buckets are near-singleton), so results are unchanged, but a
+        // word-soup-style collapse can no longer produce an O(n^2) task.
+        val bands = graft.ext.Similarity.capBuckets(
+          docs.selectExpr(
+            "doc_id",
+            "stack(4, 0, md5(concat(h0, h1)), 1, md5(concat(h2, h3)), 2, md5(concat(h4, h5)), 3, md5(concat(h6, h7))) AS (band, bkey)"),
+          Seq("band", "bkey"), maxBucket = 1000)
         val cands = bands.as("x")
           .join(bands.as("y"), expr("x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id"))
           .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
@@ -239,9 +247,11 @@ object ExtensionQueries {
         val e = embeddings(s, d)
           .selectExpr("vec_id", "label", "cast(embedding AS array<double>) AS v")
           .selectExpr("vec_id", "label", "v", "sqrt(array_dot(v, v)) AS nrm")
-        val bands = graft.ext.Similarity
-          .signBands(e.selectExpr("vec_id AS id", "v", "nrm"))
-          .select("id", "band", "bkey")
+        val bands = graft.ext.Similarity.capBuckets(
+          graft.ext.Similarity
+            .signBands(e.selectExpr("vec_id AS id", "v", "nrm"))
+            .select("id", "band", "bkey"),
+          Seq("band", "bkey"), maxBucket = 1000)
         val cands = bands.as("x")
           .join(bands.as("y"), expr("x.band = y.band AND x.bkey = y.bkey AND x.id < y.id"))
           .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
@@ -313,7 +323,7 @@ object ExtensionQueries {
         // 4 bands, exact re-rank on bucket collisions).
         val prepared = graft.ext.Similarity.prepare(embeddings(s, d), "vec_id", "embedding")
         graft.ext.Similarity
-          .lshTopK(prepared, prepared.where(col("id") < 10), k = 3)
+          .lshTopK(prepared, prepared.where(col("id") < 10), k = 3, maxBucket = 1000)
           .selectExpr("qid", "rank", "id AS vec_id", "score AS cos")
           .orderBy("qid", "rank")
       },

@@ -99,14 +99,42 @@ object Similarity {
       s"stack($bands, ${(0 until bands).map(b => s"$b, band$b").mkString(", ")}) AS (band, bkey)")
   }
 
+  /** Bucket-size guard for the LSH family: drop band buckets holding more
+    * than `maxBucket` members before any bucket self/probe join. A band key
+    * shared by a large fraction of the corpus is non-discriminative (it
+    * carries ~zero bits of locality information), and its bucket re-creates
+    * exactly the quadratic join LSH banding exists to avoid — one degenerate
+    * key turns an O(collisions) plan into O(n^2) (the unigram-MinHash
+    * word-soup failure mode, SCALE.md). Dropping it bounds every downstream
+    * task at maxBucket^2 candidate pairs per bucket while the remaining
+    * bands still generate candidates for its members — the standard
+    * stop-bucket trade in production LSH.
+    *
+    * Oversized keys are by definition few (each holds > maxBucket rows), so
+    * the guard is one tiny aggregate + a broadcast anti-join — no extra
+    * shuffle of the band table.
+    */
+  def capBuckets(bandTable: DataFrame, keyCols: Seq[String], maxBucket: Int): DataFrame = {
+    val oversized = bandTable
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") > maxBucket)
+      .select(keyCols.map(col): _*)
+    bandTable.join(broadcast(oversized), keyCols, "left_anti")
+  }
+
   /** LSH-bucketed ANN: candidates share at least one band with the query;
-    * exact cosine re-ranking on candidates only.
+    * exact cosine re-ranking on candidates only. Corpus buckets above
+    * `maxBucket` are dropped ([[capBuckets]]) so one degenerate band key
+    * cannot turn the probe into a corpus scan.
     */
   def lshTopK(prepared: DataFrame, queries: DataFrame, k: Int,
-      bits: Int = 16, bands: Int = 4): DataFrame = {
+      bits: Int = 16, bands: Int = 4, maxBucket: Int = 1 << 20): DataFrame = {
     val spark = prepared.sparkSession
     GraftFunctions.register(spark)
-    val cb = signBands(prepared, bits, bands).select("id", "band", "bkey")
+    val cb = capBuckets(
+      signBands(prepared, bits, bands).select("id", "band", "bkey"),
+      Seq("band", "bkey"), maxBucket)
     val qb = signBands(queries, bits, bands)
       .select(col("id").as("qid"), col("band"), col("bkey"))
     val cands = cb.join(broadcast(qb), Seq("band", "bkey"))

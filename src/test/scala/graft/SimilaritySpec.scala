@@ -53,6 +53,42 @@ class SimilaritySpec extends SparkSpec {
     assert(top.get.getAs[Long]("id") == 19)
   }
 
+  test("capBuckets drops exactly the oversized band buckets (adversarial hot key)") {
+    // Adversarial corpus: 120 of 170 rows (>50%) share one band key — the
+    // degenerate-bucket collapse that would make the bucket self-join
+    // quadratic (unigram-MinHash word-soup failure mode).
+    val bandTable = ((0 until 120).map(i => (i.toLong, 0, "HOT")) ++
+      (0 until 50).map(i => (1000L + i, 0, s"k${i / 2}")))
+      .toDF("id", "band", "bkey")
+    val capped = Similarity.capBuckets(bandTable, Seq("band", "bkey"), maxBucket = 10)
+    assert(capped.count() == 50, "all 120 HOT rows dropped, every small bucket intact")
+    // the bound the guard exists for: no surviving bucket can exceed
+    // maxBucket, so each join task's candidate input is <= maxBucket^2
+    val maxAfter = capped.groupBy("band", "bkey").count()
+      .agg(max("count")).first().getLong(0)
+    assert(maxAfter <= 10)
+  }
+
+  test("lshTopK with maxBucket stays correct when a degenerate bucket dominates") {
+    // 300 corpus vectors: 280 sharing one alternating-sign pattern (all four
+    // band keys degenerate, >90% of the corpus), plus the 20 structured
+    // all-positive vectors incl. the planted pair (0, 19). With maxBucket=50
+    // the flood's buckets are dropped; the structured vectors' all-'1'
+    // buckets (20 members) survive and still pair the planted dup.
+    val flood = (100L until 380L).map { i =>
+      (i, Array.tabulate(16)(j =>
+        (if (j % 2 == 0) -0.5f else 0.5f) + 0.001f * ((i + j) % 7)).toSeq)
+    }.toDF("vec_id", "embedding")
+    val adversarial = Similarity.prepare(vecs.unionByName(flood), "vec_id", "embedding")
+    val queries = adversarial.where(col("id") === 0)
+    val out = Similarity.lshTopK(adversarial, queries, k = 3, maxBucket = 50).collect()
+    assert(out.nonEmpty, "non-degenerate buckets must still produce candidates")
+    assert(out(0).getAs[Long]("id") == 19, "planted dup survives the bucket cap")
+    // every candidate came from a surviving bucket; flood members (only ever
+    // in dropped buckets) cannot appear
+    assert(out.forall(_.getAs[Long]("id") < 100))
+  }
+
   test("bruteForceTopK handles k larger than the corpus") {
     val queries = prepared.where(col("id") === 5)
     val out = Similarity.bruteForceTopK(prepared, queries, k = 100).collect()
