@@ -52,6 +52,74 @@ object GoldWriter {
     integrityCheck(spark, path, key, nInserted)
   }
 
+  /** The partition column of the bucketed Gold layout. Derived from the KEY
+    * (not an attribute like crash_date), so a given key can only ever live in
+    * one partition directory — which is what makes pruning the conflict scan
+    * sound.
+    */
+  val bucketCol = "__key_bucket"
+
+  /** Scale path for a growing Gold table ([[upsert]]'s existing-keys scan
+    * reads the full key column per micro-batch — the streaming loop's scale
+    * ceiling once Gold reaches 100 TB). Gold is laid out as parquet
+    * partitioned by `__key_bucket = pmod(xxhash64(key), buckets)`; each batch
+    * anti-joins only against the bucket directories its own keys hash to, so
+    * per-batch conflict-scan IO is `(touched buckets / buckets) * table`,
+    * independent of total table size for small batches. Same first-write-wins
+    * semantics as [[upsert]] (reference: cleaner/duckdb_writer.py:141-207).
+    *
+    * Integrity (A13/A14) is likewise scoped to the touched buckets: a
+    * duplicate or null this batch could introduce necessarily lives in a
+    * touched bucket (same key -> same bucket; nulls never pass the insert
+    * filter). `totalRows` stays whole-table — a count(*) answered from
+    * parquet footer metadata, no column scan.
+    */
+  def upsertBucketed(spark: SparkSession, batch: DataFrame, path: String,
+      key: String = "crash_record_id", buckets: Int = 64): IntegrityReport = {
+    val tiebreak = batch.columns.filter(_ != key).sorted.map(col).toSeq
+    val deduped = Transformer
+      .dedupKeepFirst(batch.where(col(key).isNotNull), key, tiebreak)
+      .withColumn(bucketCol, pmod(xxhash64(col(key)), lit(buckets.toLong)).cast("int"))
+      .cache()
+    val touched = deduped.select(bucketCol).distinct().collect().map(_.getInt(0)).toSeq
+
+    val toInsert =
+      if (tableExists(spark, path))
+        deduped.join(existingKeysScan(spark, path, key, touched), Seq(key), "left_anti")
+      else deduped
+
+    val inserted = toInsert.cache()
+    val nInserted = inserted.count()
+    if (nInserted > 0)
+      inserted.write.mode(SaveMode.Append).partitionBy(bucketCol).parquet(path)
+    inserted.unpersist()
+    deduped.unpersist()
+
+    val touchedKeys = existingKeysScan(spark, path, key, touched)
+    val perKey = touchedKeys.groupBy(key).agg(count(lit(1)).as("cnt"))
+    val r = perKey.agg(
+      sum(when(col("cnt") > 1, 1).otherwise(0)).as("dups"),
+      sum(when(col(key).isNull, col("cnt")).otherwise(0L)).as("nulls"))
+      .collect()(0)
+    IntegrityReport(
+      spark.read.parquet(path).count(),
+      Option(r.get(0)).map(_.toString.toLong).getOrElse(0L),
+      Option(r.get(1)).map(_.toString.toLong).getOrElse(0L),
+      nInserted)
+  }
+
+  /** The pruned conflict scan: key column of only the touched bucket
+    * partitions. The `isin` on the partition column is resolved against the
+    * file index (partition pruning), so untouched bucket directories are
+    * never listed into the scan — GoldWriterSpec pins this via the scan's
+    * numFiles metric.
+    */
+  private[graft] def existingKeysScan(spark: SparkSession, path: String,
+      key: String, touched: Seq[Int]): DataFrame =
+    spark.read.parquet(path)
+      .where(col(bucketCol).isin(touched: _*))
+      .select(key)
+
   /** Filesystem-agnostic existence probe (a java.io.File check would always
     * say "missing" on hdfs:// or s3a:// paths and silently break the
     * conflict skip).
@@ -59,7 +127,11 @@ object GoldWriter {
   def tableExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+    fs.exists(p) && fs.listStatus(p).exists { s =>
+      s.getPath.getName.endsWith(".parquet") ||
+        // bucketed layout: data lives under __key_bucket=N partition dirs
+        (s.isDirectory && s.getPath.getName.startsWith(s"$bucketCol="))
+    }
   }
 
   /** Post-write checks mirrored from the reference: duplicate-PK grouping and

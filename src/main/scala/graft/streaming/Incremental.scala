@@ -98,7 +98,10 @@ object Incremental {
         val gold = graft.gold.Cleaner.toGold(
           cleaned, s"$corrId-b$batchId",
           new java.sql.Timestamp(0L)) // deterministic metadata for replays
-        graft.gold.GoldWriter.upsert(spark, gold, goldPath)
+        // Bucketed upsert: the conflict anti-join reads only the key-hash
+        // partitions this batch touches — per-batch IO stays proportional to
+        // the batch, not to the ever-growing Gold table.
+        graft.gold.GoldWriter.upsertBucketed(spark, gold, goldPath)
         ()
       }
     }

@@ -32,4 +32,54 @@ class GoldWriterSpec extends SparkSpec {
     val replay = GoldWriter.upsert(spark, b, path)
     assert(replay.insertedRows == 0 && replay.totalRows == 2)
   }
+
+  test("upsertBucketed keeps upsert semantics on the partitioned layout") {
+    val path = tmpDir("goldb") + "/gold"
+    val b1 = (1 to 100).map(i => (s"c$i", i)).toDF("crash_record_id", "v")
+    val r1 = GoldWriter.upsertBucketed(spark, b1, path, buckets = 16)
+    assert(r1.insertedRows == 100 && r1.totalRows == 100)
+
+    val b2 = Seq(("c7", 999), ("cNEW", 7), ("cNEW", 7), (null, 4))
+      .toDF("crash_record_id", "v")
+    val r2 = GoldWriter.upsertBucketed(spark, b2, path, buckets = 16)
+    assert(r2.insertedRows == 1, "only cNEW is new; c7 conflict-skipped, dup+null dropped")
+    assert(r2.totalRows == 101 && r2.duplicateKeys == 0 && r2.nullKeys == 0)
+    // first-write-wins survives the layout change
+    val c7 = spark.read.parquet(path).where($"crash_record_id" === "c7").collect()(0)
+    assert(c7.getAs[Int]("v") == 7)
+    // replay is a no-op
+    val replay = GoldWriter.upsertBucketed(spark, b2, path, buckets = 16)
+    assert(replay.insertedRows == 0 && replay.totalRows == 101)
+  }
+
+  test("upsertBucketed conflict scan reads a strict subset of Gold files (partition pruning)") {
+    val path = tmpDir("goldp") + "/gold"
+    val seed = (1 to 200).map(i => (s"c$i", i)).toDF("crash_record_id", "v")
+    GoldWriter.upsertBucketed(spark, seed, path, buckets = 16)
+
+    def parquetFiles(dir: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    val allFiles = parquetFiles(path)
+    assert(allFiles > 1, s"seed must span multiple bucket partitions, got $allFiles files")
+
+    // a single-key batch touches exactly one bucket
+    import org.apache.spark.sql.functions.{pmod, xxhash64, lit}
+    val oneBucket = Seq("c1").toDF("crash_record_id")
+      .select(pmod(xxhash64($"crash_record_id"), lit(16L)).cast("int"))
+      .collect()(0).getInt(0)
+    val scan = GoldWriter.existingKeysScan(spark, path, "crash_record_id", Seq(oneBucket))
+    scan.collect() // execute THIS df's plan so its scan metrics populate
+    val scanNode = scan.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    val filesRead = scanNode.metrics("numFiles").value
+    assert(filesRead > 0 && filesRead < allFiles,
+      s"pruned scan must read a strict subset: $filesRead of $allFiles")
+  }
 }
