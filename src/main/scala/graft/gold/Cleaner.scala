@@ -110,12 +110,17 @@ object Cleaner {
   /** The full rule chain P5 -> F2-F8 -> F9 (median/constant impute) -> F10
     * (caps), in the reference's order — order matters: is_weekend/hour_bin are
     * derived BEFORE their source columns are median-imputed.
+    *
+    * `passthrough` names extra columns (e.g. the Silver merge's veh_/ppl_
+    * roll-up aggregates) carried through the chain untouched by any rule —
+    * the streaming 3-entity path uses it so enrich columns survive into Gold.
     */
-  def cleanData(silver: DataFrame): DataFrame = {
+  def cleanData(silver: DataFrame, passthrough: Seq[String] = Nil): DataFrame = {
     // P5: keep-list + missing-column null patch (cleaning_rules.py:31-51).
     val present = reqCols.filter(silver.columns.contains)
     val absent  = reqCols.filterNot(silver.columns.contains)
-    val kept = absent.foldLeft(silver.select(present.map(col): _*)) {
+    val pass    = passthrough.filter(silver.columns.contains).filterNot(reqCols.contains)
+    val kept = absent.foldLeft(silver.select((present ++ pass).map(col): _*)) {
       (df, c) => df.withColumn(c, lit(null).cast("string"))
     }
 
@@ -180,7 +185,8 @@ object Cleaner {
     * metadata (reference: cleaner/duckdb_writer.py:57-103 DDL + :119-131
     * corr_id/inserted_at/updated_at).
     */
-  def toGold(cleaned: DataFrame, corrId: String, now: java.sql.Timestamp): DataFrame = {
+  def toGold(cleaned: DataFrame, corrId: String, now: java.sql.Timestamp,
+      passthrough: Seq[String] = Nil): DataFrame = {
     val intCols = Seq(
       "crash_day_of_week", "crash_hour", "is_weekend", "beat_of_occurrence",
       "num_units", "posted_speed_limit", "hit_and_run_i",
@@ -191,6 +197,8 @@ object Cleaner {
       .withColumn("corr_id", lit(corrId))
       .withColumn("inserted_at", lit(now))
       .withColumn("updated_at", lit(now))
-    withMeta.select(graft.model.Schemas.gold.fieldNames.map(col): _*)
+    val declared = graft.model.Schemas.gold.fieldNames.toSeq
+    val extras = passthrough.filter(withMeta.columns.contains).filterNot(declared.contains)
+    withMeta.select((declared ++ extras).map(col): _*)
   }
 }

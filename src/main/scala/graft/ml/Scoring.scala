@@ -1,7 +1,7 @@
 package graft.ml
 
 import org.apache.spark.ml.{Pipeline, PipelineModel}
-import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.classification.{GBTClassifier, LogisticRegression}
 import org.apache.spark.ml.feature.{OneHotEncoder, StringIndexer, VectorAssembler}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -32,7 +32,10 @@ object Scoring {
     (numericFeatures ++ categoricalFeatures ++ Seq(labelCol))
       .filterNot(df.columns.contains)
 
-  def buildPipeline(): Pipeline = {
+  /** Shared feature plumbing: index + one-hot categoricals, assemble with
+    * numerics. Both classifier variants stack on these stages.
+    */
+  private def featureStages() = {
     val indexers = categoricalFeatures.map(c =>
       new StringIndexer().setInputCol(c).setOutputCol(s"${c}_idx")
         .setHandleInvalid("keep"))
@@ -43,17 +46,44 @@ object Scoring {
       .setInputCols((numericFeatures ++ categoricalFeatures.map(c => s"${c}_oh")).toArray)
       .setOutputCol("features")
       .setHandleInvalid("keep")
+    indexers :+ encoder :+ assembler
+  }
+
+  def buildPipeline(): Pipeline = {
     val lr = new LogisticRegression()
       .setLabelCol(labelCol)
       .setFeaturesCol("features")
       .setMaxIter(25)
-    new Pipeline().setStages((indexers :+ encoder :+ assembler :+ lr).toArray)
+    new Pipeline().setStages((featureStages() :+ lr).toArray)
+  }
+
+  /** Boosted-tree variant — the native analog of the reference's XGBoost
+    * estimator (scored at F1 0.556/threshold 0.26,
+    * streamlit_frontend/artifacts/model_metadata.json:28-34). Same feature
+    * plumbing and scoring surface as the LR pipeline; only the estimator
+    * differs, so [[score]]/[[metrics]] work unchanged. ScoringSpec records
+    * the measured quality parity (COVERAGE.md UD3 note).
+    */
+  def buildGbtPipeline(): Pipeline = {
+    val gbt = new GBTClassifier()
+      .setLabelCol(labelCol)
+      .setFeaturesCol("features")
+      .setMaxIter(20)
+      .setMaxDepth(5)
+      .setSeed(42L)
+    new Pipeline().setStages((featureStages() :+ gbt).toArray)
   }
 
   def train(gold: DataFrame): PipelineModel = {
     val missing = missingFeatures(gold)
     require(missing.isEmpty, s"missing feature columns: ${missing.mkString(", ")}")
     buildPipeline().fit(gold)
+  }
+
+  def trainGbt(gold: DataFrame): PipelineModel = {
+    val missing = missingFeatures(gold)
+    require(missing.isEmpty, s"missing feature columns: ${missing.mkString(", ")}")
+    buildGbtPipeline().fit(gold)
   }
 
   /** Score at a probability threshold (reference threshold 0.26,

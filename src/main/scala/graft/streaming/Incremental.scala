@@ -74,30 +74,49 @@ object Incremental {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
   /** The full streaming pipeline: landed Bronze pages stream in, each
-    * micro-batch runs the Silver cleaning/Gold chain, and the Gold sink is
-    * the idempotent anti-join upsert — the reference's queue-chained
+    * micro-batch runs the Silver merge + cleaning/Gold chain, and the Gold
+    * sink is the idempotent anti-join upsert — the reference's queue-chained
     * extract->transform->clean (ST6) as ONE continuously-running query with
     * exactly-once page semantics from the checkpoint (ST5) and late/dup
     * tolerance from watermark dedup + first-write-wins (ST4).
     *
-    * Crashes arrive pre-merged here (the enrich roll-up is a batch join in
-    * `Pipeline`); this path is the incremental Gold maintenance loop.
+    * When `vehicles`/`people` are supplied, each micro-batch runs the full
+    * 3-entity Silver merge (transformer/transformer.py:221-258) as a
+    * stream-static join: the static sides are rolled up many-to-one and
+    * joined onto the streaming crashes, so the enrich aggregates (veh_/ppl_
+    * counts and value lists, CSV-safe JSON form) flow into Gold via the
+    * cleaner's passthrough. The roll-up is an aggregate-before-join on the
+    * batch's own keys — per-batch cost scales with the batch, and the static
+    * side prunes through the join's key semi-space under AQE.
     */
   def streamingGold(
       spark: SparkSession,
       bronzePath: String,
       goldPath: String,
       checkpoint: String,
-      corrId: String): StreamingQuery =
+      corrId: String,
+      vehicles: Option[DataFrame] = None,
+      people: Option[DataFrame] = None): StreamingQuery =
     fileStream(
       spark, bronzePath, graft.model.Schemas.bronzeCrashes,
       "crash_date", "crash_record_id", checkpoint) { (batch, batchId) =>
       if (!batch.isEmpty) {
-        val cleaned = graft.gold.Cleaner.cleanData(
-          batch.withColumn("crash_date", col("crash_date").cast("string")))
+        val crashes = batch.withColumn("crash_date", col("crash_date").cast("string"))
+        val silver =
+          if (vehicles.isEmpty && people.isEmpty) crashes
+          else graft.silver.Transformer.makeCsvSafe(
+            graft.silver.Transformer.mergeCrashVehiclesPeople(
+              crashes,
+              vehicles.getOrElse(spark.emptyDataFrame),
+              people.getOrElse(spark.emptyDataFrame),
+              graft.model.Schemas.JoinKey))
+        val enrichCols =
+          silver.columns.filter(c => c.startsWith("veh_") || c.startsWith("ppl_")).toSeq
+        val cleaned = graft.gold.Cleaner.cleanData(silver, passthrough = enrichCols)
         val gold = graft.gold.Cleaner.toGold(
           cleaned, s"$corrId-b$batchId",
-          new java.sql.Timestamp(0L)) // deterministic metadata for replays
+          new java.sql.Timestamp(0L), // deterministic metadata for replays
+          passthrough = enrichCols)
         // Bucketed upsert: the conflict anti-join reads only the key-hash
         // partitions this batch touches — per-batch IO stays proportional to
         // the batch, not to the ever-growing Gold table.

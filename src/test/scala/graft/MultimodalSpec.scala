@@ -45,4 +45,31 @@ class MultimodalSpec extends SparkSpec {
     val r = Multimodal.resize(media, 32, 32).select("meta.width", "meta.height").collect()
     assert(r.forall(x => x.getInt(0) == 32 && x.getInt(1) == 32))
   }
+
+  test("media -> embedding -> ANN top-k end to end over a true binary parquet fixture") {
+    // Genuine binary payloads (seeded random bytes, NOT UTF-8-cast text),
+    // round-tripped through parquet so the corpus scan reads a real
+    // BinaryType column; a planted byte-identical payload of media 0 at
+    // id 99 must surface as its top neighbor after feature extraction.
+    val rnd = new scala.util.Random(3)
+    val rows: Seq[(Long, Array[Byte])] = (0L until 40L).map { i =>
+      val b = new Array[Byte](256 + rnd.nextInt(64)); rnd.nextBytes(b); (i, b)
+    }
+    val planted = rows :+ ((99L, rows.head._2.clone()))
+    val path = tmpDir("media-ann") + "/media"
+    Multimodal.asMedia(planted.toDF("id", "payload"), "id", "payload")
+      .write.parquet(path)
+
+    val mediaPq = spark.read.parquet(path)
+    assert(mediaPq.schema("content").dataType.typeName == "binary")
+    val emb = Multimodal.extractFeatures(mediaPq, dim = 16)
+    val prepared = graft.ext.Similarity.prepare(emb, "media_id", "embedding")
+    val out = graft.ext.Similarity
+      .bruteForceTopK(prepared, prepared.where(col("id") === 0), k = 3)
+      .collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[Long]("id") == 99, "byte-identical payload must be the top hit")
+    assert(out(0).getAs[Double]("score") > 0.9999)
+    assert(out(1).getAs[Double]("score") < 0.99, "random payloads stay clearly below the dup")
+  }
 }

@@ -39,6 +39,16 @@ class ScoringSpec extends SparkSpec {
     assert(m.f1 > 0.9, s"separable fixture should score high, got $m")
   }
 
+  test("GBT (boosted-tree, the XGBoost analog) matches or beats LR at threshold 0.26") {
+    val mLr = Scoring.metrics(Scoring.score(Scoring.train(gold), gold, threshold = 0.26))
+    val mGbt = Scoring.metrics(Scoring.score(Scoring.trainGbt(gold), gold, threshold = 0.26))
+    info(f"GBT  f1=${mGbt.f1}%.3f precision=${mGbt.precision}%.3f recall=${mGbt.recall}%.3f")
+    info(f"LR   f1=${mLr.f1}%.3f precision=${mLr.precision}%.3f recall=${mLr.recall}%.3f")
+    info("reference XGBoost: f1=0.556 (artifacts/model_metadata.json)")
+    assert(mGbt.f1 >= mLr.f1 - 0.05, s"GBT within tolerance of LR: $mGbt vs $mLr")
+    assert(mGbt.f1 >= 0.556, "at least the reference's own recorded XGBoost F1")
+  }
+
   test("probability histogram has bounded buckets summing to row count") {
     val model = Scoring.train(gold)
     val h = Scoring.probabilityHistogram(Scoring.score(model, gold)).collect()

@@ -92,6 +92,40 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(gold).count() == 2)
   }
 
+  test("streamingGold 3-entity merge: stream-static joins carry enrich aggregates into Gold (ST6)") {
+    val bronze = tmpDir("sg3-bronze")
+    val gold = tmpDir("sg3-gold") + "/gold"
+    val chk = tmpDir("sg3-chk")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$bronze/p1.json"),
+      """{"crash_record_id":"c1","crash_date":"2024-01-01T10:30:00","crash_hour":"10","crash_day_of_week":"2","latitude":"41.85","longitude":"-87.65","weather_condition":"CLEAR","hit_and_run_i":"Y","num_units":"2","posted_speed_limit":"30","injuries_total":"0","crash_type":"NO INJURY / DRIVE AWAY"}
+        |{"crash_record_id":"c3","crash_date":"2024-01-02T05:00:00","crash_hour":"5","crash_day_of_week":"3","latitude":"41.90","longitude":"-87.70","weather_condition":"CLEAR","hit_and_run_i":"N","num_units":"1","posted_speed_limit":"25","injuries_total":"0","crash_type":"X"}
+        |""".stripMargin)
+    val vehicles = Seq(
+      ("c1", "v1", "TOYOTA"), ("c1", "v2", "FORD"), ("c9", "v9", "BMW"))
+      .toDF("crash_record_id", "vehicle_id", "make")
+    val people = Seq(("c3", "p1", "DRIVER"))
+      .toDF("crash_record_id", "person_id", "person_type")
+
+    val q = graft.streaming.Incremental.streamingGold(
+      spark, bronze, gold, chk, "stream-3e", Some(vehicles), Some(people))
+    q.awaitTermination(180000)
+
+    val out = spark.read.parquet(gold)
+    assert(out.count() == 2)
+    val cols = out.columns.toSet
+    assert(cols.contains("veh_count") && cols.contains("ppl_count"),
+      s"enrich aggregates must reach Gold, got ${out.columns.mkString(",")}")
+    val c1 = out.where($"crash_record_id" === "c1").collect()(0)
+    assert(c1.getAs[Long]("veh_count") == 2, "two vehicles rolled up onto c1")
+    assert(c1.getAs[String]("veh_make_list_json") == """["FORD","TOYOTA"]""")
+    assert(c1.isNullAt(c1.fieldIndex("ppl_count")), "no people for c1 -> null from left join")
+    val c3 = out.where($"crash_record_id" === "c3").collect()(0)
+    assert(c3.getAs[Long]("ppl_count") == 1)
+    // the declared Gold surface is intact alongside the enrich columns
+    assert(c3.getAs[String]("hour_bin") == "night")
+  }
+
   test("streaming tumbling-window aggregate over a bounded file source (memory sink)") {
     val dir = tmpDir("stream-ev")
     java.nio.file.Files.writeString(
