@@ -49,7 +49,8 @@ object Incremental {
       schema: StructType,
       eventTimeCol: String,
       key: String,
-      checkpoint: String)(sink: (DataFrame, Long) => Unit): StreamingQuery =
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow())(sink: (DataFrame, Long) => Unit): StreamingQuery =
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 16)
@@ -59,7 +60,7 @@ object Incremental {
       .dropDuplicatesWithinWatermark(key)
       .writeStream
       .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) => sink(batch, id) }
       .start()
 
@@ -96,10 +97,11 @@ object Incremental {
       checkpoint: String,
       corrId: String,
       vehicles: Option[DataFrame] = None,
-      people: Option[DataFrame] = None): StreamingQuery =
+      people: Option[DataFrame] = None,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     fileStream(
       spark, bronzePath, graft.model.Schemas.bronzeCrashes,
-      "crash_date", "crash_record_id", checkpoint) { (batch, batchId) =>
+      "crash_date", "crash_record_id", checkpoint, trigger) { (batch, batchId) =>
       if (!batch.isEmpty) {
         val crashes = batch.withColumn("crash_date", col("crash_date").cast("string"))
         val silver =
@@ -124,4 +126,25 @@ object Incremental {
         ()
       }
     }
+
+  /** ST7 — scheduled periodic ingestion: the reference's external cron
+    * scheduler (pipeline_scheduler.py:42-103 cron -> job publish) collapses
+    * into Structured Streaming's own trigger scheduler. The SAME pipeline as
+    * [[streamingGold]] fires every `interval` (e.g. "10 minutes"),
+    * processing whatever landed since the last tick; the checkpoint makes
+    * re-fires idempotent, so a missed/slow tick is caught up, never
+    * double-applied. Runs until `stop()` — the long-lived form of the
+    * drain-once `Trigger.AvailableNow` query.
+    */
+  def scheduledGold(
+      spark: SparkSession,
+      bronzePath: String,
+      goldPath: String,
+      checkpoint: String,
+      corrId: String,
+      interval: String,
+      vehicles: Option[DataFrame] = None,
+      people: Option[DataFrame] = None): StreamingQuery =
+    streamingGold(spark, bronzePath, goldPath, checkpoint, corrId,
+      vehicles, people, Trigger.ProcessingTime(interval))
 }

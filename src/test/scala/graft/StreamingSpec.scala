@@ -126,6 +126,29 @@ class StreamingSpec extends SparkSpec {
     assert(c3.getAs[String]("hour_bin") == "night")
   }
 
+  test("scheduledGold: ProcessingTime trigger picks up pages landed across ticks (ST7)") {
+    val bronze = tmpDir("sched-bronze")
+    val gold = tmpDir("sched-gold") + "/gold"
+    val chk = tmpDir("sched-chk")
+    def page(name: String, id: String): Unit = java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$bronze/$name"),
+      s"""{"crash_record_id":"$id","crash_date":"2024-01-01T10:30:00","crash_hour":"10","crash_day_of_week":"2","latitude":"41.85","longitude":"-87.65","weather_condition":"CLEAR","hit_and_run_i":"N","num_units":"1","posted_speed_limit":"30","injuries_total":"0","crash_type":"X"}
+""")
+    page("p1.json", "s1")
+    val q = graft.streaming.Incremental.scheduledGold(
+      spark, bronze, gold, chk, "sched-run", "1 second")
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(gold).count() == 1)
+      // a page landing AFTER the query started is picked up by a later tick
+      page("p2.json", "s2")
+      q.processAllAvailable()
+      val keys = spark.read.parquet(gold)
+        .select("crash_record_id").collect().map(_.getString(0)).toSet
+      assert(keys == Set("s1", "s2"))
+    } finally q.stop()
+  }
+
   test("streaming tumbling-window aggregate over a bounded file source (memory sink)") {
     val dir = tmpDir("stream-ev")
     java.nio.file.Files.writeString(
