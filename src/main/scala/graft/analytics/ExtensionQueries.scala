@@ -354,6 +354,29 @@ object ExtensionQueries {
           |  FROM scored)
           |SELECT qid, rank, vec_id, cos FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)
     ),
+    Q(
+      "n3_ann_ivf",
+      "IVF ANN: k-means coarse-quantizer cells, nprobe nearest cells probed per query, exact cosine re-rank — the data-adaptive ANN scale path beside n2's data-oblivious sign-LSH. Registered with nprobe=nlist (exhaustive-equivalent, so the clustering cannot perturb the oracle result); the sub-linear nprobe<nlist behavior is pinned by SimilaritySpec",
+      (s, d) => {
+        val prepared = graft.ext.Similarity.prepare(embeddings(s, d), "vec_id", "embedding")
+        graft.ext.Similarity
+          .ivfTopK(prepared, prepared.where(col("id") < 10), k = 5, nlist = 8, nprobe = 8)
+          .selectExpr("qid", "rank", "id AS vec_id", "score AS cos")
+          .orderBy("qid", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             |  sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), (acc, x) -> acc + x)) AS nrm
+             |  FROM embeddings),
+             |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM e WHERE vec_id < 10),
+             |scored AS (
+             |  SELECT qid, vec_id,
+             |    list_reduce(list_transform(list_zip(qv, v), p -> p[1] * p[2]), (acc, x) -> acc + x) / (qnrm * nrm) AS cos,
+             |    row_number() OVER (PARTITION BY qid ORDER BY
+             |      list_reduce(list_transform(list_zip(qv, v), p -> p[1] * p[2]), (acc, x) -> acc + x) / (qnrm * nrm) DESC,
+             |      vec_id) AS rank
+             |  FROM e JOIN q ON vec_id <> qid)
+             |SELECT qid, rank, vec_id, cos FROM scored WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)
+    ),
     // ------------------------------------------------------------- text ops
     Q(
       "t1_text_langid",

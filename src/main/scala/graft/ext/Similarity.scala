@@ -99,6 +99,68 @@ object Similarity {
       s"stack($bands, ${(0 until bands).map(b => s"$b, band$b").mkString(", ")}) AS (band, bkey)")
   }
 
+  /** IVF (inverted-file) coarse quantization: k-means partitions the corpus
+    * into `nlist` cells; [[ivfTopK]] probes only each query's `nprobe`
+    * nearest cells. Returns (assigned corpus with a `cell` column, centroid
+    * table (cell, cv)). The other classic ANN scale path beside sign-LSH
+    * banding — cells adapt to the data distribution where LSH bands are
+    * data-oblivious.
+    *
+    * Scale: the quantizer trains on a sample (`trainFraction`) — at corpus
+    * scale k-means never sees every row; assignment is one
+    * `KMeansModel.transform` pass (a broadcast of nlist centroids, no
+    * shuffle). Deterministic under a fixed seed.
+    */
+  def ivfIndex(prepared: DataFrame, nlist: Int, seed: Long = 42L,
+      trainFraction: Double = 1.0): (DataFrame, DataFrame) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = prepared.sparkSession
+    import spark.implicits._
+    val featurized = prepared.withColumn("__fv", array_to_vector(col("v")))
+    val trainSet =
+      if (trainFraction >= 1.0) featurized
+      else featurized.sample(withReplacement = false, trainFraction, seed)
+    val model = new KMeans()
+      .setK(nlist).setSeed(seed).setFeaturesCol("__fv").setPredictionCol("cell")
+      .fit(trainSet)
+    val assigned = model.transform(featurized).drop("__fv")
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+      .toDF("cell", "cv")
+    (assigned, centroids)
+  }
+
+  /** IVF-probed ANN: rank each query's `nprobe` euclidean-nearest centroids
+    * (tiny broadcast cross-join — nlist rows), pull only those cells'
+    * members, exact cosine re-rank. Candidate volume is
+    * ~(nprobe/nlist) * corpus per query instead of a full scan.
+    */
+  def ivfTopK(prepared: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
+      trainFraction: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(prepared.sparkSession)
+    val (assigned, centroids) = ivfIndex(prepared, nlist, seed, trainFraction)
+    val q = queries.select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    // argmin_cell ||q - c||^2 = argmin_cell (c.c - 2 q.c): the |q|^2 term is
+    // constant per query, so it never affects the ranking.
+    val wc = Window.partitionBy("qid").orderBy(col("cdist"), col("cell"))
+    val probed = q.crossJoin(broadcast(centroids))
+      .withColumn("cdist", expr("array_dot(cv, cv) - 2 * array_dot(qv, cv)"))
+      .withColumn("crank", row_number().over(wc))
+      .where(col("crank") <= nprobe)
+      .select("qid", "qv", "qnrm", "cell")
+    val w = Window.partitionBy("qid").orderBy(desc("score"), col("id"))
+    probed.join(assigned, Seq("cell"))
+      .where(expr("id <> qid"))
+      .selectExpr("qid", "id", "array_dot(qv, v) / (qnrm * nrm) AS score")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("qid", "rank", "id", "score")
+      .orderBy("qid", "rank")
+  }
+
   /** Bucket-size guard for the LSH family: drop band buckets holding more
     * than `maxBucket` members before any bucket self/probe join. A band key
     * shared by a large fraction of the corpus is non-discriminative (it

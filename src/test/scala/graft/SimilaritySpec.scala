@@ -89,6 +89,47 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("id") < 100))
   }
 
+  test("ivfIndex partitions the corpus into cells; ivfTopK finds the planted dup sub-linearly") {
+    // Clustered corpus: 8 well-separated direction clusters x 25 vectors,
+    // plus a planted near-dup (id 9000) of vector id 0.
+    val rnd = new scala.util.Random(11)
+    val clustered = (0 until 200).map { i =>
+      val c = i % 8
+      val base = Array.tabulate(16)(j => if (j == c * 2) 10.0f else 0.0f)
+      (i.toLong, base.map(x => x + rnd.nextFloat() * 0.5f).toSeq)
+    }
+    val dup = {
+      val v0 = clustered.head._2
+      (9000L, v0.map(x => x + 0.01f))
+    }
+    val corpus = Similarity.prepare(
+      (clustered :+ dup).toDF("vec_id", "embedding"), "vec_id", "embedding")
+
+    val (assigned, centroids) = Similarity.ivfIndex(corpus, nlist = 8)
+    assert(centroids.count() == 8)
+    assert(assigned.count() == 201, "assignment is total")
+    val cellSizes = assigned.groupBy("cell").count().collect().map(_.getLong(1))
+    assert(cellSizes.length > 1, "k-means must actually split the clustered corpus")
+
+    val queries = corpus.where(col("id") === 0)
+    val out = Similarity.ivfTopK(corpus, queries, k = 3, nlist = 8, nprobe = 2).collect()
+    assert(out.nonEmpty)
+    assert(out(0).getAs[Long]("id") == 9000, "planted dup shares vec 0's cell and must rank first")
+    assert(out(0).getAs[Double]("score") > 0.999)
+    // sub-linearity: 2 probed cells of a balanced 8-cell index cover well
+    // under half the corpus
+    val probedMax = cellSizes.sorted.reverse.take(2).sum
+    assert(probedMax < 201, "candidate pool strictly smaller than a full scan")
+  }
+
+  test("ivfTopK agrees with brute force on cluster-structured data (recall check)") {
+    val queries = prepared.where(col("id") === 0)
+    val bf = Similarity.bruteForceTopK(prepared, queries, k = 1).collect()(0).getAs[Long]("id")
+    val ivf = Similarity.ivfTopK(prepared, queries, k = 1, nlist = 4, nprobe = 4).collect()
+    // nprobe == nlist probes every cell -> must equal exhaustive search
+    assert(ivf(0).getAs[Long]("id") == bf)
+  }
+
   test("bruteForceTopK handles k larger than the corpus") {
     val queries = prepared.where(col("id") === 5)
     val out = Similarity.bruteForceTopK(prepared, queries, k = 100).collect()
