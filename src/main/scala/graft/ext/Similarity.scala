@@ -123,6 +123,9 @@ object Similarity {
       else featurized.sample(withReplacement = false, trainFraction, seed)
     val model = new KMeans()
       .setK(nlist).setSeed(seed).setFeaturesCol("__fv").setPredictionCol("cell")
+      // coarse quantization needs rough cells, not converged clustering —
+      // few iterations is standard IVF practice and caps training cost
+      .setMaxIter(5)
       .fit(trainSet)
     val assigned = model.transform(featurized).drop("__fv")
     val centroids = model.clusterCenters.zipWithIndex
