@@ -70,6 +70,91 @@ object ExtensionQueries {
   private def simhashAssemble: String =
     "concat(" + (0 until 32).map(j => s"(CASE WHEN s$j >= 0 THEN '1' ELSE '0' END)").mkString(", ") + ") AS simhash"
 
+  /** Shared d2/d6 pipeline: 3-gram shingles -> 8 MinHash permutations (2 md5
+    * digests, 4 slices each) -> 4-band LSH with bucket cap -> exact-Jaccard
+    * >= 0.8 verified near-dup pairs (id_a < id_b, plus the left doc's lang).
+    */
+  private def verifiedNearDupPairs(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val perms = 0 until 8
+    // Materialize the signature table once: this subplan feeds four
+    // consumers (two band-join sides, two verify-join sides) and without
+    // a lineage cut Spark recomputes the md5 minhashes for each (observed:
+    // 16 copies of the projection in the executed plan — a repartition
+    // doesn't help because the optimizer collapses it below the
+    // projection). localCheckpoint is the production-LSH move anyway:
+    // signatures are computed once per corpus and reused.
+    // Two md5 digests per shingle, not eight: each digest's four 8-hex
+    // slices are independent 32-bit hashes (lexicographic min on
+    // fixed-width lowercase hex == numeric min), so 8 permutations cost
+    // 2 digest passes + cheap substring transforms. Measured r1: the
+    // 8-digest variant dominated the whole bench at 13s.
+    val docs = documents(s, d)
+      .selectExpr("doc_id", "lang", splitExpr)
+      .selectExpr("doc_id", "lang", s"($shingleExpr) AS sh")
+      .selectExpr("doc_id", "lang", "sh",
+        "transform(sh, t -> md5(t)) AS ha",
+        "transform(sh, t -> md5(concat('x', t))) AS hb")
+      .selectExpr(
+        Seq("doc_id", "lang", "sh") ++
+          perms.map { i =>
+            val src = if (i < 4) "ha" else "hb"
+            val off = (i % 4) * 8 + 1
+            s"array_min(transform($src, h -> substring(h, $off, 8))) AS h$i"
+          }: _*)
+      .localCheckpoint(eager = false)
+    // Bucket-size guard: one degenerate band key (a bucket holding a
+    // large corpus fraction) would re-create the quadratic self-join the
+    // banding exists to avoid — cap buckets before joining. 1000 is far
+    // above any honest near-dup cluster at this banding width (fixture
+    // buckets are near-singleton), so results are unchanged, but a
+    // word-soup-style collapse can no longer produce an O(n^2) task.
+    val bands = graft.ext.Similarity.capBuckets(
+      docs.selectExpr(
+        "doc_id",
+        "stack(4, 0, md5(concat(h0, h1)), 1, md5(concat(h2, h3)), 2, md5(concat(h4, h5)), 3, md5(concat(h6, h7))) AS (band, bkey)"),
+      Seq("band", "bkey"), maxBucket = 1000)
+    val cands = bands.as("x")
+      .join(bands.as("y"), expr("x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    val t = docs.select(col("doc_id"), col("lang"), col("sh"))
+    cands
+      .join(t.as("a"), col("id_a") === col("a.doc_id"))
+      .join(t.as("b"), col("id_b") === col("b.doc_id"))
+      .where(expr(
+        "size(array_intersect(a.sh, b.sh)) * 1.0 / (size(a.sh) + size(b.sh) - size(array_intersect(a.sh, b.sh))) >= 0.8"))
+      .select(col("id_a"), col("id_b"), col("a.lang").as("lang"))
+  }
+
+  /** The d2/d6 oracle's shared CTE chain, mirroring [[verifiedNearDupPairs]]. */
+  private def nearDupCtes: String =
+    s"""sp AS (
+       |  SELECT doc_id, lang, text, string_split(lower(text), ' ') AS t FROM documents),
+       |sh AS (
+       |  SELECT doc_id, lang, ($shingleSql) AS sh FROM sp),
+       |hs AS (
+       |  SELECT doc_id, lang, sh,
+       |    list_transform(sh, t -> md5(t)) AS ha,
+       |    list_transform(sh, t -> md5('x' || t)) AS hb
+       |  FROM sh),
+       |sigs AS (
+       |  SELECT doc_id, lang, sh,
+       |${(0 until 8).map { i =>
+          val src = if (i < 4) "ha" else "hb"
+          val off = (i % 4) * 8 + 1
+          s"    list_min(list_transform($src, h -> substring(h, $off, 8))) AS h$i"
+        }.mkString(",\n")}
+       |  FROM hs),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, md5(h0 || h1) AS bkey FROM sigs
+       |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sigs
+       |  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sigs
+       |  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sigs),
+       |cands AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b FROM bands x
+       |  JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)""".stripMargin
+
   val queries: Seq[Q] = Seq(
     // ------------------------------------------------------------- dedup ops
     Q(
@@ -92,90 +177,56 @@ object ExtensionQueries {
     ),
     Q(
       "d2_dedup_minhash_lsh",
-      "Shingle (3-gram) -> MinHash (8 md5-keyed min-hashes) -> LSH banding (4 bands x 2) -> bucket-join candidates -> exact Jaccard >= 0.8 verify; near-dup pairs per lang. The 100 TB path: candidates are O(near-dups), not O(n^2)",
-      (s, d) => {
-        val perms = 0 until 8
-        // Materialize the signature table once: this subplan feeds four
-        // consumers (two band-join sides, two verify-join sides) and without
-        // a lineage cut Spark recomputes the md5 minhashes for each (observed:
-        // 16 copies of the projection in the executed plan — a repartition
-        // doesn't help because the optimizer collapses it below the
-        // projection). localCheckpoint is the production-LSH move anyway:
-        // signatures are computed once per corpus and reused.
-        // Two md5 digests per shingle, not eight: each digest's four 8-hex
-        // slices are independent 32-bit hashes (lexicographic min on
-        // fixed-width lowercase hex == numeric min), so 8 permutations cost
-        // 2 digest passes + cheap substring transforms. Measured r1: the
-        // 8-digest variant dominated the whole bench at 13s.
-        val docs = documents(s, d)
-          .selectExpr("doc_id", "lang", splitExpr)
-          .selectExpr("doc_id", "lang", s"($shingleExpr) AS sh")
-          .selectExpr("doc_id", "lang", "sh",
-            "transform(sh, t -> md5(t)) AS ha",
-            "transform(sh, t -> md5(concat('x', t))) AS hb")
-          .selectExpr(
-            Seq("doc_id", "lang", "sh") ++
-              perms.map { i =>
-                val src = if (i < 4) "ha" else "hb"
-                val off = (i % 4) * 8 + 1
-                s"array_min(transform($src, h -> substring(h, $off, 8))) AS h$i"
-              }: _*)
-          .localCheckpoint(eager = false)
-        // Bucket-size guard: one degenerate band key (a bucket holding a
-        // large corpus fraction) would re-create the quadratic self-join the
-        // banding exists to avoid — cap buckets before joining. 1000 is far
-        // above any honest near-dup cluster at this banding width (fixture
-        // buckets are near-singleton), so results are unchanged, but a
-        // word-soup-style collapse can no longer produce an O(n^2) task.
-        val bands = graft.ext.Similarity.capBuckets(
-          docs.selectExpr(
-            "doc_id",
-            "stack(4, 0, md5(concat(h0, h1)), 1, md5(concat(h2, h3)), 2, md5(concat(h4, h5)), 3, md5(concat(h6, h7))) AS (band, bkey)"),
-          Seq("band", "bkey"), maxBucket = 1000)
-        val cands = bands.as("x")
-          .join(bands.as("y"), expr("x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id"))
-          .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-          .distinct()
-        val t = docs.select(col("doc_id"), col("lang"), col("sh"))
-        cands
-          .join(t.as("a"), col("id_a") === col("a.doc_id"))
-          .join(t.as("b"), col("id_b") === col("b.doc_id"))
-          .where(expr(
-            "size(array_intersect(a.sh, b.sh)) * 1.0 / (size(a.sh) + size(b.sh) - size(array_intersect(a.sh, b.sh))) >= 0.8"))
-          .groupBy(col("a.lang").as("lang"))
+      "Shingle (3-gram) -> MinHash (8 md5-keyed min-hashes) -> LSH banding (4 bands x 2, bucket-capped) -> bucket-join candidates -> exact Jaccard >= 0.8 verify; near-dup pairs per lang. The 100 TB path: candidates are O(near-dups), not O(n^2)",
+      (s, d) =>
+        verifiedNearDupPairs(s, d)
+          .groupBy("lang")
           .agg(count(lit(1)).as("near_dup_pairs"))
-          .orderBy("lang")
-      },
-      Some(s"""WITH sp AS (
-              |  SELECT doc_id, lang, text, string_split(lower(text), ' ') AS t FROM documents),
-              |sh AS (
-              |  SELECT doc_id, lang, ($shingleSql) AS sh FROM sp),
-              |hs AS (
-              |  SELECT doc_id, lang, sh,
-              |    list_transform(sh, t -> md5(t)) AS ha,
-              |    list_transform(sh, t -> md5('x' || t)) AS hb
-              |  FROM sh),
-              |sigs AS (
-              |  SELECT doc_id, lang, sh,
-              |${(0 until 8).map { i =>
-                 val src = if (i < 4) "ha" else "hb"
-                 val off = (i % 4) * 8 + 1
-                 s"    list_min(list_transform($src, h -> substring(h, $off, 8))) AS h$i"
-               }.mkString(",\n")}
-              |  FROM hs),
-              |bands AS (
-              |  SELECT doc_id, 0 AS band, md5(h0 || h1) AS bkey FROM sigs
-              |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sigs
-              |  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sigs
-              |  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sigs),
-              |cands AS (
-              |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b FROM bands x
-              |  JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+          .orderBy("lang"),
+      Some(s"""WITH $nearDupCtes
               |SELECT a.lang AS lang, COUNT(*) AS near_dup_pairs FROM cands
               |JOIN sigs a ON id_a = a.doc_id JOIN sigs b ON id_b = b.doc_id
               |WHERE length(list_intersect(a.sh, b.sh)) * 1.0 /
               |      (length(a.sh) + length(b.sh) - length(list_intersect(a.sh, b.sh))) >= 0.8
               |GROUP BY a.lang ORDER BY lang""".stripMargin)
+    ),
+    Q(
+      "d6_dedup_cluster",
+      "Dedup clustering: verified near-dup pairs -> connected components (distributed min-label propagation, GraphOps) -> duplicate families per lang: member docs, family count, redundant docs (members - families = what keep-one-per-family drops). The step that turns pairwise dedup output into canonical-keep decisions; transitive links (a~b~c) merge into one family even when (a,c) was never a pair",
+      (s, d) => {
+        // localCheckpoint: the CC loop re-reads the edge list every round;
+        // without the cut each round would re-run the whole minhash pipeline.
+        val pairs = verifiedNearDupPairs(s, d).localCheckpoint(eager = false)
+        val labels = graft.ops.GraphOps.connectedComponents(pairs, "id_a", "id_b")
+        labels
+          .join(documents(s, d).select(col("doc_id").as("id"), col("lang")), Seq("id"))
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("clustered_docs"),
+            countDistinct(col("label")).as("families"))
+          .withColumn("redundant", expr("CAST(clustered_docs - families AS BIGINT)"))
+          .orderBy("lang")
+      },
+      // Oracle forms the transitive closure with a recursive CTE (set-union
+      // recursion terminates) — per-component min label == CC's fixpoint.
+      Some(s"""WITH RECURSIVE $nearDupCtes,
+              |pairs AS (
+              |  SELECT id_a, id_b FROM cands
+              |  JOIN sigs a ON id_a = a.doc_id JOIN sigs b ON id_b = b.doc_id
+              |  WHERE length(list_intersect(a.sh, b.sh)) * 1.0 /
+              |        (length(a.sh) + length(b.sh) - length(list_intersect(a.sh, b.sh))) >= 0.8),
+              |und AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+              |reach AS (
+              |  SELECT a AS src, b AS dst FROM und
+              |  UNION
+              |  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
+              |labels AS (
+              |  SELECT src AS id, LEAST(src, MIN(dst)) AS label FROM reach GROUP BY src)
+              |SELECT d.lang AS lang, COUNT(*) AS clustered_docs,
+              |  COUNT(DISTINCT label) AS families,
+              |  CAST(COUNT(*) - COUNT(DISTINCT label) AS BIGINT) AS redundant
+              |FROM labels JOIN documents d ON labels.id = d.doc_id
+              |GROUP BY d.lang ORDER BY lang""".stripMargin)
     ),
     Q(
       "d3_dedup_simhash",

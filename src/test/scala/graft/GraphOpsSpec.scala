@@ -1,0 +1,39 @@
+package graft
+
+import graft.ops.GraphOps
+
+/** Connected components (the dedup-clustering primitive): transitive
+  * closure, multi-round convergence, determinism.
+  */
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("labels a long chain transitively (diameter forces multiple propagation rounds)") {
+    // path 1-2-3-4-5-6-7-8 plus a separate pair — min-label must travel the
+    // whole chain, not just one hop
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L), (6L, 5L), (6L, 7L), (8L, 7L),
+      (100L, 101L)).toDF("a", "b")
+    val labels = GraphOps.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 10, "every edge endpoint is labeled")
+    assert((1L to 8L).forall(labels(_) == 1L), s"chain collapses to min id: $labels")
+    assert(labels(100L) == 100L && labels(101L) == 100L)
+  }
+
+  test("merges transitive near-dup links into one family (a~b, b~c => one cluster)") {
+    val edges = Seq((10L, 20L), (20L, 30L), (40L, 50L)).toDF("a", "b")
+    val byLabel = GraphOps.connectedComponents(edges)
+      .collect().groupBy(_.getLong(1)).map { case (l, rs) => l -> rs.map(_.getLong(0)).toSet }
+    assert(byLabel(10L) == Set(10L, 20L, 30L))
+    assert(byLabel(40L) == Set(40L, 50L))
+  }
+
+  test("deterministic across runs") {
+    val edges = Seq((1L, 2L), (3L, 2L), (7L, 9L), (9L, 1L)).toDF("a", "b")
+    val r1 = GraphOps.connectedComponents(edges).collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val r2 = GraphOps.connectedComponents(edges).collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(r1 == r2)
+    assert(r1.forall(_._2 == 1L), "all connected through 1 via 9~1, 1~2, 3~2")
+  }
+}
