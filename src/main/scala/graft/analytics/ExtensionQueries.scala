@@ -570,6 +570,85 @@ object ExtensionQueries {
              |SELECT lang, rank, term, tf, df FROM scored WHERE rank <= 5
              |ORDER BY lang, rank""".stripMargin)
     ),
+    Q(
+      "t6_chunk_pack",
+      "Context packing: split each document into fixed-token windows (size 50, stride 40, overlap 10) and emit one row per chunk via a generator — the chunking step that feeds sequence packing in an LLM data pipeline. Per lang: docs, chunks, max chunks per doc",
+      (s, d) =>
+        documents(s, d)
+          .selectExpr("doc_id", "lang", "size(split(text, ' ')) AS ntok")
+          .selectExpr("doc_id", "lang",
+            "CASE WHEN ntok <= 50 THEN 1 ELSE CAST(CEIL((ntok - 50) / 40.0) AS INT) + 1 END AS n_chunks")
+          .selectExpr("doc_id", "lang", "n_chunks",
+            "explode(sequence(0, n_chunks - 1)) AS chunk_id")
+          .selectExpr("doc_id", "lang", "n_chunks", "chunk_id",
+            "chunk_id * 40 AS chunk_start")
+          .groupBy("lang")
+          .agg(
+            countDistinct(col("doc_id")).as("docs"),
+            count(lit(1)).as("chunks"),
+            max(col("n_chunks")).as("max_chunks_per_doc"))
+          .orderBy("lang"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, lang, length(string_split(text, ' ')) AS ntok FROM documents),
+             |c AS (
+             |  SELECT doc_id, lang,
+             |    CASE WHEN ntok <= 50 THEN 1 ELSE CAST(CEIL((ntok - 50) / 40.0) AS INT) + 1 END AS n_chunks
+             |  FROM t),
+             |e AS (
+             |  SELECT doc_id, lang, n_chunks, unnest(generate_series(0, n_chunks - 1)) AS chunk_id FROM c)
+             |SELECT lang, COUNT(DISTINCT doc_id) AS docs, COUNT(*) AS chunks,
+             |  CAST(MAX(n_chunks) AS INTEGER) AS max_chunks_per_doc
+             |FROM e GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
+    Q(
+      "p13_hash_split",
+      "Deterministic train/val/test split by content-stable hash bucket (md5 of the id -> 0..255 -> 80/10/10): membership is a pure function of the key, so re-runs, backfills and distributed workers all agree without coordination — the split op every training pipeline needs",
+      (s, d) =>
+        documents(s, d)
+          .selectExpr("doc_id", "lang",
+            "(instr('0123456789abcdef', substring(md5(CAST(doc_id AS STRING)), 1, 1)) - 1) * 16 + " +
+              "instr('0123456789abcdef', substring(md5(CAST(doc_id AS STRING)), 2, 1)) - 1 AS h")
+          .selectExpr("lang",
+            "CASE WHEN h < 204 THEN 'train' WHEN h < 230 THEN 'val' ELSE 'test' END AS split")
+          .groupBy("split", "lang")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("split", "lang"),
+      Some("""WITH h AS (
+             |  SELECT lang,
+             |    (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+             |    instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS h
+             |  FROM documents)
+             |SELECT CASE WHEN h < 204 THEN 'train' WHEN h < 230 THEN 'val' ELSE 'test' END AS split,
+             |  lang, COUNT(*) AS n
+             |FROM h GROUP BY 1, 2 ORDER BY split, lang""".stripMargin)
+    ),
+    Q(
+      "p14_mixture_sample",
+      "Dataset mixture: fill per-source quotas (a target lang mixture) by deterministic md5-ranked sampling within each source — the weighted-interleave op that composes a training mix from heterogeneous corpora. Per lang: quota-capped sample size and its token mass",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val quota = "CASE lang WHEN 'en' THEN 40 WHEN 'de' THEN 20 WHEN 'es' THEN 15 WHEN 'fr' THEN 15 ELSE 10 END"
+        val w = Window.partitionBy("lang")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        documents(s, d)
+          .selectExpr("doc_id", "lang", "size(split(text, ' ')) AS ntok")
+          .withColumn("rn", row_number().over(w))
+          .where(expr(s"rn <= $quota"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("sampled"), sum(col("ntok")).as("tokens"))
+          .orderBy("lang")
+      },
+      // CAST(SUM(...) AS BIGINT): DuckDB integer SUM is HUGEINT.
+      Some("""WITH r AS (
+             |  SELECT lang, length(string_split(text, ' ')) AS ntok,
+             |    row_number() OVER (PARTITION BY lang
+             |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             |  FROM documents)
+             |SELECT lang, COUNT(*) AS sampled, CAST(SUM(ntok) AS BIGINT) AS tokens
+             |FROM r
+             |WHERE rn <= CASE lang WHEN 'en' THEN 40 WHEN 'de' THEN 20 WHEN 'es' THEN 15 WHEN 'fr' THEN 15 ELSE 10 END
+             |GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
     // -------------------------------------------------------- multimodal ops
     Q(
       "m1_multimodal_meta",
