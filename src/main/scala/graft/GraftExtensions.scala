@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.ArrayDotProduct
+
+/** The library's `SparkSessionExtensions` injector — the idiomatic
+  * installation path for a Spark-native library: a user (or cluster config)
+  * sets
+  *
+  * {{{ spark.sql.extensions=graft.GraftExtensions }}}
+  *
+  * and every session created on that context has the engine's native
+  * functions analyzed, optimized and codegen'd like built-ins — no runtime
+  * `register` call required, SQL and DataFrame paths both covered, and the
+  * function shows up in `DESCRIBE FUNCTION`.
+  *
+  * (`GraftFunctions.register` remains as the session-scoped fallback for
+  * driver-owned sessions the library cannot configure — e.g. the harness's
+  * own Verify/Bench sessions.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(extensions: SparkSessionExtensions): Unit = {
+    extensions.injectFunction((
+      new FunctionIdentifier("array_dot"),
+      new ExpressionInfo(
+        classOf[ArrayDotProduct].getName,
+        null,
+        "array_dot",
+        "array_dot(a, b) - Codegen'd dot product of two array<double> columns.",
+        ""),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ArrayDotProduct(exprs(0), exprs(1))))
+  }
+}
