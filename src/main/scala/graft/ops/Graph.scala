@@ -26,19 +26,30 @@ object GraphOps {
 
   /** Labels every vertex of the undirected edge list with its component's
     * minimum vertex id. Output: (id, label). Vertices are whatever orderable
-    * type the edge columns carry. Isolated vertices don't appear (an edge
-    * list has no singletons); union the full vertex set afterwards if
-    * singleton components matter.
+    * type the edge columns carry (Comparable under the hood). Isolated
+    * vertices don't appear (an edge list has no singletons); union the full
+    * vertex set afterwards if singleton components matter.
+    *
+    * Hybrid execution: at or below `driverThreshold` distinct directed edges
+    * the component structure fits trivially in driver memory, and a
+    * union-find there costs one collect instead of 3 jobs x diameter rounds
+    * of fixed scheduling overhead (measured: the distributed loop spent
+    * ~2.5s of pure job latency on an 8-edge fixture). Above the threshold —
+    * the 100 TB regime — the distributed min-label loop runs; both paths
+    * produce identical labels (spec-pinned).
     */
   def connectedComponents(
       edges: DataFrame,
       src: String = "a",
       dst: String = "b",
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20,
+      driverThreshold: Long = 100000): DataFrame = {
     val und = edges.select(col(src).as("a"), col(dst).as("b"))
       .union(edges.select(col(dst).as("a"), col(src).as("b")))
       .distinct()
       .localCheckpoint(eager = false)
+
+    if (und.count() <= driverThreshold) return unionFindOnDriver(und)
 
     var labels = und.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
@@ -67,5 +78,48 @@ object GraphOps {
       converged = !changed
     }
     labels
+  }
+
+  /** Small-graph path: classic union-find with path compression over the
+    * collected edge list, labels normalized to the per-component minimum —
+    * byte-identical output to the distributed loop.
+    */
+  private def unionFindOnDriver(und: DataFrame): DataFrame = {
+    import scala.collection.mutable
+    val spark = und.sparkSession
+    val rows = und.collect()
+    val parent = mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    rows.foreach { r =>
+      val (a, b) = (r.get(0), r.get(1))
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra) = rb
+    }
+    def lt(x: Any, y: Any): Boolean =
+      x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+    val minOfRoot = mutable.HashMap.empty[Any, Any]
+    parent.keys.foreach { v =>
+      val r = find(v)
+      minOfRoot.get(r) match {
+        case Some(m) => if (lt(v, m)) minOfRoot(r) = v
+        case None    => minOfRoot(r) = v
+      }
+    }
+    val dt = und.schema("a").dataType
+    val out = parent.keys.toSeq.map(v =>
+      org.apache.spark.sql.Row(v, minOfRoot(find(v))))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", dt),
+        org.apache.spark.sql.types.StructField("label", dt))))
   }
 }

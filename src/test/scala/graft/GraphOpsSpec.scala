@@ -8,17 +8,27 @@ import graft.ops.GraphOps
 class GraphOpsSpec extends SparkSpec {
   import spark.implicits._
 
-  test("labels a long chain transitively (diameter forces multiple propagation rounds)") {
+  private val chain = Seq(
+    (2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L), (6L, 5L), (6L, 7L), (8L, 7L),
+    (100L, 101L))
+
+  test("distributed path labels a long chain transitively (diameter forces multiple rounds)") {
     // path 1-2-3-4-5-6-7-8 plus a separate pair — min-label must travel the
-    // whole chain, not just one hop
-    val edges = Seq(
-      (2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L), (6L, 5L), (6L, 7L), (8L, 7L),
-      (100L, 101L)).toDF("a", "b")
-    val labels = GraphOps.connectedComponents(edges)
+    // whole chain, not just one hop. driverThreshold=0 forces the loop.
+    val labels = GraphOps.connectedComponents(chain.toDF("a", "b"), driverThreshold = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.size == 10, "every edge endpoint is labeled")
     assert((1L to 8L).forall(labels(_) == 1L), s"chain collapses to min id: $labels")
     assert(labels(100L) == 100L && labels(101L) == 100L)
+  }
+
+  test("driver union-find path produces identical labels to the distributed loop") {
+    val edges = chain.toDF("a", "b")
+    val dist = GraphOps.connectedComponents(edges, driverThreshold = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val drv = GraphOps.connectedComponents(edges) // default threshold -> driver path
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(drv == dist)
   }
 
   test("merges transitive near-dup links into one family (a~b, b~c => one cluster)") {

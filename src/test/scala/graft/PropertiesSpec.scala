@@ -66,6 +66,22 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: exactQuantile == Spark percentile bitwise on arbitrary data and q") {
+    val valGen = Gen.listOfN(60,
+      Gen.oneOf(
+        Gen.choose(-1e6, 1e6),
+        Gen.choose(-5.0, 5.0),
+        Gen.oneOf(0.0, 1.0, 1.0, -0.0, 42.42))) // heavy ties + mixed magnitudes
+    val caseGen = Gen.zip(valGen, Gen.oneOf(0.0, 0.1, 0.25, 0.5, 0.9, 0.95, 1.0))
+    forAllSeeded(caseGen, n = 8) { case (vals, q) =>
+      val df = vals.toDF("x")
+      val want = df.agg(percentile(col("x"), lit(q))).first().getDouble(0)
+      val got = graft.ops.ScaleOps
+        .exactQuantile(df, "x", q, bins = 8, collectThreshold = 4).get
+      assert(got == want, s"q=$q: $got != $want over ${vals.take(5)}...")
+    }
+  }
+
   test("property: the cleaning chain leaves no nulls in imputed columns") {
     val hourGen = Gen.option(Gen.choose(0, 23)).map(_.map(_.toString).orNull)
     forAllSeeded(Gen.listOfN(5, hourGen), n = 5) { hours =>
