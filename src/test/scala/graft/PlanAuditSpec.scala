@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+import graft.analytics.Registry
+
+/** Pins the physical-plan properties SCALE.md claims (pushdown, pruning,
+  * top-k without global sort, key-only conflict scans) as regression tests —
+  * a plan that silently loses them would still be correct but wrong at
+  * 100 TB.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def scans(df: org.apache.spark.sql.DataFrame): Seq[FileSourceScanExec] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // AQE wraps the tree in AdaptiveSparkPlanExec (a leaf from the outside);
+    // walk through it and subqueries to reach the real scans.
+    def walk(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case f: FileSourceScanExec    => Seq(f)
+      case other => (other.children ++ other.subqueries).flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
+  test("s1: filter pushed into the parquet scan, ReadSchema pruned to referenced columns") {
+    val df = Registry.byName("s1_scan_project_filter").fn(spark, sf)
+    val scan = scans(df).head
+    val meta = scan.metadata
+    assert(meta("PushedFilters").contains("l_shipdate"),
+      s"shipdate filter must reach the scan: ${meta("PushedFilters")}")
+    val readSchema = meta("ReadSchema")
+    assert(readSchema.contains("l_returnflag") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_extendedprice"),
+      s"unreferenced columns must be pruned: $readSchema")
+  }
+
+  test("j5: upsert conflict check scans only the key column of the existing side") {
+    val df = Registry.byName("j5_upsert_anti_join").fn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"anti-join expected:\n$plan")
+    // at least one scan reads exactly the single key column
+    assert(scans(df).exists(_.metadata("ReadSchema").matches(".*struct<o_orderkey:bigint>.*")),
+      scans(df).map(_.metadata("ReadSchema")).mkString("; "))
+  }
+
+  test("o2: top-k plans as TakeOrderedAndProject, never a global sort") {
+    val df = Registry.byName("o2_topk_ordered").fn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k heap expected:\n$plan")
+  }
+
+  test("a5: aggregation is two-phase (partial before the exchange)") {
+    val df = Registry.byName("a5_rate_by_group").fn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_"), s"map-side combine expected:\n$plan")
+  }
+}
