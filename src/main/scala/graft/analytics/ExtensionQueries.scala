@@ -26,25 +26,10 @@ object ExtensionQueries {
     */
   private val tokExpr = "array_distinct(split(lower(text), ' '))"
 
-  /** Distinct 3-gram word shingles — the dedup family's unit of comparison.
-    * Unigram token sets are degenerate on a small shared vocabulary (every
-    * document contains the globally-min-hashing token, so MinHash buckets
-    * collapse into one giant candidate bucket); 3-gram shingles are
-    * order-sensitive and keep buckets near-singleton. The Spark form guards
-    * short docs because `sequence(1, 0)` counts DOWN in Spark.
+  /** Spark-side shingle/minhash expressions live in [[graft.ext.MinHash]]
+    * (shared with the incremental [[graft.ext.DedupStore]]); the SQL below is
+    * the DuckDB mirror of the same 3-gram shingle rule.
     */
-  /** Token-split step — materialized as its own projection so the shingle
-    * lambda reads an array column instead of re-splitting the text per
-    * element (which is O(tokens^2) work per document).
-    */
-  private val splitExpr = "split(lower(text), ' ') AS t"
-  private val shingleExpr =
-    """CASE WHEN size(t) < 3 THEN array(concat_ws(' ', t))
-      |ELSE array_distinct(transform(
-      |  sequence(1, size(t) - 2),
-      |  i -> concat(element_at(t, i), ' ',
-      |              element_at(t, i + 1), ' ',
-      |              element_at(t, i + 2)))) END""".stripMargin
   private val shingleSql =
     """CASE WHEN len(string_split(lower(text), ' ')) < 3 THEN [lower(text)]
       |ELSE list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
@@ -76,7 +61,6 @@ object ExtensionQueries {
     */
   private def verifiedNearDupPairs(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
-    val perms = 0 until 8
     // Materialize the signature table once: this subplan feeds four
     // consumers (two band-join sides, two verify-join sides) and without
     // a lineage cut Spark recomputes the md5 minhashes for each (observed:
@@ -84,24 +68,8 @@ object ExtensionQueries {
     // doesn't help because the optimizer collapses it below the
     // projection). localCheckpoint is the production-LSH move anyway:
     // signatures are computed once per corpus and reused.
-    // Two md5 digests per shingle, not eight: each digest's four 8-hex
-    // slices are independent 32-bit hashes (lexicographic min on
-    // fixed-width lowercase hex == numeric min), so 8 permutations cost
-    // 2 digest passes + cheap substring transforms. Measured r1: the
-    // 8-digest variant dominated the whole bench at 13s.
-    val docs = documents(s, d)
-      .selectExpr("doc_id", "lang", splitExpr)
-      .selectExpr("doc_id", "lang", s"($shingleExpr) AS sh")
-      .selectExpr("doc_id", "lang", "sh",
-        "transform(sh, t -> md5(t)) AS ha",
-        "transform(sh, t -> md5(concat('x', t))) AS hb")
-      .selectExpr(
-        Seq("doc_id", "lang", "sh") ++
-          perms.map { i =>
-            val src = if (i < 4) "ha" else "hb"
-            val off = (i % 4) * 8 + 1
-            s"array_min(transform($src, h -> substring(h, $off, 8))) AS h$i"
-          }: _*)
+    val docs = graft.ext.MinHash
+      .signatures(documents(s, d), Seq("doc_id", "lang"))
       .localCheckpoint(eager = false)
     // Bucket-size guard: one degenerate band key (a bucket holding a
     // large corpus fraction) would re-create the quadratic self-join the
@@ -110,10 +78,7 @@ object ExtensionQueries {
     // buckets are near-singleton), so results are unchanged, but a
     // word-soup-style collapse can no longer produce an O(n^2) task.
     val bands = graft.ext.Similarity.capBuckets(
-      docs.selectExpr(
-        "doc_id",
-        "stack(4, 0, md5(concat(h0, h1)), 1, md5(concat(h2, h3)), 2, md5(concat(h4, h5)), 3, md5(concat(h6, h7))) AS (band, bkey)"),
-      Seq("band", "bkey"), maxBucket = 1000)
+      graft.ext.MinHash.bands(docs), Seq("band", "bkey"), maxBucket = 1000)
     val cands = bands.as("x")
       .join(bands.as("y"), expr("x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
@@ -122,8 +87,7 @@ object ExtensionQueries {
     cands
       .join(t.as("a"), col("id_a") === col("a.doc_id"))
       .join(t.as("b"), col("id_b") === col("b.doc_id"))
-      .where(expr(
-        "size(array_intersect(a.sh, b.sh)) * 1.0 / (size(a.sh) + size(b.sh) - size(array_intersect(a.sh, b.sh))) >= 0.8"))
+      .where(expr(s"${graft.ext.MinHash.jaccardExpr("a.sh", "b.sh")} >= 0.8"))
       .select(col("id_a"), col("id_b"), col("a.lang").as("lang"))
   }
 
@@ -260,8 +224,8 @@ object ExtensionQueries {
         // the Generate node, re-evaluating it per OUTPUT row: explode over
         // the live expression ran ~30x slower than over materialized arrays.
         val sh = documents(s, d)
-          .selectExpr("doc_id", "lang", "source", splitExpr)
-          .selectExpr("doc_id", "lang", "source", s"($shingleExpr) AS sh")
+          .selectExpr("doc_id", "lang", "source", graft.ext.MinHash.splitExpr)
+          .selectExpr("doc_id", "lang", "source", s"(${graft.ext.MinHash.shingleExpr}) AS sh")
           .localCheckpoint(eager = false)
         val t = sh.selectExpr(
           "doc_id", "lang", "source", "size(sh) AS n", "explode(sh) AS shingle")

@@ -345,6 +345,21 @@ object RelationalQueries {
              |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)
     ),
     Q(
+      "a18_deciles",
+      "Exact decile profile of a measure (the describe()-style summary a data audit runs): nine quantiles of one column via ScaleOps.exactQuantilesOfColumn — every decile shares each histogram-refinement pass, so the profile costs one scan per round with O(bins) state, never nine buffer-everything percentiles",
+      (s, d) => {
+        val qs = (1 to 9).map(_ / 10.0)
+        val deciles = graft.ops.ScaleOps
+          .exactQuantilesOfColumn(lineitem(s, d), "l_extendedprice", qs)
+        s.createDataFrame(deciles.toSeq.sortBy(_._1))
+          .toDF("q", "value")
+          .orderBy("q")
+      },
+      Some((1 to 9)
+        .map(i => s"SELECT CAST(0.$i AS DOUBLE) AS q, quantile_cont(l_extendedprice, 0.$i) AS value FROM lineitem")
+        .mkString("", "\nUNION ALL ", "\nORDER BY q"))
+    ),
+    Q(
       "a12_correlation",
       "Pearson correlation via exact decimal co-moments (streamlit_frontend.py:1400-1406 corr matrix)",
       (s, d) => {

@@ -102,7 +102,23 @@ object ScaleOps {
       .select(explode(array(valueCols.map(c =>
         struct(lit(c).as("g"), col(c).cast("double").as("v"))): _*)).as("p"))
       .select(col("p.g").as("g"), col("p.v").as("v"))
-    quantileOfPairs(pairs, q, bins, collectThreshold)
+    quantileOfPairs(pairs, _ => q, bins, collectThreshold)
+  }
+
+  /** Several exact quantiles of ONE column (e.g. deciles) in shared passes:
+    * each q becomes its own descent lane over the same cached pair
+    * projection, so 9 deciles cost one scan per refinement round, not nine
+    * round-sets.
+    */
+  def exactQuantilesOfColumn(df: DataFrame, valueCol: String, qs: Seq[Double],
+      bins: Int = 1024, collectThreshold: Long = 65536): Map[Double, Double] = {
+    val tagOf = qs.map(q => s"q$q" -> q).toMap
+    val pairs = df
+      .select(explode(array(qs.map(q =>
+        struct(lit(s"q$q").as("g"), col(valueCol).cast("double").as("v"))): _*)).as("p"))
+      .select(col("p.g").as("g"), col("p.v").as("v"))
+    quantileOfPairs(pairs, tagOf, bins, collectThreshold)
+      .map { case (tag, v) => tagOf(tag) -> v }
   }
 
   /** Exact q-quantile per group (group key stringified; intended for bounded
@@ -113,7 +129,7 @@ object ScaleOps {
     quantileOfPairs(
       df.select(col(groupCol).cast("string").as("g"), col(valueCol).cast("double").as("v"))
         .where(col("g").isNotNull),
-      q, bins, collectThreshold)
+      _ => q, bins, collectThreshold)
 
   /** Chained `when` mapping each group key to a per-group double constant —
     * how every group carries its own [lo, hi] through one shared pass.
@@ -123,13 +139,14 @@ object ScaleOps {
       case (acc, (k, v)) => acc.when(col("g") === k, lit(v))
     }
 
-  /** The shared engine over (g: string, v: double) pairs. Nulls and NaNs are
-    * dropped (the imputation/statistic semantics of the callers; the fixture
-    * and Gold numerics carry no NaN).
+  /** The shared engine over (g: string, v: double) pairs; `qFor` gives each
+    * lane its own quantile (constant for the by-column/by-group wrappers,
+    * per-tag for multi-q). Nulls and NaNs are dropped (the
+    * imputation/statistic semantics of the callers; the fixture and Gold
+    * numerics carry no NaN).
     */
-  private def quantileOfPairs(pairsRaw: DataFrame, q: Double, bins: Int,
+  private def quantileOfPairs(pairsRaw: DataFrame, qFor: String => Double, bins: Int,
       collectThreshold: Long): Map[String, Double] = {
-    require(q >= 0.0 && q <= 1.0, s"quantile out of range: $q")
     require(bins >= 2, "need at least 2 bins")
     // The refinement re-scans the pair projection O(log n) times; persist the
     // narrow (g, v) projection so upstream plans (e.g. the Gold clean chain)
@@ -150,6 +167,8 @@ object ScaleOps {
       stats.foreach { r =>
         val g = r.getString(0)
         val n = r.getLong(1)
+        val q = qFor(g)
+        require(q >= 0.0 && q <= 1.0, s"quantile out of range: $q")
         val h = q * (n - 1).toDouble
         val kLo = math.floor(h).toLong
         val kHi = math.ceil(h).toLong

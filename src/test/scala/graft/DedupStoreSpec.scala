@@ -1,0 +1,47 @@
+package graft
+
+import graft.ext.{DedupStore, MinHash}
+
+/** Incremental near-dup dedup against the persistent signature store:
+  * within-batch collapse, cross-batch rejection, replay idempotence.
+  */
+class DedupStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val baseText = (1 to 40).map(i => s"w$i").mkString(" ")
+
+  test("ingestBatch: within-batch collapse, store-dup rejection, novel acceptance, replay no-op") {
+    val path = tmpDir("dstore") + "/store"
+
+    // batch 1: doc 1, its exact duplicate 2 (within-batch family), novel 3
+    val other = (1 to 40).map(i => s"z$i").mkString(" ")
+    val b1 = Seq((1L, baseText), (2L, baseText), (3L, other)).toDF("doc_id", "text")
+    val r1 = DedupStore.ingestBatch(spark, b1, path)
+    assert(r1 == DedupStore.IngestReport(accepted = 2, withinBatchDups = 1, storeDups = 0))
+
+    // batch 2: near-dup of accepted doc 1 (one appended word, shingle
+    // Jaccard 38/39 ~ 0.97) plus a novel doc
+    val third = (1 to 40).map(i => s"y$i").mkString(" ")
+    val b2 = Seq((4L, baseText + " tail"), (5L, third)).toDF("doc_id", "text")
+    val r2 = DedupStore.ingestBatch(spark, b2, path)
+    assert(r2.withinBatchDups == 0)
+    assert(r2.storeDups == 1, s"doc 4 must be rejected as a store dup: $r2")
+    assert(r2.accepted == 1, s"doc 5 must be accepted: $r2")
+
+    // probe maps the rejected doc to its accepted original
+    val sig4 = MinHash.signatures(
+      Seq((4L, baseText + " tail")).toDF("doc_id", "text"), Seq("doc_id"))
+    val m = DedupStore.probe(spark, sig4, path).collect()(0)
+    assert(m.getLong(0) == 4L && m.getLong(1) == 1L)
+
+    // replaying batch 2: doc 5 now matches its own stored signature — both
+    // docs reject, nothing is appended twice
+    val r3 = DedupStore.ingestBatch(spark, b2, path)
+    assert(r3.accepted == 0 && r3.storeDups == 2)
+  }
+
+  test("probe on a missing store is empty (bootstrap case)") {
+    val sigs = MinHash.signatures(Seq((9L, baseText)).toDF("doc_id", "text"), Seq("doc_id"))
+    assert(DedupStore.probe(spark, sigs, tmpDir("dstore-none") + "/nope").count() == 0)
+  }
+}
