@@ -127,6 +127,40 @@ object Incremental {
       }
     }
 
+  /** Streaming near-dup dedup: a document landing directory streams in and
+    * every micro-batch runs [[graft.ext.DedupStore.ingestBatch]] — arriving
+    * docs are collapsed within the batch, probed against the signatures of
+    * everything accepted so far, and survivors' signatures appended. The
+    * checkpoint gives exactly-once batch processing; a replayed batch
+    * rejects against its own stored signatures, so the store converges to
+    * the same state as a batch d2/d6 run over the union.
+    */
+  def streamingDedup(
+      spark: SparkSession,
+      docsPath: String,
+      storePath: String,
+      checkpoint: String,
+      threshold: Double = 0.8,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val schema = StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 16)
+      .json(docsPath)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.ext.DedupStore.ingestBatch(spark, batch, storePath, threshold)
+          ()
+        }
+      }
+      .start()
+  }
+
   /** ST7 — scheduled periodic ingestion: the reference's external cron
     * scheduler (pipeline_scheduler.py:42-103 cron -> job publish) collapses
     * into Structured Streaming's own trigger scheduler. The SAME pipeline as

@@ -149,6 +149,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingDedup: micro-batches build the signature store; later batches reject dups") {
+    val docs = tmpDir("sdedup-docs")
+    val store = tmpDir("sdedup-store") + "/store"
+    val chk = tmpDir("sdedup-chk")
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val other = (1 to 40).map(i => s"z$i").mkString(" ")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$docs/b1.json"),
+      s"""{"doc_id":1,"text":"$base"}
+         |{"doc_id":2,"text":"$other"}
+         |""".stripMargin)
+    val q = graft.streaming.Incremental.streamingDedup(spark, docs, store, chk)
+    q.awaitTermination(180000)
+    assert(spark.read.parquet(s"$store/shingles").count() == 2, "both batch-1 docs accepted")
+
+    // a later page with a near-dup of doc 1 and one novel doc
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$docs/b2.json"),
+      s"""{"doc_id":3,"text":"$base tail"}
+         |{"doc_id":4,"text":"${(1 to 40).map(i => s"y$i").mkString(" ")}"}
+         |""".stripMargin)
+    val q2 = graft.streaming.Incremental.streamingDedup(spark, docs, store, chk)
+    q2.awaitTermination(180000)
+    val accepted = spark.read.parquet(s"$store/shingles")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(accepted == Set(1L, 2L, 4L), s"near-dup doc 3 rejected, novel doc 4 accepted: $accepted")
+  }
+
   test("streaming tumbling-window aggregate over a bounded file source (memory sink)") {
     val dir = tmpDir("stream-ev")
     java.nio.file.Files.writeString(
