@@ -105,20 +105,127 @@ object ScaleOps {
     quantileOfPairs(pairs, _ => q, bins, collectThreshold)
   }
 
-  /** Several exact quantiles of ONE column (e.g. deciles) in shared passes:
-    * each q becomes its own descent lane over the same cached pair
-    * projection, so 9 deciles cost one scan per refinement round, not nine
-    * round-sets.
+  /** Several exact quantiles of ONE column (e.g. deciles) in shared passes
+    * over a SINGLE copy of the data — no per-lane row replication. All lanes
+    * start on the same [min, max] range, so the first histogram serves every
+    * lane from one scan; once lanes narrow, their candidate ranges are
+    * pairwise disjoint (they live in different histogram buckets) or
+    * identical, so each later pass still needs only one scan with a
+    * range-membership tag. In practice: stats + one shared histogram + one
+    * bounded collect — three passes for nine deciles.
     */
   def exactQuantilesOfColumn(df: DataFrame, valueCol: String, qs: Seq[Double],
       bins: Int = 1024, collectThreshold: Long = 65536): Map[Double, Double] = {
-    val tagOf = qs.map(q => s"q$q" -> q).toMap
-    val pairs = df
-      .select(explode(array(qs.map(q =>
-        struct(lit(s"q$q").as("g"), col(valueCol).cast("double").as("v"))): _*)).as("p"))
-      .select(col("p.g").as("g"), col("p.v").as("v"))
-    quantileOfPairs(pairs, tagOf, bins, collectThreshold)
-      .map { case (tag, v) => tagOf(tag) -> v }
+    qs.foreach(q => require(q >= 0.0 && q <= 1.0, s"quantile out of range: $q"))
+    require(bins >= 2, "need at least 2 bins")
+    val vals = df.select(col(valueCol).cast("double").as("v"))
+      .where(col("v").isNotNull && !isnan(col("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val st = vals.agg(count(lit(1)).as("n"), min("v").as("mn"), max("v").as("mx")).first()
+      val n = st.getLong(0)
+      if (n == 0) return Map.empty
+      val mn = st.getDouble(1)
+      val mx = st.getDouble(2)
+
+      final case class Lane(q: Double, h: Double, kLo: Long, kHi: Long,
+          base: Long, lo: Double, hi: Double, cnt: Long,
+          vLo: Option[Double], vHi: Option[Double])
+      var lanes = qs.distinct.map { q =>
+        val h = q * (n - 1).toDouble
+        val kLo = math.floor(h).toLong
+        val kHi = math.ceil(h).toLong
+        if (mn == mx) Lane(q, h, kLo, kHi, 0L, mn, mx, n, Some(mn), Some(mn))
+        else Lane(q, h, kLo, kHi, 0L, mn, mx, n, None, None)
+      }
+
+      // membership tag: distinct ranges are disjoint-or-identical, so a
+      // chained when over the few distinct ranges assigns each row its range
+      def rangeTag(ranges: Seq[(Double, Double)]): Column =
+        ranges.zipWithIndex.tail.foldLeft(
+          when(col("v") >= ranges.head._1 && col("v") <= ranges.head._2, lit(0))) {
+          case (acc, ((lo, hi), i)) => acc.when(col("v") >= lo && col("v") <= hi, lit(i))
+        }
+
+      var passes = 0
+      val maxPasses = 64
+      while (lanes.exists(l => l.vLo.isEmpty)) {
+        passes += 1
+        val unresolved = lanes.filter(_.vLo.isEmpty)
+        val (small, big) = unresolved.partition(l => l.cnt <= collectThreshold || passes >= maxPasses)
+
+        val collected: Map[(Double, Double), Seq[Double]] =
+          if (small.isEmpty) Map.empty
+          else {
+            val ranges = small.map(l => (l.lo, l.hi)).distinct
+            val tag = rangeTag(ranges)
+            vals.where(tag.isNotNull)
+              .groupBy(tag.as("r"))
+              .agg(sort_array(collect_list(col("v"))).as("vs"))
+              .collect()
+              .map(r => ranges(r.getInt(0)) -> r.getSeq[Double](1))
+              .toMap
+          }
+
+        val binned: Map[(Double, Double), Seq[(Int, Long, Double, Double)]] =
+          if (big.isEmpty) Map.empty
+          else {
+            val ranges = big.map(l => (l.lo, l.hi)).distinct
+            val tag = rangeTag(ranges)
+            val loE = ranges.zipWithIndex.tail.foldLeft(
+              when(tag === 0, lit(ranges.head._1))) {
+              case (acc, ((lo, _), i)) => acc.when(tag === i, lit(lo))
+            }
+            val hiE = ranges.zipWithIndex.tail.foldLeft(
+              when(tag === 0, lit(ranges.head._2))) {
+              case (acc, ((_, hi), i)) => acc.when(tag === i, lit(hi))
+            }
+            // same hardened bucket arithmetic as the grouped engine
+            val frac = (col("v") / bins - loE / bins) / (hiE / bins - loE / bins)
+            val scaled = least(lit((bins - 1).toDouble),
+              greatest(lit(1.0), floor(nanvl(frac, lit(0.0)) * bins)))
+            val idx = when(col("v") === loE, lit(0.0)).otherwise(scaled).cast("int")
+            vals.where(tag.isNotNull)
+              .groupBy(tag.as("r"), idx.as("b"))
+              .agg(count(lit(1)).as("c"), min("v").as("bmn"), max("v").as("bmx"))
+              .collect()
+              .groupBy(r => ranges(r.getInt(0)))
+              .map { case (rng, rows) =>
+                rng -> rows.map(r => (r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+                  .sortBy(_._1).toSeq
+              }
+          }
+
+        lanes = lanes.map { l =>
+          if (l.vLo.nonEmpty) l
+          else if (collected.contains((l.lo, l.hi))) {
+            val vs = collected((l.lo, l.hi))
+            l.copy(
+              vLo = Some(vs((l.kLo - l.base).toInt)),
+              vHi = Some(vs((l.kHi - l.base).toInt)))
+          } else {
+            val bs = binned((l.lo, l.hi))
+            val r1 = l.kLo - l.base
+            var cumBefore = 0L
+            var i = 0
+            while (cumBefore + bs(i)._2 <= r1) { cumBefore += bs(i)._2; i += 1 }
+            val (_, c1, mn1, mx1) = bs(i)
+            val bothHere = l.kHi == l.kLo || (l.kHi - l.base) < cumBefore + c1
+            if (bothHere) {
+              if (mn1 == mx1) l.copy(vLo = Some(mn1), vHi = Some(mn1))
+              else l.copy(base = l.base + cumBefore, lo = mn1, hi = mx1, cnt = c1)
+            } else l.copy(vLo = Some(mx1), vHi = Some(bs(i + 1)._3))
+          }
+        }
+      }
+
+      lanes.map { l =>
+        val v =
+          if (l.kLo == l.kHi) l.vLo.get
+          else l.vLo.get * (l.kHi - l.h) + l.vHi.get * (l.h - l.kLo)
+        l.q -> v
+      }.toMap
+    } finally vals.unpersist(blocking = false)
   }
 
   /** Exact q-quantile per group (group key stringified; intended for bounded

@@ -49,6 +49,17 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("exactQuantilesOfColumn: shared-pass deciles match percentile per q (forced multi-pass)") {
+    val rnd = new scala.util.Random(13)
+    val df = (1 to 3000).map(_ => math.floor(rnd.nextGaussian() * 500) / 8).toDF("x")
+    val qs = (1 to 9).map(_ / 10.0)
+    val got = ScaleOps.exactQuantilesOfColumn(df, "x", qs, bins = 4, collectThreshold = 8)
+    qs.foreach { q =>
+      val want = df.agg(percentile(col("x"), lit(q))).first().getDouble(0)
+      assert(got(q) == want, s"q=$q: ${got(q)} != $want")
+    }
+  }
+
   test("exactQuantileByGroup matches percentile per group (odd/even counts, ties)") {
     val df = Seq(
       ("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 9.0),
