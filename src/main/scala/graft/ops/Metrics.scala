@@ -16,8 +16,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
   * so [[quiesce]] polls until the counters stop moving before snapshotting —
   * public-API-only (no private listener-bus flush), bounded wait.
   */
-final class QueryMetricsListener extends SparkListener {
-
+object QueryMetricsListener {
   /** Monotonic totals since registration. `diff` two snapshots for a window. */
   final case class Snapshot(
       tasks: Long,
@@ -41,6 +40,10 @@ final class QueryMetricsListener extends SparkListener {
       // peak is a high-water mark, not a counter — report the window max as-is
       peakExecutionMemory)
   }
+}
+
+final class QueryMetricsListener extends SparkListener {
+  import QueryMetricsListener.Snapshot
 
   private val tasks = new LongAdder
   private val taskTimeMs = new LongAdder
