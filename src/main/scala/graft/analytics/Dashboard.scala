@@ -158,6 +158,32 @@ object Dashboard {
       .select("crash_record_id", "latitude", "longitude", "hit_and_run_i")
   }
 
+  /** describe()-style numeric profile of one Gold measure: count/mean plus
+    * exact quantiles at the requested probabilities — the summary panel the
+    * reference renders from `df.describe()` (streamlit_frontend.py:960-963),
+    * but scale-safe: quantiles come from the shared-pass histogram-refinement
+    * operator, never a buffer-everything percentile.
+    */
+  def describeColumn(gold: DataFrame, column: String,
+      qs: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
+    val spark = gold.sparkSession
+    import spark.implicits._
+    val base = gold.agg(
+      count(col(column)).cast("double").as("count"),
+      avg(col(column)).as("mean"),
+      min(col(column)).cast("double").as("min"),
+      max(col(column)).cast("double").as("max")).first()
+    val quant = graft.ops.ScaleOps.exactQuantilesOfColumn(gold, column, qs)
+    val rows =
+      Seq(("count", Option(base.get(0)).map(_.toString.toDouble)),
+        ("mean", Option(base.get(1)).map(_.toString.toDouble))) ++
+        qs.sorted.map(q => (s"q$q", quant.get(q))) ++
+        Seq(("min", Option(base.get(2)).map(_.toString.toDouble)),
+          ("max", Option(base.get(3)).map(_.toString.toDouble)))
+    rows.map { case (s, v) => (s, v.getOrElse(Double.NaN)) }
+      .toDF("stat", "value")
+  }
+
   /** Catalog introspection: one (table, column, dtype) row per column of every
     * table/view visible in the session catalog — the first thing the reference
     * UI does on load (streamlit_frontend.py:440-444 `information_schema.tables`,

@@ -71,6 +71,16 @@ class DashboardSpec extends SparkSpec {
     assert(r(0).getAs[Long]("rows") == 2)
   }
 
+  test("describeColumn profiles a measure with exact quantiles (describe() analog)") {
+    val d = Dashboard.describeColumn(gold, "posted_speed_limit").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(d("count") == 4.0)
+    assert(d("mean") == (30 + 45 + 25 + 55) / 4.0)
+    assert(d("min") == 25.0 && d("max") == 55.0)
+    // exact interpolating median of [25, 30, 45, 55]
+    assert(d("q0.5") == 37.5)
+  }
+
   test("catalog lists (table, column, dtype) for registered views (information_schema analog)") {
     gold.createOrReplaceTempView("gold_catalog_probe")
     try {

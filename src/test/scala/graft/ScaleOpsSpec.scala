@@ -60,6 +60,17 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("exactQuantile survives extreme magnitudes (naive range width would overflow)") {
+    // hi - lo here is ~3e308 -> Infinity in naive binning; the pre-scaled
+    // arithmetic must still find exact ranks
+    val df = Seq(-1.5e308, -1.0, 0.0, 1.0, 1.5e308).toDF("x")
+    for (q <- Seq(0.0, 0.25, 0.5, 0.75, 1.0)) {
+      val want = df.agg(percentile(col("x"), lit(q))).first().getDouble(0)
+      val got = ScaleOps.exactQuantile(df, "x", q, bins = 4, collectThreshold = 1).get
+      assert(got == want, s"q=$q: $got != $want")
+    }
+  }
+
   test("exactQuantileByGroup matches percentile per group (odd/even counts, ties)") {
     val df = Seq(
       ("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 9.0),
