@@ -68,8 +68,22 @@ object ExtensionQueries {
     // doesn't help because the optimizer collapses it below the
     // projection). localCheckpoint is the production-LSH move anyway:
     // signatures are computed once per corpus and reused.
+    // Two lineage cuts, not one, with an EXPLICIT partition count between:
+    // a keyed repartition alone is AQE-coalescible, and this table is small
+    // in bytes but heavy in per-row CPU — AQE merges the shuffle back to a
+    // couple of partitions by size, serializing the md5/shingle projection
+    // onto them (bench metrics: ~3s of d2's task time in one task). A
+    // user-count repartition is exempt from coalescing, and checkpointing
+    // the raw docs pins it as a real boundary so the signature projection
+    // materializes across all cores. The cheap text queries keep the plain
+    // AQE-coalesced loader — this fan-out is only worth its task overhead
+    // under heavy per-row work.
     val docs = graft.ext.MinHash
-      .signatures(documents(s, d), Seq("doc_id", "lang"))
+      .signatures(
+        documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .localCheckpoint(eager = false),
+        Seq("doc_id", "lang"))
       .localCheckpoint(eager = false)
     // Bucket-size guard: one degenerate band key (a bucket holding a
     // large corpus fraction) would re-create the quadratic self-join the
