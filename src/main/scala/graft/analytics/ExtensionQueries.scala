@@ -237,7 +237,11 @@ object ExtensionQueries {
         // merges the (non-codegen, lambda-bearing) shingle expression into
         // the Generate node, re-evaluating it per OUTPUT row: explode over
         // the live expression ran ~30x slower than over materialized arrays.
+        // Same AQE-exempt fan-out as d2: the shingle projection is CPU-heavy
+        // per row, so pin the partition count before materializing it.
         val sh = documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .localCheckpoint(eager = false)
           .selectExpr("doc_id", "lang", "source", graft.ext.MinHash.splitExpr)
           .selectExpr("doc_id", "lang", "source", s"(${graft.ext.MinHash.shingleExpr}) AS sh")
           .localCheckpoint(eager = false)
