@@ -553,6 +553,26 @@ object ExtensionQueries {
              |ORDER BY lang, rank""".stripMargin)
     ),
     Q(
+      "t7_normalize_fingerprint",
+      "Text normalization pipeline (lowercase -> punctuation strip -> whitespace collapse -> trim) feeding a canonical md5 fingerprint; per lang: docs, canonical forms, redundant docs — the canonicalization step ahead of exact dedup (catches dups that differ only in case/punct/spacing)",
+      (s, d) =>
+        documents(s, d)
+          .selectExpr("lang",
+            "md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ''), ' +', ' '))) AS fp")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("docs"), countDistinct(col("fp")).as("canonical"))
+          .withColumn("redundant", expr("CAST(docs - canonical AS BIGINT)"))
+          .orderBy("lang"),
+      // DuckDB regexp_replace needs the 'g' flag (Spark replaces all by default)
+      Some("""WITH n AS (
+             |  SELECT lang,
+             |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+             |  FROM documents)
+             |SELECT lang, COUNT(*) AS docs, COUNT(DISTINCT fp) AS canonical,
+             |  CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS redundant
+             |FROM n GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
+    Q(
       "t6_chunk_pack",
       "Context packing: split each document into fixed-token windows (size 50, stride 40, overlap 10) and emit one row per chunk via a generator — the chunking step that feeds sequence packing in an LLM data pipeline. Per lang: docs, chunks, max chunks per doc",
       (s, d) =>
