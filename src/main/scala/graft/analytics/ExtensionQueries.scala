@@ -322,6 +322,48 @@ object ExtensionQueries {
           |  / (a.nrm * b.nrm) >= 0.35
           |ORDER BY id_a, id_b""".stripMargin)
     ),
+    Q(
+      "d7_decontaminate",
+      "Benchmark decontamination: flag corpus documents sharing any 13-gram with a held-out benchmark set (docs id<50 stand in for the eval set) — the GPT-3-style n-gram contamination check every training-data pipeline runs before release. Inverted 13-gram join, O(postings + collisions), never corpus x benchmark",
+      (s, d) => {
+        val g13 =
+          """CASE WHEN size(t) < 13 THEN CAST(array() AS array<string>)
+            |ELSE array_distinct(transform(
+            |  sequence(1, size(t) - 12),
+            |  i -> concat_ws(' ', slice(t, i, 13)))) END""".stripMargin
+        val sh = documents(s, d)
+          .selectExpr("doc_id", "lang", graft.ext.MinHash.splitExpr)
+          .selectExpr("doc_id", "lang", s"($g13) AS g13")
+          .localCheckpoint(eager = false) // feeds three consumers
+        val bench = sh.where(col("doc_id") < 50)
+          .selectExpr("explode(g13) AS gram").distinct()
+        val contam = sh.where(col("doc_id") >= 50)
+          .selectExpr("doc_id", "explode(g13) AS gram")
+          .join(bench, Seq("gram"))
+          .select("doc_id").distinct()
+        sh.where(col("doc_id") >= 50).select("doc_id", "lang")
+          .join(contam.withColumn("flag", lit(1)), Seq("doc_id"), "left")
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("docs"),
+            sum(coalesce(col("flag"), lit(0))).cast("long").as("contaminated"))
+          .orderBy("lang")
+      },
+      Some("""WITH sp AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS t FROM documents),
+             |g AS (SELECT doc_id, lang,
+             |  CASE WHEN len(t) < 13 THEN CAST([] AS VARCHAR[])
+             |  ELSE list_distinct([array_to_string(t[i:i+12], ' ')
+             |    for i in generate_series(1, len(t) - 12)]) END AS g13
+             |  FROM sp),
+             |bench AS (SELECT DISTINCT unnest(g13) AS gram FROM g WHERE doc_id < 50),
+             |corpus AS (SELECT doc_id, lang, unnest(g13) AS gram FROM g WHERE doc_id >= 50),
+             |contam AS (SELECT DISTINCT doc_id FROM corpus JOIN bench USING (gram))
+             |SELECT lang, COUNT(*) AS docs,
+             |  CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS contaminated
+             |FROM (SELECT doc_id, lang FROM g WHERE doc_id >= 50) d
+             |LEFT JOIN contam c USING (doc_id)
+             |GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
     // --------------------------------------------------------------- ANN ops
     Q(
       "n1_ann_bruteforce_topk",
