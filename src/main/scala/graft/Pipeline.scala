@@ -93,11 +93,13 @@ object Pipeline {
       .csv(s"$base/silver/corr=$corrId")
 
     // ---- clean: rule chain + idempotent Gold upsert (P5-F10, J5, A13/A14).
+    // Bucketed layout, same as the streaming path: the conflict anti-join
+    // prunes to the key-hash partitions each run touches.
     val silverBack = spark.read.option("header", "true").csv(s"$base/silver/corr=$corrId")
     val cleaned = Cleaner.cleanData(silverBack)
     val gold = Cleaner.toGold(cleaned, corrId,
       java.sql.Timestamp.valueOf(now.atStartOfDay()))
-    val report = GoldWriter.upsert(spark, gold, s"$base/gold")
+    val report = GoldWriter.upsertBucketed(spark, gold, s"$base/gold")
 
     // ---- commit watermark (streaming only; backfill never advances — ST1/ST3).
     // Computed from the landed Bronze (partition-pruned) rather than

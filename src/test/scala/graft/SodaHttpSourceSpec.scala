@@ -133,6 +133,27 @@ class SodaHttpSourceSpec extends SparkSpec {
     } finally s.stop()
   }
 
+  test("non-retryable 4xx fails fast instead of burning the retry budget") {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val hits = new AtomicInteger
+    server.createContext("/gone.json", (ex: HttpExchange) => {
+      hits.incrementAndGet()
+      ex.sendResponseHeaders(404, -1); ex.close()
+    })
+    server.start()
+    try {
+      val e = intercept[org.apache.spark.SparkException] {
+        spark.read.format("graft.sources.SodaHttpSource")
+          .option("url", s"http://127.0.0.1:${server.getAddress.getPort}/gone.json")
+          .option("pages", 1).option("backoffMs", 1)
+          .load().count()
+      }
+      assert(e.getMessage.contains("404") ||
+        Option(e.getCause).exists(_.getMessage.contains("404")))
+      assert(hits.get() == 1, s"404 must not be retried, saw ${hits.get()} requests")
+    } finally server.stop(0)
+  }
+
   test("quote escaping in pushed predicates (F14: embedded quotes double)") {
     import graft.sources.SodaScanBuilder
     import org.apache.spark.sql.sources.{EqualTo, In}
