@@ -452,6 +452,38 @@ object ExtensionQueries {
              |  FROM e JOIN q ON vec_id <> qid)
              |SELECT qid, rank, vec_id, cos FROM scored WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)
     ),
+    Q(
+      "e1_quantize_int8",
+      "Embedding int8 quantization round-trip: per-vector symmetric scale (max|x|/127), quantize with an explicit floor(x+0.5) rule (identical arithmetic both engines — no half-rounding divergence), dequantize, report per-label max reconstruction error (max is addition-order-independent, so it hashes deterministically) and the theoretical half-step bound — the storage/serving compression step of an embedding pipeline",
+      (s, d) =>
+        embeddings(s, d)
+          .selectExpr("label", "cast(embedding AS array<double>) AS v")
+          .selectExpr("label",
+            "array_max(transform(v, x -> abs(x))) / 127.0 AS scale", "v")
+          .selectExpr("label", "scale",
+            """CASE WHEN scale = 0.0 THEN 0.0
+              |ELSE array_max(transform(v, x -> abs(floor(x / scale + 0.5) * scale - x))) END AS err""".stripMargin)
+          .groupBy("label")
+          .agg(
+            count(lit(1)).as("n"),
+            max(col("err")).as("max_err"),
+            max(col("scale") / 2.0).as("err_bound"))
+          .selectExpr("label", "n", "max_err", "err_bound",
+            "CAST(max_err <= err_bound AS BOOLEAN) AS within_bound")
+          .orderBy("label"),
+      Some("""WITH e AS (
+             |  SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |s AS (
+             |  SELECT label, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale, v FROM e),
+             |q AS (
+             |  SELECT label, scale,
+             |    CASE WHEN scale = 0.0 THEN 0.0
+             |    ELSE list_max(list_transform(v, x -> abs(floor(x / scale + 0.5) * scale - x))) END AS err
+             |  FROM s)
+             |SELECT label, COUNT(*) AS n, MAX(err) AS max_err, MAX(scale / 2.0) AS err_bound,
+             |  MAX(err) <= MAX(scale / 2.0) AS within_bound
+             |FROM q GROUP BY label ORDER BY label""".stripMargin)
+    ),
     // ------------------------------------------------------------- text ops
     Q(
       "t1_text_langid",
