@@ -647,6 +647,37 @@ object ExtensionQueries {
              |FROM n GROUP BY lang ORDER BY lang""".stripMargin)
     ),
     Q(
+      "t8_repetition_filter",
+      "Intra-document repetition filter (Gopher-style boilerplate rule): duplicate-3-gram fraction = 1 - distinct/total 3-grams per doc; per lang, docs exceeding the 5% and 10% repetition thresholds. Threshold counts (not averaged ratios) keep the result addition-order-independent; the ratio arithmetic is identical text both engines",
+      (s, d) =>
+        documents(s, d)
+          .selectExpr("doc_id", "lang", graft.ext.MinHash.splitExpr)
+          .selectExpr("doc_id", "lang",
+            """CASE WHEN size(t) < 3 THEN 0.0
+              |ELSE 1.0 - size(array_distinct(transform(
+              |  sequence(1, size(t) - 2),
+              |  i -> concat(element_at(t, i), ' ', element_at(t, i + 1), ' ', element_at(t, i + 2)))))
+              |  * 1.0 / (size(t) - 2) END AS rep""".stripMargin)
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("docs"),
+            sum(when(col("rep") > 0.05, 1).otherwise(0)).cast("long").as("repetitive_05"),
+            sum(when(col("rep") > 0.10, 1).otherwise(0)).cast("long").as("repetitive_10"))
+          .orderBy("lang"),
+      Some("""WITH sp AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS t FROM documents),
+             |r AS (
+             |  SELECT lang,
+             |    CASE WHEN len(t) < 3 THEN 0.0
+             |    ELSE 1.0 - len(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+             |      for i in generate_series(1, len(t) - 2)]))
+             |      * 1.0 / (len(t) - 2) END AS rep
+             |  FROM sp)
+             |SELECT lang, COUNT(*) AS docs,
+             |  CAST(SUM(CASE WHEN rep > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS repetitive_05,
+             |  CAST(SUM(CASE WHEN rep > 0.10 THEN 1 ELSE 0 END) AS BIGINT) AS repetitive_10
+             |FROM r GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
+    Q(
       "t6_chunk_pack",
       "Context packing: split each document into fixed-token windows (size 50, stride 40, overlap 10) and emit one row per chunk via a generator — the chunking step that feeds sequence packing in an LLM data pipeline. Per lang: docs, chunks, max chunks per doc",
       (s, d) =>
