@@ -82,6 +82,21 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: exactQuantileByGroup == grouped percentile bitwise on arbitrary data") {
+    val rowGen = Gen.listOfN(40, Gen.zip(
+      Gen.oneOf("g1", "g2", "g3"),
+      Gen.oneOf(Gen.choose(-100.0, 100.0), Gen.oneOf(0.0, 7.5, 7.5, -3.25))))
+    val caseGen = Gen.zip(rowGen, Gen.oneOf(0.0, 0.25, 0.5, 0.9, 1.0))
+    forAllSeeded(caseGen, n = 6) { case (rows, q) =>
+      val df = rows.toDF("g", "x")
+      val want = df.groupBy("g").agg(percentile(col("x"), lit(q)).as("p"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val got = graft.ops.ScaleOps
+        .exactQuantileByGroup(df, "g", "x", q, bins = 4, collectThreshold = 3)
+      assert(got == want, s"q=$q: $got != $want")
+    }
+  }
+
   test("property: the cleaning chain leaves no nulls in imputed columns") {
     val hourGen = Gen.option(Gen.choose(0, 23)).map(_.map(_.toString).orNull)
     forAllSeeded(Gen.listOfN(5, hourGen), n = 5) { hours =>
