@@ -87,7 +87,21 @@ object Bench {
     results.foreach { case (k, _, err, _) =>
       err.foreach(e => System.err.println(s"BENCH FAILURE $k: $e"))
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$runsJson,"walltime":${fmt(walltime)},"metrics":$metricsJson,"errors":$errs,"sf":"$sfDir"}""")
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$runsJson,"walltime":${fmt(walltime)},"metrics":$metricsJson,"errors":$errs,"sf":"$sfDir"}"""
+    // The round artifact is captured from the TAIL of sbt output (last ~2000
+    // chars), so the full blob above would truncate mid-line and parse as
+    // null (this lost the round-3 number). Persist the full result to a file
+    // and END stdout with a compact, always-parseable summary line: the
+    // headline total plus the 5 slowest per-query timings, well under the
+    // capture window even with sbt's trailing [success] line.
+    val benchFile = java.nio.file.Paths.get("target/bench.json")
+    java.nio.file.Files.createDirectories(benchFile.getParent)
+    java.nio.file.Files.write(benchFile, (fullJson + "\n").getBytes("UTF-8"))
+    println(fullJson)
+    val slowest = results.sortBy(-_._2.min).take(5)
+      .map { case (k, ts, _, _) => s"\"" + k + "\":" + fmt(ts.min) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"walltime":${fmt(walltime)},"errors":$errs,"sf":"$sfDir","detail":"target/bench.json"}""")
     if (results.exists(_._3.isDefined)) { spark.stop(); sys.exit(1) }
     spark.stop()
   }

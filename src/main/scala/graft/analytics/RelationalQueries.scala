@@ -741,12 +741,14 @@ object RelationalQueries {
         val recoded = raw
           .withColumn("weather", graft.gold.Cleaner.weatherRecode(col("weather_raw")))
           .withColumn("dir", coalesce(col("dir_raw"), lit("OTHER")))
-        // Exact interpolating median as an in-plan broadcast scalar (the
-        // library's Cleaner.cleanData computes the same statistic; here it
-        // stays a join so the query is one distributed plan).
-        val med = recoded.agg(percentile(col("speed_raw"), lit(0.5)).as("med"))
-        recoded.join(broadcast(med))
-          .withColumn("speed", least(coalesce(col("speed_raw"), col("med")), lit(75.0)))
+        // Exact interpolating median via ScaleOps.exactQuantile (histogram
+        // refinement, O(bins) state — bitwise-equal to percentile/
+        // quantile_cont, ScaleOpsSpec) injected as a literal: the last
+        // buffer-everything `percentile` agg is gone from the registry.
+        val med = graft.ops.ScaleOps.exactQuantile(recoded, "speed_raw", 0.5)
+          .getOrElse(Double.NaN)
+        recoded
+          .withColumn("speed", least(coalesce(col("speed_raw"), lit(med)), lit(75.0)))
           .groupBy("weather", "dir")
           .agg(count(lit(1)).as("n"), dsum(col("speed")).as("sum_speed"))
           .orderBy("weather", "dir")

@@ -12,10 +12,11 @@ import graft.functions.GraftFunctions
   * Scale contract:
   *  - queries are broadcast, the corpus streams: one scan, no corpus
   *    self-join;
-  *  - ranking state is bounded: either a per-query window (small k) or the
-  *    [[TopK]] typed Aggregator, whose buffer holds at most k entries per
-  *    group through partial aggregation — the map side reduces each
-  *    partition to k candidates before any shuffle;
+  *  - ranking state is bounded: every path re-ranks through [[topKByQuery]]
+  *    (the [[TopK]] typed Aggregator), whose buffer holds at most k entries
+  *    per group through partial aggregation — the map side reduces each
+  *    partition to k candidates before any shuffle. The only window left is
+  *    the nlist-row centroid ranking inside [[ivfTopK]];
   *  - the LSH-bucketed variant probes only sign-signature collisions — the
   *    sub-linear path when the query set is large.
   */
@@ -59,18 +60,20 @@ object Similarity {
       .selectExpr("id", "v", "sqrt(array_dot(v, v)) AS nrm")
   }
 
-  /** Brute-force cosine top-k for each query vector, via the TopK Aggregator:
-    * corpus scanned once, queries broadcast, k-bounded state end to end.
-    * Output: (qid, rank, id, score).
+  /** Rank `(qid, id, score)` candidate rows to per-query top-k via the TopK
+    * Aggregator — the shared re-rank tail of all three ANN paths. State is
+    * k-bounded end to end: partial aggregation reduces each partition to at
+    * most k candidates per query BEFORE the shuffle, so a query whose probed
+    * cells/buckets hold a large corpus fraction still ships and sorts only k
+    * rows per partition (a per-qid `row_number` window would instead shuffle
+    * every candidate to one partition and fully sort it).
+    * Output: (qid, rank, id, score), ordered.
     */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val spark = corpus.sparkSession
+  def topKByQuery(scoredCands: DataFrame, k: Int): DataFrame = {
+    val spark = scoredCands.sparkSession
     import spark.implicits._
-    GraftFunctions.register(spark)
-    val q = queries.select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
-    val scored = corpus
-      .join(broadcast(q), expr("id <> qid"))
-      .selectExpr("qid", "id", "array_dot(qv, v) / (qnrm * nrm) AS score")
+    val scored = scoredCands.selectExpr(
+      "CAST(qid AS BIGINT) AS qid", "CAST(id AS BIGINT) AS id", "CAST(score AS DOUBLE) AS score")
       .as[(Long, Long, Double)]
     val topk = new TopK(k).toColumn
     scored
@@ -81,6 +84,20 @@ object Similarity {
       .selectExpr("qid", "posexplode(topk) AS (pos, hit)")
       .selectExpr("qid", "CAST(pos + 1 AS BIGINT) AS rank", "hit.id AS id", "hit.score AS score")
       .orderBy("qid", "rank")
+  }
+
+  /** Brute-force cosine top-k for each query vector, via the TopK Aggregator:
+    * corpus scanned once, queries broadcast, k-bounded state end to end.
+    * Output: (qid, rank, id, score).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    GraftFunctions.register(spark)
+    val q = queries.select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = corpus
+      .join(broadcast(q), expr("id <> qid"))
+      .selectExpr("qid", "id", "array_dot(qv, v) / (qnrm * nrm) AS score")
+    topKByQuery(scored, k)
   }
 
   /** Sign-LSH signature over the first `bits` dimensions, banded — the bucket
@@ -154,14 +171,10 @@ object Similarity {
       .withColumn("crank", row_number().over(wc))
       .where(col("crank") <= nprobe)
       .select("qid", "qv", "qnrm", "cell")
-    val w = Window.partitionBy("qid").orderBy(desc("score"), col("id"))
-    probed.join(assigned, Seq("cell"))
+    val scored = probed.join(assigned, Seq("cell"))
       .where(expr("id <> qid"))
       .selectExpr("qid", "id", "array_dot(qv, v) / (qnrm * nrm) AS score")
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select("qid", "rank", "id", "score")
-      .orderBy("qid", "rank")
+    topKByQuery(scored, k)
   }
 
   /** Bucket-size guard for the LSH family: drop band buckets holding more
@@ -207,15 +220,10 @@ object Similarity {
       .select("qid", "id")
       .distinct()
     val q = queries.select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("qid").orderBy(desc("score"), col("id"))
-    cands
+    val scored = cands
       .join(prepared, Seq("id"))
       .join(broadcast(q), Seq("qid"))
       .selectExpr("qid", "id", "array_dot(qv, v) / (qnrm * nrm) AS score")
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select("qid", "rank", "id", "score")
-      .orderBy("qid", "rank")
+    topKByQuery(scored, k)
   }
 }

@@ -53,6 +53,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"top-k heap expected:\n$plan")
   }
 
+  test("f8 chain: no buffer-everything Percentile node in the executed plan") {
+    // The in-plan median comes from ScaleOps.exactQuantile (O(bins) state,
+    // bitwise-equal to percentile — ScaleOpsSpec); a Percentile agg node
+    // would buffer every speed_raw value in one buffer.
+    val df = Registry.byName("f8_f9_f10_clean_chain").fn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("percentile"), s"Percentile node found:\n$plan")
+  }
+
   test("a5: aggregation is two-phase (partial before the exchange)") {
     val df = Registry.byName("a5_rate_by_group").fn(spark, sf)
     val plan = df.queryExecution.executedPlan.toString

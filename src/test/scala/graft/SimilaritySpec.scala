@@ -130,6 +130,25 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf(0).getAs[Long]("id") == bf)
   }
 
+  test("ivfTopK/lshTopK re-rank is k-bounded aggregation, not a per-qid window sort") {
+    // The re-rank tail must be the TopK Aggregator (partial agg caps state at
+    // k per query per partition); a row_number window would shuffle every
+    // candidate of a query to one partition and fully sort it.
+    val queries = prepared.where(col("id") === 0)
+    val lshPlan = Similarity.lshTopK(prepared, queries, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(!lshPlan.contains("Window"), "lshTopK must not re-rank via a window")
+    assert(lshPlan.contains("ObjectHashAggregate") || lshPlan.contains("SortAggregate"),
+      "TopK typed Aggregator must appear in the lsh plan")
+    val ivfPlan = Similarity.ivfTopK(prepared, queries, k = 3, nlist = 4, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    // the only window allowed in ivf is the nlist-row centroid ranking
+    // (ordered by cdist) — never one ordered by the candidate score
+    val windowLines = ivfPlan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowLines.forall(l => l.contains("cdist") && !l.contains("score")),
+      s"ivf windows must rank centroids only, got: ${windowLines.mkString("; ")}")
+  }
+
   test("bruteForceTopK handles k larger than the corpus") {
     val queries = prepared.where(col("id") === 5)
     val out = Similarity.bruteForceTopK(prepared, queries, k = 100).collect()
