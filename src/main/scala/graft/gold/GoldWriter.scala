@@ -37,6 +37,7 @@ object GoldWriter {
     val deduped = Transformer.dedupKeepFirst(batch.where(col(key).isNotNull), key, tiebreak)
 
     val exists = tableExists(spark, path)
+    if (exists) requireLayout(spark, path, bucketed = false)
     val toInsert =
       if (exists) {
         val existingKeys = spark.read.parquet(path).select(key)
@@ -49,7 +50,10 @@ object GoldWriter {
     if (nInserted > 0) inserted.write.mode(SaveMode.Append).parquet(path)
     inserted.unpersist()
 
-    integrityCheck(spark, path, key, nInserted)
+    // A first batch can legitimately insert nothing (every key null); the
+    // table then still doesn't exist and the report scan would throw.
+    if (!exists && nInserted == 0L) IntegrityReport(0L, 0L, 0L, 0L)
+    else integrityCheck(spark, path, key, nInserted)
   }
 
   /** The partition column of the bucketed Gold layout. Derived from the KEY
@@ -83,8 +87,10 @@ object GoldWriter {
       .cache()
     val touched = deduped.select(bucketCol).distinct().collect().map(_.getInt(0)).toSeq
 
+    val exists = tableExists(spark, path)
+    if (exists) requireLayout(spark, path, bucketed = true)
     val toInsert =
-      if (tableExists(spark, path))
+      if (exists)
         deduped.join(existingKeysScan(spark, path, key, touched), Seq(key), "left_anti")
       else deduped
 
@@ -94,6 +100,11 @@ object GoldWriter {
       inserted.write.mode(SaveMode.Append).partitionBy(bucketCol).parquet(path)
     inserted.unpersist()
     deduped.unpersist()
+
+    // First micro-batch whose keys are all null: nothing was ever written,
+    // so the report scans below would throw AnalysisException (and, in the
+    // streaming sink, kill the query). Report an empty table instead.
+    if (!exists && nInserted == 0L) return IntegrityReport(0L, 0L, 0L, 0L)
 
     val touchedKeys = existingKeysScan(spark, path, key, touched)
     val perKey = touchedKeys.groupBy(key).agg(count(lit(1)).as("cnt"))
@@ -119,6 +130,29 @@ object GoldWriter {
     spark.read.parquet(path)
       .where(col(bucketCol).isin(touched: _*))
       .select(key)
+
+  /** Fail fast when an upsert targets a table written by the other layout:
+    * a flat append onto a bucketed table (or vice versa) would silently break
+    * the pruning invariant (a key could then live outside its bucket
+    * directory, and the pruned conflict scan would miss it — duplicate keys
+    * with no error). Layout is decided by the presence of the
+    * `__key_bucket=N` partition directories, a listing-only probe.
+    */
+  private def requireLayout(spark: SparkSession, path: String, bucketed: Boolean): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val isBucketed = fs.listStatus(p).exists(s =>
+      s.isDirectory && s.getPath.getName.startsWith(s"$bucketCol="))
+    if (isBucketed != bucketed) {
+      val (found, wanted) =
+        if (isBucketed) ("bucketed (__key_bucket=N partitions)", "upsertBucketed")
+        else ("flat", "upsert")
+      throw new IllegalStateException(
+        s"Gold table at $path has a $found layout; use GoldWriter.$wanted " +
+          "for this table (mixing layouts on one path breaks the bucket-pruned " +
+          "conflict scan and can admit duplicate keys).")
+    }
+  }
 
   /** Filesystem-agnostic existence probe (a java.io.File check would always
     * say "missing" on hdfs:// or s3a:// paths and silently break the

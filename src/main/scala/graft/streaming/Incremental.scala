@@ -104,13 +104,18 @@ object Incremental {
       "crash_date", "crash_record_id", checkpoint, trigger) { (batch, batchId) =>
       if (!batch.isEmpty) {
         val crashes = batch.withColumn("crash_date", col("crash_date").cast("string"))
+        // A missing side becomes a correctly-typed EMPTY frame (the
+        // zero-column spark.emptyDataFrame would fail the merge's join and
+        // roll-up column resolution at runtime).
+        def typedEmpty(s: StructType) =
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
         val silver =
           if (vehicles.isEmpty && people.isEmpty) crashes
           else graft.silver.Transformer.makeCsvSafe(
             graft.silver.Transformer.mergeCrashVehiclesPeople(
               crashes,
-              vehicles.getOrElse(spark.emptyDataFrame),
-              people.getOrElse(spark.emptyDataFrame),
+              vehicles.getOrElse(typedEmpty(graft.model.Schemas.bronzeVehicles)),
+              people.getOrElse(typedEmpty(graft.model.Schemas.bronzePeople)),
               graft.model.Schemas.JoinKey))
         val enrichCols =
           silver.columns.filter(c => c.startsWith("veh_") || c.startsWith("ppl_")).toSeq

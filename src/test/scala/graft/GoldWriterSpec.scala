@@ -52,6 +52,34 @@ class GoldWriterSpec extends SparkSpec {
     assert(replay.insertedRows == 0 && replay.totalRows == 101)
   }
 
+  test("first batch with only null keys reports empty table instead of throwing") {
+    // Streaming sink hazard: batch.isEmpty is false (rows exist) but every
+    // key is null, so nothing is written and the table never comes into
+    // existence — the post-write report scan must not read the absent path.
+    val nulls = Seq((null: String, 1), (null: String, 2)).toDF("crash_record_id", "v")
+    val rFlat = GoldWriter.upsert(spark, nulls, tmpDir("goldnf") + "/gold")
+    assert(rFlat == GoldWriter.IntegrityReport(0L, 0L, 0L, 0L))
+    val rBuck = GoldWriter.upsertBucketed(spark, nulls, tmpDir("goldnb") + "/gold")
+    assert(rBuck == GoldWriter.IntegrityReport(0L, 0L, 0L, 0L))
+  }
+
+  test("layout mismatch on one path fails fast instead of corrupting the bucket invariant") {
+    val path = tmpDir("goldmix") + "/gold"
+    val b = Seq(("c1", 1)).toDF("crash_record_id", "v")
+    GoldWriter.upsert(spark, b, path) // flat layout
+    val e1 = intercept[IllegalStateException] {
+      GoldWriter.upsertBucketed(spark, Seq(("c2", 2)).toDF("crash_record_id", "v"), path)
+    }
+    assert(e1.getMessage.contains("flat"))
+
+    val pathB = tmpDir("goldmix2") + "/gold"
+    GoldWriter.upsertBucketed(spark, b, pathB) // bucketed layout
+    val e2 = intercept[IllegalStateException] {
+      GoldWriter.upsert(spark, Seq(("c2", 2)).toDF("crash_record_id", "v"), pathB)
+    }
+    assert(e2.getMessage.contains("bucketed"))
+  }
+
   test("upsertBucketed conflict scan reads a strict subset of Gold files (partition pruning)") {
     val path = tmpDir("goldp") + "/gold"
     val seed = (1 to 200).map(i => (s"c$i", i)).toDF("crash_record_id", "v")

@@ -126,6 +126,34 @@ class StreamingSpec extends SparkSpec {
     assert(c3.getAs[String]("hour_bin") == "night")
   }
 
+  test("streamingGold one-sided merge: missing side becomes a typed empty, Gold schema stays stable") {
+    // With only vehicles supplied, the people side must be a correctly-typed
+    // empty frame: ppl_* enrich columns still exist (null), so Gold's parquet
+    // schema does not depend on which sides a given run happened to supply.
+    val bronze = tmpDir("sg1-bronze")
+    val gold = tmpDir("sg1-gold") + "/gold"
+    val chk = tmpDir("sg1-chk")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$bronze/p1.json"),
+      """{"crash_record_id":"c1","crash_date":"2024-01-01T10:30:00","crash_hour":"10","crash_day_of_week":"2","latitude":"41.85","longitude":"-87.65","weather_condition":"CLEAR","hit_and_run_i":"Y","num_units":"2","posted_speed_limit":"30","injuries_total":"0","crash_type":"NO INJURY / DRIVE AWAY"}
+        |""".stripMargin)
+    val vehicles = Seq(("c1", "v1", "TOYOTA"))
+      .toDF("crash_record_id", "vehicle_id", "make")
+
+    val q = graft.streaming.Incremental.streamingGold(
+      spark, bronze, gold, chk, "stream-1side", Some(vehicles), None)
+    q.awaitTermination(180000)
+
+    val out = spark.read.parquet(gold)
+    assert(out.count() == 1)
+    val cols = out.columns.toSet
+    assert(cols.contains("veh_count") && cols.contains("ppl_count"),
+      s"both enrich families must exist even one-sided, got ${out.columns.mkString(",")}")
+    val c1 = out.where($"crash_record_id" === "c1").collect()(0)
+    assert(c1.getAs[Long]("veh_count") == 1)
+    assert(c1.isNullAt(c1.fieldIndex("ppl_count")), "absent side joins to null")
+  }
+
   test("scheduledGold: ProcessingTime trigger picks up pages landed across ticks (ST7)") {
     val bronze = tmpDir("sched-bronze")
     val gold = tmpDir("sched-gold") + "/gold"
