@@ -32,12 +32,50 @@ object DedupStore {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  /** Append a batch's signatures (callers pass only docs accepted as novel). */
+  /** Append a batch's signatures (callers pass only docs accepted as novel).
+    *
+    * Shingles are written BEFORE bands: the two appends are not atomic, and a
+    * crash between them must not leave band rows whose candidates can never
+    * verify (a visible band row always has its verify-side shingle set; an
+    * orphaned shingle set is merely invisible until the checkpointed replay
+    * re-appends the doc).
+    */
   def append(sigs: DataFrame, path: String): Unit = {
-    MinHash.bands(sigs)
-      .write.mode(SaveMode.Append).partitionBy("band").parquet(s"$path/bands")
     sigs.select("doc_id", "sh")
       .write.mode(SaveMode.Append).parquet(s"$path/shingles")
+    MinHash.bands(sigs)
+      .write.mode(SaveMode.Append).partitionBy("band").parquet(s"$path/bands")
+  }
+
+  /** Rewrite the store so each band partition holds one file (and the
+    * shingle side `targetFiles`): every [[ingestBatch]] appends small files,
+    * and after thousands of batches file listing would dominate probe cost.
+    * Also collapses exact-duplicate rows a crash-replay may have accreted
+    * (harmless for correctness, pure IO waste). Runs under the store's
+    * single-writer assumption — call it from the ingest owner between
+    * batches; the delete-and-rename swap is not safe against a concurrent
+    * probe.
+    */
+  def compact(spark: SparkSession, path: String, targetFiles: Int = 8): Unit = {
+    if (!exists(spark, s"$path/bands")) return
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def swap(tmp: String, dst: String): Unit = {
+      val (t, d) = (new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(dst))
+      fs.delete(d, true)
+      if (!fs.rename(t, d))
+        throw new java.io.IOException(s"compact: rename $tmp -> $dst failed")
+    }
+    // hash-repartition on band: each band value lands in exactly one task, so
+    // the partitioned write emits one file per band directory
+    spark.read.parquet(s"$path/bands").distinct()
+      .repartition(col("band"))
+      .write.mode(SaveMode.Overwrite).partitionBy("band").parquet(s"$path/.bands_compact")
+    spark.read.parquet(s"$path/shingles").distinct()
+      .repartition(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/.shingles_compact")
+    swap(s"$path/.shingles_compact", s"$path/shingles")
+    swap(s"$path/.bands_compact", s"$path/bands")
   }
 
   /** Map each incoming doc to the accepted doc it duplicates:

@@ -13,11 +13,12 @@ import org.apache.spark.sql.functions._
   * with itself; each round every vertex takes the minimum label among itself
   * and its neighbors; fixpoint = per-component minimum vertex id. Each round
   * is one shuffle-on-vertex-id join + partial-aggregating min — no driver
-  * graph state, so it scales with the edge list. Rounds needed = component
-  * diameter; near-dup families are tiny, dense clusters (diameter 2-3), so
-  * this converges in a handful of passes. (For adversarial long-chain graphs
-  * the large-star/small-star CC of Kiveris et al. halves diameter per round;
-  * a maxIter guard keeps this primitive bounded either way.)
+  * graph state, so it scales with the edge list. Each round also pointer-jumps
+  * (label := label of label), so rounds-to-fixpoint is O(log diameter) — the
+  * shortcutting idea of large-star/small-star CC (Kiveris et al.); near-dup
+  * families (diameter 2-3) converge in 2 passes, an adversarial million-link
+  * chain in ~20. Hitting maxIter without a fixpoint throws rather than
+  * returning silently-unconverged labels.
   *
   * Lineage is cut per round (`localCheckpoint`) — an iterative DataFrame
   * loop otherwise compounds the plan each pass.
@@ -51,9 +52,20 @@ object GraphOps {
 
     if (und.count() <= driverThreshold) return unionFindOnDriver(und)
 
-    var labels = und.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(eager = false)
+    val sc = edges.sparkSession.sparkContext
+    // persist() registers in the context's persistent-RDD map at the
+    // localCheckpoint CALL (not at materialization), so the ids a checkpoint
+    // owns are exactly the map delta across the call — captured here so each
+    // round can unpersist the previous round's blocks (otherwise up to
+    // maxIter cached block sets accumulate for the life of the job).
+    def checkpointOwning(df: DataFrame, eager: Boolean): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint(eager)
+      (out, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    var (labels, prevRoundIds) = checkpointOwning(
+      und.select(col("a").as("id")).distinct().withColumn("label", col("id")),
+      eager = false)
 
     var iter = 0
     var converged = false
@@ -64,19 +76,35 @@ object GraphOps {
         .groupBy("a")
         .agg(min("label").as("nbl"))
         .withColumnRenamed("a", "id")
-      val next = labels
+      val propagated = labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbl"), col("label"))).as("label"))
-        .localCheckpoint(eager = true)
+      // Pointer jumping (label := label of label): labels chase two hops per
+      // round, so rounds-to-fixpoint is O(log diameter), not O(diameter) —
+      // an adversarial long chain converges well inside maxIter instead of
+      // silently exhausting it.
+      val (next, nextIds) = checkpointOwning(
+        propagated.as("x")
+          .join(propagated.select(col("id").as("label"), col("label").as("ll")).as("y"),
+            Seq("label"), "left")
+          .select(col("x.id"), coalesce(col("ll"), col("label")).as("label")),
+        eager = true)
       val changed = next
         .join(labels.withColumnRenamed("label", "old"), Seq("id"))
         .where(col("label") =!= col("old"))
         .limit(1)
         .count() > 0
+      prevRoundIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      prevRoundIds = nextIds
       labels = next
       converged = !changed
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds; with pointer " +
+          s"jumping that needs component diameter > 2^$maxIter — raise maxIter only " +
+          "if the graph genuinely has such chains")
     labels
   }
 

@@ -230,6 +230,11 @@ object ScaleOps {
 
   /** Exact q-quantile per group (group key stringified; intended for bounded
     * group domains — the driver holds one small range record per group).
+    *
+    * NOT a drop-in for a grouped `percentile`: rows whose group key is null
+    * are DROPPED (Spark's groupBy would keep a null group). Callers here
+    * group by non-null bounded domains; encode nulls as a sentinel string
+    * before calling if the null group's quantile matters.
     */
   def exactQuantileByGroup(df: DataFrame, groupCol: String, valueCol: String,
       q: Double, bins: Int = 1024, collectThreshold: Long = 65536): Map[String, Double] =

@@ -40,6 +40,39 @@ class DedupStoreSpec extends SparkSpec {
     assert(r3.accepted == 0 && r3.storeDups == 2)
   }
 
+  test("compact bounds probe file-count after many ingests and preserves store behavior") {
+    val path = tmpDir("dstore-c") + "/store"
+    // 6 batches of distinct docs -> 6 appended file sets per side
+    (0 until 6).foreach { b =>
+      val docs = (1 to 3).map(i => (b * 10L + i, (1 to 40).map(j => s"b${b}d${i}w$j").mkString(" ")))
+      DedupStore.ingestBatch(spark, docs.toDF("doc_id", "text"), path)
+    }
+    def parquetFiles(dir: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    val bandsBefore = parquetFiles(s"$path/bands")
+    val before = spark.read.parquet(s"$path/bands").count()
+
+    DedupStore.compact(spark, path)
+
+    val bandDirs = new java.io.File(s"$path/bands").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("band="))
+    val bandsAfter = parquetFiles(s"$path/bands")
+    assert(bandsAfter < bandsBefore, s"compact must shrink file count: $bandsAfter of $bandsBefore")
+    assert(bandsAfter == bandDirs, s"one file per band dir expected: $bandsAfter files, $bandDirs dirs")
+    assert(spark.read.parquet(s"$path/bands").count() == before, "no signature rows lost")
+
+    // the compacted store still rejects a replayed doc
+    val replay = Seq((1L, (1 to 40).map(j => s"b0d1w$j").mkString(" "))).toDF("doc_id", "text")
+    val r = DedupStore.ingestBatch(spark, replay, path)
+    assert(r.accepted == 0 && r.storeDups == 1)
+  }
+
   test("probe on a missing store is empty (bootstrap case)") {
     val sigs = MinHash.signatures(Seq((9L, baseText)).toDF("doc_id", "text"), Seq("doc_id"))
     assert(DedupStore.probe(spark, sigs, tmpDir("dstore-none") + "/nope").count() == 0)

@@ -22,6 +22,36 @@ class GraphOpsSpec extends SparkSpec {
     assert(labels(100L) == 100L && labels(101L) == 100L)
   }
 
+  test("pointer jumping converges a 40-link chain in O(log diameter) rounds") {
+    // Without shortcutting, a 40-vertex path needs ~40 min-label rounds;
+    // with label-of-label jumping it must land well inside maxIter = 8.
+    val long = (1L until 40L).map(i => (i + 1, i)).toDF("a", "b")
+    val labels = GraphOps.connectedComponents(long, driverThreshold = 0, maxIter = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 40)
+    assert(labels.values.forall(_ == 1L), s"whole chain collapses to 1: $labels")
+  }
+
+  test("throws instead of returning silently-unconverged labels at maxIter") {
+    val long = (1L until 40L).map(i => (i + 1, i)).toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      GraphOps.connectedComponents(long, driverThreshold = 0, maxIter = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("distributed loop does not leak cached checkpoint blocks across rounds") {
+    // Each round localCheckpoints a new labels frame; prior rounds' blocks
+    // must be unpersisted, or maxIter block sets pile up for the job's life.
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val long = (1L until 40L).map(i => (i + 1, i)).toDF("a", "b")
+    GraphOps.connectedComponents(long, driverThreshold = 0, maxIter = 8).collect()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // allowed survivors: the edge list + the final labels checkpoint
+    assert(after - before <= 2,
+      s"persistent RDDs grew $before -> $after; rounds are leaking checkpoints")
+  }
+
   test("driver union-find path produces identical labels to the distributed loop") {
     val edges = chain.toDF("a", "b")
     val dist = GraphOps.connectedComponents(edges, driverThreshold = 0)
