@@ -11,11 +11,14 @@ import org.apache.spark.sql.types._
   * transforms (`mapPartitions` — the Scala analog of `mapInPandas`: one
   * iterator per partition, amortizing per-batch decoder setup).
   *
-  * The actual codec step is STUBBED — this container has no image/audio
-  * libraries — behind [[StubCodec]], a deterministic fake. Everything
-  * Spark-side is real and load-bearing: the schema contract, the partition
-  * batching, null/corrupt-row tolerance, and the deterministic feature
-  * shapes. Swapping [[StubCodec]] for a JNI/JavaCPP codec changes no
+  * Codec dispatch: PNG/BMP payloads (sniffed by magic bytes) decode for REAL
+  * through the JDK's `javax.imageio` ([[ImageCodec]] — pixel dimensions, mean
+  * luminance, grid-pooled pixel features, resample + re-encode). Formats the
+  * JVM cannot decode (JPEG-less containers, audio, video) fall back to
+  * [[StubCodec]], a deterministic fake standing in for libjpeg/ffmpeg.
+  * Everything Spark-side is shared between the two: the schema contract, the
+  * partition batching, null/corrupt-row tolerance, and the deterministic
+  * feature shapes. Swapping [[StubCodec]] for a JNI/JavaCPP codec changes no
   * plan shape.
   *
   * Scale: media blobs dominate row size, so the partitioning rule is
@@ -63,6 +66,87 @@ object Multimodal {
     }
   }
 
+  /** REAL image codec over the JDK's pure-JVM `javax.imageio` readers —
+    * PNG and BMP need no native library. Corrupt payloads that carry a valid
+    * magic are tolerated (`read` returns None), matching the PERMISSIVE
+    * posture of the batched transforms.
+    */
+  object ImageCodec {
+    private val pngMagic = Array(0x89, 0x50, 0x4e, 0x47).map(_.toByte)
+
+    /** Magic-byte sniff: the dispatch key for real-vs-stub decode. */
+    def sniff(bytes: Array[Byte]): Option[String] =
+      if (bytes == null) None
+      else if (bytes.length >= 8 && bytes.view.take(4).toArray.sameElements(pngMagic))
+        Some("image/png")
+      else if (bytes.length >= 2 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte)
+        Some("image/bmp")
+      else None
+
+    def read(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      sniff(bytes).flatMap { _ =>
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+        catch { case _: java.io.IOException => None }
+      }
+
+    /** (width, height, mean luminance in [0,255]) of the decoded pixels. */
+    def decode(img: java.awt.image.BufferedImage): (Int, Int, Double) = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      var sum = 0.0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, sum / (w.toLong * h))
+    }
+
+    /** Grid-pooled pixel features: pixels in raster order are mean-pooled
+      * into `dim` cells of normalized luminance — a real (if tiny) vision
+      * feature, deterministic, same shape as the stub's.
+      */
+    def features(img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val n = w.toLong * h
+      val sums = new Array[Double](dim)
+      val counts = new Array[Long](dim)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val luma = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / (3.0 * 255.0)
+          val cell = (((y.toLong * w + x) * dim) / n).toInt.min(dim - 1)
+          sums(cell) += luma
+          counts(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      Array.tabulate(dim)(i => if (counts(i) == 0) 0.0f else (sums(i) / counts(i)).toFloat)
+    }
+
+    /** Real resample (area-smooth) + PNG re-encode. */
+    def resize(img: java.awt.image.BufferedImage, w: Int, h: Int): Array[Byte] = {
+      val scaled = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = scaled.createGraphics()
+      try {
+        g.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(scaled, "png", out)
+      out.toByteArray
+    }
+  }
+
   /** Wrap a text/metadata table into media rows (fixture adapter: the
     * testdata has no real binaries, so content = UTF-8 bytes of a column).
     */
@@ -79,22 +163,35 @@ object Multimodal {
     StructField("media_id", LongType),
     StructField("n_bytes", IntegerType),
     StructField("mean_byte", DoubleType),
-    StructField("mime", StringType)))
+    StructField("mime", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("mean_luma", DoubleType)))
 
-  /** Batched decode: one [[StubCodec]] "instance" per partition, corrupt/null
-    * rows tolerated as nulls (PERMISSIVE-style), never a per-row setup cost.
+  /** Batched decode: one codec "instance" per partition, corrupt/null rows
+    * tolerated as nulls (PERMISSIVE-style), never a per-row setup cost.
+    * PNG/BMP payloads decode for real (sniffed mime wins over the declared
+    * one; width/height/mean_luma come from actual pixels); other formats get
+    * the stub's byte statistics with null pixel columns.
     */
   def decodeBatched(media: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(decodedSchema)
     media.select("media_id", "content", "meta.mime").mapPartitions { it =>
-      // per-partition decoder setup happens here (stub: nothing to open)
+      // per-partition decoder setup happens here (ImageIO readers are
+      // per-call; stub: nothing to open)
       it.map { r =>
         val id = r.getLong(0)
         val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
-        if (bytes == null) Row(id, null, null, r.getString(2))
+        if (bytes == null) Row(id, null, null, r.getString(2), null, null, null)
         else {
           val (n, mean) = StubCodec.decode(bytes)
-          Row(id, n, mean, r.getString(2))
+          ImageCodec.read(bytes) match {
+            case Some(img) =>
+              val (w, h, luma) = ImageCodec.decode(img)
+              Row(id, n, mean, ImageCodec.sniff(bytes).get, w, h, luma)
+            case None =>
+              Row(id, n, mean, r.getString(2), null, null, null)
+          }
         }
       }
     }(enc)
@@ -105,14 +202,23 @@ object Multimodal {
     StructField("embedding", ArrayType(FloatType))))
 
   /** Batched feature extraction -> fixed-dim Float embedding column, the
-    * input shape the similarity-search operators consume.
+    * input shape the similarity-search operators consume. Decodable images
+    * yield REAL grid-pooled pixel features; everything else the stub's
+    * rolling-hash fake — identical shape, so downstream ANN is agnostic.
     */
   def extractFeatures(media: DataFrame, dim: Int = 16): DataFrame = {
     val enc = RowEncoder.encoderFor(featureSchema(dim))
     media.select("media_id", "content").mapPartitions { it =>
       it.flatMap { r =>
         if (r.isNullAt(1)) None
-        else Some(Row(r.getLong(0), StubCodec.features(r.getAs[Array[Byte]](1), dim).toSeq))
+        else {
+          val bytes = r.getAs[Array[Byte]](1)
+          val fs = ImageCodec.read(bytes) match {
+            case Some(img) => ImageCodec.features(img, dim)
+            case None      => StubCodec.features(bytes, dim)
+          }
+          Some(Row(r.getLong(0), fs.toSeq))
+        }
       }
     }(enc)
   }
@@ -131,13 +237,23 @@ object Multimodal {
           .otherwise(array().cast("array<int>")))
         .as("frame_ms"))
 
-  /** Resize = metadata rewrite + (stub) content passthrough: the plan-side
-    * contract of an image resize (dims change, payload re-encoded).
+  /** Resize: decodable images are REALLY resampled (bilinear) and re-encoded
+    * as PNG; other payloads pass through with only the metadata rewrite (the
+    * plan-side contract of a resize — dims change, payload re-encoded).
     */
-  def resize(media: DataFrame, w: Int, h: Int): DataFrame =
-    media.withColumn("meta",
-      struct(
-        col("meta.mime").as("mime"),
-        lit(w).as("width"), lit(h).as("height"),
-        col("meta.duration_ms").as("duration_ms")))
+  def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
+    media.select("media_id", "content", "meta.mime", "meta.duration_ms")
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          val (outBytes, outMime) = ImageCodec.read(bytes) match {
+            case Some(img) => (ImageCodec.resize(img, w, h), "image/png")
+            case None      => (bytes, if (r.isNullAt(2)) null else r.getString(2))
+          }
+          val dur: Any = if (r.isNullAt(3)) null else r.getInt(3)
+          Row(id, outBytes, Row(outMime, w, h, dur))
+        }
+      }(RowEncoder.encoderFor(StructType(mediaSchema.fields.toSeq)))
+  }
 }

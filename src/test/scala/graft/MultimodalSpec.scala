@@ -41,9 +41,82 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.where($"media_id" === 1).count() == 4)
   }
 
-  test("resize rewrites metadata dims, preserves payload") {
-    val r = Multimodal.resize(media, 32, 32).select("meta.width", "meta.height").collect()
+  test("resize rewrites metadata dims, preserves non-image payload") {
+    val r = Multimodal.resize(media, 32, 32)
+      .select($"meta.width", $"meta.height", $"content").orderBy("media_id").collect()
     assert(r.forall(x => x.getInt(0) == 32 && x.getInt(1) == 32))
+    assert(new String(r(0).getAs[Array[Byte]](2), "UTF-8") == "hello world",
+      "undecodable payload passes through unchanged")
+  }
+
+  // ------------------------------------------------------- real image decode
+
+  /** A 2x2 PNG with known pixels: white, black, red, blue. */
+  private def tinyPng(): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xffffff); img.setRGB(1, 0, 0x000000)
+    img.setRGB(0, 1, 0xff0000); img.setRGB(1, 1, 0x0000ff)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("decodeBatched decodes a real PNG: sniffed mime, pixel dims, exact mean luminance") {
+    val png = tinyPng()
+    val m = Multimodal.asMedia(Seq((7L, "not an image")).toDF("id", "payload"), "id", "payload")
+      .union(spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(8L, png, org.apache.spark.sql.Row("application/octet-stream", 64, 64, 1000))),
+        Multimodal.mediaSchema))
+    val out = Multimodal.decodeBatched(m).orderBy("media_id").collect()
+    val stub = out(0)
+    assert(stub.isNullAt(stub.fieldIndex("width")), "non-image rows carry null pixel columns")
+    val real = out(1)
+    assert(real.getAs[String]("mime") == "image/png", "sniffed mime wins over declared")
+    assert(real.getAs[Int]("width") == 2 && real.getAs[Int]("height") == 2)
+    // mean luma of white(255) + black(0) + red(85) + blue(85) = 106.25
+    assert(math.abs(real.getAs[Double]("mean_luma") - 106.25) < 1e-9)
+    assert(real.getAs[Int]("n_bytes") == png.length, "payload byte stats still present")
+  }
+
+  test("real-image resize re-encodes: decoding the output yields the new dimensions") {
+    val m = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(9L, tinyPng(), org.apache.spark.sql.Row("image/png", 2, 2, null))),
+      Multimodal.mediaSchema)
+    val resized = Multimodal.resize(m, 4, 4)
+    val decoded = Multimodal.decodeBatched(resized).collect()(0)
+    assert(decoded.getAs[Int]("width") == 4 && decoded.getAs[Int]("height") == 4,
+      "output payload must be a real re-encoded 4x4 image, not a metadata-only rewrite")
+  }
+
+  test("real PNG pixels drive the media -> embedding -> ANN path end to end") {
+    // Two visually identical PNGs (same pixels, written independently) and
+    // one inverted image: grid-pooled pixel features must rank the identical
+    // image first with cosine ~1, the inverted one clearly lower.
+    def gradient(invert: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val v = ((x + y * 8) * 255) / 63
+        val g = if (invert) 255 - v else v
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val rows = java.util.List.of(
+      org.apache.spark.sql.Row(0L, gradient(false), org.apache.spark.sql.Row("image/png", 8, 8, null)),
+      org.apache.spark.sql.Row(1L, gradient(false), org.apache.spark.sql.Row("image/png", 8, 8, null)),
+      org.apache.spark.sql.Row(2L, gradient(true), org.apache.spark.sql.Row("image/png", 8, 8, null)))
+    val m = spark.createDataFrame(rows, Multimodal.mediaSchema)
+    val emb = Multimodal.extractFeatures(m, dim = 16)
+    val prepared = graft.ext.Similarity.prepare(emb, "media_id", "embedding")
+    val out = graft.ext.Similarity
+      .bruteForceTopK(prepared, prepared.where(col("id") === 0), k = 2)
+      .collect()
+    assert(out(0).getAs[Long]("id") == 1, "pixel-identical PNG is the top neighbor")
+    assert(out(0).getAs[Double]("score") > 0.9999)
+    assert(out(1).getAs[Long]("id") == 2)
+    assert(out(1).getAs[Double]("score") < out(0).getAs[Double]("score") - 1e-4)
   }
 
   test("media -> embedding -> ANN top-k end to end over a true binary parquet fixture") {
