@@ -11,9 +11,10 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -109,12 +110,16 @@ private[sources] class SodaHttpTable(schema: StructType, opts: SodaOptions)
 }
 
 private[sources] class SodaScanBuilder(fullSchema: StructType, opts: SodaOptions)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var sawFilters = false
+  private var countStarPushed = false
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    sawFilters = filters.nonEmpty
     pushed = filters.filter(f => SodaScanBuilder.render(f).isDefined)
     filters // all residual: the server-side $where is an optimization, not the contract
   }
@@ -123,7 +128,27 @@ private[sources] class SodaScanBuilder(fullSchema: StructType, opts: SodaOptions
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new SodaScan(required, pushed, opts)
+  /** COUNT(*) with no grouping collapses to ONE `$select=count(1)` request —
+    * the reference's own server-side count idiom
+    * (streamlit_frontend.py:455). Every filter stays residual in this source
+    * (post-scan), so Catalyst only attempts the aggregate push on filterless
+    * plans; `sawFilters` double-guards against that invariant drifting.
+    */
+  private def isGlobalCountStar(agg: Aggregation): Boolean =
+    !sawFilters &&
+      agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions()(0).isInstanceOf[CountStar]
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean = isGlobalCountStar(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    countStarPushed = isGlobalCountStar(agg)
+    countStarPushed
+  }
+
+  override def build(): Scan =
+    if (countStarPushed) new SodaCountScan(opts) else new SodaScan(required, pushed, opts)
 }
 
 private[graft] object SodaScanBuilder {
@@ -172,13 +197,7 @@ private[sources] class SodaScan(
   private def plannedPages: Option[Int] = opts.pages.orElse {
     if (!opts.probeCount) None
     else {
-      val http = new SodaHttp(opts)
-      val params = Seq("$select" -> "count(1)") ++ whereParam.map("$where" -> _)
-      val body = http.get(params)
-      val n = new ObjectMapper().readTree(body).elements().asScala.toSeq.headOption
-        .flatMap(o => o.fields().asScala.toSeq.headOption)
-        .map(_.getValue.asText().toLong)
-        .getOrElse(0L)
+      val n = SodaCount.fetch(opts, whereParam)
       Some(math.max(1L, (n + opts.pageSize - 1) / opts.pageSize).toInt)
     }
   }
@@ -202,6 +221,52 @@ private[sources] class SodaScan(
 
 private[sources] case class SodaPagePartition(offset: Long, sequential: Boolean)
     extends InputPartition
+
+/** One `$select=count(1)` request -> the row count (the reference's
+  * server-side count idiom). Shared by the planning-time page probe and the
+  * pushed-down COUNT(*) scan.
+  */
+private[sources] object SodaCount {
+  def fetch(opts: SodaOptions, where: Option[String]): Long = {
+    val params = Seq("$select" -> "count(1)") ++ where.map("$where" -> _)
+    val body = new SodaHttp(opts).get(params)
+    new ObjectMapper().readTree(body).elements().asScala.toSeq.headOption
+      .flatMap(o => o.fields().asScala.toSeq.headOption)
+      .map(_.getValue.asText().toLong)
+      .getOrElse(0L)
+  }
+}
+
+/** The scan a pushed global COUNT(*) builds: one partition, one HTTP request,
+  * one row. Complete pushdown — Spark consumes the value as the final count,
+  * so `df.count()` on the connector never pages the resource.
+  */
+private[sources] class SodaCountScan(opts: SodaOptions) extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count_star", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SodaCountPartition())
+  override def createReaderFactory(): PartitionReaderFactory = new SodaCountReaderFactory(opts)
+  override def description(): String =
+    s"SodaHttpCountScan url=${opts.url} (pushed COUNT(*) -> one count(1) request)"
+}
+
+private[sources] case class SodaCountPartition() extends InputPartition
+
+private[sources] class SodaCountReaderFactory(opts: SodaOptions)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      private var value = 0L
+      override def next(): Boolean =
+        if (emitted) false
+        else { value = SodaCount.fetch(opts, None); emitted = true; true }
+      override def get(): InternalRow = InternalRow(value)
+      override def close(): Unit = ()
+    }
+}
 
 private[sources] class SodaReaderFactory(
     required: StructType,

@@ -100,16 +100,46 @@ class SodaHttpSourceSpec extends SparkSpec {
     try {
       val df = reader(s).load() // no pages, no probe -> one sequential pager
       assert(df.rdd.getNumPartitions == 1)
-      assert(df.count() == 25)
+      // collect, not count: a bare count() is aggregate-pushed and never pages
+      assert(df.collect().length == 25)
       // pages 0,10,20 fetched; short page (5 rows) terminates
       assert(s.requests.keySet().size() == 3)
+    } finally s.stop()
+  }
+
+  test("global COUNT(*) pushes down to ONE count(1) request — no paging at all") {
+    val s = new FakeSoda(Set.empty)
+    try {
+      val df = reader(s).load()
+      assert(df.count() == 25)
+      assert(s.seenParams.contains("$select=count(1)"), "server-side count idiom used")
+      assert(!s.seenParams.asScala.exists(_.startsWith("$limit=")),
+        s"count must not fetch any page: ${s.seenParams.asScala.mkString(", ")}")
+      assert(s.requests.values().asScala.map(_.get()).sum == 1,
+        "exactly one HTTP request answers df.count()")
+      val plan = df.groupBy().count().queryExecution.executedPlan.toString
+      assert(!plan.contains("HashAggregate") || plan.contains("SodaHttpCountScan"),
+        s"pushed scan expected in plan:\n$plan")
+    } finally s.stop()
+  }
+
+  test("filtered count still pages with residual filters (aggregate push refused)") {
+    val s = new FakeSoda(Set.empty)
+    try {
+      // $where is recorded but IGNORED by the fake server, so a correct
+      // result here proves the residual filter did the work client-side —
+      // which requires real rows, not a pushed count.
+      val n = reader(s).load().where(col("crash_type") === "INJURY").count()
+      assert(n == 12, "odd i of 0..24")
+      assert(s.seenParams.asScala.exists(_.startsWith("$limit=")), "filtered count must page")
     } finally s.stop()
   }
 
   test("transient 500s retry with backoff and the read still succeeds (S2 retry loop)") {
     val s = new FakeSoda(failFirst = Set(0L, 20L))
     try {
-      val got = reader(s).option("pages", 3).load().count()
+      // collect, not count: a bare count() is aggregate-pushed and never pages
+      val got = reader(s).option("pages", 3).load().collect().length
       assert(got == 25)
       assert(s.requests.get("0").get() >= 2, "offset 0 was retried after its 500")
       assert(s.requests.get("20").get() >= 2, "offset 20 was retried after its 500")
