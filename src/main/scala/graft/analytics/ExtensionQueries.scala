@@ -601,12 +601,15 @@ object ExtensionQueries {
           .selectExpr("doc_id", "lang", s"$tokExpr AS toks")
           .localCheckpoint(eager = false) // explode over live lambda expr re-evaluates per output row
           .selectExpr("doc_id", "lang", "explode(toks) AS term")
-        val n = documents(s, d).count()
+        // corpus size as an in-plan broadcast scalar — no driver-side count
+        // job during plan construction
+        val nDocs = documents(s, d).agg(count(lit(1)).cast("double").as("n_docs_total"))
         val df_ = toks.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
         val tf = toks.groupBy("lang", "term").agg(count(lit(1)).as("tf"))
         val w = Window.partitionBy("lang").orderBy(desc("tfidf"), col("term"))
         tf.join(df_, Seq("term"))
-          .withColumn("tfidf", expr(s"tf * ln($n.0 / df)"))
+          .join(broadcast(nDocs))
+          .withColumn("tfidf", expr("tf * ln(n_docs_total / df)"))
           .withColumn("rank", row_number().over(w).cast("long"))
           .where(col("rank") <= 5)
           .select("lang", "rank", "term", "tf", "df")
