@@ -711,6 +711,105 @@ object ExtensionQueries {
              |FROM e GROUP BY lang ORDER BY lang""".stripMargin)
     ),
     Q(
+      "t9_pii_redact",
+      "PII redaction ahead of tokenization (emails, IPv4s, phone-shaped and long-digit ID tokens -> typed placeholders, graft.ext.TextPipeline): per lang, docs plus per-pattern hit counts and docs whose text changed. Pure RE2-safe column expressions — the oracle applies the identical regex chain; planted-PII behavior is spec-pinned in TextPipelineSpec",
+      (s, d) => {
+        import graft.ext.TextPipeline
+        val t = documents(s, d).select(
+          col("lang"), col("text"),
+          TextPipeline.redact(col("text")).as("red"),
+          TextPipeline.hit(col("text"), 0).as("h_email"),
+          TextPipeline.hit(col("text"), 1).as("h_ip"),
+          TextPipeline.hit(col("text"), 2).as("h_phone"),
+          TextPipeline.hit(col("text"), 3).as("h_id"))
+        t.groupBy("lang")
+          .agg(
+            count(lit(1)).as("docs"),
+            sum(col("h_email")).cast("long").as("emails"),
+            sum(col("h_ip")).cast("long").as("ips"),
+            sum(col("h_phone")).cast("long").as("phones"),
+            sum(col("h_id")).cast("long").as("ids"),
+            sum(when(col("text") =!= col("red"), 1).otherwise(0)).cast("long").as("docs_redacted"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, COUNT(*) AS docs,
+             |  CAST(SUM(CASE WHEN regexp_matches(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}') THEN 1 ELSE 0 END) AS BIGINT) AS emails,
+             |  CAST(SUM(CASE WHEN regexp_matches(text, '\b(\d{1,3}\.){3}\d{1,3}\b') THEN 1 ELSE 0 END) AS BIGINT) AS ips,
+             |  CAST(SUM(CASE WHEN regexp_matches(text, '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b') THEN 1 ELSE 0 END) AS BIGINT) AS phones,
+             |  CAST(SUM(CASE WHEN regexp_matches(text, '\b\d{9,}\b') THEN 1 ELSE 0 END) AS BIGINT) AS ids,
+             |  CAST(SUM(CASE WHEN text <>
+             |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+             |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+             |      '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+             |      '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b', '<PHONE>', 'g'),
+             |      '\b\d{9,}\b', '<ID>', 'g')
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS docs_redacted
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
+    Q(
+      "t10_vocab_coverage",
+      "Vocabulary build with cumulative coverage (BPE/vocab prep): global token counts ranked desc, top-10 terms with the cumulative fraction of the corpus they cover. Coverage is an exact-integer ratio divided once, so the doubles are bitwise identical in both engines",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = documents(s, d).selectExpr("explode(split(lower(text), ' ')) AS term")
+        val cnts = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+        val total = cnts.agg(sum(col("cnt")).cast("double").as("total_tokens"))
+        val rankW = Window.orderBy(desc("cnt"), col("term"))
+        val cumW = rankW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cnts
+          .withColumn("rank", row_number().over(rankW).cast("long"))
+          .withColumn("cum", sum(col("cnt")).over(cumW))
+          .join(broadcast(total))
+          .where(col("rank") <= 10)
+          .selectExpr("rank", "term", "cnt", "CAST(cum AS DOUBLE) / total_tokens AS coverage")
+          .orderBy("rank")
+      },
+      Some("""WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents),
+             |c AS (SELECT term, COUNT(*) AS cnt FROM t GROUP BY term),
+             |r AS (
+             |  SELECT term, cnt,
+             |    row_number() OVER (ORDER BY cnt DESC, term) AS rank,
+             |    SUM(cnt) OVER (ORDER BY cnt DESC, term ROWS UNBOUNDED PRECEDING) AS cum,
+             |    (SELECT SUM(cnt) FROM c) AS total
+             |  FROM c)
+             |SELECT rank, term, cnt, CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS coverage
+             |FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin)
+    ),
+    Q(
+      "t11_unigram_quality",
+      "Corpus-frequency quality score (the rational-arithmetic stand-in for LM log-prob filtering, same plan shape): per doc, mean corpus frequency of its tokens = sum(cnt)/(ntok*total) — integer aggregates, one final division, so doubles match bitwise. Per lang: docs, worst/best score, docs under the low-quality threshold",
+      (s, d) => {
+        val toks = documents(s, d)
+          .selectExpr("doc_id", "lang", "explode(split(lower(text), ' ')) AS term")
+          .localCheckpoint(eager = false) // reused by counts and the per-doc join
+        val cnts = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+        val total = cnts.agg(sum(col("cnt")).as("total_tokens"))
+        toks.join(cnts, Seq("term"))
+          .groupBy("doc_id", "lang")
+          .agg(sum(col("cnt")).as("sum_cnt"), count(lit(1)).as("ntok"))
+          .join(broadcast(total))
+          .selectExpr("lang",
+            "CAST(sum_cnt AS DOUBLE) / (CAST(ntok AS DOUBLE) * CAST(total_tokens AS DOUBLE)) AS score")
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("docs"),
+            min(col("score")).as("worst"),
+            max(col("score")).as("best"),
+            sum(when(col("score") < 0.0333, 1).otherwise(0)).cast("long").as("low_quality"))
+          .orderBy("lang")
+      },
+      Some("""WITH t AS (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+             |c AS (SELECT term, COUNT(*) AS cnt FROM t GROUP BY term),
+             |tot AS (SELECT SUM(cnt) AS total FROM c),
+             |pd AS (
+             |  SELECT doc_id, lang,
+             |    CAST(SUM(cnt) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * CAST((SELECT total FROM tot) AS DOUBLE)) AS score
+             |  FROM t JOIN c USING (term) GROUP BY doc_id, lang)
+             |SELECT lang, COUNT(*) AS docs, MIN(score) AS worst, MAX(score) AS best,
+             |  CAST(SUM(CASE WHEN score < 0.0333 THEN 1 ELSE 0 END) AS BIGINT) AS low_quality
+             |FROM pd GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
+    Q(
       "p13_hash_split",
       "Deterministic train/val/test split by content-stable hash bucket (md5 of the id -> 0..255 -> 80/10/10): membership is a pure function of the key, so re-runs, backfills and distributed workers all agree without coordination — the split op every training pipeline needs",
       (s, d) =>
