@@ -146,6 +146,7 @@ object Incremental {
       storePath: String,
       checkpoint: String,
       threshold: Double = 0.8,
+      compactEvery: Int = 64,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val schema = StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
@@ -157,9 +158,16 @@ object Incremental {
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           graft.ext.DedupStore.ingestBatch(spark, batch, storePath, threshold)
+          // Periodic compaction from the single ingest owner (safe spot for
+          // the store's delete-and-rename swap): every ingest appends small
+          // files, and without this the probe's file listing grows without
+          // bound over a long-lived stream. Keyed to batchId so a replayed
+          // batch re-compacts harmlessly instead of double-counting.
+          if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+            graft.ext.DedupStore.compact(spark, storePath)
           ()
         }
       }
