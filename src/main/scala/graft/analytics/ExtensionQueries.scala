@@ -752,7 +752,10 @@ object ExtensionQueries {
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val toks = documents(s, d).selectExpr("explode(split(lower(text), ' ')) AS term")
+        // vocab-sized; checkpoint so the ranked scan and the total don't each
+        // re-tokenize the corpus
         val cnts = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(eager = false)
         val total = cnts.agg(sum(col("cnt")).cast("double").as("total_tokens"))
         val rankW = Window.orderBy(desc("cnt"), col("term"))
         val cumW = rankW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -783,6 +786,7 @@ object ExtensionQueries {
           .selectExpr("doc_id", "lang", "explode(split(lower(text), ' ')) AS term")
           .localCheckpoint(eager = false) // reused by counts and the per-doc join
         val cnts = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(eager = false) // shared by the per-doc join and the total
         val total = cnts.agg(sum(col("cnt")).as("total_tokens"))
         toks.join(cnts, Seq("term"))
           .groupBy("doc_id", "lang")
