@@ -1,0 +1,168 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Product quantization — the memory-compression leg of the ANN family
+  * (brute force -> LSH buckets -> IVF cells -> PQ codes): each vector is
+  * split into `m` subvectors, each subvector replaced by the id of its
+  * nearest codebook centroid, so a `dim x 4`-byte embedding becomes `m`
+  * bytes. Search scores compressed codes against a per-query lookup table
+  * (asymmetric distance computation): corpus codes are scanned once, the
+  * query LUTs are broadcast, and the re-rank tail is the k-bounded TopK
+  * Aggregator shared with the other ANN paths.
+  *
+  * At 100 TB the point is RAM: 1e11 x 768-dim float32 embeddings are ~300 TB
+  * raw but ~800 GB as m=8 codes — a size that keeps the scan IO-bound rather
+  * than capacity-bound. Training reads a bounded SAMPLE (driver Lloyd
+  * iterations over <= `maxSample` rows — documented bounded collect, the
+  * same trade as IVF's sampled k-means); encode/search are distributed
+  * `mapPartitions` with the broadcast codebook (per-partition setup, the
+  * Multimodal batching pattern).
+  *
+  * No DuckDB oracle: k-means training is not SQL-expressible — behavior is
+  * spec-pinned (PqSpec: exact centroid round-trip, recall vs brute force on
+  * separated clusters, determinism, code size).
+  */
+object Pq {
+
+  /** m codebooks of k centroids of dim/m floats each. */
+  final case class Model(m: Int, k: Int, dim: Int, codebooks: Array[Array[Array[Float]]])
+      extends Serializable {
+    def subDim: Int = dim / m
+  }
+
+  /** Train per-block codebooks with deterministic driver-side Lloyd
+    * iterations over a bounded sample. `sampleFraction` bounds the fetch at
+    * the source (push the sample INTO the scan, never collect the corpus);
+    * `maxSample` hard-caps driver memory regardless of corpus size.
+    */
+  def train(corpus: DataFrame, vecCol: String, m: Int, k: Int,
+      sampleFraction: Double = 1.0, seed: Long = 42L,
+      iters: Int = 10, maxSample: Int = 16384): Model = {
+    val sampled =
+      (if (sampleFraction < 1.0) corpus.sample(withReplacement = false, sampleFraction, seed)
+       else corpus)
+        .select(vecCol).limit(maxSample).collect()
+        .map(_.getSeq[Float](0).toArray)
+    require(sampled.nonEmpty, "PQ training sample is empty")
+    val dim = sampled.head.length
+    require(dim % m == 0, s"dim $dim must divide into m=$m blocks")
+    val ds = dim / m
+    val rng = new scala.util.Random(seed)
+
+    val codebooks = Array.tabulate(m) { j =>
+      val block = sampled.map(v => java.util.Arrays.copyOfRange(v, j * ds, (j + 1) * ds))
+      // deterministic init: k distinct-ish rows at seeded positions
+      val cents = Array.tabulate(k)(i => block(((rng.nextInt(Int.MaxValue).toLong + i) % block.length).toInt).clone())
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(k)(new Array[Double](ds))
+        val counts = new Array[Long](k)
+        block.foreach { v =>
+          val c = nearest(cents, v)
+          counts(c) += 1
+          var t = 0
+          while (t < ds) { sums(c)(t) += v(t); t += 1 }
+        }
+        var c = 0
+        while (c < k) {
+          if (counts(c) > 0) {
+            var t = 0
+            while (t < ds) { cents(c)(t) = (sums(c)(t) / counts(c)).toFloat; t += 1 }
+          } // empty cell keeps its centroid (deterministic, no resample)
+          c += 1
+        }
+        it += 1
+      }
+      cents
+    }
+    Model(m, k, dim, codebooks)
+  }
+
+  private def nearest(cents: Array[Array[Float]], v: Array[Float]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      var d = 0.0
+      var t = 0
+      while (t < v.length) { val x = v(t) - cents(c)(t); d += x * x; t += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private val codeSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("codes", ArrayType(IntegerType, containsNull = false))))
+
+  /** Encode each vector to its m nearest-centroid ids — the compressed
+    * corpus representation. Distributed scan; the model broadcasts with the
+    * closure (m*k*subDim floats).
+    */
+  def encode(df: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame = {
+    val enc = RowEncoder.encoderFor(codeSchema)
+    df.select(col(idCol).cast("long"), col(vecCol)).mapPartitions { it =>
+      it.map { r =>
+        val v = r.getSeq[Float](1).toArray
+        val ds = model.subDim
+        val codes = Array.tabulate(model.m) { j =>
+          nearest(model.codebooks(j), java.util.Arrays.copyOfRange(v, j * ds, (j + 1) * ds))
+        }
+        Row(r.getLong(0), codes.toSeq)
+      }
+    }(enc)
+  }
+
+  private val scoredSchema = StructType(Seq(
+    StructField("qid", LongType),
+    StructField("id", LongType),
+    StructField("score", DoubleType)))
+
+  /** ADC top-k: for each query build the m x k table of squared distances to
+    * every centroid once per partition, score each code row as the sum of m
+    * lookups, and re-rank through the shared k-bounded TopK Aggregator.
+    * `score` is the NEGATED approximate squared L2 distance (larger = nearer)
+    * so the output shape matches the cosine ANN paths: (qid, rank, id,
+    * score).
+    */
+  def adcTopK(encoded: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      model: Model, k: Int): DataFrame = {
+    val spark = encoded.sparkSession
+    val qRows = queries.select(col(idCol).cast("long"), col(vecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(qRows.nonEmpty, "adcTopK needs at least one query vector")
+    val qB = spark.sparkContext.broadcast(qRows)
+    val enc = RowEncoder.encoderFor(scoredSchema)
+    val scored = encoded.select(col("id"), col("codes")).mapPartitions { it =>
+      val ds = model.subDim
+      // per-partition LUTs: luts(q)(j)(c) = |query block j - centroid c|^2
+      val luts = qB.value.map { case (qid, qv) =>
+        (qid, Array.tabulate(model.m) { j =>
+          val qb = java.util.Arrays.copyOfRange(qv, j * ds, (j + 1) * ds)
+          model.codebooks(j).map { cent =>
+            var d = 0.0
+            var t = 0
+            while (t < ds) { val x = qb(t) - cent(t); d += x * x; t += 1 }
+            d
+          }
+        })
+      }
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val codes = r.getSeq[Int](1)
+        luts.iterator.collect { case (qid, lut) if qid != id =>
+          var d = 0.0
+          var j = 0
+          while (j < model.m) { d += lut(j)(codes(j)); j += 1 }
+          Row(qid, id, -d)
+        }
+      }
+    }(enc)
+    Similarity.topKByQuery(scored, k)
+  }
+}
