@@ -101,7 +101,12 @@ object Bench {
     val slowest = results.sortBy(-_._2.min).take(5)
       .map { case (k, ts, _, _) => s"\"" + k + "\":" + fmt(ts.min) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"walltime":${fmt(walltime)},"errors":$errs,"sf":"$sfDir","detail":"target/bench.json"}""")
+    // only the error COUNT here: the full per-query error map is unbounded
+    // (a many-failure run would push this line past the tail-capture window
+    // — the exact truncation this summary exists to avoid); messages live in
+    // target/bench.json and on stderr
+    val nErrs = results.count(_._3.isDefined)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"walltime":${fmt(walltime)},"n_errors":$nErrs,"sf":"$sfDir","detail":"target/bench.json"}""")
     if (results.exists(_._3.isDefined)) { spark.stop(); sys.exit(1) }
     spark.stop()
   }

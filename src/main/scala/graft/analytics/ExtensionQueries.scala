@@ -757,13 +757,17 @@ object ExtensionQueries {
         val cnts = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
           .localCheckpoint(eager = false)
         val total = cnts.agg(sum(col("cnt")).cast("double").as("total_tokens"))
+        // k-bounded top-10 first (TakeOrderedAndProject — a heap, never a
+        // global sort of the whole vocabulary), THEN rank/accumulate inside
+        // the 10-row frame: the cumulative sum at rank k only ever involves
+        // ranks 1..k, all inside the frame, so the result is identical
+        val top = cnts.orderBy(desc("cnt"), col("term")).limit(10)
         val rankW = Window.orderBy(desc("cnt"), col("term"))
         val cumW = rankW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        cnts
+        top
           .withColumn("rank", row_number().over(rankW).cast("long"))
           .withColumn("cum", sum(col("cnt")).over(cumW))
           .join(broadcast(total))
-          .where(col("rank") <= 10)
           .selectExpr("rank", "term", "cnt", "CAST(cum AS DOUBLE) / total_tokens AS coverage")
           .orderBy("rank")
       },

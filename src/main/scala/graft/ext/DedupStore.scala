@@ -32,6 +32,21 @@ object DedupStore {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Crash-recovery sweep for [[compact]]'s rename-aside swap: if a kill
+    * landed between the two renames, a `*_old` backup exists while the live
+    * directory is missing — restore it. Called on every probe and compact,
+    * so a restarted stream self-heals before reading.
+    */
+  private def recover(spark: SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("bands", "shingles").foreach { side =>
+      val d = new org.apache.hadoop.fs.Path(s"$path/$side")
+      val bak = new org.apache.hadoop.fs.Path(s"$path/${side}_old")
+      if (!fs.exists(d) && fs.exists(bak)) fs.rename(bak, d)
+    }
+  }
+
   /** Append a batch's signatures (callers pass only docs accepted as novel).
     *
     * Shingles are written BEFORE bands: the two appends are not atomic, and a
@@ -57,14 +72,27 @@ object DedupStore {
     * probe.
     */
   def compact(spark: SparkSession, path: String, targetFiles: Int = 8): Unit = {
+    recover(spark, path)
     if (!exists(spark, s"$path/bands")) return
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // rename-aside, rename-in, then delete the backup: a crash at any point
+    // leaves either the old or the new data reachable after the [[recover]]
+    // sweep — never a window where the live directory is missing
+    // (delete-then-rename would brick the store on a kill between the two).
     def swap(tmp: String, dst: String): Unit = {
-      val (t, d) = (new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(dst))
-      fs.delete(d, true)
-      if (!fs.rename(t, d))
+      val t = new org.apache.hadoop.fs.Path(tmp)
+      val d = new org.apache.hadoop.fs.Path(dst)
+      val bak = new org.apache.hadoop.fs.Path(dst + "_old")
+      fs.delete(bak, true)
+      if (fs.exists(d) && !fs.rename(d, bak))
+        throw new java.io.IOException(s"compact: rename $dst -> $bak failed")
+      if (!fs.rename(t, d)) {
+        // restore the original rather than leaving the store headless
+        fs.rename(bak, d)
         throw new java.io.IOException(s"compact: rename $tmp -> $dst failed")
+      }
+      fs.delete(bak, true)
     }
     // hash-repartition on band: each band value lands in exactly one task, so
     // the partitioned write emits one file per band directory
@@ -85,6 +113,7 @@ object DedupStore {
     */
   def probe(spark: SparkSession, sigs: DataFrame, path: String,
       threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
+    recover(spark, path)
     if (!exists(spark, s"$path/bands"))
       return sigs.sparkSession.emptyDataFrame
         .withColumn("doc_id", lit(null).cast("long"))

@@ -85,8 +85,11 @@ object Multimodal {
 
     def read(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
       sniff(bytes).flatMap { _ =>
+        // NonFatal, not just IOException: the JDK readers throw
+        // IllegalArgument/ArrayIndexOutOfBounds on some malformed headers,
+        // and one hostile blob must not kill the task (PERMISSIVE contract)
         try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-        catch { case _: java.io.IOException => None }
+        catch { case scala.util.control.NonFatal(_) => None }
       }
 
     /** (width, height, mean luminance in [0,255]) of the decoded pixels. */

@@ -109,6 +109,10 @@ object Pq {
     df.select(col(idCol).cast("long"), col(vecCol)).mapPartitions { it =>
       it.map { r =>
         val v = r.getSeq[Float](1).toArray
+        // copyOfRange would silently zero-pad a short vector into plausible
+        // garbage codes; surface schema drift instead
+        require(v.length == model.dim,
+          s"vector of dim ${v.length} does not match PQ model dim ${model.dim}")
         val ds = model.subDim
         val codes = Array.tabulate(model.m) { j =>
           nearest(model.codebooks(j), java.util.Arrays.copyOfRange(v, j * ds, (j + 1) * ds))

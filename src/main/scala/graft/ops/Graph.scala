@@ -52,18 +52,21 @@ object GraphOps {
 
     if (und.count() <= driverThreshold) return unionFindOnDriver(und)
 
-    val sc = edges.sparkSession.sparkContext
-    // persist() registers in the context's persistent-RDD map at the
-    // localCheckpoint CALL (not at materialization), so the ids a checkpoint
-    // owns are exactly the map delta across the call — captured here so each
-    // round can unpersist the previous round's blocks (otherwise up to
-    // maxIter cached block sets accumulate for the life of the job).
-    def checkpointOwning(df: DataFrame, eager: Boolean): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet.toSet
+    // A localCheckpointed Dataset's plan is a LogicalRDD wrapping exactly the
+    // persisted RDD — extract it so each round can unpersist the previous
+    // round's blocks (otherwise up to maxIter cached block sets accumulate
+    // for the life of the job). Direct extraction, not a persistent-RDD-map
+    // delta: a concurrent job persisting its own RDDs between snapshots must
+    // never have ITS blocks freed by this loop.
+    def checkpointOwning(df: DataFrame, eager: Boolean)
+        : (DataFrame, Option[org.apache.spark.rdd.RDD[_]]) = {
       val out = df.localCheckpoint(eager)
-      (out, sc.getPersistentRDDs.keySet.toSet -- before)
+      val rdd = out.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
+      (out, rdd)
     }
-    var (labels, prevRoundIds) = checkpointOwning(
+    var (labels, prevRoundRdd) = checkpointOwning(
       und.select(col("a").as("id")).distinct().withColumn("label", col("id")),
       eager = false)
 
@@ -84,7 +87,7 @@ object GraphOps {
       // round, so rounds-to-fixpoint is O(log diameter), not O(diameter) —
       // an adversarial long chain converges well inside maxIter instead of
       // silently exhausting it.
-      val (next, nextIds) = checkpointOwning(
+      val (next, nextRdd) = checkpointOwning(
         propagated.as("x")
           .join(propagated.select(col("id").as("label"), col("label").as("ll")).as("y"),
             Seq("label"), "left")
@@ -95,8 +98,8 @@ object GraphOps {
         .where(col("label") =!= col("old"))
         .limit(1)
         .count() > 0
-      prevRoundIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
-      prevRoundIds = nextIds
+      prevRoundRdd.foreach(_.unpersist(false))
+      prevRoundRdd = nextRdd
       labels = next
       converged = !changed
     }

@@ -227,13 +227,29 @@ private[sources] case class SodaPagePartition(offset: Long, sequential: Boolean)
   * pushed-down COUNT(*) scan.
   */
 private[sources] object SodaCount {
+  /** Strict parse: the response must be a one-element array whose single
+    * object carries one numeric field (`[{"count":"N"}]`). Anything else —
+    * an empty array, a page of rows from a server that ignored `$select`, a
+    * non-numeric field — throws instead of silently returning a wrong count:
+    * this is the one code path where the server's answer IS the result (the
+    * other pushdowns are hints with client-side residual correctness).
+    */
   def fetch(opts: SodaOptions, where: Option[String]): Long = {
     val params = Seq("$select" -> "count(1)") ++ where.map("$where" -> _)
     val body = new SodaHttp(opts).get(params)
-    new ObjectMapper().readTree(body).elements().asScala.toSeq.headOption
-      .flatMap(o => o.fields().asScala.toSeq.headOption)
-      .map(_.getValue.asText().toLong)
-      .getOrElse(0L)
+    val root = new ObjectMapper().readTree(body)
+    val rows = if (root != null && root.isArray) root.elements().asScala.toSeq else Seq.empty
+    val fields = rows.headOption.map(_.fields().asScala.toSeq).getOrElse(Seq.empty)
+    if (rows.length != 1 || fields.length != 1)
+      throw new java.io.IOException(
+        s"server did not honor $$select=count(1) at ${opts.url}: expected " +
+          s"[{count: N}], got ${body.take(200)}")
+    try fields.head.getValue.asText().toLong
+    catch {
+      case _: NumberFormatException =>
+        throw new java.io.IOException(
+          s"non-numeric count(1) response at ${opts.url}: ${body.take(200)}")
+    }
   }
 }
 

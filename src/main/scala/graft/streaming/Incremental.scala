@@ -159,17 +159,18 @@ object Incremental {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
+        if (!batch.isEmpty)
           graft.ext.DedupStore.ingestBatch(spark, batch, storePath, threshold)
-          // Periodic compaction from the single ingest owner (safe spot for
-          // the store's delete-and-rename swap): every ingest appends small
-          // files, and without this the probe's file listing grows without
-          // bound over a long-lived stream. Keyed to batchId so a replayed
-          // batch re-compacts harmlessly instead of double-counting.
-          if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
-            graft.ext.DedupStore.compact(spark, storePath)
-          ()
-        }
+        // Periodic compaction from the single ingest owner (safe spot for
+        // the store's rename-aside swap): every ingest appends small files,
+        // and without this the probe's file listing grows without bound over
+        // a long-lived stream. Outside the isEmpty guard — an empty batch at
+        // the compaction slot must not defer it another compactEvery
+        // batches — and keyed to batchId so a replayed batch re-compacts
+        // harmlessly instead of double-counting.
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+          graft.ext.DedupStore.compact(spark, storePath)
+        ()
       }
       .start()
   }

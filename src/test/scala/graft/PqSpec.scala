@@ -50,6 +50,17 @@ class PqSpec extends SparkSpec {
     assert(out.forall(_.getSeq[Int](1).forall(c => c >= 0 && c < 8)), "codes index the codebook")
   }
 
+  test("encode rejects vectors whose dimension does not match the model") {
+    val model = Pq.train(df, "v", m = 4, k = 8)
+    val short = Seq((0L, Array.fill(12)(1.0f))).toDF("id", "v")
+    val e = intercept[org.apache.spark.SparkException] {
+      Pq.encode(short, "id", "v", model).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t: Throwable)(_.getCause).takeWhile(_ != null).map(_.getMessage).toSeq
+    assert(chain(e).exists(m => m != null && m.contains("does not match PQ model dim")))
+  }
+
   test("ADC top-k recall@1 vs brute-force cosine on separated clusters") {
     val model = Pq.train(df, "v", m = 4, k = 16, seed = 7L)
     val encoded = Pq.encode(df, "id", "v", model).cache()

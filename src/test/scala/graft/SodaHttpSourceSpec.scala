@@ -20,7 +20,7 @@ class SodaHttpSourceSpec extends SparkSpec {
     * residual filters when a server ignores the hint). Offsets listed in
     * `failFirst` return one 500 before succeeding — exercises retry.
     */
-  private class FakeSoda(failFirst: Set[Long]) {
+  private class FakeSoda(failFirst: Set[Long], honorCount: Boolean = true) {
     val rows: Seq[Map[String, String]] = (0 until 25).map { i =>
       Map(
         "crash_record_id" -> s"c$i",
@@ -49,7 +49,7 @@ class SodaHttpSourceSpec extends SparkSpec {
         val limit = params.getOrElse("$limit", "1000").toInt
         val cols = params.get("$select").map(_.split(",\\s*").toSeq)
         val body =
-          if (params.get("$select").exists(_.startsWith("count"))) {
+          if (params.get("$select").exists(_.startsWith("count")) && honorCount) {
             s"""[{"count":"${rows.length}"}]"""
           } else {
             rows.slice(offset.toInt, offset.toInt + limit)
@@ -120,6 +120,21 @@ class SodaHttpSourceSpec extends SparkSpec {
       val plan = df.groupBy().count().queryExecution.executedPlan.toString
       assert(!plan.contains("HashAggregate") || plan.contains("SodaHttpCountScan"),
         s"pushed scan expected in plan:\n$plan")
+    } finally s.stop()
+  }
+
+  test("a server that ignores $select=count(1) fails the pushed count loudly, never returns 0") {
+    // This is the one path where the server's answer IS the result, so a
+    // non-conforming response must throw, not silently undercount.
+    val s = new FakeSoda(Set.empty, honorCount = false)
+    try {
+      val e = intercept[org.apache.spark.SparkException] {
+        reader(s).option("maxRetries", 0).load().count()
+      }
+      def chain(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).toSeq
+      assert(chain(e).exists(m => m != null && m.contains("did not honor")),
+        s"expected the strict-parse error, got: ${chain(e).mkString(" | ")}")
     } finally s.stop()
   }
 
