@@ -43,6 +43,24 @@ object Bench {
         org.apache.spark.sql.functions.broadcast(li.limit(10).select("l_orderkey")),
         "l_orderkey").count()
     }
+    // Ambient-load calibration: a fixed, IO-free, CPU-bound job (4M xxhash64
+    // over `cpus` partitions) whose quiet-box runtime is a recorded constant.
+    // Min-of-3 defends each query against transient spikes but not against
+    // SUSTAINED box contention (round-4 history: recorded 48.6s vs 23.8s on a
+    // quiet box, uniform ~2x inflation). The ratio of the measured
+    // calibration time to the recorded constant is emitted as "load_factor"
+    // in both JSON lines so a contended run is self-explaining: load_factor
+    // ~1 means the walltime tracks the engine; ~2 means the box, not the
+    // code, doubled. Run before AND after the sweep (min of all runs) so a
+    // load ramp mid-run is still visible.
+    val calibQuietSec = 0.045 // recorded quiet local[32] floor (fully-warm min)
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 4L << 20, 1L, cpus.toInt)
+        .selectExpr("max(xxhash64(id)) AS h").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibBefore = Seq.fill(3)(calibrate())
     val wall0 = System.nanoTime()
     // Stable name order so per-query timings are comparable across rounds
     // (Map iteration order would shuffle which query absorbs residual warmup).
@@ -66,6 +84,10 @@ object Bench {
       (name, times.toSeq, err, delta)
     }
     val walltime = (System.nanoTime() - wall0) / 1e9
+    val calibAfter = Seq.fill(3)(calibrate())
+    val calibRuns = calibBefore ++ calibAfter
+    val calibSec = calibRuns.min
+    val loadFactor = calibSec / calibQuietSec
     def fmt(d: Double): String = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, ts, _, _) => s"\"" + k + "\":" + fmt(ts.min) }
       .mkString("{", ",", "}")
@@ -84,10 +106,17 @@ object Bench {
       "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ") + "\""
     }.mkString("{", ",", "}")
     val total = results.map(_._2.min).sum
+    // Contention-insensitive secondary headline: total executor CPU seconds
+    // per run (task CPU is work the engine did regardless of how the
+    // scheduler interleaved it with a noisy neighbor).
+    val cpuTotal = results.map { case (_, ts, _, d) =>
+      d.cpuTimeMs / 1000.0 / math.max(1, ts.length)
+    }.sum
+    val calibJson = s"""{"sec":${fmt(calibSec)},"quiet_ref":${fmt(calibQuietSec)},"runs":${calibRuns.map(fmt).mkString("[", ",", "]")}}"""
     results.foreach { case (k, _, err, _) =>
       err.foreach(e => System.err.println(s"BENCH FAILURE $k: $e"))
     }
-    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$runsJson,"walltime":${fmt(walltime)},"metrics":$metricsJson,"errors":$errs,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$runsJson,"walltime":${fmt(walltime)},"cpu_total":${fmt(cpuTotal)},"load_factor":${fmt(loadFactor)},"calibration":$calibJson,"metrics":$metricsJson,"errors":$errs,"sf":"$sfDir"}"""
     // The round artifact is captured from the TAIL of sbt output (last ~2000
     // chars), so the full blob above would truncate mid-line and parse as
     // null (this lost the round-3 number). Persist the full result to a file
@@ -106,7 +135,7 @@ object Bench {
     // — the exact truncation this summary exists to avoid); messages live in
     // target/bench.json and on stderr
     val nErrs = results.count(_._3.isDefined)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"walltime":${fmt(walltime)},"n_errors":$nErrs,"sf":"$sfDir","detail":"target/bench.json"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"walltime":${fmt(walltime)},"cpu_total":${fmt(cpuTotal)},"load_factor":${fmt(loadFactor)},"n_errors":$nErrs,"sf":"$sfDir","detail":"target/bench.json"}""")
     if (results.exists(_._3.isDefined)) { spark.stop(); sys.exit(1) }
     spark.stop()
   }

@@ -42,11 +42,27 @@ object Pq {
   def train(corpus: DataFrame, vecCol: String, m: Int, k: Int,
       sampleFraction: Double = 1.0, seed: Long = 42L,
       iters: Int = 10, maxSample: Int = 16384): Model = {
-    val sampled =
-      (if (sampleFraction < 1.0) corpus.sample(withReplacement = false, sampleFraction, seed)
-       else corpus)
-        .select(vecCol).limit(maxSample).collect()
-        .map(_.getSeq[Float](0).toArray)
+    // Content-stable sampling (the p12 trick): an unordered `limit` takes
+    // whatever rows arrive first, which varies with partition layout — the
+    // "deterministic under a fixed seed" claim would only hold for one
+    // physical plan. Both the fraction thinning and the maxSample cut key on
+    // a seeded hash of the vector CONTENT, so the training set — and
+    // therefore the codebooks, codes, and recall — is identical across
+    // repartitions, parallelism levels, and cluster topologies. Null
+    // embeddings can't train a quantizer and are skipped (the PERMISSIVE
+    // posture shared with encode).
+    val vc = col(vecCol)
+    val h = xxhash64(vc, lit(seed))
+    val thinned =
+      if (sampleFraction < 1.0)
+        corpus.where(pmod(h, lit(1000000L)) < lit(math.round(sampleFraction * 1000000L)))
+      else corpus
+    val sampled = thinned
+      .where(vc.isNotNull)
+      .select(vc)
+      .orderBy(xxhash64(col(vecCol), lit(seed)), col(vecCol))
+      .limit(maxSample).collect()
+      .map(_.getSeq[Float](0).toArray)
     require(sampled.nonEmpty, "PQ training sample is empty")
     val dim = sampled.head.length
     require(dim % m == 0, s"dim $dim must divide into m=$m blocks")
@@ -106,7 +122,12 @@ object Pq {
     */
   def encode(df: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame = {
     val enc = RowEncoder.encoderFor(codeSchema)
-    df.select(col(idCol).cast("long"), col(vecCol)).mapPartitions { it =>
+    // A null embedding has no codes; skip the row (PERMISSIVE posture —
+    // matching Multimodal's corrupt-record handling) instead of NPE-ing the
+    // task on getSeq(null).toArray. A WRONG-dim vector still fails loudly
+    // below: null means "absent", short means "schema drift".
+    df.where(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long"), col(vecCol)).mapPartitions { it =>
       it.map { r =>
         val v = r.getSeq[Float](1).toArray
         // copyOfRange would silently zero-pad a short vector into plausible
@@ -138,7 +159,12 @@ object Pq {
       model: Model, k: Int): DataFrame = {
     val spark = encoded.sparkSession
     val qRows = queries.select(col(idCol).cast("long"), col(vecCol)).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .map { r =>
+        // a query with no vector is caller error, not skippable data
+        require(!r.isNullAt(1),
+          s"adcTopK query id=${r.getLong(0)} has a null $vecCol — queries must carry a vector")
+        (r.getLong(0), r.getSeq[Float](1).toArray)
+      }
     require(qRows.nonEmpty, "adcTopK needs at least one query vector")
     val qB = spark.sparkContext.broadcast(qRows)
     val enc = RowEncoder.encoderFor(scoredSchema)

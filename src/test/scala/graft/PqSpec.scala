@@ -42,6 +42,33 @@ class PqSpec extends SparkSpec {
     assert(m1.codebooks.flatten.flatten.toSeq == m2.codebooks.flatten.flatten.toSeq)
   }
 
+  test("codebooks are identical across partition layouts (content-stable sample)") {
+    // an unordered limit() would take partition-arrival order — repartition(7)
+    // must not change which rows train the quantizer
+    val m1 = Pq.train(df, "v", m = 4, k = 8, seed = 7L)
+    val m2 = Pq.train(df.repartition(7), "v", m = 4, k = 8, seed = 7L)
+    val m3 = Pq.train(df.repartition(3, col("id")), "v", m = 4, k = 8, seed = 7L,
+      sampleFraction = 0.9)
+    val m4 = Pq.train(df.coalesce(1), "v", m = 4, k = 8, seed = 7L, sampleFraction = 0.9)
+    assert(m1.codebooks.flatten.flatten.toSeq == m2.codebooks.flatten.flatten.toSeq,
+      "full-corpus training set must be layout-independent")
+    assert(m3.codebooks.flatten.flatten.toSeq == m4.codebooks.flatten.flatten.toSeq,
+      "fraction thinning must key on content, not partition+seed")
+  }
+
+  test("null embeddings are skipped by train/encode; a null QUERY vector fails loudly") {
+    val withNulls = clustered.map { case (i, v) => (i, if (i % 7 == 0) null else v) }
+      .toDF("id", "v")
+    val model = Pq.train(withNulls, "v", m = 4, k = 8, seed = 7L)
+    val out = Pq.encode(withNulls, "id", "v", model).collect()
+    assert(out.length == clustered.count(_._1 % 7 != 0), "null rows skipped, not NPE")
+    val e = intercept[IllegalArgumentException] {
+      Pq.adcTopK(Pq.encode(df, "id", "v", model),
+        Seq((0L, null: Array[Float])).toDF("id", "v"), "id", "v", model, k = 1)
+    }
+    assert(e.getMessage.contains("null v"), s"clear message, got: ${e.getMessage}")
+  }
+
   test("codes compress dim*4 bytes to m small ints") {
     val model = Pq.train(df, "v", m = 4, k = 8)
     val out = Pq.encode(df, "id", "v", model).collect()
