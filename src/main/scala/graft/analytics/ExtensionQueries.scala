@@ -133,6 +133,67 @@ object ExtensionQueries {
        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b FROM bands x
        |  JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)""".stripMargin
 
+  // ---- PQ fixed codebook (pq_adc_topk) -------------------------------------
+  // A SEEDED CONSTANT codebook, not one trained from data: `oracleSql` is a
+  // static string shared across scale factors, so the model inlined into it
+  // must be data-independent. Centroids are uniform in [-0.3, 0.3] — the
+  // embeddings fixture's value range — so codes genuinely spread across the
+  // codebook. Training determinism/quality is PqSpec's job; this query gates
+  // the DISTRIBUTED legs (per-block argmin encode, ADC LUT scan, k-bounded
+  // re-rank) bitwise against DuckDB.
+  //
+  // f32 bitwise contract with the oracle: Pq's hot loops compute
+  // `x = q(t) - cent(t)` and `x * x` in Float and ACCUMULATE in Double.
+  // DuckDB REAL ops are IEEE f32 (FLOAT-FLOAT stays FLOAT), Float.toString
+  // round-trips through CAST('…' AS REAL), and left-assoc `+` chains match
+  // the while-loop accumulation order — so both engines produce identical
+  // doubles (verified over 500 random operand pairs).
+  private val pqM = 4
+  private val pqK = 4
+  private val pqDim = 16
+  private lazy val pqModel: graft.ext.Pq.Model = {
+    val rng = new scala.util.Random(1105L)
+    graft.ext.Pq.Model(pqM, pqK, pqDim,
+      Array.fill(pqM, pqK, pqDim / pqM)(rng.nextFloat() * 0.6f - 0.3f))
+  }
+
+  private def pqLit(f: Float): String = s"CAST('${java.lang.Float.toString(f)}' AS REAL)"
+
+  /** `|block j of v  -  centroid c|^2` with f32 products widened to DOUBLE and
+    * summed left-assoc — the exact arithmetic of `Pq.nearest`/the ADC LUT.
+    */
+  private def pqDistExpr(j: Int, c: Int): String = {
+    val sub = pqDim / pqM
+    (0 until sub).map { t =>
+      val idx = j * sub + t + 1
+      val cl = pqLit(pqModel.codebooks(j)(c)(t))
+      s"CAST((v[$idx] - $cl) * (v[$idx] - $cl) AS DOUBLE)"
+    }.mkString(" + ")
+  }
+
+  private lazy val pqOracleSql: String = {
+    val lists = (0 until pqM).map { j =>
+      "  [" + (0 until pqK).map(c => pqDistExpr(j, c)).mkString(",\n   ") + s"] AS l$j"
+    }.mkString(",\n")
+    val codes = (0 until pqM)
+      .map(j => s"list_position(l$j, list_min(l$j)) AS c$j").mkString(", ")
+    val adc = "-(" + (0 until pqM).map(j => s"q.l$j[c.c$j]").mkString(" + ") + ")"
+    s"""WITH e AS (SELECT vec_id, embedding[1:$pqDim] AS v FROM embeddings),
+       |dl AS (SELECT vec_id,
+       |$lists
+       |  FROM e),
+       |enc AS (SELECT vec_id, $codes FROM dl),
+       |scored AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS vec_id, $adc AS adc
+       |  FROM dl q JOIN enc c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 10),
+       |ranked AS (
+       |  SELECT qid, vec_id, adc,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT qid, rank, vec_id, adc FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     // ------------------------------------------------------------- dedup ops
     Q(
@@ -451,6 +512,19 @@ object ExtensionQueries {
              |      vec_id) AS rank
              |  FROM e JOIN q ON vec_id <> qid)
              |SELECT qid, rank, vec_id, cos FROM scored WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)
+    ),
+    Q(
+      "pq_adc_topk",
+      "Product-quantization ANN: per-block argmin encode to m=4 codes over the leading 16 dims, then ADC top-5 (per-query centroid-distance LUT, negated approx L2). The codebook is a SEEDED CONSTANT (not trained): the oracle is one static SQL string across scale factors, so the model must be data-independent — k-means training is pinned by PqSpec; this row gates the distributed legs (encode + ADC search) bitwise, f32 arithmetic mirrored on both sides",
+      (s, d) => {
+        val emb = embeddings(s, d).selectExpr("vec_id", "slice(embedding, 1, 16) AS v16")
+        val encoded = graft.ext.Pq.encode(emb, "vec_id", "v16", pqModel)
+        graft.ext.Pq
+          .adcTopK(encoded, emb.where(col("vec_id") < 10), "vec_id", "v16", pqModel, k = 5)
+          .selectExpr("qid", "rank", "id AS vec_id", "score AS adc")
+          .orderBy("qid", "rank")
+      },
+      Some(pqOracleSql)
     ),
     Q(
       "e1_quantize_int8",

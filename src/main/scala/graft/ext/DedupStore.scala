@@ -27,6 +27,55 @@ object DedupStore {
 
   final case class IngestReport(accepted: Long, withinBatchDups: Long, storeDups: Long)
 
+  import org.apache.spark.sql.types._
+
+  // The store's on-disk contract. Reads pin these instead of inferring: a
+  // foreign or corrupt file in bands/ or shingles/ must fail as "the store is
+  // corrupt", not as a schema-merge/analysis error deep inside whatever
+  // stream happened to touch it next. (`band` is the partition column.)
+  private[ext] val bandSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("bkey", StringType),
+    StructField("band", IntegerType)))
+  private[ext] val shingleSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("sh", ArrayType(StringType))))
+
+  /** Read one store side with the declared schema, after an explicit
+    * all-footers compatibility sweep (mergeSchema=true — one parallel
+    * footer-reading job, bounded by [[compact]]'s file-count discipline).
+    * Without the sweep a pinned-schema read silently null-fills columns a
+    * foreign parquet file lacks; with it, any alien, mistyped, or truncated
+    * file surfaces here, eagerly, as a store-shaped error naming the
+    * directory.
+    */
+  private def readStore(spark: SparkSession, path: String, side: String,
+      declared: StructType): DataFrame = {
+    val dir = s"$path/$side"
+    val want = declared.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")
+    try {
+      val inferred = spark.read.option("mergeSchema", "true").parquet(dir).schema
+      // exact-set match, both directions: a missing/mistyped column is an
+      // incompatible file, and an EXTRA column is a foreign file whose rows
+      // the pinned read would otherwise silently null-fill (mergeSchema
+      // unions disjoint schemas without conflict, so presence alone is not
+      // enough)
+      val bad = declared.filter(f =>
+        inferred.find(_.name == f.name).forall(_.dataType != f.dataType))
+      val extra = inferred.filterNot(f => declared.exists(_.name == f.name))
+      require(bad.isEmpty && extra.isEmpty,
+        s"missing/mistyped columns [${bad.map(_.name).mkString(", ")}], " +
+          s"foreign columns [${extra.map(_.name).mkString(", ")}] " +
+          s"(found: ${inferred.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")})")
+      spark.read.schema(declared).parquet(dir)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        throw new IllegalStateException(
+          s"dedup store corrupt at $dir — expected ($want); " +
+            s"remove the offending file or rebuild the store: ${e.getMessage}", e)
+    }
+  }
+
   private def exists(spark: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
@@ -96,10 +145,10 @@ object DedupStore {
     }
     // hash-repartition on band: each band value lands in exactly one task, so
     // the partitioned write emits one file per band directory
-    spark.read.parquet(s"$path/bands").distinct()
+    readStore(spark, path, "bands", bandSchema).distinct()
       .repartition(col("band"))
       .write.mode(SaveMode.Overwrite).partitionBy("band").parquet(s"$path/.bands_compact")
-    spark.read.parquet(s"$path/shingles").distinct()
+    readStore(spark, path, "shingles", shingleSchema).distinct()
       .repartition(targetFiles)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/.shingles_compact")
     swap(s"$path/.shingles_compact", s"$path/shingles")
@@ -120,12 +169,12 @@ object DedupStore {
         .withColumn("dup_of", lit(null).cast("long"))
     val newBands = MinHash.bands(sigs)
     val storeBands = Similarity.capBuckets(
-      spark.read.parquet(s"$path/bands"), Seq("band", "bkey"), maxBucket)
+      readStore(spark, path, "bands", bandSchema), Seq("band", "bkey"), maxBucket)
     val cands = newBands.as("n")
       .join(storeBands.as("o"), expr("n.band = o.band AND n.bkey = o.bkey"))
       .select(col("n.doc_id").as("id"), col("o.doc_id").as("old_id"))
       .distinct()
-    val storeShingles = spark.read.parquet(s"$path/shingles")
+    val storeShingles = readStore(spark, path, "shingles", shingleSchema)
       .select(col("doc_id").as("old_id"), col("sh").as("osh"))
     cands
       .join(sigs.select(col("doc_id").as("id"), col("sh")), Seq("id"))

@@ -11,10 +11,10 @@ import org.apache.spark.sql.types._
   * transforms (`mapPartitions` — the Scala analog of `mapInPandas`: one
   * iterator per partition, amortizing per-batch decoder setup).
   *
-  * Codec dispatch: PNG/BMP payloads (sniffed by magic bytes) decode for REAL
-  * through the JDK's `javax.imageio` ([[ImageCodec]] — pixel dimensions, mean
-  * luminance, grid-pooled pixel features, resample + re-encode). Formats the
-  * JVM cannot decode (JPEG-less containers, audio, video) fall back to
+  * Codec dispatch: PNG/JPEG/BMP payloads (sniffed by magic bytes) decode for
+  * REAL through the JDK's `javax.imageio` ([[ImageCodec]] — pixel dimensions,
+  * mean luminance, grid-pooled pixel features, resample + re-encode). Formats
+  * the JVM cannot decode (audio, video, exotic containers) fall back to
   * [[StubCodec]], a deterministic fake standing in for libjpeg/ffmpeg.
   * Everything Spark-side is shared between the two: the schema contract, the
   * partition batching, null/corrupt-row tolerance, and the deterministic
@@ -67,9 +67,10 @@ object Multimodal {
   }
 
   /** REAL image codec over the JDK's pure-JVM `javax.imageio` readers —
-    * PNG and BMP need no native library. Corrupt payloads that carry a valid
-    * magic are tolerated (`read` returns None), matching the PERMISSIVE
-    * posture of the batched transforms.
+    * PNG, JPEG and BMP need no native library (every JDK ships a JPEG
+    * reader). Corrupt payloads that carry a valid magic are tolerated
+    * (`read` returns None), matching the PERMISSIVE posture of the batched
+    * transforms.
     */
   object ImageCodec {
     private val pngMagic = Array(0x89, 0x50, 0x4e, 0x47).map(_.toByte)
@@ -79,6 +80,9 @@ object Multimodal {
       if (bytes == null) None
       else if (bytes.length >= 8 && bytes.view.take(4).toArray.sameElements(pngMagic))
         Some("image/png")
+      else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff &&
+        (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff)
+        Some("image/jpeg")
       else if (bytes.length >= 2 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte)
         Some("image/bmp")
       else None

@@ -33,16 +33,41 @@ object Similarity {
   final class TopK(k: Int) extends Aggregator[Scored, List[Scored], List[Scored]] {
     override def zero: List[Scored] = Nil
 
+    // buffer invariant: sorted descending by score, ties ascending by id
+    // (deterministic), length <= k. Every ANN path funnels through this
+    // aggregator, so the per-row cost is the hot loop of the whole family:
+    // once the buffer is full, the overwhelming majority of candidates lose
+    // to the current minimum and must cost one comparison, not a k log k
+    // re-sort of the buffer.
+    private def beats(s: Scored, x: Scored): Boolean =
+      s.score > x.score || (s.score == x.score && s.id < x.id)
+
     private def insert(buf: List[Scored], s: Scored): List[Scored] = {
-      // descending by score, ties broken by ascending id (deterministic)
-      val merged = (s :: buf).sortBy(x => (-x.score, x.id))
-      if (merged.length > k) merged.take(k) else merged
+      if (buf.lengthCompare(k) >= 0 && !beats(s, buf.last)) return buf
+      // insertion at sorted position: O(position), no re-sort, no tuple allocs
+      val (hi, lo) = buf.span(x => !beats(s, x))
+      val merged = hi ::: s :: lo
+      if (merged.lengthCompare(k) > 0) merged.take(k) else merged
     }
 
     override def reduce(buf: List[Scored], in: Scored): List[Scored] = insert(buf, in)
 
-    override def merge(a: List[Scored], b: List[Scored]): List[Scored] =
-      (a ++ b).sortBy(x => (-x.score, x.id)).take(k)
+    // both sides hold the invariant — linear merge, truncated at k
+    override def merge(a: List[Scored], b: List[Scored]): List[Scored] = {
+      val out = List.newBuilder[Scored]
+      var x = a
+      var y = b
+      var n = 0
+      while (n < k && (x.nonEmpty || y.nonEmpty)) {
+        if (y.isEmpty || (x.nonEmpty && !beats(y.head, x.head))) {
+          out += x.head; x = x.tail
+        } else {
+          out += y.head; y = y.tail
+        }
+        n += 1
+      }
+      out.result()
+    }
 
     override def finish(buf: List[Scored]): List[Scored] = buf
 
@@ -128,10 +153,17 @@ object Similarity {
     * `KMeansModel.transform` pass (a broadcast of nlist centroids, no
     * shuffle). Deterministic under a fixed seed.
     */
+  /** Count of k-means fits, incremented by [[ivfIndex]] — the observable that
+    * lets SimilaritySpec pin "probing a prebuilt index never retrains" (and a
+    * cheap production metric for index-build amortization).
+    */
+  val kmeansFits = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def ivfIndex(prepared: DataFrame, nlist: Int, seed: Long = 42L,
       trainFraction: Double = 1.0): (DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    kmeansFits.incrementAndGet()
     val spark = prepared.sparkSession
     import spark.implicits._
     val featurized = prepared.withColumn("__fv", array_to_vector(col("v")))
@@ -159,9 +191,20 @@ object Similarity {
   def ivfTopK(prepared: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
       trainFraction: Double = 1.0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    GraftFunctions.register(prepared.sparkSession)
     val (assigned, centroids) = ivfIndex(prepared, nlist, seed, trainFraction)
+    ivfTopKWithIndex(assigned, centroids, queries, k, nprobe)
+  }
+
+  /** Probe a PREBUILT IVF index — the amortized shape: at corpus scale the
+    * quantizer is trained once ([[ivfIndex]]) and reused across thousands of
+    * query batches; fusing build+probe (as [[ivfTopK]] does for one-shot
+    * convenience) would pay the k-means fit on every call. Pure DataFrame
+    * transformation: no fit, no driver-side state beyond the plan.
+    */
+  def ivfTopKWithIndex(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(assigned.sparkSession)
     val q = queries.select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
     // argmin_cell ||q - c||^2 = argmin_cell (c.c - 2 q.c): the |q|^2 term is
     // constant per query, so it never affects the ranking.

@@ -79,10 +79,16 @@ object GraphOps {
         .groupBy("a")
         .agg(min("label").as("nbl"))
         .withColumnRenamed("a", "id")
-      val propagated = labels
-        .join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbl"), col("label"))).as("label"))
+      // Checkpoint the propagation result BEFORE the pointer-jump self-join:
+      // the self-join references it twice, and without a materialization
+      // barrier the neighbor-min join + aggregate above (the expensive
+      // per-round shuffle) would be recomputed once per join side.
+      val (propagated, propRdd) = checkpointOwning(
+        labels
+          .join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nbl"), col("label"))).as("label")),
+        eager = false)
       // Pointer jumping (label := label of label): labels chase two hops per
       // round, so rounds-to-fixpoint is O(log diameter), not O(diameter) —
       // an adversarial long chain converges well inside maxIter instead of
@@ -99,6 +105,8 @@ object GraphOps {
         .limit(1)
         .count() > 0
       prevRoundRdd.foreach(_.unpersist(false))
+      // `next` is eagerly materialized above, so the jump input is dead here
+      propRdd.foreach(_.unpersist(false))
       prevRoundRdd = nextRdd
       labels = next
       converged = !changed

@@ -133,9 +133,15 @@ private[sources] class SodaScanBuilder(fullSchema: StructType, opts: SodaOptions
     * (streamlit_frontend.py:455). Every filter stays residual in this source
     * (post-scan), so Catalyst only attempts the aggregate push on filterless
     * plans; `sawFilters` double-guards against that invariant drifting.
+    *
+    * A `pages` option bounds the SCAN at pages*pageSize rows, but the server
+    * count is unbounded — pushing it would make `df.count()` disagree with
+    * `df.collect().length` on the same DataFrame. With a page bound the
+    * aggregate falls back to the regular (bounded) scan.
     */
   private def isGlobalCountStar(agg: Aggregation): Boolean =
     !sawFilters &&
+      opts.pages.isEmpty &&
       agg.groupByExpressions.isEmpty &&
       agg.aggregateExpressions.length == 1 &&
       agg.aggregateExpressions()(0).isInstanceOf[CountStar]

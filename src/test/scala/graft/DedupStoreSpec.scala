@@ -73,6 +73,30 @@ class DedupStoreSpec extends SparkSpec {
     assert(r.accepted == 0 && r.storeDups == 1)
   }
 
+  test("an alien file in the store fails store-shaped, eagerly, naming the directory") {
+    val path = tmpDir("dstore-alien") + "/store"
+    val docs = Seq((1L, baseText)).toDF("doc_id", "text")
+    DedupStore.ingestBatch(spark, docs, path)
+    val sigs = MinHash.signatures(Seq((2L, baseText + " x")).toDF("doc_id", "text"), Seq("doc_id"))
+
+    // case 1: a non-parquet file dropped into shingles/
+    val junk = new java.io.File(s"$path/shingles/part-junk.parquet")
+    java.nio.file.Files.write(junk.toPath, "not a parquet file".getBytes)
+    val e1 = intercept[IllegalStateException] { DedupStore.probe(spark, sigs, path).count() }
+    assert(e1.getMessage.contains(s"dedup store corrupt at $path/shingles"), e1.getMessage)
+    assert(junk.delete())
+
+    // case 2: a well-formed parquet file with a foreign schema in bands/ —
+    // schema inference without the sweep would silently null-fill doc_id
+    Seq(("oops", 1.5)).toDF("who", "what")
+      .write.mode("append").parquet(s"$path/bands/band=0")
+    val e2 = intercept[IllegalStateException] { DedupStore.probe(spark, sigs, path).count() }
+    assert(e2.getMessage.contains(s"dedup store corrupt at $path/bands"), e2.getMessage)
+    // compact goes through the same pinned read
+    val e3 = intercept[IllegalStateException] { DedupStore.compact(spark, path) }
+    assert(e3.getMessage.contains("dedup store corrupt"), e3.getMessage)
+  }
+
   test("probe on a missing store is empty (bootstrap case)") {
     val sigs = MinHash.signatures(Seq((9L, baseText)).toDF("doc_id", "text"), Seq("doc_id"))
     assert(DedupStore.probe(spark, sigs, tmpDir("dstore-none") + "/nope").count() == 0)

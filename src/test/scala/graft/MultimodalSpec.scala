@@ -78,6 +78,28 @@ class MultimodalSpec extends SparkSpec {
     assert(real.getAs[Int]("n_bytes") == png.length, "payload byte stats still present")
   }
 
+  test("decodeBatched decodes a real JPEG (FF D8 FF magic -> JDK reader, not the stub)") {
+    // a solid-color image: JPEG is lossy, but a uniform field survives DCT
+    // quantization near-exactly, so dims are exact and luma is close
+    val img = new java.awt.image.BufferedImage(6, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 6) img.setRGB(x, y, 0x808080)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", out), "JDK must ship a JPEG writer")
+    val jpeg = out.toByteArray
+    assert(jpeg.take(3).map(_ & 0xff).toSeq == Seq(0xff, 0xd8, 0xff), "fixture is a real JPEG")
+
+    val m = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(
+        10L, jpeg, org.apache.spark.sql.Row("application/octet-stream", 64, 64, 1000))),
+      Multimodal.mediaSchema)
+    val real = Multimodal.decodeBatched(m).collect()(0)
+    assert(real.getAs[String]("mime") == "image/jpeg", "sniffed mime wins over declared")
+    assert(real.getAs[Int]("width") == 6 && real.getAs[Int]("height") == 4,
+      "pixel dims must come from a real decode — the stub has no dims")
+    assert(math.abs(real.getAs[Double]("mean_luma") - 128.0) < 4.0,
+      s"uniform mid-gray must decode to ~128 luma, got ${real.getAs[Double]("mean_luma")}")
+  }
+
   test("real-image resize re-encodes: decoding the output yields the new dimensions") {
     val m = spark.createDataFrame(
       java.util.List.of(org.apache.spark.sql.Row(9L, tinyPng(), org.apache.spark.sql.Row("image/png", 2, 2, null))),

@@ -149,6 +149,45 @@ class SimilaritySpec extends SparkSpec {
       s"ivf windows must rank centroids only, got: ${windowLines.mkString("; ")}")
   }
 
+  test("ivfTopKWithIndex probes a prebuilt index without retraining the quantizer") {
+    val before = Similarity.kmeansFits.get()
+    val (assigned, centroids) = Similarity.ivfIndex(prepared, nlist = 4)
+    val a = assigned.cache()
+    a.count()
+    assert(Similarity.kmeansFits.get() == before + 1)
+    val q0 = prepared.where(col("id") === 0)
+    val q5 = prepared.where(col("id") === 5)
+    val p1 = Similarity.ivfTopKWithIndex(a, centroids, q0, k = 1, nprobe = 4).collect()
+    val p2 = Similarity.ivfTopKWithIndex(a, centroids, q5, k = 1, nprobe = 4).collect()
+    assert(p1.nonEmpty && p2.nonEmpty)
+    // the amortized contract: two probe batches, still exactly one fit
+    assert(Similarity.kmeansFits.get() == before + 1,
+      "probing a prebuilt index must never re-run k-means")
+    // and the fused one-shot ivfTopK matches the probe of its own index
+    val fused = Similarity.ivfTopK(prepared, q0, k = 1, nlist = 4, nprobe = 4).collect()
+    assert(fused(0).getAs[Long]("id") == p1(0).getAs[Long]("id"))
+    a.unpersist()
+  }
+
+  test("TopK fast-path insert matches a full sort on random streams (incl. duplicates)") {
+    // the O(1) reject path and in-place insertion must be behaviorally
+    // identical to sorting the whole stream — ties and all
+    val rnd = new scala.util.Random(3)
+    for (k <- Seq(1, 3, 10); trial <- 0 until 20) {
+      val items = Seq.fill(200)(Similarity.Scored(
+        (rnd.nextInt(40) / 10.0), rnd.nextInt(50).toLong))
+      val agg = new Similarity.TopK(k)
+      val viaAgg = items.foldLeft(agg.zero)(agg.reduce)
+      // split at a random point and merge partials — must agree too
+      val (l, r) = items.splitAt(rnd.nextInt(items.length))
+      val viaMerge = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      val expectWithDups = items.sortBy(x => (-x.score, x.id)).take(k)
+      assert(viaAgg == expectWithDups, s"k=$k trial=$trial reduce path")
+      assert(viaMerge == expectWithDups, s"k=$k trial=$trial merge path")
+    }
+  }
+
   test("bruteForceTopK handles k larger than the corpus") {
     val queries = prepared.where(col("id") === 5)
     val out = Similarity.bruteForceTopK(prepared, queries, k = 100).collect()

@@ -123,6 +123,19 @@ class SodaHttpSourceSpec extends SparkSpec {
     } finally s.stop()
   }
 
+  test("a page-bounded scan refuses the count pushdown so count() == collect().length") {
+    // with pages=2 the scan is bounded at 20 of the server's 25 rows; a
+    // pushed count(1) would answer 25 and disagree with the scan itself
+    val s = new FakeSoda(Set.empty)
+    try {
+      val df = reader(s).option("pages", 2).load()
+      assert(df.count() == 20, "count must honor the page bound")
+      assert(df.collect().length == 20)
+      assert(!s.seenParams.contains("$select=count(1)"),
+        "a bounded scan must never push the unbounded server count")
+    } finally s.stop()
+  }
+
   test("a server that ignores $select=count(1) fails the pushed count loudly, never returns 0") {
     // This is the one path where the server's answer IS the result, so a
     // non-conforming response must throw, not silently undercount.
