@@ -43,20 +43,24 @@ object Bench {
         org.apache.spark.sql.functions.broadcast(li.limit(10).select("l_orderkey")),
         "l_orderkey").count()
     }
-    // Ambient-load calibration: a fixed, IO-free, CPU-bound job (4M xxhash64
-    // over `cpus` partitions) whose quiet-box runtime is a recorded constant.
-    // Min-of-3 defends each query against transient spikes but not against
-    // SUSTAINED box contention (round-4 history: recorded 48.6s vs 23.8s on a
-    // quiet box, uniform ~2x inflation). The ratio of the measured
-    // calibration time to the recorded constant is emitted as "load_factor"
-    // in both JSON lines so a contended run is self-explaining: load_factor
-    // ~1 means the walltime tracks the engine; ~2 means the box, not the
-    // code, doubled. Run before AND after the sweep (min of all runs) so a
-    // load ramp mid-run is still visible.
-    val calibQuietSec = 0.045 // recorded quiet local[32] floor (fully-warm min)
+    // Ambient-load calibration: a fixed, IO-free, CPU-bound job (128k
+    // xxhash64 PER CORE over `cpus` partitions — per-core work is constant,
+    // so the quiet floor holds across cpu configs, not just local[32]) whose
+    // quiet-box runtime is a recorded constant. Min-of-3 defends each query
+    // against transient spikes but not against SUSTAINED box contention
+    // (round-4 history: recorded 48.6s vs 23.8s on a quiet box, uniform ~2x
+    // inflation). The ratio of the measured calibration time to the recorded
+    // constant is emitted as "load_factor" in both JSON lines so a contended
+    // run is self-explaining: load_factor ~1 means the walltime tracks the
+    // engine; ~2 means the box, not the code, doubled. Run 3x before AND 3x
+    // after the sweep, and take the WORSE of the two windows' minimums: a
+    // ramp that starts mid-sweep shows in the after-window, while a min over
+    // all six would let one quiet before-sample mask it (each window's min
+    // still discards transient per-run spikes).
+    val calibQuietSec = 0.045 // recorded quiet floor (fully-warm min, per-core-constant job)
     def calibrate(): Double = {
       val t0 = System.nanoTime()
-      spark.range(0L, 4L << 20, 1L, cpus.toInt)
+      spark.range(0L, cpus.toLong << 17, 1L, cpus.toInt)
         .selectExpr("max(xxhash64(id)) AS h").collect()
       (System.nanoTime() - t0) / 1e9
     }
@@ -86,7 +90,7 @@ object Bench {
     val walltime = (System.nanoTime() - wall0) / 1e9
     val calibAfter = Seq.fill(3)(calibrate())
     val calibRuns = calibBefore ++ calibAfter
-    val calibSec = calibRuns.min
+    val calibSec = math.max(calibBefore.min, calibAfter.min)
     val loadFactor = calibSec / calibQuietSec
     def fmt(d: Double): String = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, ts, _, _) => s"\"" + k + "\":" + fmt(ts.min) }
@@ -112,7 +116,7 @@ object Bench {
     val cpuTotal = results.map { case (_, ts, _, d) =>
       d.cpuTimeMs / 1000.0 / math.max(1, ts.length)
     }.sum
-    val calibJson = s"""{"sec":${fmt(calibSec)},"quiet_ref":${fmt(calibQuietSec)},"runs":${calibRuns.map(fmt).mkString("[", ",", "]")}}"""
+    val calibJson = s"""{"sec":${fmt(calibSec)},"quiet_ref":${fmt(calibQuietSec)},"cpus":$cpus,"runs":${calibRuns.map(fmt).mkString("[", ",", "]")}}"""
     results.foreach { case (k, _, err, _) =>
       err.foreach(e => System.err.println(s"BENCH FAILURE $k: $e"))
     }

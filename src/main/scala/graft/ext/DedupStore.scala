@@ -41,32 +41,59 @@ object DedupStore {
     StructField("doc_id", LongType),
     StructField("sh", ArrayType(StringType))))
 
-  /** Read one store side with the declared schema, after an explicit
-    * all-footers compatibility sweep (mergeSchema=true — one parallel
-    * footer-reading job, bounded by [[compact]]'s file-count discipline).
-    * Without the sweep a pinned-schema read silently null-fills columns a
-    * foreign parquet file lacks; with it, any alien, mistyped, or truncated
-    * file surfaces here, eagerly, as a store-shaped error naming the
-    * directory.
+  /** Data files already footer-swept, keyed by store directory. Driver-side,
+    * name-bounded state, sound under the store's documented single-writer
+    * assumption: once a file's footer passed the compatibility check it
+    * cannot change (parquet files are immutable; compact swaps in NEW
+    * names), so re-sweeping it buys nothing. The delta sweep keeps probe
+    * validation at O(files appended since the last probe) instead of
+    * O(total store files) per batch — the probe-cost contract.
+    */
+  private val sweptFiles = scala.collection.concurrent.TrieMap.empty[String, Set[String]]
+
+  /** Read one store side with the declared schema, after a footer
+    * compatibility sweep of every NOT-YET-SEEN data file (mergeSchema=true
+    * over just those files). Without the sweep a pinned-schema read silently
+    * null-fills columns a foreign parquet file lacks; with it, any alien,
+    * mistyped, or truncated file surfaces here, eagerly, as a store-shaped
+    * error naming the directory.
     */
   private def readStore(spark: SparkSession, path: String, side: String,
-      declared: StructType): DataFrame = {
+      declared: StructType, partitionCols: Set[String] = Set.empty): DataFrame = {
     val dir = s"$path/$side"
     val want = declared.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")
     try {
-      val inferred = spark.read.option("mergeSchema", "true").parquet(dir).schema
-      // exact-set match, both directions: a missing/mistyped column is an
-      // incompatible file, and an EXTRA column is a foreign file whose rows
-      // the pinned read would otherwise silently null-fill (mergeSchema
-      // unions disjoint schemas without conflict, so presence alone is not
-      // enough)
-      val bad = declared.filter(f =>
-        inferred.find(_.name == f.name).forall(_.dataType != f.dataType))
-      val extra = inferred.filterNot(f => declared.exists(_.name == f.name))
-      require(bad.isEmpty && extra.isEmpty,
-        s"missing/mistyped columns [${bad.map(_.name).mkString(", ")}], " +
-          s"foreign columns [${extra.map(_.name).mkString(", ")}] " +
-          s"(found: ${inferred.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")})")
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val files = {
+        val it = fs.listFiles(p, true)
+        val b = Seq.newBuilder[String]
+        while (it.hasNext) {
+          val n = it.next().getPath
+          if (!n.getName.startsWith("_") && !n.getName.startsWith(".")) b += n.toString
+        }
+        b.result()
+      }
+      val seen = sweptFiles.getOrElse(dir, Set.empty)
+      val fresh = files.filterNot(seen)
+      if (fresh.nonEmpty) {
+        // leaf-file read: no partition discovery, so check data columns only
+        val dataCols = declared.filterNot(f => partitionCols(f.name))
+        val inferred = spark.read.option("mergeSchema", "true").parquet(fresh: _*).schema
+        // exact-set match, both directions: a missing/mistyped column is an
+        // incompatible file, and an EXTRA column is a foreign file whose
+        // rows the pinned read would otherwise silently null-fill
+        // (mergeSchema unions disjoint schemas without conflict, so
+        // presence alone is not enough)
+        val bad = dataCols.filter(f =>
+          inferred.find(_.name == f.name).forall(_.dataType != f.dataType))
+        val extra = inferred.filterNot(f => declared.exists(_.name == f.name))
+        require(bad.isEmpty && extra.isEmpty,
+          s"missing/mistyped columns [${bad.map(_.name).mkString(", ")}], " +
+            s"foreign columns [${extra.map(_.name).mkString(", ")}] " +
+            s"(found: ${inferred.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")})")
+        sweptFiles.update(dir, seen ++ files)
+      }
       spark.read.schema(declared).parquet(dir)
     } catch {
       case scala.util.control.NonFatal(e) =>
@@ -145,7 +172,7 @@ object DedupStore {
     }
     // hash-repartition on band: each band value lands in exactly one task, so
     // the partitioned write emits one file per band directory
-    readStore(spark, path, "bands", bandSchema).distinct()
+    readStore(spark, path, "bands", bandSchema, Set("band")).distinct()
       .repartition(col("band"))
       .write.mode(SaveMode.Overwrite).partitionBy("band").parquet(s"$path/.bands_compact")
     readStore(spark, path, "shingles", shingleSchema).distinct()
@@ -169,7 +196,7 @@ object DedupStore {
         .withColumn("dup_of", lit(null).cast("long"))
     val newBands = MinHash.bands(sigs)
     val storeBands = Similarity.capBuckets(
-      readStore(spark, path, "bands", bandSchema), Seq("band", "bkey"), maxBucket)
+      readStore(spark, path, "bands", bandSchema, Set("band")), Seq("band", "bkey"), maxBucket)
     val cands = newBands.as("n")
       .join(storeBands.as("o"), expr("n.band = o.band AND n.bkey = o.bkey"))
       .select(col("n.doc_id").as("id"), col("o.doc_id").as("old_id"))

@@ -43,7 +43,9 @@ object Similarity {
       s.score > x.score || (s.score == x.score && s.id < x.id)
 
     private def insert(buf: List[Scored], s: Scored): List[Scored] = {
-      if (buf.lengthCompare(k) >= 0 && !beats(s, buf.last)) return buf
+      // nonEmpty first: k <= 0 must yield Nil (as the sort-based semantics
+      // did), not NoSuchElementException on Nil.last
+      if (buf.nonEmpty && buf.lengthCompare(k) >= 0 && !beats(s, buf.last)) return buf
       // insertion at sorted position: O(position), no re-sort, no tuple allocs
       val (hi, lo) = buf.span(x => !beats(s, x))
       val merged = hi ::: s :: lo
@@ -141,6 +143,12 @@ object Similarity {
       s"stack($bands, ${(0 until bands).map(b => s"$b, band$b").mkString(", ")}) AS (band, bkey)")
   }
 
+  /** Count of k-means fits, incremented by [[ivfIndex]] — the observable that
+    * lets SimilaritySpec pin "probing a prebuilt index never retrains" (and a
+    * cheap production metric for index-build amortization).
+    */
+  val kmeansFits = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** IVF (inverted-file) coarse quantization: k-means partitions the corpus
     * into `nlist` cells; [[ivfTopK]] probes only each query's `nprobe`
     * nearest cells. Returns (assigned corpus with a `cell` column, centroid
@@ -153,12 +161,6 @@ object Similarity {
     * `KMeansModel.transform` pass (a broadcast of nlist centroids, no
     * shuffle). Deterministic under a fixed seed.
     */
-  /** Count of k-means fits, incremented by [[ivfIndex]] — the observable that
-    * lets SimilaritySpec pin "probing a prebuilt index never retrains" (and a
-    * cheap production metric for index-build amortization).
-    */
-  val kmeansFits = new java.util.concurrent.atomic.AtomicLong(0L)
-
   def ivfIndex(prepared: DataFrame, nlist: Int, seed: Long = 42L,
       trainFraction: Double = 1.0): (DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
