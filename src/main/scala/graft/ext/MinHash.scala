@@ -47,20 +47,18 @@ object MinHash {
     * multiple join sides in every consumer.
     */
   def signatures(docs: DataFrame, keep: Seq[String]): DataFrame = {
-    val perms = 0 until 8
+    // One native pass ([[graft.functions.MinHash8]]) instead of the
+    // 10-lambda transform/array_min chain it replaces — bit-identical
+    // output (MinHashSpec pins equivalence against the lambda chain; the
+    // d2/d6 oracle rows pin it against DuckDB), a fraction of the CPU.
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
       .selectExpr(keep :+ splitExpr: _*)
       .selectExpr(keep :+ s"($shingleExpr) AS sh": _*)
-      .selectExpr(keep ++ Seq("sh",
-        "transform(sh, t -> md5(t)) AS ha",
-        "transform(sh, t -> md5(concat('x', t))) AS hb"): _*)
+      .selectExpr(keep ++ Seq("sh", "minhash8(sh) AS mh"): _*)
       .selectExpr(
         (keep :+ "sh") ++
-          perms.map { i =>
-            val src = if (i < 4) "ha" else "hb"
-            val off = (i % 4) * 8 + 1
-            s"array_min(transform($src, h -> substring(h, $off, 8))) AS h$i"
-          }: _*)
+          (0 until 8).map(i => s"element_at(mh, ${i + 1}) AS h$i"): _*)
   }
 
   /** Band table (doc_id, band, bkey): 4 bands x 2 hashes. Equal band keys ==

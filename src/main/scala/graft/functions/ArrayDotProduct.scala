@@ -70,7 +70,10 @@ case class ArrayDotProduct(left: Expression, right: Expression)
   * `expr("array_dot(a, b)")` on any driver-provided session. Idempotent.
   */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "array_dot", exprs => ArrayDotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash8", exprs => MinHash8(exprs(0)), "built-in")
+  }
 }

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.MinHash
+import graft.functions.GraftFunctions
+
+/** The minhash8 native expression must be BIT-IDENTICAL to the lambda chain
+  * it replaced (two md5 digests, four 8-hex slices each, lexicographic min) —
+  * the d2/d6 DuckDB oracles mirror that chain, so any divergence here is an
+  * oracle break.
+  */
+class MinHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The original 10-lambda pipeline, kept verbatim as the reference
+    * implementation for the equivalence pin.
+    */
+  private def lambdaChainSignatures(df: org.apache.spark.sql.DataFrame) = {
+    val perms = 0 until 8
+    df.selectExpr("doc_id", MinHash.splitExpr)
+      .selectExpr("doc_id", s"(${MinHash.shingleExpr}) AS sh")
+      .selectExpr(Seq("doc_id", "sh",
+        "transform(sh, t -> md5(t)) AS ha",
+        "transform(sh, t -> md5(concat('x', t))) AS hb"): _*)
+      .selectExpr(
+        Seq("doc_id", "sh") ++
+          perms.map { i =>
+            val src = if (i < 4) "ha" else "hb"
+            val off = (i % 4) * 8 + 1
+            s"array_min(transform($src, h -> substring(h, $off, 8))) AS h$i"
+          }: _*)
+  }
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),
+    (3L, "short"),            // < 3 tokens -> whole-text shingle
+    (4L, "two tokens"),       // < 3 tokens
+    (5L, ""),                 // empty text -> [""] shingle
+    (6L, "a b c"),            // exactly one 3-gram
+    (7L, "x y z x y z x y z") // repeated grams -> array_distinct path
+  ).toDF("doc_id", "text")
+
+  test("minhash8 output is bit-identical to the transform/array_min lambda chain") {
+    val fast = MinHash.signatures(docs, Seq("doc_id")).orderBy("doc_id").collect()
+    val slow = lambdaChainSignatures(docs).orderBy("doc_id").collect()
+    assert(fast.length == slow.length)
+    fast.zip(slow).foreach { case (f, sl) =>
+      (0 until 8).foreach { i =>
+        assert(f.getAs[String](s"h$i") == sl.getAs[String](s"h$i"),
+          s"doc ${f.getLong(0)} h$i: ${f.getAs[String](s"h$i")} vs ${sl.getAs[String](s"h$i")}")
+      }
+    }
+  }
+
+  test("minhash8 equivalence holds on randomized corpora (property sweep)") {
+    val rnd = new scala.util.Random(17)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta")
+    val rows = (0 until 200).map { i =>
+      val n = rnd.nextInt(30)
+      (i.toLong, (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = rows.toDF("doc_id", "text")
+    val fast = MinHash.signatures(df, Seq("doc_id")).orderBy("doc_id").collect()
+    val slow = lambdaChainSignatures(df).orderBy("doc_id").collect()
+    fast.zip(slow).foreach { case (f, sl) =>
+      (0 until 8).foreach(i => assert(f.getAs[String](s"h$i") == sl.getAs[String](s"h$i")))
+    }
+  }
+
+  test("minhash8 null/empty edges: null array -> null, empty array -> 8 null elements") {
+    GraftFunctions.register(spark)
+    val out = Seq(
+      (1L, Seq("a b c")),
+      (2L, Seq.empty[String]),
+      (3L, null: Seq[String])
+    ).toDF("doc_id", "sh")
+      .selectExpr("doc_id", "minhash8(sh) AS mh")
+      .orderBy("doc_id").collect()
+    assert(out(0).getSeq[String](1).forall(_ != null))
+    assert(out(1).getSeq[String](1) == Seq(null, null, null, null, null, null, null, null))
+    assert(out(2).isNullAt(1))
+  }
+
+  test("bands over minhash8 signatures produce the documented 4x2 band keys") {
+    val sigs = MinHash.signatures(docs.where(col("doc_id") === 1), Seq("doc_id"))
+    val bands = MinHash.bands(sigs).collect()
+    assert(bands.length == 4)
+    assert(bands.map(_.getInt(1)).sorted.toSeq == Seq(0, 1, 2, 3))
+    assert(bands.forall(_.getString(2).length == 32), "band key is an md5 hex")
+  }
+}
