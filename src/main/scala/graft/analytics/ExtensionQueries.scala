@@ -300,6 +300,7 @@ object ExtensionQueries {
         // the live expression ran ~30x slower than over materialized arrays.
         // Same AQE-exempt fan-out as d2: the shingle projection is CPU-heavy
         // per row, so pin the partition count before materializing it.
+        graft.functions.GraftFunctions.register(s)
         val sh = documents(s, d)
           .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .localCheckpoint(eager = false)

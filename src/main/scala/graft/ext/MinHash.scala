@@ -24,16 +24,15 @@ object MinHash {
     */
   val splitExpr: String = "split(lower(text), ' ') AS t"
 
-  /** Distinct 3-gram word shingles; short docs fall back to the whole text
-    * (`sequence(1, 0)` counts DOWN in Spark, so the guard is required).
+  /** Distinct 3-gram word shingles; short docs fall back to the whole text.
+    * One native pass ([[graft.functions.Shingle3]]) — MinHashSpec pins
+    * bit-equivalence against the transform/array_distinct lambda chain it
+    * replaced, including NULL text -> NULL (the old chain's `size(NULL)`
+    * pushed it into a NULL-propagating ELSE branch; shingle3 null-propagates
+    * natively). Callers outside [[signatures]] must register
+    * [[graft.functions.GraftFunctions]] on the session first.
     */
-  val shingleExpr: String =
-    """CASE WHEN size(t) < 3 THEN array(concat_ws(' ', t))
-      |ELSE array_distinct(transform(
-      |  sequence(1, size(t) - 2),
-      |  i -> concat(element_at(t, i), ' ',
-      |              element_at(t, i + 1), ' ',
-      |              element_at(t, i + 2)))) END""".stripMargin
+  val shingleExpr: String = "shingle3(t)"
 
   /** Exact shingle-set Jaccard between two array columns — the verify
     * predicate shared by every near-dup consumer.

@@ -75,5 +75,7 @@ object GraftFunctions {
       "array_dot", exprs => ArrayDotProduct(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash8", exprs => MinHash8(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle3", exprs => Shingle3(exprs(0)), "built-in")
   }
 }

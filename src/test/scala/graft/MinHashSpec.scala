@@ -5,21 +5,31 @@ import org.apache.spark.sql.functions._
 import graft.ext.MinHash
 import graft.functions.GraftFunctions
 
-/** The minhash8 native expression must be BIT-IDENTICAL to the lambda chain
-  * it replaced (two md5 digests, four 8-hex slices each, lexicographic min) —
-  * the d2/d6 DuckDB oracles mirror that chain, so any divergence here is an
-  * oracle break.
+/** The shingle3 + minhash8 native expressions must be BIT-IDENTICAL to the
+  * lambda chains they replaced (3-gram transform/array_distinct; two md5
+  * digests, four 8-hex slices each, lexicographic min) — the d2/d4/d6 DuckDB
+  * oracles mirror those chains, so any divergence here is an oracle break.
   */
 class MinHashSpec extends SparkSpec {
   import spark.implicits._
 
-  /** The original 10-lambda pipeline, kept verbatim as the reference
-    * implementation for the equivalence pin.
+  /** The ORIGINAL shingle lambda chain, kept verbatim as the reference
+    * implementation for the equivalence pin (MinHash.shingleExpr now routes
+    * through the native shingle3).
     */
+  private val lambdaShingleExpr =
+    """CASE WHEN size(t) < 3 THEN array(concat_ws(' ', t))
+      |ELSE array_distinct(transform(
+      |  sequence(1, size(t) - 2),
+      |  i -> concat(element_at(t, i), ' ',
+      |              element_at(t, i + 1), ' ',
+      |              element_at(t, i + 2)))) END""".stripMargin
+
+  /** The original 10-lambda signature pipeline — reference for minhash8. */
   private def lambdaChainSignatures(df: org.apache.spark.sql.DataFrame) = {
     val perms = 0 until 8
     df.selectExpr("doc_id", MinHash.splitExpr)
-      .selectExpr("doc_id", s"(${MinHash.shingleExpr}) AS sh")
+      .selectExpr("doc_id", s"($lambdaShingleExpr) AS sh")
       .selectExpr(Seq("doc_id", "sh",
         "transform(sh, t -> md5(t)) AS ha",
         "transform(sh, t -> md5(concat('x', t))) AS hb"): _*)
@@ -66,6 +76,26 @@ class MinHashSpec extends SparkSpec {
     val slow = lambdaChainSignatures(df).orderBy("doc_id").collect()
     fast.zip(slow).foreach { case (f, sl) =>
       (0 until 8).foreach(i => assert(f.getAs[String](s"h$i") == sl.getAs[String](s"h$i")))
+    }
+  }
+
+  test("shingle3 output is bit-identical to the transform/array_distinct chain (incl. order)") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    val rows = (0 until 120).map { i =>
+      val n = rnd.nextInt(12)
+      (i.toLong, (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    } ++ Seq((900L, ""), (901L, "one"), (902L, "one two"), (903L, "a b c"),
+      (904L, "x y z x y z x y z"), (905L, null: String))
+    val df = rows.toDF("doc_id", "text").selectExpr("doc_id", MinHash.splitExpr)
+    val fast = df.selectExpr("doc_id", s"(${MinHash.shingleExpr}) AS sh")
+      .orderBy("doc_id").collect()
+    val slow = df.selectExpr("doc_id", s"($lambdaShingleExpr) AS sh")
+      .orderBy("doc_id").collect()
+    fast.zip(slow).foreach { case (f, sl) =>
+      assert(f.getSeq[String](1) == sl.getSeq[String](1),
+        s"doc ${f.getLong(0)}: ${f.getSeq[String](1)} vs ${sl.getSeq[String](1)}")
     }
   }
 
