@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.ArrayDotProduct
+import graft.functions.{ArrayDotProduct, MinHash8, Shingle3}
 
 /** The library's `SparkSessionExtensions` injector — the idiomatic
   * installation path for a Spark-native library: a user (or cluster config)
@@ -33,5 +33,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ArrayDotProduct(exprs(0), exprs(1))))
+    extensions.injectFunction((
+      new FunctionIdentifier("minhash8"),
+      new ExpressionInfo(
+        classOf[MinHash8].getName,
+        null,
+        "minhash8",
+        "minhash8(sh) - All 8 MinHash slice-minima of a shingle set in one pass.",
+        ""),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinHash8(exprs(0))))
+    extensions.injectFunction((
+      new FunctionIdentifier("shingle3"),
+      new ExpressionInfo(
+        classOf[Shingle3].getName,
+        null,
+        "shingle3",
+        "shingle3(t) - Distinct 3-gram word shingles of a token array in one pass.",
+        ""),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Shingle3(exprs(0))))
   }
 }

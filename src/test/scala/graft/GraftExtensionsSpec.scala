@@ -28,6 +28,11 @@ class GraftExtensionsSpec extends SparkSpec {
       val desc = injected.sql("DESCRIBE FUNCTION array_dot")
         .collect().map(_.getString(0)).mkString("\n")
       assert(desc.contains("array_dot"))
+      // the dedup-family expressions inject too
+      val mh = injected
+        .sql("SELECT minhash8(shingle3(split('a b c d', ' '))) AS mh")
+        .collect()(0).getSeq[String](0)
+      assert(mh.length == 8 && mh.forall(h => h != null && h.length == 8))
     } finally {
       SparkSession.setActiveSession(spark)
       SparkSession.setDefaultSession(spark)
