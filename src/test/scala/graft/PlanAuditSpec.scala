@@ -67,4 +67,20 @@ class PlanAuditSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("partial_"), s"map-side combine expected:\n$plan")
   }
+
+  test("signature projection runs as native expressions, not interpreted lambda chains") {
+    // The dedup family's CPU contract: one native traversal each for
+    // shingling and the 8-way minhash (shingle3/minhash8). A lambda chain
+    // creeping back (transform/aggregate HOFs interpret their functions per
+    // element) would triple the signature projection's CPU — correct but
+    // wrong at 100 TB. Audited on the signatures subplan directly: d2/d6
+    // localCheckpoint it, which cuts it out of their final plan strings.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = graft.ext.MinHash.signatures(docs, Seq("doc_id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("shingle3") && plan.contains("minhash8"),
+      s"native expressions expected in the signature plan:\n${plan.take(2000)}")
+    assert(!plan.toLowerCase.contains("lambdafunction"),
+      s"interpreted lambda found in the signature plan:\n${plan.take(2000)}")
+  }
 }
