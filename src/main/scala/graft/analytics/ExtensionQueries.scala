@@ -388,11 +388,10 @@ object ExtensionQueries {
       "d7_decontaminate",
       "Benchmark decontamination: flag corpus documents sharing any 13-gram with a held-out benchmark set (docs id<50 stand in for the eval set) — the GPT-3-style n-gram contamination check every training-data pipeline runs before release. Inverted 13-gram join, O(postings + collisions), never corpus x benchmark",
       (s, d) => {
-        val g13 =
-          """CASE WHEN size(t) < 13 THEN CAST(array() AS array<string>)
-            |ELSE array_distinct(transform(
-            |  sequence(1, size(t) - 12),
-            |  i -> concat_ws(' ', slice(t, i, 13)))) END""".stripMargin
+        // native one-pass gram builder (MinHashSpec pins bit-equivalence to
+        // the transform/slice chain it replaced)
+        graft.functions.GraftFunctions.register(s)
+        val g13 = "shinglen(t, 13)"
         val sh = documents(s, d)
           .selectExpr("doc_id", "lang", graft.ext.MinHash.splitExpr)
           .selectExpr("doc_id", "lang", s"($g13) AS g13")

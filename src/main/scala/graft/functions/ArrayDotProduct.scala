@@ -77,5 +77,7 @@ object GraftFunctions {
       "minhash8", exprs => MinHash8(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingle3", exprs => Shingle3(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shinglen", exprs => ShingleN(exprs(0), exprs(1)), "built-in")
   }
 }

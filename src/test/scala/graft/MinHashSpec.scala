@@ -99,6 +99,32 @@ class MinHashSpec extends SparkSpec {
     }
   }
 
+  test("shinglen output is bit-identical to the transform/slice chain (d7 13-gram semantics)") {
+    GraftFunctions.register(spark)
+    val lambdaG = (w: Int) =>
+      s"""CASE WHEN size(t) < $w THEN CAST(array() AS array<string>)
+         |ELSE array_distinct(transform(
+         |  sequence(1, size(t) - ${w - 1}),
+         |  i -> concat_ws(' ', slice(t, i, $w)))) END""".stripMargin
+    val rnd = new scala.util.Random(29)
+    val vocab = Vector("aa", "bb", "cc", "dd")
+    val rows = (0 until 100).map { i =>
+      val n = rnd.nextInt(20)
+      (i.toLong, (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    } ++ Seq((900L, ""), (901L, "exactly four tokens here"), (902L, null: String))
+    val df = rows.toDF("doc_id", "text").selectExpr("doc_id", MinHash.splitExpr)
+    for (w <- Seq(4, 13)) {
+      val fast = df.selectExpr("doc_id", s"shinglen(t, $w) AS g").orderBy("doc_id").collect()
+      val slow = df.selectExpr("doc_id", s"(${lambdaG(w)}) AS g").orderBy("doc_id").collect()
+      fast.zip(slow).foreach { case (f, sl) =>
+        val (fg, sg) = (
+          if (f.isNullAt(1)) null else f.getSeq[String](1),
+          if (sl.isNullAt(1)) null else sl.getSeq[String](1))
+        assert(fg == sg, s"w=$w doc ${f.getLong(0)}: $fg vs $sg")
+      }
+    }
+  }
+
   test("minhash8 null/empty edges: null array -> null, empty array -> 8 null elements") {
     GraftFunctions.register(spark)
     val out = Seq(
