@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{ArrayDotProduct, MinHash8, Shingle3}
+import graft.functions.{ArrayDotProduct, MinHash8, Shingle3, ShingleN}
 
 /** The library's `SparkSessionExtensions` injector — the idiomatic
   * installation path for a Spark-native library: a user (or cluster config)
@@ -53,5 +53,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         Shingle3(exprs(0))))
+    extensions.injectFunction((
+      new FunctionIdentifier("shinglen"),
+      new ExpressionInfo(
+        classOf[ShingleN].getName,
+        null,
+        "shinglen",
+        "shinglen(t, n) - Distinct n-gram word shingles (empty if fewer than n tokens).",
+        ""),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ShingleN(exprs(0), exprs(1))))
   }
 }

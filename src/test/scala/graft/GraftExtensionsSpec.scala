@@ -33,6 +33,10 @@ class GraftExtensionsSpec extends SparkSpec {
         .sql("SELECT minhash8(shingle3(split('a b c d', ' '))) AS mh")
         .collect()(0).getSeq[String](0)
       assert(mh.length == 8 && mh.forall(h => h != null && h.length == 8))
+      val gn = injected
+        .sql("SELECT shinglen(split('a b c d', ' '), 2) AS g")
+        .collect()(0).getSeq[String](0)
+      assert(gn == Seq("a b", "b c", "c d"))
     } finally {
       SparkSession.setActiveSession(spark)
       SparkSession.setDefaultSession(spark)
