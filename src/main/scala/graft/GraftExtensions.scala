@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{ArrayDotProduct, MinHash8, Shingle3, ShingleN}
+import graft.functions.{ArrayDotProduct, MinHash8, Shingle3, ShingleN, Simhash32}
 
 /** The library's `SparkSessionExtensions` injector — the idiomatic
   * installation path for a Spark-native library: a user (or cluster config)
@@ -63,5 +63,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ShingleN(exprs(0), exprs(1))))
+    extensions.injectFunction((
+      new FunctionIdentifier("simhash32"),
+      new ExpressionInfo(
+        classOf[Simhash32].getName,
+        null,
+        "simhash32",
+        "simhash32(toks) - 32-bit SimHash signature of a token set in one pass.",
+        ""),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Simhash32(exprs(0))))
   }
 }

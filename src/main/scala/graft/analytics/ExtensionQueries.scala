@@ -269,15 +269,19 @@ object ExtensionQueries {
     ),
     Q(
       "d3_dedup_simhash",
-      "SimHash 32-bit signatures (md5-bit majority over distinct tokens); per-doc signature for near-dup banding",
-      (s, d) =>
+      "SimHash 32-bit signatures (md5-bit majority over distinct tokens); per-doc signature for near-dup banding. Native simhash32 projection — no token explode, no shuffle (the aggregation shape shuffled every (doc, token) pair just to regroup what the scan already grouped); bit-equivalence to the 32-SUM chain pinned in MinHashSpec, values pinned by this oracle row",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
         documents(s, d)
           .selectExpr("doc_id", s"$tokExpr AS toks")
-          .selectExpr("doc_id", "explode(toks) AS tok")
-          .groupBy("doc_id")
-          .agg(expr(s"count(1) AS ntok"), (0 until 32).map(j => expr(s"SUM(${bitTerm(j)}) AS s$j")): _*)
-          .selectExpr("doc_id", "ntok", simhashAssemble)
-          .orderBy("doc_id"),
+          // explode() dropped null-token-array docs; mirror that contract
+          .where(col("toks").isNotNull)
+          .selectExpr(
+            "doc_id",
+            "CAST(size(toks) AS BIGINT) AS ntok",
+            "simhash32(toks) AS simhash")
+          .orderBy("doc_id")
+      },
       Some(s"""WITH tokens AS (
               |  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok FROM documents),
               |sums AS (

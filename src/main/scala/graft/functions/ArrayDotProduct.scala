@@ -79,5 +79,7 @@ object GraftFunctions {
       "shingle3", exprs => Shingle3(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shinglen", exprs => ShingleN(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash32", exprs => Simhash32(exprs(0)), "built-in")
   }
 }

@@ -125,6 +125,42 @@ class MinHashSpec extends SparkSpec {
     }
   }
 
+  test("simhash32 is bit-identical to the 32-SUM bit-majority aggregation chain") {
+    GraftFunctions.register(spark)
+    // the original aggregation shape, verbatim (hex-lookup bit extraction)
+    val hexToBits =
+      "0000000100100011010001010110011110001001101010111100110111101111"
+    def bitTerm(j: Int): String = {
+      val hexPos = j / 4 + 1
+      val bitOff = j % 4
+      s"(CASE WHEN substring('$hexToBits', (instr('0123456789abcdef', substring(md5(tok), $hexPos, 1)) - 1) * 4 + $bitOff + 1, 1) = '1' THEN 1 ELSE -1 END)"
+    }
+    val assemble = "concat(" +
+      (0 until 32).map(j => s"(CASE WHEN s$j >= 0 THEN '1' ELSE '0' END)").mkString(", ") +
+      ") AS simhash"
+    val rnd = new scala.util.Random(31)
+    val vocab = Vector("red", "green", "blue", "cyan", "violet", "umber")
+    val rows = (0 until 150).map { i =>
+      val n = 1 + rnd.nextInt(15)
+      (i.toLong, (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    } :+ (900L, "")
+    val df = rows.toDF("doc_id", "text")
+      .selectExpr("doc_id", "array_distinct(split(lower(text), ' ')) AS toks")
+    val fast = df.selectExpr("doc_id", "simhash32(toks) AS simhash")
+      .orderBy("doc_id").collect()
+    val slow = df.selectExpr("doc_id", "explode(toks) AS tok")
+      .groupBy("doc_id")
+      .agg(expr(s"SUM(${bitTerm(0)}) AS s0"),
+        (1 until 32).map(j => expr(s"SUM(${bitTerm(j)}) AS s$j")): _*)
+      .selectExpr("doc_id", assemble)
+      .orderBy("doc_id").collect()
+    assert(fast.length == slow.length)
+    fast.zip(slow).foreach { case (f, sl) =>
+      assert(f.getString(1) == sl.getString(1),
+        s"doc ${f.getLong(0)}: ${f.getString(1)} vs ${sl.getString(1)}")
+    }
+  }
+
   test("minhash8 null/empty edges: null array -> null, empty array -> 8 null elements") {
     GraftFunctions.register(spark)
     val out = Seq(
