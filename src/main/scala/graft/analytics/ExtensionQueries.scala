@@ -429,6 +429,53 @@ object ExtensionQueries {
              |LEFT JOIN contam c USING (doc_id)
              |GROUP BY lang ORDER BY lang""".stripMargin)
     ),
+    Q(
+      "d8_cluster_canonical",
+      "Canonical-doc selection: the keep-one-per-family decision AFTER d6's clustering — within each near-dup family keep the highest-n_chars member (ties -> lowest doc_id), drop the rest. Per lang: families, members, dropped docs, kept/dropped character mass (what dedup actually saves). Integer aggregates end to end, so the hash gate is exact; the window is per-family (tiny partitions), never corpus-global",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        // Same pipeline as d6 up to the labels; the checkpoint stops the CC
+        // loop from re-running the minhash pipeline every round.
+        val pairs = verifiedNearDupPairs(s, d).localCheckpoint(eager = false)
+        val labels = graft.ops.GraphOps.connectedComponents(pairs, "id_a", "id_b")
+        val members = labels.join(
+          documents(s, d).select(col("doc_id").as("id"), col("lang"), col("n_chars")),
+          Seq("id"))
+        val w = Window.partitionBy("label").orderBy(desc("n_chars"), col("id"))
+        members
+          .withColumn("rn", row_number().over(w))
+          .groupBy("lang")
+          .agg(
+            countDistinct(col("label")).as("families"),
+            count(lit(1)).as("members"),
+            sum(when(col("rn") =!= 1, 1).otherwise(0)).cast("long").as("dropped_docs"),
+            sum(when(col("rn") === 1, col("n_chars")).otherwise(0)).cast("long").as("kept_chars"),
+            sum(when(col("rn") =!= 1, col("n_chars")).otherwise(0)).cast("long").as("dropped_chars"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH RECURSIVE $nearDupCtes,
+              |pairs AS (
+              |  SELECT id_a, id_b FROM cands
+              |  JOIN sigs a ON id_a = a.doc_id JOIN sigs b ON id_b = b.doc_id
+              |  WHERE length(list_intersect(a.sh, b.sh)) * 1.0 /
+              |        (length(a.sh) + length(b.sh) - length(list_intersect(a.sh, b.sh))) >= 0.8),
+              |und AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+              |reach AS (
+              |  SELECT a AS src, b AS dst FROM und
+              |  UNION
+              |  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
+              |labels AS (
+              |  SELECT src AS id, LEAST(src, MIN(dst)) AS label FROM reach GROUP BY src),
+              |m AS (
+              |  SELECT l.label, d.lang, d.n_chars,
+              |    row_number() OVER (PARTITION BY l.label ORDER BY d.n_chars DESC, d.doc_id) AS rn
+              |  FROM labels l JOIN documents d ON l.id = d.doc_id)
+              |SELECT lang, COUNT(DISTINCT label) AS families, COUNT(*) AS members,
+              |  CAST(SUM(CASE WHEN rn <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS dropped_docs,
+              |  CAST(SUM(CASE WHEN rn = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+              |  CAST(SUM(CASE WHEN rn <> 1 THEN n_chars ELSE 0 END) AS BIGINT) AS dropped_chars
+              |FROM m GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
     // --------------------------------------------------------------- ANN ops
     Q(
       "n1_ann_bruteforce_topk",
@@ -894,6 +941,60 @@ object ExtensionQueries {
              |SELECT lang, COUNT(*) AS docs, MIN(score) AS worst, MAX(score) AS best,
              |  CAST(SUM(CASE WHEN score < 0.0333 THEN 1 ELSE 0 END) AS BIGINT) AS low_quality
              |FROM pd GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
+    Q(
+      "t12_bm25",
+      "BM25 retrieval scoring (k1=1.2, b=0.75): top-5 docs per query term — the retrieval-grade upgrade of t5's TF-IDF (term saturation + doc-length normalization), the scorer behind quality-filter-by-query and RAG corpus indexing. Raw term frequency (not distinct tokens), df from matching docs, avgdl as an exact integer-ratio broadcast scalar. Output columns are all integers; the double score ranks only, ties break on doc_id — the t5 determinism recipe",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = documents(s, d)
+          .selectExpr("doc_id", "split(lower(text), ' ') AS t")
+          .selectExpr("doc_id", "CAST(size(t) AS BIGINT) AS dl", "explode(t) AS term")
+          .where(col("term").isin("spark", "vector", "merge"))
+        // exact scalars: integer count + integer token mass; the division to
+        // avgdl happens once inside the score expression, identically in the
+        // oracle, so both engines see bit-identical doubles
+        val stats = documents(s, d).agg(
+          count(lit(1)).as("n_docs"),
+          sum(expr("size(split(lower(text), ' '))")).as("sum_dl"))
+        val tf = toks.groupBy("doc_id", "dl", "term")
+          .agg(count(lit(1)).as("tf"))
+          .localCheckpoint(eager = false) // feeds df and the scored join
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val score =
+          "ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) * " +
+            "(CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE)) / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * " +
+            "(CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
+        val w = Window.partitionBy("term").orderBy(desc("bm25"), col("doc_id"))
+        tf.join(dfreq, Seq("term"))
+          .join(broadcast(stats))
+          .withColumn("bm25", expr(score))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .where(col("rank") <= 5)
+          .select("term", "rank", "doc_id", "tf", "df", "dl")
+          .orderBy("term", "rank")
+      },
+      Some("""WITH tk AS (
+             |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+             |tok AS (
+             |  SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM tk),
+             |st AS (
+             |  SELECT COUNT(*) AS n_docs,
+             |    SUM(length(string_split(lower(text), ' '))) AS sum_dl FROM documents),
+             |tf AS (
+             |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM tok
+             |  WHERE term IN ('spark', 'vector', 'merge') GROUP BY doc_id, dl, term),
+             |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+             |scored AS (
+             |  SELECT tf.term AS term, doc_id, tf, df, dl,
+             |    row_number() OVER (PARTITION BY tf.term ORDER BY
+             |      ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) *
+             |      (CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE)) / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+             |      (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) DESC,
+             |      doc_id) AS rank
+             |  FROM tf JOIN dfreq USING (term) CROSS JOIN st)
+             |SELECT term, rank, doc_id, tf, df, dl FROM scored WHERE rank <= 5
+             |ORDER BY term, rank""".stripMargin)
     ),
     Q(
       "p13_hash_split",
