@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+import graft.analytics.Registry
+
+/** Semantic invariants for the round-5 additions d8/t12 — the DuckDB oracle
+  * gates exact values at all three SFs; these pin the properties a refactor
+  * must preserve even where the gate isn't run (plain `sbt test`).
+  */
+class ExtensionQueriesSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("d8_cluster_canonical: keep-one-per-family accounting is consistent") {
+    val rows = Registry.byName("d8_cluster_canonical").fn(spark, sf).collect()
+    assert(rows.nonEmpty, "fixture has near-dup families")
+    // families can span langs (the canonical doc then sits in ONE of them),
+    // so per-lang `members - families` is NOT the drop count — only the
+    // per-lang bounds and the global rollup are invariant.
+    rows.foreach { r =>
+      val families = r.getAs[Long]("families")
+      val members = r.getAs[Long]("members")
+      val dropped = r.getAs[Long]("dropped_docs")
+      assert(families >= 1 && members >= families, s"$r: impossible family shape")
+      assert(dropped <= members, s"$r: dropped more docs than the lang has")
+      assert(r.getAs[Long]("kept_chars") >= 0 && r.getAs[Long]("dropped_chars") >= 0)
+    }
+    val kept = rows.map(r => r.getAs[Long]("members") - r.getAs[Long]("dropped_docs")).sum
+    val droppedDocs = rows.map(_.getAs[Long]("dropped_docs")).sum
+    val keptChars = rows.map(_.getAs[Long]("kept_chars")).sum
+    val droppedChars = rows.map(_.getAs[Long]("dropped_chars")).sum
+    assert(kept >= 1, "at least one canonical doc survives")
+    assert(kept <= rows.map(_.getAs[Long]("families")).sum,
+      "kept docs (one per true family) can't exceed the per-lang family rollup")
+    // each family's keeper is its n_chars max, so per family
+    // kept_f * dropped_f >= droppedChars_f; summing and bounding by the
+    // product of sums gives the global form
+    if (droppedDocs > 0)
+      assert(keptChars * droppedDocs >= droppedChars,
+        "kept docs can't be shorter than the dropped mass allows (max-per-family rule)")
+  }
+
+  test("d8 agrees with d6 on family/member counts per lang") {
+    val d6 = Registry.byName("d6_dedup_cluster").fn(spark, sf).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("clustered_docs"), r.getAs[Long]("families"))).toMap
+    val d8 = Registry.byName("d8_cluster_canonical").fn(spark, sf).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("members"), r.getAs[Long]("families"))).toMap
+    assert(d8 == d6, "d8 re-derives d6's clustering; the rollups must match")
+  }
+
+  test("t12_bm25: dense per-term ranks, positive integer stats") {
+    val rows = Registry.byName("t12_bm25").fn(spark, sf).collect()
+    assert(rows.nonEmpty, "query terms absent from fixture corpus")
+    rows.groupBy(_.getAs[String]("term")).foreach { case (term, rs) =>
+      val ranks = rs.map(_.getAs[Long]("rank")).sorted.toSeq
+      assert(ranks == (1L to ranks.length.toLong), s"$term: ranks not dense from 1")
+      assert(ranks.length <= 5, s"$term: top-k leak")
+      rs.foreach { r =>
+        assert(r.getAs[Long]("tf") >= 1 && r.getAs[Long]("dl") >= 1, s"bad stats: $r")
+        // every returned doc matched the term, so df covers at least these docs
+        assert(r.getAs[Long]("df") >= ranks.length.toLong, s"df below result count: $r")
+      }
+    }
+  }
+
+  test("t12_bm25: ranking follows the BM25 ordering contract (tf up, dl down)") {
+    // among returned docs for one term, equal-dl docs must rank by tf desc,
+    // and equal-tf docs by dl asc (b>0 penalizes long docs); doc_id breaks ties
+    val rows = Registry.byName("t12_bm25").fn(spark, sf).collect()
+    rows.groupBy(_.getAs[String]("term")).foreach { case (term, rs) =>
+      val byRank = rs.sortBy(_.getAs[Long]("rank"))
+      byRank.sliding(2).foreach {
+        case Array(hi, lo) =>
+          val (tfH, dlH) = (hi.getAs[Long]("tf"), hi.getAs[Long]("dl"))
+          val (tfL, dlL) = (lo.getAs[Long]("tf"), lo.getAs[Long]("dl"))
+          if (dlH == dlL)
+            assert(tfH >= tfL, s"$term: equal-dl pair ranked against tf: $hi vs $lo")
+          if (tfH == tfL && dlH == dlL)
+            assert(hi.getAs[Long]("doc_id") < lo.getAs[Long]("doc_id"),
+              s"$term: tie not broken by doc_id")
+        case _ => ()
+      }
+    }
+  }
+}
