@@ -194,6 +194,94 @@ object ExtensionQueries {
        |SELECT qid, rank, vec_id, adc FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
   }
 
+  // ---- IVFPQ fixed model (n4_ann_ivfpq) ------------------------------------
+  // Coarse cells = the d9 centroids below; PQ residual codebooks = pqModel —
+  // the composed FAISS-IVFPQ shape with a fully data-independent model so
+  // the oracle stays one static SQL string across scale factors. Arithmetic
+  // follows the pq f32 contract; the residual (v − cell centroid) is
+  // REAL − REAL = REAL on both engines before the squared-distance terms
+  // widen to DOUBLE, and block sums parenthesize to match the Scala
+  // accumulation order exactly.
+  private val n4Nprobe = 2
+  private lazy val n4OracleSql: String = {
+    val centsLit = "[" + sdCent.map(c => "[" + c.map(pqLit).mkString(", ") + "]").mkString(",\n    ") + "]"
+    val cbLit = "[" + pqModel.codebooks.map(cb =>
+      "[" + cb.map(cent => "[" + cent.map(pqLit).mkString(", ") + "]").mkString(", ") + "]").mkString(",\n    ") + "]"
+    val sdl = "[" + (0 until sdK).map(c => s"(${sdDistExpr(c, oneBased = true, pqLit)})").mkString(",\n    ") + "]"
+    val sub = pqDim / pqM
+    val lists = (0 until pqM).map { j =>
+      "  [" + (0 until pqK).map { c =>
+        (0 until sub).map { t =>
+          val idx = j * sub + t + 1
+          val cl = pqLit(pqModel.codebooks(j)(c)(t))
+          s"CAST((r[$idx] - $cl) * (r[$idx] - $cl) AS DOUBLE)"
+        }.mkString(" + ")
+      }.mkString(",\n   ") + s"] AS l$j"
+    }.mkString(",\n")
+    val codes = (0 until pqM).map(j => s"list_position(l$j, list_min(l$j)) AS c$j").mkString(", ")
+    val adcBlocks = (0 until pqM).map { j =>
+      "(" + (0 until sub).map { t =>
+        val idx = j * sub + t + 1
+        val e = s"((q.v[$idx] - cn.cl[c.cell + 1][$idx]) - cb.bl[${j + 1}][c.c$j][${t + 1}])"
+        s"CAST($e * $e AS DOUBLE)"
+      }.mkString(" + ") + ")"
+    }.mkString(" + ")
+    s"""WITH cn AS (SELECT $centsLit AS cl),
+       |cb AS (SELECT $cbLit AS bl),
+       |e AS (SELECT vec_id, embedding[1:$pqDim] AS v FROM embeddings),
+       |cd AS (SELECT vec_id, v,
+       |    $sdl AS sdl
+       |  FROM e),
+       |a AS (SELECT vec_id, v, sdl,
+       |    CAST(list_position(sdl, list_min(sdl)) - 1 AS INTEGER) AS cell FROM cd),
+       |rv AS (SELECT vec_id, cell,
+       |    [v[i] - cn.cl[cell + 1][i] for i in generate_series(1, $pqDim)] AS r
+       |  FROM a CROSS JOIN cn),
+       |dl AS (SELECT vec_id, cell,
+       |$lists
+       |  FROM rv),
+       |enc AS (SELECT vec_id, cell, $codes FROM dl),
+       |qs AS (SELECT vec_id, v, sdl, list_sort(sdl)[$n4Nprobe] AS thr FROM a WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS vec_id, -($adcBlocks) AS adc
+       |  FROM qs q JOIN enc c ON c.vec_id <> q.vec_id AND q.sdl[c.cell + 1] <= q.thr
+       |  CROSS JOIN cn CROSS JOIN cb),
+       |ranked AS (
+       |  SELECT qid, vec_id, adc,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT qid, rank, vec_id, adc FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+  }
+
+  // ---- SemDeDup fixed coarse centroids (d9_semdedup) -----------------------
+  // Same seeded-CONSTANT-model rationale as the PQ codebook above: oracleSql
+  // is a static string shared across scale factors, so the quantizer inlined
+  // into it must be data-independent. Real SemDeDup trains k-means per corpus
+  // (k grows with n, keeping cluster size — and thus the within-cluster pair
+  // count — bounded); training quality is SimilaritySpec/PqSpec territory.
+  // This query gates the DISTRIBUTED legs bitwise: argmin cell assignment,
+  // cluster-blocked pair generation, greedy keep-earliest selection. The
+  // distance arithmetic follows the pq f32 contract documented above.
+  private val sdK = 8
+  private val sdDim = 16
+  private lazy val sdCent: Array[Array[Float]] = {
+    val rng = new scala.util.Random(2207L)
+    Array.fill(sdK, sdDim)(rng.nextFloat() * 0.6f - 0.3f)
+  }
+
+  /** `|v[0:16] - centroid c|^2`, f32 products widened to DOUBLE, left-assoc
+    * sum — one generator for both dialects (Spark brackets are 0-based,
+    * DuckDB's 1-based; float literals round-trip via CAST('…' AS FLOAT/REAL)).
+    */
+  private def sdDistExpr(c: Int, oneBased: Boolean, lit: Float => String): String =
+    (0 until sdDim).map { t =>
+      val idx = if (oneBased) t + 1 else t
+      val cl = lit(sdCent(c)(t))
+      s"CAST((v[$idx] - $cl) * (v[$idx] - $cl) AS DOUBLE)"
+    }.mkString(" + ")
+
+  private def sparkF32(f: Float): String = s"CAST('${java.lang.Float.toString(f)}' AS FLOAT)"
+
   val queries: Seq[Q] = Seq(
     // ------------------------------------------------------------- dedup ops
     Q(
@@ -476,6 +564,112 @@ object ExtensionQueries {
               |  CAST(SUM(CASE WHEN rn <> 1 THEN n_chars ELSE 0 END) AS BIGINT) AS dropped_chars
               |FROM m GROUP BY lang ORDER BY lang""".stripMargin)
     ),
+    Q(
+      "d10_dup_ngram_mass",
+      "Corpus-duplicated n-gram mass (the Gopher dup-fraction filter at corpus granularity): for each doc, how many of its distinct 5-grams also occur in OTHER docs — flag docs whose duplicated-gram mass is >= 1/2. Inverted-index shape end to end: distinct (doc, gram) postings -> gram doc-frequency hash-agg -> posting join back (SHUFFLE_HASH: fine-grained key, no broadcast of a huge relation) -> per-doc counts; O(postings), never doc x doc. The >= 1/2 test is exact integer arithmetic (dup*2 >= tot)",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val sh = documents(s, d)
+          .selectExpr("doc_id", "lang", graft.ext.MinHash.splitExpr)
+          .selectExpr("doc_id", "lang", "shinglen(t, 5) AS g5")
+          .localCheckpoint(eager = false) // feeds postings AND the per-doc base
+        val post = sh.selectExpr("doc_id", "explode(g5) AS gram")
+        val dfreq = post.groupBy("gram").agg(count(lit(1)).as("df"))
+        val perDoc = post.join(dfreq.hint("SHUFFLE_HASH"), Seq("gram"))
+          .groupBy("doc_id")
+          .agg(sum(when(col("df") >= 2, 1).otherwise(0)).cast("long").as("dup"))
+        sh.selectExpr("doc_id", "lang", "CAST(size(g5) AS BIGINT) AS tot")
+          .join(perDoc, Seq("doc_id"), "left")
+          .withColumn("dup", coalesce(col("dup"), lit(0L)))
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("docs"),
+            sum(when(expr("tot > 0 AND dup * 2 >= tot"), 1).otherwise(0))
+              .cast("long").as("heavy_docs"),
+            sum(col("tot")).as("grams"),
+            sum(col("dup")).as("dup_grams"))
+          .orderBy("lang")
+      },
+      Some("""WITH sp AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS t FROM documents),
+             |g AS (SELECT doc_id, lang,
+             |  CASE WHEN len(t) < 5 THEN CAST([] AS VARCHAR[])
+             |  ELSE list_distinct([array_to_string(t[i:i+4], ' ')
+             |    for i in generate_series(1, len(t) - 4)]) END AS g5
+             |  FROM sp),
+             |post AS (SELECT doc_id, unnest(g5) AS gram FROM g),
+             |dfreq AS (SELECT gram, COUNT(*) AS df FROM post GROUP BY gram),
+             |pd AS (
+             |  SELECT doc_id, SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS dup
+             |  FROM post JOIN dfreq USING (gram) GROUP BY doc_id)
+             |SELECT lang, COUNT(*) AS docs,
+             |  CAST(SUM(CASE WHEN tot > 0 AND COALESCE(dup, 0) * 2 >= tot THEN 1 ELSE 0 END) AS BIGINT) AS heavy_docs,
+             |  CAST(SUM(tot) AS BIGINT) AS grams,
+             |  CAST(SUM(COALESCE(dup, 0)) AS BIGINT) AS dup_grams
+             |FROM (SELECT doc_id, lang, len(g5) AS tot FROM g) b
+             |LEFT JOIN pd USING (doc_id)
+             |GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
+    Q(
+      "d9_semdedup",
+      "SemDeDup-style semantic dedup: coarse-quantize embeddings to k cells (argmin over fixed centroids — the oracle-shareable stand-in for per-corpus k-means), then within each cell greedily keep the earliest member of every cosine>=0.35 neighborhood and drop the rest. The cell is the blocking key: pair generation is cluster-bounded (k grows with corpus size in the real deployment, capping cell width), never corpus-global. Per cell: members, kept, dropped",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val e = embeddings(s, d)
+          .selectExpr(
+            "vec_id",
+            "slice(embedding, 1, 16) AS v",
+            "CAST(embedding AS ARRAY<DOUBLE>) AS fv")
+          .selectExpr("vec_id", "v", "fv", "sqrt(array_dot(fv, fv)) AS nrm")
+        val dists = e.selectExpr(
+          Seq("vec_id", "fv", "nrm") ++
+            (0 until sdK).map(c => s"(${sdDistExpr(c, oneBased = false, sparkF32)}) AS sd_$c"): _*)
+        val assigned = dists
+          .withColumn("m", expr((0 until sdK).map(c => s"sd_$c").mkString("least(", ", ", ")")))
+          .withColumn("cluster", expr(
+            "CAST(CASE " + (0 until sdK).map(c => s"WHEN sd_$c = m THEN $c").mkString(" ") + " END AS INT)"))
+          .select("vec_id", "cluster", "fv", "nrm")
+          .localCheckpoint(eager = false) // feeds both sides of the pair join + the rollup
+        val dropped = assigned.as("a")
+          .join(assigned.as("b"), expr(
+            "a.cluster = b.cluster AND b.vec_id < a.vec_id AND " +
+              "array_dot(a.fv, b.fv) / (a.nrm * b.nrm) >= 0.35"),
+            "left_semi")
+          .select("vec_id").withColumn("isdrop", lit(1))
+        assigned.join(dropped, Seq("vec_id"), "left")
+          .groupBy("cluster")
+          .agg(
+            count(lit(1)).as("members"),
+            sum(when(col("isdrop").isNull, 1).otherwise(0)).cast("long").as("kept"),
+            sum(when(col("isdrop").isNotNull, 1).otherwise(0)).cast("long").as("dropped"))
+          .orderBy("cluster")
+      },
+      Some({
+        val lists = (0 until sdK)
+          .map(c => s"    (${sdDistExpr(c, oneBased = true, f => s"CAST('${java.lang.Float.toString(f)}' AS REAL)")}) AS sd_$c")
+          .mkString(",\n")
+        val leastE = (0 until sdK).map(c => s"sd_$c").mkString("least(", ", ", ")")
+        val caseE = "CAST(CASE " + (0 until sdK).map(c => s"WHEN sd_$c = m THEN $c").mkString(" ") + " END AS INTEGER)"
+        s"""WITH e AS (SELECT vec_id, embedding[1:$sdDim] AS v,
+           |  CAST(embedding AS DOUBLE[]) AS fv,
+           |  sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), (acc, x) -> acc + x)) AS nrm
+           |  FROM embeddings),
+           |dl AS (SELECT vec_id, fv, nrm,
+           |$lists
+           |  FROM e),
+           |withm AS (SELECT *, $leastE AS m FROM dl),
+           |asg AS (SELECT vec_id, fv, nrm, $caseE AS cluster FROM withm),
+           |dropped AS (
+           |  SELECT DISTINCT a.vec_id AS vec_id FROM asg a JOIN asg b
+           |  ON a.cluster = b.cluster AND b.vec_id < a.vec_id AND
+           |    list_reduce(list_transform(list_zip(a.fv, b.fv), p -> p[1] * p[2]), (acc, x) -> acc + x)
+           |    / (a.nrm * b.nrm) >= 0.35)
+           |SELECT cluster, COUNT(*) AS members,
+           |  CAST(SUM(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+           |  CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS dropped
+           |FROM asg LEFT JOIN dropped d USING (vec_id)
+           |GROUP BY cluster ORDER BY cluster""".stripMargin
+      })
+    ),
     // --------------------------------------------------------------- ANN ops
     Q(
       "n1_ann_bruteforce_topk",
@@ -576,6 +770,20 @@ object ExtensionQueries {
           .orderBy("qid", "rank")
       },
       Some(pqOracleSql)
+    ),
+    Q(
+      "n4_ann_ivfpq",
+      "IVF + PQ composed ANN (the FAISS-IVFPQ production shape): coarse-quantize each vector to its nearest cell, PQ-encode the cell RESIDUAL, probe the nprobe=2 nearest cells per query (tie-stable threshold rule), ADC-score only probed cells' codes, k-bounded TopK re-rank. Residual coding cuts quantization error at the same code budget, and the cell key bounds per-query scan volume at ~nprobe/nCells of the corpus. Model is a seeded constant for the static oracle (training quality is PqSpec/SimilaritySpec territory); f32 arithmetic mirrored bitwise on both sides",
+      (s, d) => {
+        val emb = embeddings(s, d).selectExpr("vec_id", "slice(embedding, 1, 16) AS v16")
+        val encoded = graft.ext.Pq.ivfPqEncode(emb, "vec_id", "v16", sdCent, pqModel)
+        graft.ext.Pq
+          .ivfPqTopK(encoded, emb.where(col("vec_id") < 10), "vec_id", "v16",
+            sdCent, pqModel, nprobe = n4Nprobe, k = 5)
+          .selectExpr("qid", "rank", "id AS vec_id", "score AS adc")
+          .orderBy("qid", "rank")
+      },
+      Some(n4OracleSql)
     ),
     Q(
       "e1_quantize_int8",
@@ -995,6 +1203,62 @@ object ExtensionQueries {
              |  FROM tf JOIN dfreq USING (term) CROSS JOIN st)
              |SELECT term, rank, doc_id, tf, df, dl FROM scored WHERE rank <= 5
              |ORDER BY term, rank""".stripMargin)
+    ),
+    Q(
+      "t13_quality_filter_funnel",
+      "Gopher-style heuristic filter battery: word-count bounds, mean-word-length range, unique-word fraction, top-word dominance — the per-rule drop funnel plus survivors per lang. Every ratio rule is tested in exact integer arithmetic (r >= a/b as r_num*b >= a*r_den) so the hash gate is exact; top-word frequency comes from explode + two hash-aggs (posting shape, linear in tokens), never a per-doc quadratic rescan",
+      (s, d) => {
+        val base = documents(s, d).selectExpr(
+          "doc_id", "lang",
+          "CAST(size(split(text, ' ')) AS BIGINT) AS ntok",
+          "CAST(size(array_distinct(split(lower(text), ' '))) AS BIGINT) AS nuniq",
+          "CAST(length(replace(text, ' ', '')) AS BIGINT) AS nalpha")
+        val dom = documents(s, d)
+          .selectExpr("doc_id", "explode(split(lower(text), ' ')) AS term")
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+          .groupBy("doc_id").agg(max(col("tf")).as("maxtf"))
+        base.join(dom, Seq("doc_id"))
+          .withColumn("f_wc", expr("ntok < 30 OR ntok > 80"))
+          .withColumn("f_mwl", expr("nalpha * 10 < ntok * 42 OR nalpha > ntok * 10"))
+          .withColumn("f_uniq", expr("nuniq * 5 < ntok * 2"))
+          .withColumn("f_dom", expr("maxtf * 8 > ntok"))
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("docs"),
+            sum(when(expr("NOT (f_wc OR f_mwl OR f_uniq OR f_dom)"), 1).otherwise(0))
+              .cast("long").as("kept"),
+            sum(when(col("f_wc"), 1).otherwise(0)).cast("long").as("drop_wc"),
+            sum(when(col("f_mwl"), 1).otherwise(0)).cast("long").as("drop_mwl"),
+            sum(when(col("f_uniq"), 1).otherwise(0)).cast("long").as("drop_uniq"),
+            sum(when(col("f_dom"), 1).otherwise(0)).cast("long").as("drop_dom"))
+          .orderBy("lang")
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id, lang,
+             |    len(string_split(text, ' ')) AS ntok,
+             |    len(list_distinct(string_split(lower(text), ' '))) AS nuniq,
+             |    length(replace(text, ' ', '')) AS nalpha
+             |  FROM documents),
+             |tf AS (
+             |  SELECT doc_id, MAX(c) AS maxtf FROM (
+             |    SELECT doc_id, COUNT(*) AS c
+             |    FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents)
+             |    GROUP BY doc_id, term)
+             |  GROUP BY doc_id),
+             |f AS (
+             |  SELECT lang,
+             |    (ntok < 30 OR ntok > 80) AS f_wc,
+             |    (nalpha * 10 < ntok * 42 OR nalpha > ntok * 10) AS f_mwl,
+             |    (nuniq * 5 < ntok * 2) AS f_uniq,
+             |    (maxtf * 8 > ntok) AS f_dom
+             |  FROM b JOIN tf USING (doc_id))
+             |SELECT lang, COUNT(*) AS docs,
+             |  CAST(SUM(CASE WHEN NOT (f_wc OR f_mwl OR f_uniq OR f_dom) THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+             |  CAST(SUM(CASE WHEN f_wc THEN 1 ELSE 0 END) AS BIGINT) AS drop_wc,
+             |  CAST(SUM(CASE WHEN f_mwl THEN 1 ELSE 0 END) AS BIGINT) AS drop_mwl,
+             |  CAST(SUM(CASE WHEN f_uniq THEN 1 ELSE 0 END) AS BIGINT) AS drop_uniq,
+             |  CAST(SUM(CASE WHEN f_dom THEN 1 ELSE 0 END) AS BIGINT) AS drop_dom
+             |FROM f GROUP BY lang ORDER BY lang""".stripMargin)
     ),
     Q(
       "p13_hash_split",

@@ -143,6 +143,119 @@ object Pq {
     }(enc)
   }
 
+  private val ivfCodeSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("cell", IntegerType),
+    StructField("codes", ArrayType(IntegerType, containsNull = false))))
+
+  /** IVF + PQ composed — the FAISS-IVFPQ production shape: assign each
+    * vector to its nearest coarse cell, then PQ-encode the RESIDUAL
+    * (vector − cell centroid) rather than the vector itself. Residuals are
+    * tighter-clustered than raw vectors, so the same codebook budget yields
+    * lower quantization error, and the cell id doubles as the probe key:
+    * search touches only `nprobe` cells' codes instead of the whole corpus.
+    * At 100 TB this is the index you'd actually ship — the corpus lives as
+    * (cell, m-byte code) rows partitionable by cell, the coarse+PQ model
+    * broadcasts with the closure, and scan volume per query batch is
+    * nprobe/nCells of the corpus.
+    *
+    * Output: (id, cell, codes). Same PERMISSIVE null posture and loud
+    * dim-mismatch failure as [[encode]].
+    */
+  def ivfPqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      coarse: Array[Array[Float]], model: Model): DataFrame = {
+    require(coarse.nonEmpty && coarse.forall(_.length == model.dim),
+      s"coarse centroids must match PQ model dim ${model.dim}")
+    val enc = RowEncoder.encoderFor(ivfCodeSchema)
+    corpus.where(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long"), col(vecCol)).mapPartitions { it =>
+        val ds = model.subDim
+        it.map { r =>
+          val v = r.getSeq[Float](1).toArray
+          require(v.length == model.dim,
+            s"vector of dim ${v.length} does not match PQ model dim ${model.dim}")
+          val cell = nearest(coarse, v)
+          val res = new Array[Float](model.dim)
+          var t = 0
+          while (t < model.dim) { res(t) = v(t) - coarse(cell)(t); t += 1 }
+          val codes = Array.tabulate(model.m) { j =>
+            nearest(model.codebooks(j), java.util.Arrays.copyOfRange(res, j * ds, (j + 1) * ds))
+          }
+          Row(r.getLong(0), cell, codes.toSeq)
+        }
+      }(enc)
+  }
+
+  /** ADC top-k over an IVFPQ index: per query rank the coarse cells by
+    * squared distance, keep every cell within the `nprobe`-th smallest
+    * distance (the tie-stable probe rule), build one residual LUT per
+    * probed cell, and score only code rows whose cell is probed — the
+    * k-bounded TopK Aggregator re-ranks. Scan volume is sub-linear in the
+    * corpus (SimilaritySpec pins it); arithmetic follows the f32 contract
+    * of [[adcTopK]] so the registered query gates bitwise.
+    */
+  def ivfPqTopK(encoded: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      coarse: Array[Array[Float]], model: Model, nprobe: Int, k: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= coarse.length,
+      s"nprobe $nprobe out of range for ${coarse.length} cells")
+    val spark = encoded.sparkSession
+    val qRows = queries.select(col(idCol).cast("long"), col(vecCol)).collect()
+      .map { r =>
+        require(!r.isNullAt(1),
+          s"ivfPqTopK query id=${r.getLong(0)} has a null $vecCol — queries must carry a vector")
+        val v = r.getSeq[Float](1).toArray
+        require(v.length == model.dim,
+          s"query of dim ${v.length} does not match PQ model dim ${model.dim}")
+        (r.getLong(0), v)
+      }
+    require(qRows.nonEmpty, "ivfPqTopK needs at least one query vector")
+    val qB = spark.sparkContext.broadcast(qRows)
+    val enc = RowEncoder.encoderFor(scoredSchema)
+    val scored = encoded.select(col("id"), col("cell"), col("codes")).mapPartitions { it =>
+      val ds = model.subDim
+      // per (query, probed cell): a residual LUT; un-probed cells stay null
+      val qstate = qB.value.map { case (qid, qv) =>
+        val cellD = coarse.map { cent =>
+          var d = 0.0
+          var t = 0
+          while (t < model.dim) { val x = qv(t) - cent(t); d += x * x; t += 1 }
+          d
+        }
+        val thr = cellD.sorted.apply(nprobe - 1)
+        val luts = Array.tabulate(coarse.length) { c =>
+          if (cellD(c) <= thr) {
+            val res = new Array[Float](model.dim)
+            var t = 0
+            while (t < model.dim) { res(t) = qv(t) - coarse(c)(t); t += 1 }
+            Array.tabulate(model.m) { j =>
+              val qb = java.util.Arrays.copyOfRange(res, j * ds, (j + 1) * ds)
+              model.codebooks(j).map { cent =>
+                var d = 0.0
+                var t2 = 0
+                while (t2 < ds) { val x = qb(t2) - cent(t2); d += x * x; t2 += 1 }
+                d
+              }
+            }
+          } else null
+        }
+        (qid, luts)
+      }
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val cell = r.getInt(1)
+        val codes = r.getSeq[Int](2)
+        qstate.iterator.collect { case (qid, luts) if qid != id && luts(cell) != null =>
+          val lut = luts(cell)
+          var d = 0.0
+          var j = 0
+          while (j < model.m) { d += lut(j)(codes(j)); j += 1 }
+          Row(qid, id, -d)
+        }
+      }
+    }(enc)
+    Similarity.topKByQuery(scored, k)
+  }
+
   private val scoredSchema = StructType(Seq(
     StructField("qid", LongType),
     StructField("id", LongType),

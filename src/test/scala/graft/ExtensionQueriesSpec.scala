@@ -85,4 +85,68 @@ class ExtensionQueriesSpec extends SparkSpec {
       }
     }
   }
+
+  test("t13_quality_filter_funnel: drop accounting brackets the survivor count") {
+    val rows = Registry.byName("t13_quality_filter_funnel").fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val druleNames = Seq("drop_wc", "drop_mwl", "drop_uniq", "drop_dom")
+    rows.foreach { r =>
+      val docs = r.getAs[Long]("docs")
+      val kept = r.getAs[Long]("kept")
+      val drops = druleNames.map(r.getAs[Long](_))
+      drops.foreach(dc => assert(dc >= 0 && dc <= docs, s"$r: drop count out of range"))
+      // kept = docs - |union of rule failures|, so it sits between the
+      // all-overlap bound (docs - max drop) and the disjoint bound
+      // (docs - sum of drops)
+      assert(kept <= docs - drops.max, s"$r: kept above the max-drop bound")
+      assert(kept >= math.max(0L, docs - drops.sum), s"$r: kept below the disjoint bound")
+    }
+    val totalDocs = rows.map(_.getAs[Long]("docs")).sum
+    val nDocs = graft.analytics.Tables.documents(spark, sf).count()
+    assert(totalDocs == nDocs, "funnel must account for every document")
+    assert(rows.map(_.getAs[Long]("kept")).sum > 0, "thresholds reject the whole fixture")
+    assert(druleNames.map(n => rows.map(_.getAs[Long](n)).sum).sum > 0,
+      "thresholds drop nothing — the funnel gates no rule")
+  }
+
+  test("d10_dup_ngram_mass: exact-duplicate docs are heavy by construction") {
+    val rows = Registry.byName("d10_dup_ngram_mass").fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dup_grams") <= r.getAs[Long]("grams"), s"$r: dup mass > total")
+      assert(r.getAs[Long]("heavy_docs") <= r.getAs[Long]("docs"), s"$r: heavy > docs")
+    }
+    val totalDocs = rows.map(_.getAs[Long]("docs")).sum
+    assert(totalDocs == graft.analytics.Tables.documents(spark, sf).count())
+    // any doc with an identical-text twin and >= 5 tokens shares ALL its
+    // 5-grams, so its dup fraction is 1 — a guaranteed-heavy lower bound
+    val exactDupDocs = graft.analytics.Tables.documents(spark, sf)
+      .selectExpr("text", "size(split(text, ' ')) AS nt")
+      .where("nt >= 5").groupBy("text").count().where("count >= 2")
+      .selectExpr("CAST(sum(count) AS LONG)").collect()(0)
+    val lower = if (exactDupDocs.isNullAt(0)) 0L else exactDupDocs.getLong(0)
+    assert(rows.map(_.getAs[Long]("heavy_docs")).sum >= lower,
+      s"exact-dup docs ($lower) must all be dup-gram heavy")
+  }
+
+  test("d9_semdedup: cell accounting is exact and keep-earliest never empties a cell") {
+    val rows = Registry.byName("d9_semdedup").fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val members = r.getAs[Long]("members")
+      val kept = r.getAs[Long]("kept")
+      val dropped = r.getAs[Long]("dropped")
+      assert(kept + dropped == members, s"$r: kept + dropped != members")
+      // the lowest-id member of a cell has no earlier neighbor, so greedy
+      // keep-earliest can never drop an entire cell
+      assert(kept >= 1, s"$r: cell fully dropped")
+      val c = r.getAs[Int]("cluster")
+      assert(c >= 0 && c < 8, s"$r: cluster id outside the codebook")
+    }
+    assert(rows.map(_.getAs[Int]("cluster")).distinct.length == rows.length,
+      "duplicate cluster rows")
+    val totalMembers = rows.map(_.getAs[Long]("members")).sum
+    assert(totalMembers == graft.analytics.Tables.embeddings(spark, sf).count(),
+      "every embedding must land in exactly one cell")
+  }
 }

@@ -83,4 +83,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("lambdafunction"),
       s"interpreted lambda found in the signature plan:\n${plan.take(2000)}")
   }
+
+  test("n4: IVFPQ re-rank is the k-bounded TopK Aggregator, never a window sort") {
+    val df = Registry.byName("n4_ann_ivfpq").fn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window re-rank would buffer per-query state:\n$plan")
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"TopK Aggregator expected in the re-rank:\n$plan")
+  }
+
+  test("d10: the posting-frequency join is shuffle-hash, not a broadcast of the posting table") {
+    // Broadcasting the gram->df relation would build and ship a corpus-sized
+    // hash map to every task; the fine-grained gram key partitions perfectly.
+    val df = Registry.byName("d10_dup_ngram_mass").fn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"gram-frequency join must be shuffle-hash:\n${plan.take(3000)}")
+  }
 }

@@ -106,6 +106,69 @@ class PqSpec extends SparkSpec {
     assert(hits >= 4, s"recall@1 (cluster level) must be >= 4/5, got $hits")
   }
 
+  test("ivfPqEncode: planted coarse+codebook vectors round-trip exactly") {
+    val model = Pq.train(df, "v", m = 4, k = 8, seed = 7L)
+    // well-separated coarse cells so the planted residual can't flip the cell
+    val coarse = Array.tabulate(3)(c => Array.tabulate(16)(t => c * 100.0f + t * 0.1f))
+    val probe = Array.tabulate(16) { t =>
+      val j = t / model.subDim
+      coarse(1)(t) + model.codebooks(j)(2)(t % model.subDim)
+    }
+    val row = Pq.ivfPqEncode(Seq((0L, probe)).toDF("id", "v"), "id", "v", coarse, model)
+      .collect()(0)
+    assert(row.getInt(1) == 1, s"nearest coarse cell must win: $row")
+    // f32 subtraction recovers the centroid exactly (x + c - c == x in f32
+    // only when magnitudes are benign — 100 vs <=40 here), so codes point
+    // back at the planted codebook entries
+    assert(row.getSeq[Int](2) == Seq(2, 2, 2, 2), s"residual must encode to itself: $row")
+  }
+
+  test("ivfPqTopK with nprobe = nCells reproduces a driver-side full ADC rescore") {
+    val model = Pq.train(df, "v", m = 4, k = 8, seed = 7L)
+    val coarse = Array.tabulate(4)(c =>
+      Array.tabulate(16)(t => (if (t / 4 == c) 10f * (c + 1) else 0f)))
+    val encoded = Pq.ivfPqEncode(df, "id", "v", coarse, model).cache()
+    val out = Pq.ivfPqTopK(encoded, df.where(col("id") < 3), "id", "v",
+      coarse, model, nprobe = coarse.length, k = 3).collect()
+    // recompute expected ranks in plain Scala from the collected codes
+    val codeRows = encoded.collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2)))
+    val byId = clustered.toMap
+    (0L until 3L).foreach { q =>
+      val qv = byId(q)
+      val expected = codeRows.filter(_._1 != q).map { case (id, cell, codes) =>
+        val res = Array.tabulate(model.dim)(t => qv(t) - coarse(cell)(t))
+        var d = 0.0
+        (0 until model.m).foreach { j =>
+          val cent = model.codebooks(j)(codes(j))
+          var b = 0.0
+          (0 until model.subDim).foreach { t =>
+            val x = res(j * model.subDim + t) - cent(t); b += x * x
+          }
+          d += b
+        }
+        (id, -d)
+      }.sortBy { case (id, s) => (-s, id) }.take(3).map(_._1).toSeq
+      val got = out.filter(_.getAs[Long]("qid") == q).sortBy(_.getAs[Long]("rank"))
+        .map(_.getAs[Long]("id")).toSeq
+      assert(got == expected, s"q=$q: ivfpq ranks diverge from full rescore")
+    }
+  }
+
+  test("ivfPqTopK probes sub-linearly: nprobe=1 only reaches the query's own cell") {
+    val model = Pq.train(df, "v", m = 4, k = 8, seed = 7L)
+    val coarse = Array.tabulate(4)(c =>
+      Array.tabulate(16)(t => (if (t / 4 == c) 10f * (c + 1) else 0f)))
+    val encoded = Pq.ivfPqEncode(df, "id", "v", coarse, model).cache()
+    val cellOf = encoded.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // query AT a coarse centroid: its own cell distance is 0, so nprobe=1
+    // probes exactly that cell
+    val q = Seq((999L, coarse(2))).toDF("id", "v")
+    val hits = Pq.ivfPqTopK(encoded, q, "id", "v", coarse, model, nprobe = 1, k = 10)
+      .collect().map(_.getAs[Long]("id"))
+    assert(hits.nonEmpty, "cell 2 has members")
+    assert(hits.forall(cellOf(_) == 2), "nprobe=1 must never score a foreign cell")
+  }
+
   test("adcTopK output shape matches the ANN family: (qid, rank, id, score), k-bounded plan") {
     val model = Pq.train(df, "v", m = 4, k = 8)
     val encoded = Pq.encode(df, "id", "v", model)
