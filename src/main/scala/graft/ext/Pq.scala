@@ -186,6 +186,42 @@ object Pq {
       }(enc)
   }
 
+  /** Squared L2 from a query to every coarse centroid — the f32-product /
+    * double-accumulate arithmetic shared by encode, probe selection, and the
+    * registered oracle.
+    */
+  private def cellDistances(qv: Array[Float], coarse: Array[Array[Float]]): Array[Double] =
+    coarse.map { cent =>
+      var d = 0.0
+      var t = 0
+      while (t < qv.length) { val x = qv(t) - cent(t); d += x * x; t += 1 }
+      d
+    }
+
+  /** Probe a cell-partitioned IVFPQ code store (see
+    * [[graft.streaming.Incremental.streamingVectorIndex]]): the union of the
+    * query batch's probe cells becomes a PARTITION filter on the store scan,
+    * so a probe reads ~nprobe/nCells of the index FILES — the sub-linear
+    * scan-volume story survives the filesystem layout, not just the
+    * in-memory plan. Scoring then proceeds exactly as [[ivfPqTopK]] (whose
+    * per-query probe rule re-filters within the unioned set).
+    */
+  def probeIndex(indexPath: String, queries: DataFrame, idCol: String, vecCol: String,
+      coarse: Array[Array[Float]], model: Model, nprobe: Int, k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val qRows = queries.select(col(idCol).cast("long"), col(vecCol)).collect()
+    require(qRows.nonEmpty, "probeIndex needs at least one query vector")
+    val probed = qRows.flatMap { r =>
+      require(!r.isNullAt(1), s"probeIndex query id=${r.getLong(0)} has a null $vecCol")
+      val d = cellDistances(r.getSeq[Float](1).toArray, coarse)
+      val thr = d.sorted.apply(nprobe - 1)
+      d.indices.filter(c => d(c) <= thr)
+    }.distinct.sorted
+    val encoded = spark.read.parquet(indexPath)
+      .where(col("cell").isin(probed.map(Integer.valueOf): _*))
+    ivfPqTopK(encoded, queries, idCol, vecCol, coarse, model, nprobe, k)
+  }
+
   /** ADC top-k over an IVFPQ index: per query rank the coarse cells by
     * squared distance, keep every cell within the `nprobe`-th smallest
     * distance (the tie-stable probe rule), build one residual LUT per
@@ -215,12 +251,7 @@ object Pq {
       val ds = model.subDim
       // per (query, probed cell): a residual LUT; un-probed cells stay null
       val qstate = qB.value.map { case (qid, qv) =>
-        val cellD = coarse.map { cent =>
-          var d = 0.0
-          var t = 0
-          while (t < model.dim) { val x = qv(t) - cent(t); d += x * x; t += 1 }
-          d
-        }
+        val cellD = cellDistances(qv, coarse)
         val thr = cellD.sorted.apply(nprobe - 1)
         val luts = Array.tabulate(coarse.length) { c =>
           if (cellD(c) <= thr) {

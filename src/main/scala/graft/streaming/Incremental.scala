@@ -175,6 +175,50 @@ object Incremental {
       .start()
   }
 
+  /** Streaming ANN index maintenance — the vector-side sibling of
+    * [[streamingDedup]]: embedding vectors land as JSON files
+    * `(vec_id, embedding[])`; each micro-batch is IVFPQ-encoded
+    * ([[graft.ext.Pq.ivfPqEncode]]: coarse cell + residual PQ codes, so a
+    * dim×4-byte vector persists as one int cell + m bytes) and written to a
+    * `batch=<id>/cell=<c>` partitioned parquet code store. The batch
+    * directory is keyed to the micro-batch id and written with OVERWRITE:
+    * foreachBatch is at-least-once, so a crash-replayed batch rewrites the
+    * same directory instead of double-appending — idempotent without a
+    * transactional sink (the GoldWriter corrId discipline, applied to
+    * files). Probes ([[graft.ext.Pq.probeIndex]]) partition-prune on `cell`,
+    * so query scan volume stays ~nprobe/nCells of the store at any corpus
+    * size; the model is fit once offline and broadcast — the index never
+    * retrains in the hot path.
+    */
+  def streamingVectorIndex(
+      spark: SparkSession,
+      vecsPath: String,
+      indexPath: String,
+      checkpoint: String,
+      coarse: Array[Array[Float]],
+      model: graft.ext.Pq.Model,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField}
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 16)
+      .json(vecsPath)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.ext.Pq.ivfPqEncode(batch, "vec_id", "embedding", coarse, model)
+            .write.mode("overwrite").partitionBy("cell")
+            .parquet(s"$indexPath/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** ST7 — scheduled periodic ingestion: the reference's external cron
     * scheduler (pipeline_scheduler.py:42-103 cron -> job publish) collapses
     * into Structured Streaming's own trigger scheduler. The SAME pipeline as

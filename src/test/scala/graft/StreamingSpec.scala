@@ -205,6 +205,53 @@ class StreamingSpec extends SparkSpec {
     assert(accepted == Set(1L, 2L, 4L), s"near-dup doc 3 rejected, novel doc 4 accepted: $accepted")
   }
 
+  test("streamingVectorIndex: waves build a cell-partitioned code store; probe == batch IVFPQ") {
+    import spark.implicits._
+    val vecs = tmpDir("svi-vecs")
+    val index = tmpDir("svi-index") + "/index"
+    val chk = tmpDir("svi-chk")
+    val mrng = new scala.util.Random(5)
+    val model = graft.ext.Pq.Model(4, 4, 16, Array.fill(4, 4, 4)(mrng.nextFloat() - 0.5f))
+    val coarse = Array.tabulate(4)(c =>
+      Array.tabulate(16)(t => (if (t / 4 == c) 10f * (c + 1) else 0f)))
+    val vrng = new scala.util.Random(7)
+    def mk(c: Int) = Array.tabulate(16)(t => coarse(c)(t) + vrng.nextFloat() * 0.5f)
+    def line(id: Int, v: Array[Float]) =
+      s"""{"vec_id":$id,"embedding":[${v.mkString(",")}]}"""
+    val wave1 = (0 until 8).map(i => (i, mk(i % 4)))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$vecs/w1.json"),
+      wave1.map { case (i, v) => line(i, v) }.mkString("", "\n", "\n"))
+    graft.streaming.Incremental
+      .streamingVectorIndex(spark, vecs, index, chk, coarse, model)
+      .awaitTermination(180000)
+    val stored = spark.read.parquet(index)
+    assert(stored.count() == 8, "wave 1 encoded into the store")
+    assert(stored.select("cell").distinct().count() == 4, "cells partition the store")
+
+    val wave2 = (8 until 12).map(i => (i, mk(i % 4)))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$vecs/w2.json"),
+      wave2.map { case (i, v) => line(i, v) }.mkString("", "\n", "\n"))
+    graft.streaming.Incremental
+      .streamingVectorIndex(spark, vecs, index, chk, coarse, model)
+      .awaitTermination(180000)
+    assert(spark.read.parquet(index).count() == 12,
+      "wave 2 appended once; wave 1 not re-encoded (checkpoint idempotence)")
+
+    // the store probe must reproduce batch IVFPQ over the union exactly
+    val all = (wave1 ++ wave2).map { case (i, v) => (i.toLong, v) }.toDF("vec_id", "embedding")
+    val queries = all.where(col("vec_id") < 2)
+    val viaStore = graft.ext.Pq
+      .probeIndex(index, queries, "vec_id", "embedding", coarse, model, nprobe = 2, k = 3)
+      .collect()
+    val viaBatch = graft.ext.Pq.ivfPqTopK(
+      graft.ext.Pq.ivfPqEncode(all, "vec_id", "embedding", coarse, model),
+      queries, "vec_id", "embedding", coarse, model, nprobe = 2, k = 3).collect()
+    assert(viaStore.map(_.toString).toSeq == viaBatch.map(_.toString).toSeq,
+      "store probe diverges from batch IVFPQ")
+  }
+
   test("streaming tumbling-window aggregate over a bounded file source (memory sink)") {
     val dir = tmpDir("stream-ev")
     java.nio.file.Files.writeString(
