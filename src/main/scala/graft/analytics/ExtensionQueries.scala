@@ -1326,6 +1326,36 @@ object ExtensionQueries {
       Some("""SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
              |COUNT(*) AS n, CAST(SUM(octet_length(CAST(props AS BLOB))) AS BIGINT) AS total_bytes
              |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin)
+    ),
+    Q(
+      "m2_frame_sample",
+      "Video frame sampling as a generator transform (UDTF shape, Multimodal.sampleFrames): per-row duration -> one output row per 1.5 s frame index, zero-duration stills explode to zero rows (the sequence guard), per-lang frame counts + last frame offset. The every-Nth-frame extract step of a video training pipeline; a generator never materializes per-media frame lists driver-side",
+      (s, d) => {
+        val media = graft.ext.Multimodal.asMedia(
+          documents(s, d), "doc_id", "text",
+          durationMs = expr("CASE WHEN doc_id % 7 = 0 THEN 0 ELSE n_chars * 40 END"))
+        graft.ext.Multimodal.sampleFrames(media, everyMs = 1500)
+          .join(
+            documents(s, d).select(col("doc_id").as("media_id"), col("lang")),
+            Seq("media_id"))
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("frames"),
+            countDistinct(col("media_id")).as("sampled_docs"),
+            max(col("frame_ms")).cast("long").as("last_frame_ms"))
+          .orderBy("lang")
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id, lang,
+             |    CASE WHEN doc_id % 7 = 0 THEN 0 ELSE n_chars * 40 END AS dur
+             |  FROM documents),
+             |f AS (
+             |  SELECT doc_id, lang,
+             |    unnest(generate_series(0, CAST(dur - 1 AS BIGINT), 1500)) AS frame_ms
+             |  FROM m WHERE dur > 0)
+             |SELECT lang, COUNT(*) AS frames, COUNT(DISTINCT doc_id) AS sampled_docs,
+             |  CAST(MAX(frame_ms) AS BIGINT) AS last_frame_ms
+             |FROM f GROUP BY lang ORDER BY lang""".stripMargin)
     )
   )
 }

@@ -156,15 +156,18 @@ object Multimodal {
 
   /** Wrap a text/metadata table into media rows (fixture adapter: the
     * testdata has no real binaries, so content = UTF-8 bytes of a column).
+    * `durationMs` lets a caller derive a per-row duration (video/audio
+    * tables); the default keeps every payload a 1-second still.
     */
-  def asMedia(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+  def asMedia(df: DataFrame, idCol: String, payloadCol: String,
+      durationMs: org.apache.spark.sql.Column = lit(1000)): DataFrame =
     df.select(
       col(idCol).cast("long").as("media_id"),
       col(payloadCol).cast("binary").as("content"),
       struct(
         lit("application/octet-stream").as("mime"),
         lit(64).as("width"), lit(64).as("height"),
-        lit(1000).as("duration_ms")).as("meta"))
+        durationMs.cast("int").as("duration_ms")).as("meta"))
 
   private val decodedSchema = StructType(Seq(
     StructField("media_id", LongType),
