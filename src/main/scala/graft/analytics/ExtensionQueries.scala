@@ -282,6 +282,38 @@ object ExtensionQueries {
 
   private def sparkF32(f: Float): String = s"CAST('${java.lang.Float.toString(f)}' AS FLOAT)"
 
+  // ---- BPE fixed merge table (t14_bpe_encode) ------------------------------
+  // A CONSTANT ranked merge list, not one trained from data — same rationale
+  // as the PQ codebook: the oracle must be one static SQL string across
+  // scale factors, so the model inlined into it is data-independent (real
+  // training is BpeSpec's job). Greedy BPE application — per word: chars,
+  // then each merge in rank order, leftmost non-overlapping — is EXACTLY
+  // `replace(space-joined-chars, 'x y', 'xy')` chained per merge, provided
+  // no pair can match across a token boundary; verified exhaustively against
+  // array semantics over the fixture's closed 31-word vocabulary.
+  private lazy val bpeModel: graft.ext.Bpe.Model = graft.ext.Bpe.Model(Seq(
+    ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"),
+    ("s", "c"), ("sc", "a"), ("sca", "n"),
+    ("v", "a"), ("va", "l"), ("val", "u"), ("valu", "e"),
+    ("a", "r")))
+
+  private lazy val bpeOracleSql: String = {
+    val repl = bpeModel.merges.foldLeft(
+      "array_to_string([w[i:i] for i in generate_series(1, len(w))], ' ')") {
+      case (acc, (a, b)) => s"replace($acc, '$a $b', '$a$b')"
+    }
+    s"""WITH wd AS (
+       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+       |t AS (
+       |  SELECT doc_id, SUM(len(string_split($repl, ' '))) AS toks
+       |  FROM wd WHERE len(w) > 0 GROUP BY doc_id)
+       |SELECT lang, COUNT(*) AS docs,
+       |  CAST(SUM(COALESCE(toks, 0)) AS BIGINT) AS bpe_tokens,
+       |  CAST(SUM(length(replace(lower(text), ' ', ''))) AS BIGINT) AS chars
+       |FROM documents LEFT JOIN t USING (doc_id)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     // ------------------------------------------------------------- dedup ops
     Q(
@@ -1259,6 +1291,24 @@ object ExtensionQueries {
              |  CAST(SUM(CASE WHEN f_uniq THEN 1 ELSE 0 END) AS BIGINT) AS drop_uniq,
              |  CAST(SUM(CASE WHEN f_dom THEN 1 ELSE 0 END) AS BIGINT) AS drop_dom
              |FROM f GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
+    Q(
+      "t14_bpe_encode",
+      "BPE tokenization at corpus scale (ext.Bpe): per word, chars merged by a RANKED merge table in greedy leftmost order — the distributed APPLY leg of subword tokenizer construction (t10 measures vocab coverage; this materializes the token stream). Merge table is a seeded constant so the oracle is static (training is BpeSpec-pinned: deterministic, layout-independent, frequency-ranked); encode is mapPartitions with broadcast merges + per-partition word memo. Per lang: docs, BPE token mass vs raw char mass — the compression a tokenizer buys",
+      (s, d) => {
+        val toks = graft.ext.Bpe.encode(documents(s, d), "doc_id", "text", bpeModel)
+        documents(s, d)
+          .selectExpr("doc_id AS id", "lang",
+            "CAST(length(replace(lower(text), ' ', '')) AS BIGINT) AS chars")
+          .join(toks.selectExpr("id", "CAST(size(tokens) AS BIGINT) AS toks"), Seq("id"), "left")
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("docs"),
+            sum(coalesce(col("toks"), lit(0L))).as("bpe_tokens"),
+            sum(col("chars")).as("chars"))
+          .orderBy("lang")
+      },
+      Some(bpeOracleSql)
     ),
     Q(
       "p13_hash_split",

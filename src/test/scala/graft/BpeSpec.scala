@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Bpe
+
+/** BPE trainer/encoder: frequency-ranked merges, determinism across
+  * partition layouts, greedy-apply semantics, distributed encode parity.
+  * (The registered `t14_bpe_encode` gates the DISTRIBUTED apply bitwise
+  * against DuckDB with a constant merge table; training is pinned here —
+  * merge learning is not SQL-expressible.)
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val corpus = Seq(
+    (0L, "low low low low low"),
+    (1L, "lower lower newest newest"),
+    (2L, "newest newest newest newest"),
+    (3L, "widest widest")
+  ).toDF("id", "text")
+
+  test("most frequent pair merges first; merges chain into full subwords") {
+    val m = Bpe.train(corpus, "text", numMerges = 8)
+    // 'newest' x6 and 'low' x7 dominate: the first merges must come from
+    // their char bigrams, ranked by weighted frequency
+    val first = m.merges.head
+    assert(Set(("l", "o"), ("e", "s"), ("s", "t"), ("n", "e"), ("w", "e"), ("e", "w"))
+      .contains(first), s"unexpected first merge: $first")
+    val toks = Bpe.encodeWord("newest", m)
+    assert(toks.length < 6, s"merges must compress 'newest': ${toks.toSeq}")
+    assert(toks.mkString("") == "newest", "tokens must concatenate back to the word")
+  }
+
+  test("training is deterministic and layout-independent") {
+    val m1 = Bpe.train(corpus, "text", numMerges = 6)
+    val m2 = Bpe.train(corpus.repartition(7), "text", numMerges = 6)
+    val m3 = Bpe.train(corpus.coalesce(1), "text", numMerges = 6)
+    assert(m1.merges == m2.merges && m1.merges == m3.merges,
+      "merge ranks must not depend on partition layout")
+  }
+
+  test("maxVocab cut is content-stable") {
+    val m1 = Bpe.train(corpus, "text", numMerges = 4, maxVocab = 3)
+    val m2 = Bpe.train(corpus.repartition(5), "text", numMerges = 4, maxVocab = 3)
+    assert(m1.merges == m2.merges, "bounded vocab sample must key on content")
+  }
+
+  test("encode distributes and matches per-word greedy application exactly") {
+    val m = Bpe.train(corpus, "text", numMerges = 6)
+    val out = Bpe.encode(corpus, "id", "text", m).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val expected = corpus.collect().map { r =>
+      r.getLong(0) -> r.getString(1).toLowerCase.split(' ').filter(_.nonEmpty)
+        .flatMap(w => Bpe.encodeWord(w, m)).toSeq
+    }.toMap
+    assert(out == expected, "distributed encode must equal driver-side greedy apply")
+  }
+
+  test("null text skipped; empty text yields an empty token row; runs merge non-overlapping") {
+    val df = Seq((0L, "aaaa"), (1L, null: String), (2L, "   ")).toDF("id", "text")
+    val m = Bpe.Model(Seq(("a", "a")))
+    val rows = Bpe.encode(df, "id", "text", m).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(rows.keySet == Set(0L, 2L), "null text skipped, blank text kept")
+    // leftmost non-overlapping: a a a a -> aa aa (never aaa a)
+    assert(rows(0L) == Seq("aa", "aa"), s"run merge semantics: ${rows(0L)}")
+    assert(rows(2L).isEmpty, "whitespace-only text has zero tokens")
+  }
+}
