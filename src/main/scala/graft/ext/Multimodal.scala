@@ -13,9 +13,12 @@ import org.apache.spark.sql.types._
   *
   * Codec dispatch: PNG/JPEG/BMP payloads (sniffed by magic bytes) decode for
   * REAL through the JDK's `javax.imageio` ([[ImageCodec]] — pixel dimensions,
-  * mean luminance, grid-pooled pixel features, resample + re-encode). Formats
-  * the JVM cannot decode (audio, video, exotic containers) fall back to
-  * [[StubCodec]], a deterministic fake standing in for libjpeg/ffmpeg.
+  * mean luminance, grid-pooled pixel features, resample + re-encode), and
+  * RIFF/WAVE PCM audio decodes for real through [[AudioCodec]] (pure byte
+  * parsing — sample rate, duration, RMS, zero-crossing rate from the actual
+  * samples). Formats the JVM cannot decode (video, compressed audio, exotic
+  * containers) fall back to [[StubCodec]], a deterministic fake standing in
+  * for ffmpeg.
   * Everything Spark-side is shared between the two: the schema contract, the
   * partition batching, null/corrupt-row tolerance, and the deterministic
   * feature shapes. Swapping [[StubCodec]] for a JNI/JavaCPP codec changes no
@@ -154,6 +157,91 @@ object Multimodal {
     }
   }
 
+  /** REAL audio codec for RIFF/WAVE PCM — container + sample parsing needs
+    * no library at all (a WAV is a fixed chunk walk plus interleaved PCM
+    * frames), so the audio leg of the dispatch is as real as the image one:
+    * sample rate, channel count, duration, RMS amplitude and zero-crossing
+    * rate come from the actual samples. Non-PCM encodings (compressed WAV,
+    * mp3, ogg) still fall to [[StubCodec]].
+    */
+  object AudioCodec {
+    /** Mono-mixed samples normalized to [-1, 1]. */
+    final case class Wav(sampleRate: Int, channels: Int, bitsPerSample: Int,
+        frames: Int, samples: Array[Double])
+
+    def sniff(bytes: Array[Byte]): Boolean =
+      bytes != null && bytes.length >= 12 &&
+        bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+        bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'
+
+    private def le16(b: Array[Byte], o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) |
+        ((b(o + 3) & 0xff) << 24)
+
+    /** Chunk-walk the RIFF container; uncompressed PCM 8/16-bit only —
+      * anything else (or any malformed header) is None, never a throw.
+      */
+    def read(bytes: Array[Byte]): Option[Wav] = {
+      if (!sniff(bytes)) return None
+      try {
+        var off = 12
+        var fmt: Option[(Int, Int, Int, Int)] = None // audioFormat, channels, rate, bits
+        var data: Option[(Int, Int)] = None          // payload offset, length
+        while (off + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
+          val id = new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+          val sz = le32(bytes, off + 4)
+          if (sz < 0 || off + 8 + sz > bytes.length) return None
+          if (id == "fmt " && sz >= 16)
+            fmt = Some((le16(bytes, off + 8), le16(bytes, off + 10),
+              le32(bytes, off + 12), le16(bytes, off + 22)))
+          else if (id == "data") data = Some((off + 8, sz))
+          off += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+        }
+        for {
+          (af, ch, rate, bits) <- fmt
+          if af == 1 && (bits == 8 || bits == 16) && ch >= 1 && rate > 0
+          (dOff, dLen) <- data
+        } yield {
+          val bytesPerFrame = ch * (bits / 8)
+          val frames = dLen / bytesPerFrame
+          val mono = new Array[Double](frames)
+          var f = 0
+          while (f < frames) {
+            var acc = 0.0
+            var c = 0
+            while (c < ch) {
+              val o = dOff + f * bytesPerFrame + c * (bits / 8)
+              acc += (if (bits == 16) le16(bytes, o).toShort.toDouble / 32768.0
+                      else ((bytes(o) & 0xff) - 128).toDouble / 128.0)
+              c += 1
+            }
+            mono(f) = acc / ch
+            f += 1
+          }
+          Wav(rate, ch, bits, frames, mono)
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    /** (duration_ms, RMS amplitude, zero-crossing rate per frame step). */
+    def features(w: Wav): (Int, Double, Double) = {
+      val n = w.samples.length
+      var sq = 0.0
+      var zc = 0
+      var i = 0
+      while (i < n) {
+        val s = w.samples(i)
+        sq += s * s
+        if (i > 0 && ((s >= 0) != (w.samples(i - 1) >= 0))) zc += 1
+        i += 1
+      }
+      val dur = math.round(n.toDouble * 1000.0 / w.sampleRate).toInt
+      (dur, if (n == 0) 0.0 else math.sqrt(sq / n),
+        if (n <= 1) 0.0 else zc.toDouble / (n - 1))
+    }
+  }
+
   /** Wrap a text/metadata table into media rows (fixture adapter: the
     * testdata has no real binaries, so content = UTF-8 bytes of a column).
     * `durationMs` lets a caller derive a per-row duration (video/audio
@@ -202,6 +290,34 @@ object Multimodal {
             case None =>
               Row(id, n, mean, r.getString(2), null, null, null)
           }
+        }
+      }
+    }(enc)
+  }
+
+  private val audioSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("duration_ms", IntegerType),
+    StructField("rms", DoubleType),
+    StructField("zero_cross_rate", DoubleType)))
+
+  /** Batched audio decode: PCM WAV rows get sample-derived stats
+    * ([[AudioCodec]]); every other payload yields null stats, keeping the
+    * row (the PERMISSIVE posture of [[decodeBatched]]).
+    */
+  def decodeAudioBatched(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(audioSchema)
+    media.select("media_id", "content").mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        AudioCodec.read(bytes) match {
+          case Some(w) =>
+            val (dur, rms, zcr) = AudioCodec.features(w)
+            Row(id, w.sampleRate, w.channels, dur, rms, zcr)
+          case None => Row(id, null, null, null, null, null)
         }
       }
     }(enc)

@@ -167,4 +167,53 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0).getAs[Double]("score") > 0.9999)
     assert(out(1).getAs[Double]("score") < 0.99, "random payloads stay clearly below the dup")
   }
+
+  /** 16-bit mono PCM WAV of a sine wave, built byte by byte. */
+  private def sineWav(rate: Int, freqHz: Double, amp: Double, secs: Double): Array[Byte] = {
+    val n = (rate * secs).toInt
+    val frames = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (math.sin(2 * math.Pi * freqHz * i / rate) * amp * 32767).toInt.toShort
+      frames(2 * i) = (s & 0xff).toByte
+      frames(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val bb = java.nio.ByteBuffer.allocate(44 + frames.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + frames.length).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16)
+      .putShort(1).putShort(1).putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+    bb.put("data".getBytes).putInt(frames.length).put(frames)
+    bb.array()
+  }
+
+  test("decodeAudioBatched decodes real PCM WAV: rate, duration, RMS, zero-cross rate") {
+    import spark.implicits._
+    val wav = sineWav(rate = 8000, freqHz = 440.0, amp = 0.5, secs = 0.25)
+    val junk = Array.fill[Byte](64)(0x41)
+    val media = Multimodal.asMedia(
+      Seq((1L, wav), (2L, junk)).toDF("id", "payload"), "id", "payload")
+    val rows = Multimodal.decodeAudioBatched(media).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    val w = rows(1L)
+    assert(w.getAs[Int]("sample_rate") == 8000 && w.getAs[Int]("channels") == 1)
+    assert(w.getAs[Int]("duration_ms") == 250, s"2000 frames at 8 kHz: $w")
+    // sine RMS = amp/sqrt(2); zero crossings = 2 per cycle = 2*440/8000 per frame
+    assert(math.abs(w.getAs[Double]("rms") - 0.5 / math.sqrt(2)) < 0.01, s"RMS off: $w")
+    assert(math.abs(w.getAs[Double]("zero_cross_rate") - 2 * 440.0 / 8000) < 0.005, s"ZCR off: $w")
+    assert(rows(2L).isNullAt(1), "non-WAV payload keeps its row with null stats")
+  }
+
+  test("AudioCodec tolerates truncated/hostile RIFF payloads as None, never a throw") {
+    val wav = sineWav(8000, 440.0, 0.5, 0.1)
+    assert(Multimodal.AudioCodec.read(wav.take(30)).isEmpty, "truncated header")
+    val lying = wav.clone
+    // corrupt the data-chunk size to point past the payload
+    lying(43) = 0x7f.toByte
+    assert(Multimodal.AudioCodec.read(lying).isEmpty, "chunk size past buffer")
+    val nonPcm = wav.clone
+    nonPcm(20) = 3 // audioFormat = IEEE float: not parsed, not crashed
+    assert(Multimodal.AudioCodec.read(nonPcm).isEmpty, "non-PCM format falls to the stub")
+  }
 }
