@@ -379,4 +379,73 @@ object ScaleOps {
       }.toMap
     } finally pairs.unpersist(blocking = false)
   }
+
+  /** Small-files compaction for a parquet table directory — the operational
+    * counterpart of `DedupStore.compact` for general sinks. Long-lived
+    * streaming writers (`streamingGold`, `streamingVectorIndex`) append a
+    * few files per micro-batch; a year of 5-minute ticks is ~10^5 files
+    * whose listing/open overhead dominates scan cost long before data size
+    * does. Rewrites the tree to ~`targetFileBytes`-sized files (per
+    * partition directory when `partitionBy` is given, preserving
+    * partition-pruning layout), validates the rewrite by row count, then
+    * swaps rename-aside — a crash at any point leaves the old or the new
+    * layout reachable, never a mix and never a missing directory.
+    *
+    * Returns (files before, files after).
+    */
+  def compactParquet(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      partitionBy: Seq[String] = Nil): (Long, Long) = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact_tmp")
+    val bak = new org.apache.hadoop.fs.Path(path + ".compact_old")
+    // leftovers from a crashed run: tmp is incomplete by definition (the
+    // swap below is the only thing that publishes it) — drop it; a stranded
+    // backup means the swap completed, so the live dir is authoritative.
+    fs.delete(tmp, true)
+    fs.delete(bak, true)
+
+    def parquetFiles(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val it = fs.listFiles(p, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith(".parquet")) buf += f
+      }
+      buf.toSeq
+    }
+    val before = parquetFiles(root)
+    val totalBytes = before.map(_.getLen).sum
+    val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+
+    val df = spark.read.parquet(path)
+    val expected = df.count()
+    val writer =
+      (if (partitionBy.nonEmpty)
+        // one file per partition-dir slice: repartition on the partition
+        // columns so each directory's rows coalesce instead of fragmenting
+        // across nFiles tasks
+        df.repartition(nFiles, partitionBy.map(col): _*)
+      else df.repartition(nFiles))
+        .write.mode("overwrite")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(tmp.toString)
+    val got = spark.read.parquet(tmp.toString).count()
+    if (got != expected) {
+      fs.delete(tmp, true)
+      throw new java.io.IOException(
+        s"compactParquet: rewrite of $path has $got rows, expected $expected — aborted, original untouched")
+    }
+    if (!fs.rename(root, bak))
+      throw new java.io.IOException(s"compactParquet: rename $path aside failed")
+    if (!fs.rename(tmp, root)) {
+      fs.rename(bak, root) // restore rather than leaving the table headless
+      throw new java.io.IOException(s"compactParquet: publish of compacted $path failed")
+    }
+    fs.delete(bak, true)
+    (before.size.toLong, parquetFiles(root).size.toLong)
+  }
 }

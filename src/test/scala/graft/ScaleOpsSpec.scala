@@ -116,4 +116,35 @@ class ScaleOpsSpec extends SparkSpec {
       spark.sql(s"DROP DATABASE IF EXISTS $db")
     }
   }
+
+  test("compactParquet: many small files collapse to few, content byte-identical") {
+    val dir = tmpDir("compact") + "/t"
+    val df = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    df.repartition(40).write.parquet(dir)
+    // a stranded tmp dir from a "crashed" earlier run must be swept, not merged
+    (1 to 5).map(i => (-i.toLong, "junk")).toDF("k", "v")
+      .write.parquet(dir + ".compact_tmp")
+    val before = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+    val (nb, na) = ScaleOps.compactParquet(spark, dir, targetFileBytes = 1L << 30)
+    assert(nb >= 40 && na <= 2, s"compaction must shrink the file count: $nb -> $na")
+    val after = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+    assert(after == before, "compaction must not change table content")
+  }
+
+  test("compactParquet preserves a partitioned layout (one file per partition dir)") {
+    val dir = tmpDir("compactp") + "/t"
+    val df = (1 to 900).map(i => (i.toLong, i % 3, s"v$i")).toDF("k", "p", "v")
+    df.repartition(12).write.partitionBy("p").parquet(dir)
+    val before = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+    val (nb, na) = ScaleOps.compactParquet(spark, dir,
+      targetFileBytes = 1L << 30, partitionBy = Seq("p"))
+    assert(nb > 3 && na == 3, s"one file per partition dir expected: $nb -> $na")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (0 to 2).foreach { p =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/p=$p")),
+        s"partition dir p=$p must survive compaction")
+    }
+    assert(spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq == before)
+  }
 }
