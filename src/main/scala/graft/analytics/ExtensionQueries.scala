@@ -643,7 +643,7 @@ object ExtensionQueries {
     ),
     Q(
       "d9_semdedup",
-      "SemDeDup-style semantic dedup: coarse-quantize embeddings to k cells (argmin over fixed centroids — the oracle-shareable stand-in for per-corpus k-means), then within each cell greedily keep the earliest member of every cosine>=0.35 neighborhood and drop the rest. The cell is the blocking key: pair generation is cluster-bounded (k grows with corpus size in the real deployment, capping cell width), never corpus-global. Per cell: members, kept, dropped",
+      "SemDeDup-style semantic dedup: coarse-quantize embeddings to k cells (argmin over fixed centroids — the oracle-shareable stand-in for per-corpus k-means), then within each cell apply the ONE-PASS dominance rule: drop any member with an earlier (lower-id) cell-mate at cosine>=0.35. Deliberately join-shaped rather than the sequential greedy scan (which is order-iterative and not SQL/one-shuffle expressible); on a transitive chain a~b~c it may also drop c where sequential greedy would keep it — a conservative over-drop, never an under-drop. The cell is the blocking key: pair generation is cluster-bounded (k grows with corpus size in the real deployment, capping cell width), never corpus-global. Per cell: members, kept, dropped",
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
         val e = embeddings(s, d)

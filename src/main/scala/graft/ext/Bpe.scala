@@ -12,11 +12,11 @@ import org.apache.spark.sql.types._
   * production upgrade the extension contract asks for).
   *
   * Training follows the [[Pq]] discipline: merge ranks are learned on a
-  * BOUNDED, content-stable word-frequency sample (the word table is
-  * vocab-sized, not corpus-sized, but an open-domain corpus can still have
-  * an unbounded vocab — `maxVocab` hard-caps driver memory and the
-  * hash-ordered cut keys on content, so codebooks are identical across
-  * partition layouts). Encoding is a distributed `mapPartitions` scan with
+  * BOUNDED word-frequency table (vocab-sized, not corpus-sized, but an
+  * open-domain corpus can still have an unbounded vocab — `maxVocab`
+  * hard-caps driver memory, and the cut keeps the most frequent word types
+  * under a total order, so the training set is layout-independent and holds
+  * the frequency mass that determines merges). Encoding is a distributed `mapPartitions` scan with
   * the ranked merges broadcast in the closure and a per-partition word memo
   * (Zipf: a few thousand distinct words dominate any shard).
   *
@@ -32,17 +32,19 @@ object Bpe {
 
   /** Learn `numMerges` merges from a bounded word-frequency table.
     * Deterministic: ties in pair frequency break lexicographically, and the
-    * `maxVocab` cut orders by a seeded content hash (never partition-arrival
-    * order).
+    * `maxVocab` cut keeps the MOST FREQUENT word types (count desc, word asc
+    * — a total order, so the training set is identical across partition
+    * layouts AND holds the frequency mass that actually determines merge
+    * ranks; a random cut would learn merges from the rare-word tail).
     */
   def train(corpus: DataFrame, textCol: String, numMerges: Int,
-      maxVocab: Int = 65536, seed: Long = 42L): Model = {
+      maxVocab: Int = 65536): Model = {
     val vc = col(textCol)
     val words = corpus.where(vc.isNotNull)
       .select(explode(split(lower(vc), " ")).as("w"))
       .where(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("c"))
-      .orderBy(xxhash64(col("w"), lit(seed)), col("w"))
+      .orderBy(col("c").desc, col("w"))
       .limit(maxVocab)
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))

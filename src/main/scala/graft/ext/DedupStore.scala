@@ -92,7 +92,11 @@ object DedupStore {
           s"missing/mistyped columns [${bad.map(_.name).mkString(", ")}], " +
             s"foreign columns [${extra.map(_.name).mkString(", ")}] " +
             s"(found: ${inferred.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")})")
-        sweptFiles.update(dir, seen ++ files)
+        // reset to the CURRENT listing, not seen ++ files: names removed by
+        // compact() would otherwise accrete forever in this driver-side set
+        // over a long-lived ingest stream (compaction generations are the
+        // common case this store exists for)
+        sweptFiles.update(dir, files.toSet)
       }
       spark.read.schema(declared).parquet(dir)
     } catch {

@@ -198,28 +198,50 @@ object Pq {
       d
     }
 
+  /** Collect + validate a bounded query batch: (id, vector) with the null /
+    * dim checks every ANN entry point shares. One collect — callers that
+    * also need driver-side distances reuse the materialized rows rather
+    * than re-running the query plan.
+    */
+  private def collectQueries(queries: DataFrame, idCol: String, vecCol: String,
+      model: Model, who: String): Array[(Long, Array[Float])] = {
+    val qRows = queries.select(col(idCol).cast("long"), col(vecCol)).collect()
+      .map { r =>
+        require(!r.isNullAt(1),
+          s"$who query id=${r.getLong(0)} has a null $vecCol — queries must carry a vector")
+        val v = r.getSeq[Float](1).toArray
+        require(v.length == model.dim,
+          s"query of dim ${v.length} does not match PQ model dim ${model.dim}")
+        (r.getLong(0), v)
+      }
+    require(qRows.nonEmpty, s"$who needs at least one query vector")
+    qRows
+  }
+
   /** Probe a cell-partitioned IVFPQ code store (see
     * [[graft.streaming.Incremental.streamingVectorIndex]]): the union of the
     * query batch's probe cells becomes a PARTITION filter on the store scan,
     * so a probe reads ~nprobe/nCells of the index FILES — the sub-linear
     * scan-volume story survives the filesystem layout, not just the
     * in-memory plan. Scoring then proceeds exactly as [[ivfPqTopK]] (whose
-    * per-query probe rule re-filters within the unioned set).
+    * per-query probe rule re-filters within the unioned set); the query
+    * batch is collected ONCE and shared between probe-set computation and
+    * scoring.
     */
   def probeIndex(indexPath: String, queries: DataFrame, idCol: String, vecCol: String,
       coarse: Array[Array[Float]], model: Model, nprobe: Int, k: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= coarse.length,
+      s"nprobe $nprobe out of range for ${coarse.length} cells")
     val spark = queries.sparkSession
-    val qRows = queries.select(col(idCol).cast("long"), col(vecCol)).collect()
-    require(qRows.nonEmpty, "probeIndex needs at least one query vector")
-    val probed = qRows.flatMap { r =>
-      require(!r.isNullAt(1), s"probeIndex query id=${r.getLong(0)} has a null $vecCol")
-      val d = cellDistances(r.getSeq[Float](1).toArray, coarse)
+    val qRows = collectQueries(queries, idCol, vecCol, model, "probeIndex")
+    val probed = qRows.flatMap { case (_, qv) =>
+      val d = cellDistances(qv, coarse)
       val thr = d.sorted.apply(nprobe - 1)
       d.indices.filter(c => d(c) <= thr)
     }.distinct.sorted
     val encoded = spark.read.parquet(indexPath)
       .where(col("cell").isin(probed.map(Integer.valueOf): _*))
-    ivfPqTopK(encoded, queries, idCol, vecCol, coarse, model, nprobe, k)
+    ivfPqTopKRows(encoded, qRows, coarse, model, nprobe, k)
   }
 
   /** ADC top-k over an IVFPQ index: per query rank the coarse cells by
@@ -231,20 +253,16 @@ object Pq {
     * of [[adcTopK]] so the registered query gates bitwise.
     */
   def ivfPqTopK(encoded: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      coarse: Array[Array[Float]], model: Model, nprobe: Int, k: Int): DataFrame =
+    ivfPqTopKRows(encoded,
+      collectQueries(queries, idCol, vecCol, model, "ivfPqTopK"),
+      coarse, model, nprobe, k)
+
+  private def ivfPqTopKRows(encoded: DataFrame, qRows: Array[(Long, Array[Float])],
       coarse: Array[Array[Float]], model: Model, nprobe: Int, k: Int): DataFrame = {
     require(nprobe >= 1 && nprobe <= coarse.length,
       s"nprobe $nprobe out of range for ${coarse.length} cells")
     val spark = encoded.sparkSession
-    val qRows = queries.select(col(idCol).cast("long"), col(vecCol)).collect()
-      .map { r =>
-        require(!r.isNullAt(1),
-          s"ivfPqTopK query id=${r.getLong(0)} has a null $vecCol — queries must carry a vector")
-        val v = r.getSeq[Float](1).toArray
-        require(v.length == model.dim,
-          s"query of dim ${v.length} does not match PQ model dim ${model.dim}")
-        (r.getLong(0), v)
-      }
-    require(qRows.nonEmpty, "ivfPqTopK needs at least one query vector")
     val qB = spark.sparkContext.broadcast(qRows)
     val enc = RowEncoder.encoderFor(scoredSchema)
     val scored = encoded.select(col("id"), col("cell"), col("codes")).mapPartitions { it =>

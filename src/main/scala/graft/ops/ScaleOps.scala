@@ -402,9 +402,16 @@ object ScaleOps {
     val root = new org.apache.hadoop.fs.Path(path)
     val tmp = new org.apache.hadoop.fs.Path(path + ".compact_tmp")
     val bak = new org.apache.hadoop.fs.Path(path + ".compact_old")
-    // leftovers from a crashed run: tmp is incomplete by definition (the
-    // swap below is the only thing that publishes it) — drop it; a stranded
-    // backup means the swap completed, so the live dir is authoritative.
+    // Crash recovery BEFORE any cleanup (the DedupStore.recover discipline):
+    // a kill between the two publish renames leaves the live dir missing and
+    // the data only in the backup — restore it first; deleting the backup
+    // unconditionally here would destroy the only surviving copy.
+    if (!fs.exists(root) && fs.exists(bak) && !fs.rename(bak, root))
+      throw new java.io.IOException(
+        s"compactParquet: restore of crashed swap $bak -> $path failed")
+    // Remaining leftovers: tmp is unpublished by definition (the swap below
+    // is the only publisher) — drop it; a backup alongside a LIVE dir means
+    // the previous swap completed, so the live dir is authoritative.
     fs.delete(tmp, true)
     fs.delete(bak, true)
 
@@ -424,12 +431,21 @@ object ScaleOps {
     val df = spark.read.parquet(path)
     val expected = df.count()
     val writer =
-      (if (partitionBy.nonEmpty)
-        // one file per partition-dir slice: repartition on the partition
-        // columns so each directory's rows coalesce instead of fragmenting
-        // across nFiles tasks
-        df.repartition(nFiles, partitionBy.map(col): _*)
-      else df.repartition(nFiles))
+      (if (partitionBy.nonEmpty) {
+        // Honor the size target INSIDE each partition directory too: hashing
+        // on the partition columns alone would fold every row of a hot
+        // partition value into one task and one arbitrarily large file. A
+        // content-hash salt bounded by ceil(nFiles / nDirs) splits each
+        // directory into ~target-sized slices while still co-locating each
+        // (dir, slice) in one task.
+        val nDirs = math.max(1L, df.select(partitionBy.map(col): _*).distinct().count())
+        val perDir = math.max(1, math.ceil(nFiles.toDouble / nDirs).toInt)
+        val salted = df.withColumn("__compact_salt",
+          pmod(xxhash64(struct(df.columns.map(col): _*)), lit(perDir)))
+        salted
+          .repartition(nFiles, (partitionBy.map(col) :+ col("__compact_salt")): _*)
+          .drop("__compact_salt")
+      } else df.repartition(nFiles))
         .write.mode("overwrite")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(tmp.toString)

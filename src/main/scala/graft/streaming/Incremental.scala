@@ -189,6 +189,13 @@ object Incremental {
     * so query scan volume stays ~nprobe/nCells of the store at any corpus
     * size; the model is fit once offline and broadcast — the index never
     * retrains in the hot path.
+    *
+    * File-count maintenance: compact with
+    * [[graft.ops.ScaleOps.compactParquet]] only while the stream is STOPPED
+    * — the replay contract keys on the `batch=<id>` directories, and folding
+    * a batch the checkpoint has not yet committed would turn its replay into
+    * a duplicate append. (The dedup stream can compact inline because its
+    * store rejects replayed rows semantically; a code store cannot.)
     */
   def streamingVectorIndex(
       spark: SparkSession,
@@ -217,6 +224,73 @@ object Incremental {
         ()
       }
       .start()
+  }
+
+  /** Open-session state carried between micro-batches by
+    * [[streamingSessions]].
+    */
+  final case class OpenSession(startMs: Long, lastMs: Long, n: Long)
+
+  /** A closed session row emitted by [[streamingSessions]]. */
+  final case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, events: Long)
+
+  /** Streaming sessionization — the custom-state streaming form of the
+    * batch `st2_sessionize` query (same >gap-minutes split rule), via
+    * `flatMapGroupsWithState`: per-user open-session state lives in the
+    * state store across micro-batches, a session closes (and emits) when a
+    * later event arrives past the gap, and the event-time TIMEOUT closes
+    * the tail session once the watermark passes lastSeen + gap — without
+    * it an idle user's final session would never materialize. State per
+    * key is three longs (bounded regardless of session length), late
+    * events beyond the watermark are dropped by the engine, and the
+    * emitted rows are append-mode (closed sessions are immutable facts).
+    */
+  def streamingSessions(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    val typed = events
+      .selectExpr("CAST(user_id AS LONG) AS user_id", "CAST(ts AS TIMESTAMP) AS ts")
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .as[(Long, java.sql.Timestamp)]
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[OpenSession]) =>
+          def close(s: OpenSession) = ClosedSession(
+            user, new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.lastMs), s.n)
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(close(s))
+          } else {
+            // a micro-batch delivers a group's rows unordered — fold in
+            // event-time order so intra-batch gaps split correctly
+            val times = rows.map(_._2.getTime).toArray.sorted
+            val out = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+            var cur = state.getOption
+            times.foreach { t =>
+              cur match {
+                case None => cur = Some(OpenSession(t, t, 1))
+                case Some(s) if t > s.lastMs + gapMs =>
+                  out += close(s)
+                  cur = Some(OpenSession(t, t, 1))
+                case Some(s) =>
+                  cur = Some(s.copy(lastMs = math.max(s.lastMs, t), n = s.n + 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            out.iterator
+          }
+      }
+      .toDF()
   }
 
   /** ST7 — scheduled periodic ingestion: the reference's external cron

@@ -40,10 +40,15 @@ class BpeSpec extends SparkSpec {
       "merge ranks must not depend on partition layout")
   }
 
-  test("maxVocab cut is content-stable") {
+  test("maxVocab cut keeps the most frequent word types, layout-independently") {
     val m1 = Bpe.train(corpus, "text", numMerges = 4, maxVocab = 3)
     val m2 = Bpe.train(corpus.repartition(5), "text", numMerges = 4, maxVocab = 3)
-    assert(m1.merges == m2.merges, "bounded vocab sample must key on content")
+    assert(m1.merges == m2.merges, "bounded vocab cut must be layout-independent")
+    // vocab cut keeps newest(6), low(5), lower(2) — dropping widest(2) by
+    // the lexicographic tie — so the dominant pair is (w,e) at weight 8
+    // (6 from newest + 2 from lower), ahead of (l,o)/(o,w) at 7
+    assert(m1.merges.head == (("w", "e")),
+      s"cut must keep the frequency mass that ranks merges: ${m1.merges}")
   }
 
   test("encode distributes and matches per-word greedy application exactly") {

@@ -129,7 +129,7 @@ class ExtensionQueriesSpec extends SparkSpec {
       s"exact-dup docs ($lower) must all be dup-gram heavy")
   }
 
-  test("d9_semdedup: cell accounting is exact and keep-earliest never empties a cell") {
+  test("d9_semdedup: cell accounting is exact and the dominance rule never empties a cell") {
     val rows = Registry.byName("d9_semdedup").fn(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
@@ -137,8 +137,8 @@ class ExtensionQueriesSpec extends SparkSpec {
       val kept = r.getAs[Long]("kept")
       val dropped = r.getAs[Long]("dropped")
       assert(kept + dropped == members, s"$r: kept + dropped != members")
-      // the lowest-id member of a cell has no earlier neighbor, so greedy
-      // keep-earliest can never drop an entire cell
+      // the lowest-id member of a cell has no earlier neighbor, so the
+      // dominance rule can never drop an entire cell
       assert(kept >= 1, s"$r: cell fully dropped")
       val c = r.getAs[Int]("cluster")
       assert(c >= 0 && c < 8, s"$r: cluster id outside the codebook")

@@ -131,6 +131,25 @@ class ScaleOpsSpec extends SparkSpec {
     assert(after == before, "compaction must not change table content")
   }
 
+  test("compactParquet recovers a crash between the publish renames (live dir missing)") {
+    val dir = tmpDir("compactr") + "/t"
+    val df = (1 to 200).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    df.repartition(8).write.parquet(dir)
+    val before = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a kill between rename(root, bak) and rename(tmp, root): the
+    // live dir is gone, the data survives only in the backup, tmp is partial
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + ".compact_old")))
+    (1 to 3).map(i => (-i.toLong, "partial")).toDF("k", "v")
+      .write.parquet(dir + ".compact_tmp")
+    val (_, na) = ScaleOps.compactParquet(spark, dir, targetFileBytes = 1L << 30)
+    assert(na <= 2, "recovered table must still get compacted")
+    assert(spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq == before,
+      "recovery must restore the backup, not the partial tmp")
+  }
+
   test("compactParquet preserves a partitioned layout (one file per partition dir)") {
     val dir = tmpDir("compactp") + "/t"
     val df = (1 to 900).map(i => (i.toLong, i % 3, s"v$i")).toDF("k", "p", "v")

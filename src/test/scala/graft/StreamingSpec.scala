@@ -252,6 +252,72 @@ class StreamingSpec extends SparkSpec {
       "store probe diverges from batch IVFPQ")
   }
 
+  test("streamingSessions: gap-split sessions close on data; tails close on event-time timeout") {
+    val dir = tmpDir("sess-ev")
+    val chk = tmpDir("sess-chk")
+    // memory sink cannot recover from a checkpoint; a foreachBatch collector
+    // can, and the restart-with-checkpoint is exactly what this test needs
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    def run(): Seq[(Long, String, String, Long)] = {
+      val schema = StructType(Seq(
+        StructField("user_id", LongType), StructField("ts", StringType)))
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(dir)
+        .withColumn("ts", to_timestamp(col("ts")))
+      val q = Incremental.streamingSessions(stream, gapMinutes = 30)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", chk)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = b.collect().map(r => (
+            r.getAs[Long]("user_id"),
+            r.getAs[java.sql.Timestamp]("session_start").toString,
+            r.getAs[java.sql.Timestamp]("session_end").toString,
+            r.getAs[Long]("events")))
+          acc.synchronized { acc ++= rows }
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(180000)
+      acc.synchronized(acc.toSeq)
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/a.json"),
+      """{"user_id":1,"ts":"2024-01-01T10:00:00"}
+        |{"user_id":1,"ts":"2024-01-01T10:10:00"}
+        |{"user_id":1,"ts":"2024-01-01T11:00:00"}
+        |{"user_id":2,"ts":"2024-01-01T10:05:00"}
+        |""".stripMargin)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/b.json"),
+      """{"user_id":1,"ts":"2024-01-01T13:00:00"}
+        |{"user_id":2,"ts":"2024-01-01T14:00:00"}
+        |""".stripMargin)
+    val first = run()
+    // gap-closed within/between batches: u1 10:00-10:10 (2 events), then the
+    // 11:00 singleton closed by the 13:00 arrival, u2's 10:05 by 14:00
+    assert(first.contains((1L, "2024-01-01 10:00:00.0", "2024-01-01 10:10:00.0", 2L)), s"$first")
+    assert(first.contains((1L, "2024-01-01 11:00:00.0", "2024-01-01 11:00:00.0", 1L)), s"$first")
+    assert(first.contains((2L, "2024-01-01 10:05:00.0", "2024-01-01 10:05:00.0", 1L)), s"$first")
+    assert(first.size == 3, s"tail sessions must stay open until the watermark passes: $first")
+
+    // two dummy-user files push the watermark past both tails' timeouts
+    // across restarts (timeouts fire at the start of a later batch)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/c.json"),
+      """{"user_id":99,"ts":"2024-01-01T23:00:00"}
+        |""".stripMargin)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/d.json"),
+      """{"user_id":98,"ts":"2024-01-01T23:30:00"}
+        |""".stripMargin)
+    run()
+    val later = run()
+    assert(later.contains((1L, "2024-01-01 13:00:00.0", "2024-01-01 13:00:00.0", 1L)),
+      s"u1 tail must close by event-time timeout: $later")
+    assert(later.contains((2L, "2024-01-01 14:00:00.0", "2024-01-01 14:00:00.0", 1L)),
+      s"u2 tail must close by event-time timeout: $later")
+  }
+
   test("streaming tumbling-window aggregate over a bounded file source (memory sink)") {
     val dir = tmpDir("stream-ev")
     java.nio.file.Files.writeString(
