@@ -130,4 +130,42 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("property: BPE encode concatenates back to the word under arbitrary merge tables") {
+    val wordGen = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+    val mergeGen = Gen.listOfN(6,
+      Gen.zip(Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.take(2).mkString),
+        Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.take(2).mkString)))
+    forAllSeeded(Gen.zip(wordGen, mergeGen), n = 40) { case (w, merges) =>
+      val toks = graft.ext.Bpe.encodeWord(w, graft.ext.Bpe.Model(merges))
+      assert(toks.mkString("") == w, s"lossy tokenization of '$w' under $merges")
+      assert(toks.length >= 1 && toks.length <= w.length, s"token count out of range for '$w'")
+    }
+  }
+
+  test("property: WAV PCM decode recovers rate/frames exactly for arbitrary mono signals") {
+    val sigGen = Gen.zip(
+      Gen.choose(4000, 48000),
+      Gen.listOfN(64, Gen.choose(-32768, 32767)))
+    forAllSeeded(sigGen, n = 20) { case (rate, samples) =>
+      val frames = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        frames(2 * i) = (s & 0xff).toByte
+        frames(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val bb = java.nio.ByteBuffer.allocate(44 + frames.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + frames.length).put("WAVE".getBytes)
+      bb.put("fmt ".getBytes).putInt(16)
+        .putShort(1).putShort(1).putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+      bb.put("data".getBytes).putInt(frames.length).put(frames)
+      val w = graft.ext.Multimodal.AudioCodec.read(bb.array())
+        .getOrElse(fail(s"valid PCM WAV at rate $rate must parse"))
+      assert(w.sampleRate == rate && w.channels == 1 && w.frames == samples.length)
+      // 16-bit samples normalize exactly to s/32768 — spot-check the parse
+      samples.zipWithIndex.foreach { case (s, i) =>
+        assert(math.abs(w.samples(i) - s / 32768.0) < 1e-12, s"sample $i mismatch")
+      }
+    }
+  }
 }
