@@ -1238,18 +1238,17 @@ object ExtensionQueries {
     ),
     Q(
       "t13_quality_filter_funnel",
-      "Gopher-style heuristic filter battery: word-count bounds, mean-word-length range, unique-word fraction, top-word dominance — the per-rule drop funnel plus survivors per lang. Every ratio rule is tested in exact integer arithmetic (r >= a/b as r_num*b >= a*r_den) so the hash gate is exact; top-word frequency comes from explode + two hash-aggs (posting shape, linear in tokens), never a per-doc quadratic rescan",
+      "Gopher-style heuristic filter battery: word-count bounds, mean-word-length range, unique-word fraction, top-word dominance — the per-rule drop funnel plus survivors per lang. Every ratio rule is tested in exact integer arithmetic (r >= a/b as r_num*b >= a*r_den) so the hash gate is exact. ONE corpus scan: all four per-doc statistics (token count = sum tf, distinct words = group count, char mass = sum len*tf, dominance = max tf) fall out of the same explode -> two-hash-agg posting pass — no second scan, no join-back, linear in tokens",
       (s, d) => {
-        val base = documents(s, d).selectExpr(
-          "doc_id", "lang",
-          "CAST(size(split(text, ' ')) AS BIGINT) AS ntok",
-          "CAST(size(array_distinct(split(lower(text), ' '))) AS BIGINT) AS nuniq",
-          "CAST(length(replace(text, ' ', '')) AS BIGINT) AS nalpha")
-        val dom = documents(s, d)
-          .selectExpr("doc_id", "explode(split(lower(text), ' ')) AS term")
-          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-          .groupBy("doc_id").agg(max(col("tf")).as("maxtf"))
-        base.join(dom, Seq("doc_id"))
+        documents(s, d)
+          .selectExpr("doc_id", "lang", "explode(split(lower(text), ' ')) AS term")
+          .groupBy("doc_id", "lang", "term").agg(count(lit(1)).as("tf"))
+          .groupBy("doc_id", "lang")
+          .agg(
+            sum(col("tf")).as("ntok"),
+            count(lit(1)).as("nuniq"),
+            sum(length(col("term")) * col("tf")).as("nalpha"),
+            max(col("tf")).as("maxtf"))
           .withColumn("f_wc", expr("ntok < 30 OR ntok > 80"))
           .withColumn("f_mwl", expr("nalpha * 10 < ntok * 42 OR nalpha > ntok * 10"))
           .withColumn("f_uniq", expr("nuniq * 5 < ntok * 2"))

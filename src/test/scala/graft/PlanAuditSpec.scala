@@ -92,6 +92,13 @@ class PlanAuditSpec extends SparkSpec {
       s"TopK Aggregator expected in the re-rank:\n$plan")
   }
 
+  test("t13: the filter funnel reads the corpus exactly once") {
+    // all four per-doc statistics derive from one posting pass — a second
+    // documents scan (the join-back shape) would double corpus IO at 100 TB
+    val df = Registry.byName("t13_quality_filter_funnel").fn(spark, sf)
+    assert(scans(df).length == 1, s"expected a single documents scan:\n${df.queryExecution}")
+  }
+
   test("d10: the posting-frequency join is shuffle-hash, not a broadcast of the posting table") {
     // Broadcasting the gram->df relation would build and ship a corpus-sized
     // hash map to every task; the fine-grained gram key partitions perfectly.
