@@ -1295,16 +1295,20 @@ object ExtensionQueries {
       "t14_bpe_encode",
       "BPE tokenization at corpus scale (ext.Bpe): per word, chars merged by a RANKED merge table in greedy leftmost order — the distributed APPLY leg of subword tokenizer construction (t10 measures vocab coverage; this materializes the token stream). Merge table is a seeded constant so the oracle is static (training is BpeSpec-pinned: deterministic, layout-independent, frequency-ranked); encode is mapPartitions with broadcast merges + per-partition word memo. Per lang: docs, BPE token mass vs raw char mass — the compression a tokenizer buys",
       (s, d) => {
+        // chars derive from the tokens (BPE is lossless: tokens concatenate
+        // back to the words), so the text column is read ONCE by the encode
+        // scan; the lang lookup prunes to two small columns
         val toks = graft.ext.Bpe.encode(documents(s, d), "doc_id", "text", bpeModel)
+          .selectExpr("id", "CAST(size(tokens) AS BIGINT) AS toks",
+            "CAST(aggregate(tokens, 0, (a, t) -> a + length(t)) AS BIGINT) AS chars")
         documents(s, d)
-          .selectExpr("doc_id AS id", "lang",
-            "CAST(length(replace(lower(text), ' ', '')) AS BIGINT) AS chars")
-          .join(toks.selectExpr("id", "CAST(size(tokens) AS BIGINT) AS toks"), Seq("id"), "left")
+          .selectExpr("doc_id AS id", "lang")
+          .join(toks, Seq("id"), "left")
           .groupBy("lang")
           .agg(
             count(lit(1)).as("docs"),
             sum(coalesce(col("toks"), lit(0L))).as("bpe_tokens"),
-            sum(col("chars")).as("chars"))
+            sum(coalesce(col("chars"), lit(0L))).as("chars"))
           .orderBy("lang")
       },
       Some(bpeOracleSql)
