@@ -150,6 +150,32 @@ class ScaleOpsSpec extends SparkSpec {
       "recovery must restore the backup, not the partial tmp")
   }
 
+  test("compactParquet splits a hot partition value across files (size target honored)") {
+    val dir = tmpDir("compacth") + "/t"
+    // p=0 holds ~90% of rows: hashing on the partition column alone would
+    // fold it into one arbitrarily large file
+    val df = (1 to 2000).map(i => (i.toLong, if (i <= 1800) 0 else i % 3, s"v$i"))
+      .toDF("k", "p", "v")
+    df.repartition(10).write.partitionBy("p").parquet(dir)
+    val before = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+    val total = {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+      var s = 0L
+      while (it.hasNext) { val f = it.next(); if (f.getPath.getName.endsWith(".parquet")) s += f.getLen }
+      s
+    }
+    // target ~ total/6 -> nFiles ~ 6 over 3 dirs -> 2 salt slices per dir
+    ScaleOps.compactParquet(spark, dir, targetFileBytes = total / 6, partitionBy = Seq("p"))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hot = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/p=0"))
+      .count(_.getPath.getName.endsWith(".parquet"))
+    assert(hot >= 2, s"hot partition must split across files, got $hot")
+    assert(spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq == before)
+  }
+
   test("compactParquet preserves a partitioned layout (one file per partition dir)") {
     val dir = tmpDir("compactp") + "/t"
     val df = (1 to 900).map(i => (i.toLong, i % 3, s"v$i")).toDF("k", "p", "v")

@@ -318,6 +318,54 @@ class StreamingSpec extends SparkSpec {
       s"u2 tail must close by event-time timeout: $later")
   }
 
+  test("streamingSessions agrees with the batch st2_sessionize rollup on the events fixture") {
+    val dir = tmpDir("sess-par")
+    val chk = tmpDir("sess-par-chk")
+    val ev = graft.analytics.Tables.events(spark, "/root/testdata/sf0.001")
+      .selectExpr("user_id", "CAST(ts AS STRING) AS ts").collect()
+    def line(u: Long, ts: String) = s"""{"user_id":$u,"ts":"$ts"}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/a.json"),
+      ev.map(r => line(r.getLong(0), r.getString(1))).mkString("", "\n", "\n"))
+    // sentinel users push the watermark far past every real session's
+    // timeout; two, across a restart, because timeouts fire at the START of
+    // a batch AFTER the watermark has advanced
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/b.json"), line(-1L, "2030-01-01 00:00:00") + "\n")
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def run(): Unit = {
+      val schema = StructType(Seq(
+        StructField("user_id", LongType), StructField("ts", StringType)))
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(dir)
+        .withColumn("ts", to_timestamp(col("ts")))
+      val q = Incremental.streamingSessions(stream, gapMinutes = 30)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", chk)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = b.collect().map(r =>
+            (r.getAs[Long]("user_id"), r.getAs[Long]("events")))
+          acc.synchronized { acc ++= rows }
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(300000)
+    }
+    run()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/c.json"), line(-2L, "2030-06-01 00:00:00") + "\n")
+    run()
+    val got = acc.filter(_._1 >= 0).groupBy(_._1)
+      .map { case (u, ss) => u -> (ss.size.toLong, ss.map(_._2).sum) }
+    val want = graft.analytics.Registry.byName("st2_sessionize")
+      .fn(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("sessions"), r.getAs[Long]("events"))).toMap
+    assert(got == want,
+      s"streaming sessionization diverges from the batch window form: " +
+        s"got ${got.size} users, want ${want.size}")
+  }
+
   test("streaming tumbling-window aggregate over a bounded file source (memory sink)") {
     val dir = tmpDir("stream-ev")
     java.nio.file.Files.writeString(
