@@ -1314,6 +1314,71 @@ object ExtensionQueries {
       Some(bpeOracleSql)
     ),
     Q(
+      "x1_corpus_prep_pipeline",
+      "The end-to-end corpus-prep DAG as ONE query — quality-filter battery (t13 rules) -> exact dedup keep-first (d1) -> content-stable train/val/test split (p13 buckets) -> chunk packing (t6 windows): per (split, lang) surviving docs, token mass, packed chunks. ONE corpus scan: md5 + token arrays materialize once (localCheckpoint, the d2 signature discipline) and feed the posting stats, the dedup window, and the chunk arithmetic; stage order (filter BEFORE dedup) follows production pipelines — cheap projection rules first, the dedup shuffle only pays for survivors",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = documents(s, d)
+          .selectExpr("doc_id", "lang", "md5(text) AS h", "split(lower(text), ' ') AS t")
+          .localCheckpoint(eager = false) // feeds the stats explode AND the dedup/split legs
+        val pd = base.selectExpr("doc_id", "explode(t) AS term")
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+          .groupBy("doc_id")
+          .agg(
+            sum(col("tf")).as("ntok"),
+            count(lit(1)).as("nuniq"),
+            sum(length(col("term")) * col("tf")).as("nalpha"),
+            max(col("tf")).as("maxtf"))
+        val kept = base.select("doc_id", "lang", "h").join(pd, Seq("doc_id"))
+          .where(expr(
+            "NOT (ntok < 30 OR ntok > 80 OR nalpha * 10 < ntok * 42 OR nalpha > ntok * 10 " +
+              "OR nuniq * 5 < ntok * 2 OR maxtf * 8 > ntok)"))
+        val w = Window.partitionBy("h").orderBy("doc_id")
+        kept.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+          .selectExpr("lang", "ntok",
+            "(instr('0123456789abcdef', substring(md5(CAST(doc_id AS STRING)), 1, 1)) - 1) * 16 + " +
+              "instr('0123456789abcdef', substring(md5(CAST(doc_id AS STRING)), 2, 1)) - 1 AS hb")
+          .selectExpr("lang", "ntok",
+            "CASE WHEN hb < 204 THEN 'train' WHEN hb < 230 THEN 'val' ELSE 'test' END AS split",
+            "CASE WHEN ntok <= 50 THEN 1 ELSE CAST(CEIL((ntok - 50) / 40.0) AS INT) + 1 END AS n_chunks")
+          .groupBy("split", "lang")
+          .agg(
+            count(lit(1)).as("docs"),
+            sum(col("ntok")).as("tokens"),
+            sum(col("n_chunks")).cast("long").as("chunks"))
+          .orderBy("split", "lang")
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id, lang, md5(text) AS h, string_split(lower(text), ' ') AS t
+             |  FROM documents),
+             |tf AS (
+             |  SELECT doc_id, term, COUNT(*) AS tf
+             |  FROM (SELECT doc_id, unnest(t) AS term FROM b) GROUP BY doc_id, term),
+             |pd AS (
+             |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS ntok, COUNT(*) AS nuniq,
+             |    CAST(SUM(length(term) * tf) AS BIGINT) AS nalpha, CAST(MAX(tf) AS BIGINT) AS maxtf
+             |  FROM tf GROUP BY doc_id),
+             |kept AS (
+             |  SELECT b.doc_id, b.lang, b.h, pd.ntok FROM b JOIN pd USING (doc_id)
+             |  WHERE NOT (ntok < 30 OR ntok > 80 OR nalpha * 10 < ntok * 42 OR nalpha > ntok * 10
+             |             OR nuniq * 5 < ntok * 2 OR maxtf * 8 > ntok)),
+             |ded AS (
+             |  SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn FROM kept),
+             |sp AS (
+             |  SELECT doc_id, lang, ntok,
+             |    (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+             |    instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS hb
+             |  FROM ded WHERE rn = 1),
+             |fin AS (
+             |  SELECT CASE WHEN hb < 204 THEN 'train' WHEN hb < 230 THEN 'val' ELSE 'test' END AS split,
+             |    lang, ntok,
+             |    CASE WHEN ntok <= 50 THEN 1 ELSE CAST(CEIL((ntok - 50) / 40.0) AS INT) + 1 END AS n_chunks
+             |  FROM sp)
+             |SELECT split, lang, COUNT(*) AS docs, CAST(SUM(ntok) AS BIGINT) AS tokens,
+             |  CAST(SUM(n_chunks) AS BIGINT) AS chunks
+             |FROM fin GROUP BY split, lang ORDER BY split, lang""".stripMargin)
+    ),
+    Q(
       "p13_hash_split",
       "Deterministic train/val/test split by content-stable hash bucket (md5 of the id -> 0..255 -> 80/10/10): membership is a pure function of the key, so re-runs, backfills and distributed workers all agree without coordination — the split op every training pipeline needs",
       (s, d) =>
