@@ -129,6 +129,32 @@ class ExtensionQueriesSpec extends SparkSpec {
       s"exact-dup docs ($lower) must all be dup-gram heavy")
   }
 
+  test("x1_corpus_prep_pipeline: stage arithmetic is internally consistent") {
+    val rows = Registry.byName("x1_corpus_prep_pipeline").fn(spark, sf).collect()
+    assert(rows.nonEmpty, "pipeline must keep some documents")
+    rows.foreach { r =>
+      val docs = r.getAs[Long]("docs")
+      val tokens = r.getAs[Long]("tokens")
+      val chunks = r.getAs[Long]("chunks")
+      // survivors passed the word-count rule, so 30 <= ntok <= 80 per doc
+      assert(tokens >= docs * 30 && tokens <= docs * 80,
+        s"$r: token mass outside the filter's own bounds")
+      // every doc packs >= 1 chunk; at ntok <= 80 the t6 window arithmetic
+      // caps at 2 chunks per doc
+      assert(chunks >= docs && chunks <= docs * 2, s"$r: chunk count out of range")
+      assert(Set("train", "val", "test")(r.getAs[String]("split")), s"$r: unknown split")
+    }
+    // the pipeline's survivors can never exceed t13's per-lang kept counts
+    // (x1 applies the same rules, then drops exact dups on top)
+    val keptByLang = Registry.byName("t13_quality_filter_funnel").fn(spark, sf).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("kept")).toMap
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      val total = rs.map(_.getAs[Long]("docs")).sum
+      assert(total <= keptByLang.getOrElse(lang, 0L),
+        s"$lang: pipeline kept $total docs but the filter alone keeps ${keptByLang.get(lang)}")
+    }
+  }
+
   test("d9_semdedup: cell accounting is exact and the dominance rule never empties a cell") {
     val rows = Registry.byName("d9_semdedup").fn(spark, sf).collect()
     assert(rows.nonEmpty)
