@@ -818,6 +818,49 @@ object ExtensionQueries {
       Some(n4OracleSql)
     ),
     Q(
+      "e2_matryoshka_fidelity",
+      "Matryoshka truncation fidelity: how much cosine similarity survives serving only the first k embedding dims (cos(full, zero-padded prefix) = |prefix|/|full|, so one prefix sum-of-squares per k answers it) — the serving-dimension question an MRL-style embedding pipeline asks before shipping a truncated index. One corpus scan computes every k's prefix mass via the codegen'd array_dot, stacked by a generator. Deterministic outputs only: integer counts with a sqrt-free threshold (pss >= fss * 0.81 <=> cos >= 0.9) and order-independent min/max of the per-row cosine",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val ks = Seq(8, 16, 32)
+        val stacked = embeddings(s, d)
+          .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+          .selectExpr("vec_id", "array_dot(v, v) AS fss",
+            "explode(array(" + ks.map(k =>
+              s"struct($k AS k, array_dot(slice(v, 1, $k), slice(v, 1, $k)) AS pss)")
+              .mkString(", ") + ")) AS e")
+          .selectExpr("vec_id", "fss", "e.k AS k", "e.pss AS pss")
+        stacked
+          .withColumn("cos", expr("CASE WHEN fss = CAST(0.0 AS DOUBLE) THEN CAST(1.0 AS DOUBLE) ELSE sqrt(pss / fss) END"))
+          .groupBy("k")
+          .agg(
+            count(lit(1)).as("vecs"),
+            sum(when(expr("pss >= fss * CAST(0.81 AS DOUBLE)"), 1).otherwise(0))
+              .cast("long").as("high_fidelity"),
+            min(col("cos")).as("min_cos"),
+            max(col("cos")).as("max_cos"))
+          .orderBy("k")
+      },
+      Some {
+        val ks = Seq(8, 16, 32)
+        val arms = ks.map { k =>
+          s"""  SELECT vec_id, $k AS k,
+             |    list_reduce(list_transform(v[1:$k], x -> x * x), (acc, x) -> acc + x) AS pss,
+             |    list_reduce(list_transform(v, x -> x * x), (acc, x) -> acc + x) AS fss
+             |  FROM e""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |st AS (
+           |$arms),
+           |c AS (SELECT k, pss, fss,
+           |  CASE WHEN fss = 0.0 THEN 1.0 ELSE sqrt(pss / fss) END AS cos FROM st)
+           |SELECT k, COUNT(*) AS vecs,
+           |  CAST(SUM(CASE WHEN pss >= fss * 0.81 THEN 1 ELSE 0 END) AS BIGINT) AS high_fidelity,
+           |  MIN(cos) AS min_cos, MAX(cos) AS max_cos
+           |FROM c GROUP BY k ORDER BY k""".stripMargin
+      }
+    ),
+    Q(
       "e1_quantize_int8",
       "Embedding int8 quantization round-trip: per-vector symmetric scale (max|x|/127), quantize with an explicit floor(x+0.5) rule (identical arithmetic both engines — no half-rounding divergence), dequantize, report per-label max reconstruction error (max is addition-order-independent, so it hashes deterministically) and the theoretical half-step bound — the storage/serving compression step of an embedding pipeline",
       (s, d) =>
