@@ -1357,6 +1357,48 @@ object ExtensionQueries {
       Some(bpeOracleSql)
     ),
     Q(
+      "p15_temperature_mix",
+      "Temperature-weighted language mixture (UniMax/mT5-style, alpha=0.5): per-lang quota = floor(T * sqrt(share)) up-weights low-resource langs vs proportional sampling, membership by deterministic md5 rank within lang (p14's coordination-free recipe). The quota rule is one division + one sqrt per lang on exact integer counts — no cross-lang double SUM whose accumulation order could diverge between engines. Per lang: corpus docs, quota, sampled docs, sampled token mass",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val stats = documents(s, d).agg(count(lit(1)).as("c_total"))
+        val quotas = documents(s, d).groupBy("lang").agg(count(lit(1)).as("c_l"))
+          .join(broadcast(stats))
+          .withColumn("quota", expr(
+            "CAST(FLOOR(60 * sqrt(CAST(c_l AS DOUBLE) / CAST(c_total AS DOUBLE))) AS INT)"))
+        val w = Window.partitionBy("lang")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        documents(s, d)
+          .selectExpr("doc_id", "lang", "size(split(text, ' ')) AS ntok")
+          .withColumn("rn", row_number().over(w))
+          .join(broadcast(quotas), Seq("lang"))
+          .where(col("rn") <= col("quota"))
+          .groupBy("lang")
+          .agg(
+            max(col("c_l")).as("docs"),
+            max(col("quota")).cast("long").as("quota"),
+            count(lit(1)).as("sampled"),
+            sum(col("ntok")).cast("long").as("tokens"))
+          .orderBy("lang")
+      },
+      Some("""WITH st AS (SELECT COUNT(*) AS c_total FROM documents),
+             |q AS (
+             |  SELECT lang, COUNT(*) AS c_l,
+             |    CAST(FLOOR(60 * sqrt(CAST(COUNT(*) AS DOUBLE) / CAST(c_total AS DOUBLE))) AS INTEGER) AS quota
+             |  FROM documents CROSS JOIN st GROUP BY lang, c_total),
+             |r AS (
+             |  SELECT lang, length(string_split(text, ' ')) AS ntok,
+             |    row_number() OVER (PARTITION BY lang
+             |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             |  FROM documents)
+             |SELECT r.lang AS lang, CAST(MAX(c_l) AS BIGINT) AS docs,
+             |  CAST(MAX(quota) AS BIGINT) AS quota,
+             |  COUNT(*) AS sampled, CAST(SUM(ntok) AS BIGINT) AS tokens
+             |FROM r JOIN q ON r.lang = q.lang
+             |WHERE rn <= quota
+             |GROUP BY r.lang ORDER BY lang""".stripMargin)
+    ),
+    Q(
       "x1_corpus_prep_pipeline",
       "The end-to-end corpus-prep DAG as ONE query — quality-filter battery (t13 rules) -> exact dedup keep-first (d1) -> content-stable train/val/test split (p13 buckets) -> chunk packing (t6 windows): per (split, lang) surviving docs, token mass, packed chunks. ONE corpus scan: md5 + token arrays materialize once (localCheckpoint, the d2 signature discipline) and feed the posting stats, the dedup window, and the chunk arithmetic; stage order (filter BEFORE dedup) follows production pipelines — cheap projection rules first, the dedup shuffle only pays for survivors",
       (s, d) => {

@@ -155,6 +155,44 @@ class ExtensionQueriesSpec extends SparkSpec {
     }
   }
 
+  test("e2_matryoshka_fidelity: fidelity is monotone in the truncation width") {
+    val rows = Registry.byName("e2_matryoshka_fidelity").fn(spark, sf).collect()
+      .sortBy(_.getAs[Int]("k"))
+    assert(rows.map(_.getAs[Int]("k")).toSeq == Seq(8, 16, 32))
+    // a longer prefix can only add non-negative squared mass, so per-row
+    // cosine — and thus every rollup — is non-decreasing in k
+    rows.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(hi.getAs[Long]("high_fidelity") >= lo.getAs[Long]("high_fidelity"),
+          s"high-fidelity count must grow with k: $lo vs $hi")
+        assert(hi.getAs[Double]("min_cos") >= lo.getAs[Double]("min_cos"),
+          s"min cosine must grow with k: $lo vs $hi")
+      case _ => ()
+    }
+    rows.foreach { r =>
+      val (mn, mx) = (r.getAs[Double]("min_cos"), r.getAs[Double]("max_cos"))
+      assert(mn >= 0.0 && mx <= 1.0 + 1e-12 && mn <= mx, s"cosine out of range: $r")
+    }
+  }
+
+  test("p15_temperature_mix: quotas up-weight low-resource langs vs proportional share") {
+    val rows = Registry.byName("p15_temperature_mix").fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val totalDocs = rows.map(_.getAs[Long]("docs")).sum
+    rows.foreach { r =>
+      val docs = r.getAs[Long]("docs")
+      val quota = r.getAs[Long]("quota")
+      val sampled = r.getAs[Long]("sampled")
+      assert(sampled == math.min(quota, docs), s"$r: sampling must fill the quota or the lang")
+      // temperature 0.5: sampled share >= proportional share for langs below
+      // the mean share, the whole point of the reweighting (quota*totalDocs
+      // vs 60*docs compares shares integer-exactly up to the floor)
+      if (docs * rows.length < totalDocs)
+        assert(quota * totalDocs >= 60L * docs - totalDocs,
+          s"$r: low-resource lang must not be under-weighted vs proportional")
+    }
+  }
+
   test("d9_semdedup: cell accounting is exact and the dominance rule never empties a cell") {
     val rows = Registry.byName("d9_semdedup").fn(spark, sf).collect()
     assert(rows.nonEmpty)
