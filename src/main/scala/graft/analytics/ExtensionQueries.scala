@@ -318,11 +318,12 @@ object ExtensionQueries {
     // ------------------------------------------------------------- dedup ops
     Q(
       "d1_dedup_exact",
-      "Exact dedup: keep-first per identical text, survivors per lang (hash-groupBy; scale: single shuffle on text hash)",
+      "Exact dedup: keep-first per identical text, survivors per lang. The window partitions on md5(text), never the raw document (x1's discipline): the exchange and every sort comparison carry a 32-char hash, not the document body — per-hash partitions are duplicate families, so the window state is tiny",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("text").orderBy("doc_id")
+        val w = Window.partitionBy("h").orderBy("doc_id")
         documents(s, d)
+          .withColumn("h", md5(col("text")))
           .withColumn("rn", row_number().over(w))
           .where(col("rn") === 1)
           .groupBy("lang")
@@ -1227,9 +1228,8 @@ object ExtensionQueries {
     ),
     Q(
       "t12_bm25",
-      "BM25 retrieval scoring (k1=1.2, b=0.75): top-5 docs per query term — the retrieval-grade upgrade of t5's TF-IDF (term saturation + doc-length normalization), the scorer behind quality-filter-by-query and RAG corpus indexing. Raw term frequency (not distinct tokens), df from matching docs, avgdl as an exact integer-ratio broadcast scalar. Output columns are all integers; the double score ranks only, ties break on doc_id — the t5 determinism recipe",
+      "BM25 retrieval scoring (k1=1.2, b=0.75): top-5 docs per query term — the retrieval-grade upgrade of t5's TF-IDF (term saturation + doc-length normalization), the scorer behind quality-filter-by-query and RAG corpus indexing. Raw term frequency (not distinct tokens), df from matching docs, avgdl as an exact integer-ratio broadcast scalar. The per-term top-5 routes through the k-bounded TopK Aggregator (Similarity.topKByTerm, the n1-n4 re-rank path) — a hot term's postings reduce to 5 per partition before any shuffle, never a full posting-list window sort. Output columns are all integers; the double score ranks only, ties break on doc_id — the t5 determinism recipe",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val toks = documents(s, d)
           .selectExpr("doc_id", "split(lower(text), ' ') AS t")
           .selectExpr("doc_id", "CAST(size(t) AS BIGINT) AS dl", "explode(t) AS term")
@@ -1248,12 +1248,17 @@ object ExtensionQueries {
           "ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) * " +
             "(CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE)) / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * " +
             "(CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
-        val w = Window.partitionBy("term").orderBy(desc("bm25"), col("doc_id"))
-        tf.join(dfreq, Seq("term"))
+        val scored = tf.join(dfreq, Seq("term"))
           .join(broadcast(stats))
           .withColumn("bm25", expr(score))
-          .withColumn("rank", row_number().over(w).cast("long"))
-          .where(col("rank") <= 5)
+        // TopK tie-break (score desc, id asc) == the oracle's ORDER BY
+        // (bm25 DESC, doc_id); the winners join back to the checkpointed
+        // posting table (k-bounded rows per term) for their integer columns
+        graft.ext.Similarity.topKByTerm(
+            scored.selectExpr("term AS key", "doc_id AS id", "bm25 AS score"), 5)
+          .selectExpr("key AS term", "rank", "id AS doc_id")
+          .join(tf.select("term", "doc_id", "tf", "dl"), Seq("term", "doc_id"))
+          .join(dfreq, Seq("term"))
           .select("term", "rank", "doc_id", "tf", "df", "dl")
           .orderBy("term", "rank")
       },
@@ -1358,27 +1363,28 @@ object ExtensionQueries {
     ),
     Q(
       "p15_temperature_mix",
-      "Temperature-weighted language mixture (UniMax/mT5-style, alpha=0.5): per-lang quota = floor(T * sqrt(share)) up-weights low-resource langs vs proportional sampling, membership by deterministic md5 rank within lang (p14's coordination-free recipe). The quota rule is one division + one sqrt per lang on exact integer counts — no cross-lang double SUM whose accumulation order could diverge between engines. Per lang: corpus docs, quota, sampled docs, sampled token mass",
+      "Temperature-weighted language mixture (UniMax/mT5-style, alpha=0.5): per-lang quota = floor(T * sqrt(share)) up-weights low-resource langs vs proportional sampling, membership by deterministic md5 rank within lang (p14's coordination-free recipe). The quota rule is one division + one sqrt per lang on exact integer counts — no cross-lang double SUM whose accumulation order could diverge between engines. Selection is bounded-state threshold sampling (ScaleOps.quotaSampleByGroup): the quota-th smallest md5 rank per lang comes from a k-bounded BottomK aggregation and is broadcast as a filter — the majority language is never total-sorted through one reducer. Per lang: corpus docs, quota, sampled docs, sampled token mass",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val stats = documents(s, d).agg(count(lit(1)).as("c_total"))
         val quotas = documents(s, d).groupBy("lang").agg(count(lit(1)).as("c_l"))
           .join(broadcast(stats))
           .withColumn("quota", expr(
             "CAST(FLOOR(60 * sqrt(CAST(c_l AS DOUBLE) / CAST(c_total AS DOUBLE))) AS INT)"))
-        val w = Window.partitionBy("lang")
-          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-        documents(s, d)
-          .selectExpr("doc_id", "lang", "size(split(text, ' ')) AS ntok")
-          .withColumn("rn", row_number().over(w))
-          .join(broadcast(quotas), Seq("lang"))
-          .where(col("rn") <= col("quota"))
+        // rank key == ORDER BY (md5(id), id): md5 is fixed 32 hex chars, so
+        // appending the zero-padded id preserves the lexicographic order and
+        // makes the key unique (the quotaSampleByGroup contract)
+        val rankKey = expr(
+          "concat(md5(CAST(doc_id AS STRING)), lpad(CAST(doc_id AS STRING), 19, '0'))")
+        graft.ops.ScaleOps.quotaSampleByGroup(
+            documents(s, d).selectExpr("doc_id", "lang", "size(split(text, ' ')) AS ntok"),
+            "lang", rankKey, quotas.select("lang", "quota"), maxQuota = 60)
           .groupBy("lang")
           .agg(
-            max(col("c_l")).as("docs"),
-            max(col("quota")).cast("long").as("quota"),
             count(lit(1)).as("sampled"),
             sum(col("ntok")).cast("long").as("tokens"))
+          .join(broadcast(quotas), Seq("lang"))
+          .selectExpr("lang", "c_l AS docs", "CAST(quota AS BIGINT) AS quota",
+            "sampled", "tokens")
           .orderBy("lang")
       },
       Some("""WITH st AS (SELECT COUNT(*) AS c_total FROM documents),
@@ -1487,16 +1493,16 @@ object ExtensionQueries {
     ),
     Q(
       "p14_mixture_sample",
-      "Dataset mixture: fill per-source quotas (a target lang mixture) by deterministic md5-ranked sampling within each source — the weighted-interleave op that composes a training mix from heterogeneous corpora. Per lang: quota-capped sample size and its token mass",
+      "Dataset mixture: fill per-source quotas (a target lang mixture) by deterministic md5-ranked sampling within each source — the weighted-interleave op that composes a training mix from heterogeneous corpora. Bounded-state selection (ScaleOps.quotaSampleByGroup): per lang the quota-th smallest md5 rank is found by a k-bounded aggregation and broadcast as a filter threshold — no per-lang total sort through one reducer. Per lang: quota-capped sample size and its token mass",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val quota = "CASE lang WHEN 'en' THEN 40 WHEN 'de' THEN 20 WHEN 'es' THEN 15 WHEN 'fr' THEN 15 ELSE 10 END"
-        val w = Window.partitionBy("lang")
-          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-        documents(s, d)
-          .selectExpr("doc_id", "lang", "size(split(text, ' ')) AS ntok")
-          .withColumn("rn", row_number().over(w))
-          .where(expr(s"rn <= $quota"))
+        val quotas = documents(s, d).select("lang").distinct()
+          .withColumn("quota", expr(quota))
+        val rankKey = expr(
+          "concat(md5(CAST(doc_id AS STRING)), lpad(CAST(doc_id AS STRING), 19, '0'))")
+        graft.ops.ScaleOps.quotaSampleByGroup(
+            documents(s, d).selectExpr("doc_id", "lang", "size(split(text, ' ')) AS ntok"),
+            "lang", rankKey, quotas, maxQuota = 40)
           .groupBy("lang")
           .agg(count(lit(1)).as("sampled"), sum(col("ntok")).as("tokens"))
           .orderBy("lang")
@@ -1515,7 +1521,7 @@ object ExtensionQueries {
     // -------------------------------------------------------- multimodal ops
     Q(
       "m1_multimodal_meta",
-      "Opaque binary payload + typed JSON metadata plumbing: byte length + extracted metadata key, grouped (decode itself is the stubbed Pandas-UDF step in graft.ext.Multimodal)",
+      "Opaque binary payload + typed JSON metadata plumbing: byte length + extracted metadata key, grouped. The batched decode legs in graft.ext.Multimodal are REAL for PNG/JPEG/BMP (javax.imageio pixels) and RIFF/WAVE PCM (pure byte parse) behind magic-byte dispatch; only formats the JVM cannot decode (video, compressed audio) fall to the deterministic StubCodec",
       (s, d) =>
         // One from_json with an explicit schema (r1: get_json_object +
         // binary cast ran 15x slower than the other events queries).

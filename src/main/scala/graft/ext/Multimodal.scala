@@ -179,10 +179,12 @@ object Multimodal {
       (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) |
         ((b(o + 3) & 0xff) << 24)
 
-    /** Chunk-walk the RIFF container; uncompressed PCM 8/16-bit only —
-      * anything else (or any malformed header) is None, never a throw.
+    /** Shared RIFF chunk walk: PCM format tuple + data-chunk location for a
+      * valid uncompressed 8/16-bit WAV, None for anything else — the header
+      * parse both the full decode ([[read]]) and the header-only
+      * [[durationMs]] run.
       */
-    def read(bytes: Array[Byte]): Option[Wav] = {
+    private def pcmChunks(bytes: Array[Byte]): Option[((Int, Int, Int, Int), (Int, Int))] = {
       if (!sniff(bytes)) return None
       try {
         var off = 12
@@ -199,9 +201,31 @@ object Multimodal {
           off += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
         }
         for {
-          (af, ch, rate, bits) <- fmt
+          f @ (af, ch, rate, bits) <- fmt
           if af == 1 && (bits == 8 || bits == 16) && ch >= 1 && rate > 0
-          (dOff, dLen) <- data
+          d <- data
+        } yield (f, d)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    /** Container-metadata duration WITHOUT sample decode: data-chunk frame
+      * count over the sample rate, straight from the chunk headers. This is
+      * the read a frame-sampling pass does at corpus scale — per-chunk-header
+      * cost, not per-sample — and the rounding matches [[features]] exactly.
+      */
+    def durationMs(bytes: Array[Byte]): Option[Int] =
+      pcmChunks(bytes).map { case ((_, ch, rate, bits), (_, dLen)) =>
+        val frames = dLen / (ch * (bits / 8))
+        math.round(frames.toDouble * 1000.0 / rate).toInt
+      }
+
+    /** Chunk-walk the RIFF container; uncompressed PCM 8/16-bit only —
+      * anything else (or any malformed header) is None, never a throw.
+      */
+    def read(bytes: Array[Byte]): Option[Wav] = {
+      try {
+        for {
+          ((_, ch, rate, bits), (dOff, dLen)) <- pcmChunks(bytes)
         } yield {
           val bytesPerFrame = ch * (bits / 8)
           val frames = dLen / bytesPerFrame
@@ -256,6 +280,34 @@ object Multimodal {
         lit("application/octet-stream").as("mime"),
         lit(64).as("width"), lit(64).as("height"),
         durationMs.cast("int").as("duration_ms")).as("meta"))
+
+  /** Rewrite `meta.duration_ms` from the ACTUAL container bytes where the
+    * payload parses as RIFF/WAVE PCM ([[AudioCodec.durationMs]] — a
+    * header-only chunk walk, no sample decode): this is the real
+    * container-metadata path that feeds [[sampleFrames]] for an audio/video
+    * table, replacing whatever duration the row declared. Unparseable
+    * payloads keep their declared duration (the [[asMedia]] default or a
+    * caller column) — the PERMISSIVE posture of the decode legs.
+    *
+    * The registered m2 query does NOT route through this: the fixture
+    * `documents` table carries no media bytes, so its durations stay
+    * synthetic by construction — the MultimodalSpec e2e pins this path over
+    * real WAV bytes instead.
+    */
+  def withParsedDurations(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(StructType(mediaSchema.fields.toSeq))
+    media.select("media_id", "content", "meta").mapPartitions { it =>
+      it.map { r =>
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        val meta = r.getStruct(2)
+        AudioCodec.durationMs(bytes) match {
+          case Some(d) =>
+            Row(r.getLong(0), bytes, Row(meta.get(0), meta.get(1), meta.get(2), d))
+          case None => Row(r.getLong(0), bytes, meta)
+        }
+      }
+    }(enc)
+  }
 
   private val decodedSchema = StructType(Seq(
     StructField("media_id", LongType),

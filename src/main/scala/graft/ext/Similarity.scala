@@ -113,6 +113,31 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** String-keyed sibling of [[topKByQuery]] for rankings whose group key is
+    * a term/token rather than a numeric query id (the BM25 shape): rank
+    * `(key, id, score)` rows to per-key top-k through the same k-bounded
+    * [[TopK]] Aggregator — a hot key (a stopword-grade term with millions of
+    * postings) ships at most k rows per partition instead of its full
+    * posting list through one window sort.
+    * Output: (key, rank, id, score), ordered.
+    */
+  def topKByTerm(scoredCands: DataFrame, k: Int): DataFrame = {
+    val spark = scoredCands.sparkSession
+    import spark.implicits._
+    val scored = scoredCands.selectExpr(
+      "CAST(key AS STRING) AS key", "CAST(id AS BIGINT) AS id", "CAST(score AS DOUBLE) AS score")
+      .as[(String, Long, Double)]
+    val topk = new TopK(k).toColumn
+    scored
+      .groupByKey(_._1)
+      .mapValues { case (_, id, score) => Scored(score, id) }
+      .agg(topk.name("topk"))
+      .toDF("key", "topk")
+      .selectExpr("key", "posexplode(topk) AS (pos, hit)")
+      .selectExpr("key", "CAST(pos + 1 AS BIGINT) AS rank", "hit.id AS id", "hit.score AS score")
+      .orderBy("key", "rank")
+  }
+
   /** Brute-force cosine top-k for each query vector, via the TopK Aggregator:
     * corpus scanned once, queries broadcast, k-bounded state end to end.
     * Output: (qid, rank, id, score).

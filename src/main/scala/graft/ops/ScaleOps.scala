@@ -380,6 +380,99 @@ object ScaleOps {
     } finally pairs.unpersist(blocking = false)
   }
 
+  // ------------------------------------------------------------------------
+  // Bounded-state quota sampling (the p14/p15 mixture shape).
+  //
+  // "Keep the quota smallest rank keys per group" is naively a
+  // `row_number().over(Window.partitionBy(g).orderBy(key)) <= quota` — which
+  // ships EVERY row of a group to one reducer and fully sorts it. At corpus
+  // scale the majority group is one straggler task sorting ~the whole
+  // corpus. The selection itself only needs the quota-th smallest key per
+  // group: aggregate the bottom-maxQuota keys with a k-bounded typed
+  // Aggregator (partial aggregation reduces every partition to <= maxQuota
+  // keys per group BEFORE the shuffle), broadcast the per-group threshold,
+  // and filter the corpus scan against it — no global sort anywhere.
+  // ------------------------------------------------------------------------
+
+  /** k-smallest-strings Aggregator: buffer is a sorted ascending list capped
+    * at k, merged associatively — the [[graft.ext.Similarity.TopK]] discipline
+    * applied to string rank keys.
+    */
+  final class BottomK(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[String, List[String], List[String]] {
+    override def zero: List[String] = Nil
+
+    private def insert(buf: List[String], s: String): List[String] = {
+      if (buf.nonEmpty && buf.lengthCompare(k) >= 0 && s >= buf.last) return buf
+      val (lo, hi) = buf.span(_ < s)
+      val merged = lo ::: s :: hi
+      if (merged.lengthCompare(k) > 0) merged.take(k) else merged
+    }
+
+    override def reduce(buf: List[String], in: String): List[String] = insert(buf, in)
+
+    override def merge(a: List[String], b: List[String]): List[String] = {
+      val out = List.newBuilder[String]
+      var x = a
+      var y = b
+      var n = 0
+      while (n < k && (x.nonEmpty || y.nonEmpty)) {
+        if (y.isEmpty || (x.nonEmpty && x.head <= y.head)) { out += x.head; x = x.tail }
+        else { out += y.head; y = y.tail }
+        n += 1
+      }
+      out.result()
+    }
+
+    override def finish(buf: List[String]): List[String] = buf
+
+    override def bufferEncoder: org.apache.spark.sql.Encoder[List[String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[String]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[List[String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[String]]()
+  }
+
+  /** Keep, per group, the rows whose `rankKey` is among the group's `quota`
+    * smallest — `row_number <= quota` semantics with bounded state.
+    *
+    * `quotas` is a small `(groupCol, quota: int)` relation (one row per
+    * group; it is broadcast). `maxQuota` must bound every quota value — it
+    * sizes the Aggregator buffer and is a plan-construction constant.
+    * Groups absent from `quotas` are dropped; a non-positive quota keeps
+    * nothing. Rank keys MUST be unique within a group (append a unique id to
+    * break ties) — the threshold filter keeps exactly the quota smallest
+    * only when no two rows share a key.
+    *
+    * Scale: one narrow (group, key) aggregation with <= maxQuota keys per
+    * group per partition shipped, a broadcast of one threshold row per
+    * group, and a filtered re-scan — the corpus is never sorted.
+    */
+  def quotaSampleByGroup(df: DataFrame, groupCol: String, rankKey: Column,
+      quotas: DataFrame, maxQuota: Int): DataFrame = {
+    require(maxQuota > 0, "maxQuota must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.withColumn("__qs_key", rankKey.cast("string"))
+    val bottom = keyed
+      .select(col(groupCol).cast("string").as("g"), col("__qs_key"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new BottomK(maxQuota).toColumn.name("ks"))
+      .toDF("g", "ks")
+    val thresholds = bottom
+      .join(quotas.select(col(groupCol).cast("string").as("g"), col("quota")), Seq("g"))
+      // threshold = quota-th smallest key; null = group smaller than quota
+      // (keep all). The CASE guards element_at against quota = 0 (1-based).
+      .selectExpr("g", "quota",
+        "CASE WHEN quota > 0 AND size(ks) >= quota THEN element_at(ks, quota) END AS __qs_thr")
+    keyed
+      .join(broadcast(thresholds), col(groupCol).cast("string") === col("g"))
+      .where(col("quota") > 0 &&
+        (col("__qs_thr").isNull || col("__qs_key") <= col("__qs_thr")))
+      .drop("g", "quota", "__qs_thr", "__qs_key")
+  }
+
   /** Small-files compaction for a parquet table directory — the operational
     * counterpart of `DedupStore.compact` for general sinks. Long-lived
     * streaming writers (`streamingGold`, `streamingVectorIndex`) append a

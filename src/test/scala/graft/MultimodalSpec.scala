@@ -205,6 +205,34 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(2L).isNullAt(1), "non-WAV payload keeps its row with null stats")
   }
 
+  test("sampleFrames over REAL WAV container durations (parsed headers, not declared meta)") {
+    import spark.implicits._
+    // 3.2 s of 8 kHz PCM -> 3200 ms from the data-chunk/byte-rate headers;
+    // the junk row keeps asMedia's declared 1-second default
+    val wav = sineWav(rate = 8000, freqHz = 440.0, amp = 0.5, secs = 3.2)
+    val junk = Array.fill[Byte](64)(0x41)
+    val media = Multimodal.withParsedDurations(
+      Multimodal.asMedia(Seq((1L, wav), (2L, junk)).toDF("id", "payload"), "id", "payload"))
+    val durs = media.select("media_id", "meta.duration_ms").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(durs == Map(1L -> 3200, 2L -> 1000), s"parsed vs declared split broken: $durs")
+    val frames = Multimodal.sampleFrames(media, everyMs = 1500).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(frames == Set((1L, 0), (1L, 1500), (1L, 3000), (2L, 0)),
+      s"frame grid must follow the PARSED duration: $frames")
+  }
+
+  test("AudioCodec.durationMs is header-only and agrees with the full sample decode") {
+    val wav = sineWav(8000, 440.0, 0.5, 0.25)
+    assert(Multimodal.AudioCodec.durationMs(wav).contains(250))
+    val full = Multimodal.AudioCodec.read(wav).map(Multimodal.AudioCodec.features(_)._1)
+    assert(Multimodal.AudioCodec.durationMs(wav) == full,
+      "header-derived duration must equal the sample-decoded one")
+    assert(Multimodal.AudioCodec.durationMs(Array.fill[Byte](64)(0x41)).isEmpty)
+    assert(Multimodal.AudioCodec.durationMs(null).isEmpty)
+    assert(Multimodal.AudioCodec.durationMs(wav.take(30)).isEmpty, "truncated header")
+  }
+
   test("AudioCodec tolerates truncated/hostile RIFF payloads as None, never a throw") {
     val wav = sineWav(8000, 440.0, 0.5, 0.1)
     assert(Multimodal.AudioCodec.read(wav.take(30)).isEmpty, "truncated header")

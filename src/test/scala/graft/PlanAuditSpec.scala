@@ -99,6 +99,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans(df).length == 1, s"expected a single documents scan:\n${df.queryExecution}")
   }
 
+  test("p14/p15: quota sampling never plans a corpus-wide Window") {
+    // row_number().over(partitionBy(lang)) would total-sort each language's
+    // every row in one reducer — the majority language becomes THE straggler
+    // at corpus scale. Selection must be the bounded-state threshold path
+    // (ScaleOps.quotaSampleByGroup): a k-bounded aggregation + broadcast
+    // threshold filter, no Window node anywhere in the executed plan.
+    for (q <- Seq("p14_mixture_sample", "p15_temperature_mix")) {
+      val df = Registry.byName(q).fn(spark, sf)
+      df.collect() // materialize so AQE finalizes the executed plan
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"$q must not window-sort the corpus:\n${plan.take(3000)}")
+      assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+        s"$q: BottomK threshold aggregation expected:\n${plan.take(3000)}")
+    }
+  }
+
+  test("t12: BM25 per-term top-5 is the k-bounded TopK Aggregator, never a posting window") {
+    // Window.partitionBy(term) ships every posting of a hot term to one task
+    // for a full sort; the TopK path reduces to 5 per partition map-side.
+    val df = Registry.byName("t12_bm25").fn(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"no posting-list window expected:\n${plan.take(3000)}")
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"TopK Aggregator expected in the re-rank:\n${plan.take(3000)}")
+  }
+
+  test("d1: the keep-first window keys on md5(text), not the raw document") {
+    // the exchange/sort key must be the 32-char hash — shuffling full
+    // document bodies as sort keys multiplies exchange volume by doc size
+    val df = Registry.byName("d1_dedup_exact").fn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("md5"), s"hash partition key expected:\n${plan.take(3000)}")
+    assert(!plan.matches("(?s).*hashpartitioning\\(text.*"),
+      s"raw text must not be the exchange key:\n${plan.take(3000)}")
+  }
+
   test("d10: the posting-frequency join is shuffle-hash, not a broadcast of the posting table") {
     // Broadcasting the gram->df relation would build and ship a corpus-sized
     // hash map to every task; the fine-grained gram key partitions perfectly.
