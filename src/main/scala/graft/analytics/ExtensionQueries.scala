@@ -269,6 +269,13 @@ object ExtensionQueries {
     Array.fill(sdK, sdDim)(rng.nextFloat() * 0.6f - 0.3f)
   }
 
+  /** d9's fixed centroids as (cell, cv) pairs — SimilaritySpec pins the
+    * `Similarity.semDedup` library call equal to the d9 oracle query when
+    * fed these exact centroids.
+    */
+  private[graft] def semDedupCentroids: Seq[(Int, Seq[Double])] =
+    sdCent.zipWithIndex.map { case (c, i) => (i, c.map(_.toDouble).toSeq) }.toSeq
+
   /** `|v[0:16] - centroid c|^2`, f32 products widened to DOUBLE, left-assoc
     * sum — one generator for both dialects (Spark brackets are 0-based,
     * DuckDB's 1-based; float literals round-trip via CAST('…' AS FLOAT/REAL)).

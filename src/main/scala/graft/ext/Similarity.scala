@@ -247,6 +247,84 @@ object Similarity {
     topKByQuery(scored, k)
   }
 
+  /** Cell assignment against a DRIVER-HELD centroid list as one shuffle-free
+    * projection: per cell, `||x - c||^2` ranks as `c.c - 2 x.c` (the `|x|^2`
+    * term is constant per row), and the argmin with ties to the lowest cell
+    * id is a `least` over `(dist, cell)` structs — exactly the broadcast
+    * assignment `KMeansModel.transform` does, expressed in columns. The
+    * centroid list is bounded driver state (k x dim doubles, the
+    * query-batch-broadcast discipline); for centroid tables too large to
+    * inline, train/assign through [[ivfIndex]] instead.
+    */
+  def assignCellExpr(cents: Seq[(Int, Seq[Double])], vecCol: String):
+      org.apache.spark.sql.Column = {
+    require(cents.nonEmpty, "need at least one centroid")
+    val scored = cents.sortBy(_._1).map { case (cell, cv) =>
+      // typed lits, not SQL-text literals: a bare "0.25" in SQL parses as
+      // DECIMAL and fails array_dot's (double[], double[]) signature
+      val dot = call_function("array_dot", col(vecCol), array(cv.map(lit(_)): _*))
+      val cc = cv.map(x => x * x).sum
+      struct((lit(cc) - lit(2.0) * dot).as("d"), lit(cell).as("c"))
+    }
+    val best = if (scored.size == 1) scored.head else least(scored: _*)
+    best.getField("c")
+  }
+
+  /** SemDeDup (semantic dedup over embedding clusters): coarse cells block
+    * the corpus, then within each cell every member with an earlier
+    * (lower-id) cell-mate at cosine >= `threshold` is dropped — the
+    * join-shaped one-pass dominance rule of the registered `d9_semdedup`
+    * query, composed with a TRAINED quantizer as a single library call.
+    *
+    * `vectors` is a [[prepare]]d table `(id, v, nrm)`. With `centroids`
+    * empty, cells come from [[ivfIndex]]'s sampled k-means over `v` (the
+    * production path; increments [[kmeansFits]]). With `centroids` given
+    * (`cell`, `cv` rows — e.g. a previously trained index, or d9's fixed
+    * oracle centroids), assignment is the shuffle-free [[assignCellExpr]]
+    * projection over `assignVec` (defaults to `v`; d9 assigns on a prefix
+    * slice while cosine uses the full vector, so the two are separable).
+    *
+    * Output: `(id, cell, kept)` — every surviving row of the corpus with its
+    * blocking cell; `kept = false` marks dominance-dropped near-duplicates.
+    *
+    * Scale: pair generation is cell-blocked (k grows with the corpus,
+    * capping cell width), never corpus-global; assignment is a broadcast
+    * projection; the only shuffles are the dominance self-join on `cell`
+    * (and, on the trained path, k-means' own sampled fit).
+    */
+  def semDedup(vectors: DataFrame, k: Int, threshold: Double,
+      centroids: Option[DataFrame] = None, assignVec: String = "v",
+      seed: Long = 42L, trainFraction: Double = 1.0): DataFrame = {
+    val spark = vectors.sparkSession
+    GraftFunctions.register(spark)
+    val assigned = centroids match {
+      case Some(c) =>
+        val cents = c.selectExpr("CAST(cell AS INT) AS cell", "CAST(cv AS ARRAY<DOUBLE>) AS cv")
+          .collect()
+          .map(r => r.getInt(0) -> r.getSeq[Double](1))
+          .toSeq
+        vectors.withColumn("cell", assignCellExpr(cents, assignVec))
+      case None =>
+        require(assignVec == "v",
+          "the trained path clusters on the similarity vector itself")
+        ivfIndex(vectors, k, seed, trainFraction)._1
+    }
+    // the cell table feeds both sides of the dominance join — cut lineage so
+    // assignment (and on the trained path the k-means transform) runs once
+    val a = assigned.select(col("id"), col("cell"), col("v"), col("nrm"))
+      .localCheckpoint(eager = false)
+    val dropped = a.as("a")
+      .join(a.as("b"), expr(
+        s"a.cell = b.cell AND b.id < a.id AND " +
+          s"array_dot(a.v, b.v) / (a.nrm * b.nrm) >= $threshold"),
+        "left_semi")
+      .select(col("id"))
+      .withColumn("__drop", lit(1))
+    a.select("id", "cell")
+      .join(dropped, Seq("id"), "left")
+      .select(col("id"), col("cell"), col("__drop").isNull.as("kept"))
+  }
+
   /** Bucket-size guard for the LSH family: drop band buckets holding more
     * than `maxBucket` members before any bucket self/probe join. A band key
     * shared by a large fraction of the corpus is non-discriminative (it

@@ -169,6 +169,63 @@ class SimilaritySpec extends SparkSpec {
     a.unpersist()
   }
 
+  test("semDedup with d9's fixed centroids reproduces the d9 oracle rollup exactly") {
+    graft.functions.GraftFunctions.register(spark)
+    val sf = "/root/testdata/sf0.001"
+    // the d9 shape: assignment on the 16-dim prefix slice, cosine on the
+    // full vector — fed through the library call with the same centroids
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id AS id",
+        "CAST(embedding AS ARRAY<DOUBLE>) AS v",
+        "CAST(slice(embedding, 1, 16) AS ARRAY<DOUBLE>) AS av")
+      .selectExpr("id", "v", "av", "sqrt(array_dot(v, v)) AS nrm")
+    val cents = graft.analytics.ExtensionQueries.semDedupCentroids.toDF("cell", "cv")
+    val rollup = Similarity
+      .semDedup(e, k = 8, threshold = 0.35, centroids = Some(cents), assignVec = "av")
+      .groupBy("cell")
+      .agg(count(lit(1)).as("members"),
+        sum(when(col("kept"), 1).otherwise(0)).cast("long").as("kept"),
+        sum(when(!col("kept"), 1).otherwise(0)).cast("long").as("dropped"))
+      .orderBy("cell").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val d9 = graft.analytics.Registry.byName("d9_semdedup").fn(spark, sf).collect()
+      .map(r => (r.getAs[Int]("cluster"), r.getAs[Long]("members"),
+        r.getAs[Long]("kept"), r.getAs[Long]("dropped"))).toSeq
+    assert(rollup == d9, s"library call diverged from the oracle query:\n$rollup\nvs\n$d9")
+  }
+
+  test("semDedup dominance is cell-blocked: cross-cell near-duplicates both survive") {
+    graft.functions.GraftFunctions.register(spark)
+    // vectors 1 and 2 are near-identical (cosine ~0.98) but straddle the
+    // cell boundary; 3 is a within-cell near-dup of 1 with a later id
+    val vs = Seq(
+      (1L, Seq(0.1, 1.0)), (2L, Seq(-0.1, 1.0)), (3L, Seq(0.09, 0.9)))
+      .toDF("id", "v")
+      .selectExpr("id", "v", "sqrt(array_dot(v, v)) AS nrm")
+    val cents = Seq((0, Seq(1.0, 0.0)), (1, Seq(-1.0, 0.0))).toDF("cell", "cv")
+    val out = Similarity.semDedup(vs, k = 2, threshold = 0.95, centroids = Some(cents))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+    assert(out(1L) == ((0, true)))
+    assert(out(2L) == ((1, true)), "cross-cell near-dup must NOT be dropped (blocked dominance)")
+    assert(out(3L) == ((0, false)), "within-cell later near-dup must drop")
+  }
+
+  test("semDedup trained path fits k-means once; the earliest member of every cell survives") {
+    val before = Similarity.kmeansFits.get()
+    val res = Similarity.semDedup(prepared, k = 4, threshold = 0.99).collect()
+    assert(Similarity.kmeansFits.get() == before + 1, "exactly one quantizer fit")
+    assert(res.length == 20, "every corpus row appears with a verdict")
+    res.groupBy(_.getInt(1)).foreach { case (_, rs) =>
+      val minId = rs.map(_.getLong(0)).min
+      assert(rs.find(_.getLong(0) == minId).get.getBoolean(2),
+        "the lowest id in a cell has no earlier cell-mate — must be kept")
+    }
+    val by = res.map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+    assert(by(0L)._2, "id 0 has no earlier mate anywhere")
+    if (by(19L)._1 == by(0L)._1)
+      assert(!by(19L)._2, "the planted dup sharing id 0's cell must be dominance-dropped")
+  }
+
   test("TopK fast-path insert matches a full sort on random streams (incl. duplicates)") {
     // the O(1) reject path and in-place insertion must be behaviorally
     // identical to sorting the whole stream — ties and all
