@@ -304,6 +304,14 @@ object ExtensionQueries {
     ("v", "a"), ("va", "l"), ("val", "u"), ("valu", "e"),
     ("a", "r")))
 
+  /** t14's fixed merge table — BpeSpec's oracle guard re-verifies the
+    * replace-chain == greedy-array equivalence over the ACTUAL fixture
+    * vocabulary at every SF, so a fixture change that breaks the closed-set
+    * assumption fails a unit test instead of silently changing the oracle's
+    * algorithm.
+    */
+  private[graft] def t14BpeModel: graft.ext.Bpe.Model = bpeModel
+
   private lazy val bpeOracleSql: String = {
     val repl = bpeModel.merges.foldLeft(
       "array_to_string([w[i:i] for i in generate_series(1, len(w))], ' ')") {

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -244,6 +244,36 @@ object Pq {
     ivfPqTopKRows(encoded, qRows, coarse, model, nprobe, k)
   }
 
+  /** Fold a [[graft.streaming.Incremental.streamingVectorIndex]] store's
+    * `batch=<id>/cell=<c>` micro-batch directories into ONE consolidated
+    * `batch=-1/cell=<c>` tree: after a year of 5-minute ticks the probe's
+    * file listing walks ~10^5 batch directories whose per-dir overhead
+    * dominates the (cell-pruned) scan itself; consolidation makes the
+    * listing O(cells) again. The sentinel batch id keeps the directory
+    * depth uniform — a RESTARTED stream lays new `batch=<id>` directories
+    * beside it and partition discovery still works (a flat `cell=<c>`
+    * layout would conflict with them); real micro-batch ids are >= 0, so
+    * the replay-overwrite contract never collides with the sentinel, and
+    * the next maintenance window simply folds again.
+    *
+    * STOPPED-STREAM ONLY, like every compaction of this store
+    * ([[graft.streaming.Incremental]]): consolidating a batch directory the
+    * checkpoint has not committed turns its replay into a duplicate append,
+    * and the rename-aside swap has a reader-visible gap
+    * ([[graft.ops.ScaleOps.compactParquet]]).
+    * [[probeIndex]] results are bitwise identical before/after
+    * (StreamingSpec pins this): scoring reads only (id, cell, codes) and
+    * the TopK re-rank is order-independent.
+    *
+    * Returns (files before, files after).
+    */
+  def consolidateIndex(spark: SparkSession, indexPath: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): (Long, Long) =
+    graft.ops.ScaleOps.compactParquet(spark, indexPath, targetFileBytes,
+      partitionBy = Seq("batch", "cell"),
+      transform = df => df.select(col("id"), col("codes"),
+        lit(-1).as("batch"), col("cell")))
+
   /** ADC top-k over an IVFPQ index: per query rank the coarse cells by
     * squared distance, keep every cell within the `nprobe`-th smallest
     * distance (the tie-stable probe rule), build one residual LUT per
@@ -258,6 +288,14 @@ object Pq {
       collectQueries(queries, idCol, vecCol, model, "ivfPqTopK"),
       coarse, model, nprobe, k)
 
+  /** Broadcast lifecycle (shared with [[adcTopK]]): the query batch is
+    * broadcast per call and referenced by the returned plan's closure, so it
+    * cannot be destroyed here — Spark's ContextCleaner reclaims it once the
+    * caller drops the DataFrame (weak-reference GC). A long-lived session
+    * probing per micro-batch therefore accumulates only broadcasts whose
+    * plans are still reachable; callers holding probe results should retain
+    * the collected rows, not the DataFrame.
+    */
   private def ivfPqTopKRows(encoded: DataFrame, qRows: Array[(Long, Array[Float])],
       coarse: Array[Array[Float]], model: Model, nprobe: Int, k: Int): DataFrame = {
     require(nprobe >= 1 && nprobe <= coarse.length,
@@ -267,34 +305,38 @@ object Pq {
     val enc = RowEncoder.encoderFor(scoredSchema)
     val scored = encoded.select(col("id"), col("cell"), col("codes")).mapPartitions { it =>
       val ds = model.subDim
-      // per (query, probed cell): a residual LUT; un-probed cells stay null
+      // Residual LUTs build LAZILY per (query, cell) on first encounter in
+      // this partition: a cell-partitioned store (partition pruning, or a
+      // consolidated index) pays nQueries x |cells present| LUT builds per
+      // partition, not nQueries x all-probed-cells. `probed` alone answers
+      // the cheap membership test.
       val qstate = qB.value.map { case (qid, qv) =>
         val cellD = cellDistances(qv, coarse)
         val thr = cellD.sorted.apply(nprobe - 1)
-        val luts = Array.tabulate(coarse.length) { c =>
-          if (cellD(c) <= thr) {
-            val res = new Array[Float](model.dim)
-            var t = 0
-            while (t < model.dim) { res(t) = qv(t) - coarse(c)(t); t += 1 }
-            Array.tabulate(model.m) { j =>
-              val qb = java.util.Arrays.copyOfRange(res, j * ds, (j + 1) * ds)
-              model.codebooks(j).map { cent =>
-                var d = 0.0
-                var t2 = 0
-                while (t2 < ds) { val x = qb(t2) - cent(t2); d += x * x; t2 += 1 }
-                d
-              }
-            }
-          } else null
+        val probed = Array.tabulate(coarse.length)(c => cellD(c) <= thr)
+        (qid, qv, probed, new Array[Array[Array[Double]]](coarse.length))
+      }
+      def lutFor(qv: Array[Float], c: Int): Array[Array[Double]] = {
+        val res = new Array[Float](model.dim)
+        var t = 0
+        while (t < model.dim) { res(t) = qv(t) - coarse(c)(t); t += 1 }
+        Array.tabulate(model.m) { j =>
+          val qb = java.util.Arrays.copyOfRange(res, j * ds, (j + 1) * ds)
+          model.codebooks(j).map { cent =>
+            var d = 0.0
+            var t2 = 0
+            while (t2 < ds) { val x = qb(t2) - cent(t2); d += x * x; t2 += 1 }
+            d
+          }
         }
-        (qid, luts)
       }
       it.flatMap { r =>
         val id = r.getLong(0)
         val cell = r.getInt(1)
         val codes = r.getSeq[Int](2)
-        qstate.iterator.collect { case (qid, luts) if qid != id && luts(cell) != null =>
-          val lut = luts(cell)
+        qstate.iterator.collect { case (qid, qv, probed, cache) if qid != id && probed(cell) =>
+          var lut = cache(cell)
+          if (lut == null) { lut = lutFor(qv, cell); cache(cell) = lut }
           var d = 0.0
           var j = 0
           while (j < model.m) { d += lut(j)(codes(j)); j += 1 }

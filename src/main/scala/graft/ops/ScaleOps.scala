@@ -484,11 +484,28 @@ object ScaleOps {
     * swaps rename-aside — a crash at any point leaves the old or the new
     * layout reachable, never a mix and never a missing directory.
     *
+    * `transform` (default identity) rewrites the table body before the
+    * compaction — e.g. dropping a replay-key partition column when folding
+    * a streaming store ([[graft.ext.Pq.consolidateIndex]]). It MUST be
+    * row-count-preserving: the row-count validation runs on the transformed
+    * frame, so a dropping transform would validate against its own output
+    * and silently lose data.
+    *
+    * SINGLE-WRITER, NO CONCURRENT READERS: the publish swap has an
+    * unavoidable window between `rename(root, bak)` and `rename(tmp, root)`
+    * where the live directory does not exist — a query racing the swap
+    * fails transiently with path-not-found (crash recovery restores the
+    * backup, so no data is ever lost, but the reader sees the gap). Callers
+    * own the exclusion: streaming stores compact only while the stream is
+    * STOPPED ([[graft.streaming.Incremental]] documents the contract), and
+    * probe/query paths must not race a compaction.
+    *
     * Returns (files before, files after).
     */
   def compactParquet(spark: SparkSession, path: String,
       targetFileBytes: Long = 128L * 1024 * 1024,
-      partitionBy: Seq[String] = Nil): (Long, Long) = {
+      partitionBy: Seq[String] = Nil,
+      transform: DataFrame => DataFrame = identity): (Long, Long) = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -521,7 +538,7 @@ object ScaleOps {
     val totalBytes = before.map(_.getLen).sum
     val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
 
-    val df = spark.read.parquet(path)
+    val df = transform(spark.read.parquet(path))
     val expected = df.count()
     val writer =
       (if (partitionBy.nonEmpty) {

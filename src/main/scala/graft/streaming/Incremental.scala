@@ -245,6 +245,20 @@ object Incremental {
     * key is three longs (bounded regardless of session length), late
     * events beyond the watermark are dropped by the engine, and the
     * emitted rows are append-mode (closed sessions are immutable facts).
+    *
+    * Out-of-order contract vs the batch window form: a cross-batch event
+    * that lands WITHIN the gap of the open session extends it in either
+    * direction (`startMs`/`lastMs` both fold through min/max — StreamingSpec
+    * pins the backward case). Two divergences from batch `st2_sessionize`
+    * are accepted streaming approximations, both only reachable through
+    * within-watermark stragglers: (1) an event within the watermark but
+    * arriving AFTER its session was data-closed opens a fresh session where
+    * batch would have merged it (closed sessions are immutable append-mode
+    * facts — un-emitting is not expressible); (2) an event more than a gap
+    * EARLIER than the open session's start folds into it where batch would
+    * have made it a separate earlier session (only the open session is
+    * carried as state). The parity pin on the events fixture holds because
+    * its per-user streams are watermark-ordered across batches.
     */
   def streamingSessions(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -280,7 +294,11 @@ object Incremental {
                   out += close(s)
                   cur = Some(OpenSession(t, t, 1))
                 case Some(s) =>
-                  cur = Some(s.copy(lastMs = math.max(s.lastMs, t), n = s.n + 1))
+                  // a cross-batch straggler can predate the stored start —
+                  // fold both edges so the session window matches what the
+                  // batch sort would have built
+                  cur = Some(OpenSession(
+                    math.min(s.startMs, t), math.max(s.lastMs, t), s.n + 1))
               }
             }
             cur.foreach { s =>

@@ -62,6 +62,36 @@ class BpeSpec extends SparkSpec {
     assert(out == expected, "distributed encode must equal driver-side greedy apply")
   }
 
+  test("t14 oracle guard: replace-chain == greedy-array over every fixture word at every SF") {
+    // The t14 DuckDB oracle applies each merge as replace(space-joined,
+    // 'a b', 'ab') — equivalent to greedy array merging ONLY while no merge
+    // pattern matches across a token boundary in the corpus vocabulary
+    // (e.g. with merge (a,r): 's t a r' would collapse where array-greedy
+    // keeps 'ta','r' apart if (t,a) merged first into a token ending in
+    // 'a'). Re-verify the equivalence over the ACTUAL distinct words of all
+    // three gated fixtures, so a fixture regeneration that opens the
+    // vocabulary fails HERE instead of silently turning the oracle into a
+    // different algorithm.
+    val m = graft.analytics.ExtensionQueries.t14BpeModel
+    def chain(w: String): Seq[String] = {
+      var s = w.toCharArray.map(_.toString).mkString(" ")
+      m.merges.foreach { case (a, b) => s = s.replace(s"$a $b", s"$a$b") }
+      s.split(' ').toSeq
+    }
+    val words = Seq("sf0.001", "sf0.01", "sf0.1").flatMap { sf =>
+      spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
+        .selectExpr("explode(split(lower(text), ' ')) AS w")
+        .where(length(col("w")) > 0)
+        .distinct().collect().map(_.getString(0))
+    }.distinct
+    assert(words.nonEmpty)
+    val diverged = words.filter(w => chain(w) != Bpe.encodeWord(w, m).toSeq)
+    assert(diverged.isEmpty,
+      s"replace-chain oracle no longer equals greedy BPE for fixture words: " +
+        s"${diverged.take(5)} (of ${diverged.size}) — the t14 oracle SQL is now a " +
+        "DIFFERENT algorithm; fix the oracle or the merge table")
+  }
+
   test("null text skipped; empty text yields an empty token row; runs merge non-overlapping") {
     val df = Seq((0L, "aaaa"), (1L, null: String), (2L, "   ")).toDF("id", "text")
     val m = Bpe.Model(Seq(("a", "a")))

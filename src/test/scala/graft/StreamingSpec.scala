@@ -250,6 +250,37 @@ class StreamingSpec extends SparkSpec {
       queries, "vec_id", "embedding", coarse, model, nprobe = 2, k = 3).collect()
     assert(viaStore.map(_.toString).toSeq == viaBatch.map(_.toString).toSeq,
       "store probe diverges from batch IVFPQ")
+
+    // consolidation (stream stopped): the per-micro-batch directories fold
+    // into the batch=-1 sentinel tree, one dir per cell, probe bitwise equal
+    def batchDirs = new java.io.File(index).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName).toSet
+    assert(batchDirs == Set("batch=0", "batch=1"), s"two micro-batch dirs expected: $batchDirs")
+    graft.ext.Pq.consolidateIndex(spark, index)
+    assert(batchDirs == Set("batch=-1"), s"consolidated sentinel dir expected: $batchDirs")
+    val cellDirs = new java.io.File(s"$index/batch=-1").listFiles
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(cellDirs == Set("cell=0", "cell=1", "cell=2", "cell=3"),
+      s"one directory per cell: $cellDirs")
+    assert(spark.read.parquet(index).count() == 12, "row count preserved")
+    val viaConsolidated = graft.ext.Pq
+      .probeIndex(index, queries, "vec_id", "embedding", coarse, model, nprobe = 2, k = 3)
+      .collect()
+    assert(viaConsolidated.map(_.toString).toSeq == viaStore.map(_.toString).toSeq,
+      "probe must be bitwise identical before/after consolidation")
+
+    // restart after consolidation: new micro-batch dirs land beside the
+    // sentinel (uniform depth — partition discovery keeps working)
+    val wave3 = (12 until 16).map(i => (i, mk(i % 4)))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$vecs/w3.json"),
+      wave3.map { case (i, v) => line(i, v) }.mkString("", "\n", "\n"))
+    graft.streaming.Incremental
+      .streamingVectorIndex(spark, vecs, index, chk, coarse, model)
+      .awaitTermination(180000)
+    assert(batchDirs == Set("batch=-1", "batch=2"), s"mixed layout after restart: $batchDirs")
+    assert(spark.read.parquet(index).count() == 16,
+      "restarted stream appends beside the consolidated tree")
   }
 
   test("streamingSessions: gap-split sessions close on data; tails close on event-time timeout") {
@@ -316,6 +347,58 @@ class StreamingSpec extends SparkSpec {
       s"u1 tail must close by event-time timeout: $later")
     assert(later.contains((2L, "2024-01-01 14:00:00.0", "2024-01-01 14:00:00.0", 1L)),
       s"u2 tail must close by event-time timeout: $later")
+  }
+
+  test("streamingSessions folds a cross-batch out-of-order event into the open session's START") {
+    val dir = tmpDir("sess-ooo")
+    val chk = tmpDir("sess-ooo-chk")
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    def run(): Seq[(Long, String, String, Long)] = {
+      val schema = StructType(Seq(
+        StructField("user_id", LongType), StructField("ts", StringType)))
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(dir)
+        .withColumn("ts", to_timestamp(col("ts")))
+      val q = Incremental.streamingSessions(stream, gapMinutes = 30)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", chk)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = b.collect().map(r => (
+            r.getAs[Long]("user_id"),
+            r.getAs[java.sql.Timestamp]("session_start").toString,
+            r.getAs[java.sql.Timestamp]("session_end").toString,
+            r.getAs[Long]("events")))
+          acc.synchronized { acc ++= rows }
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(180000)
+      acc.synchronized(acc.toSeq)
+    }
+    // batch 1 opens the session at 10:20; batch 2 delivers a WITHIN-GAP,
+    // within-watermark straggler from 10:05 — the open session must extend
+    // backward (start = 10:05), exactly what a batch sort would build
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/a.json"),
+      """{"user_id":1,"ts":"2024-01-01T10:20:00"}
+        |""".stripMargin)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/b.json"),
+      """{"user_id":1,"ts":"2024-01-01T10:05:00"}
+        |""".stripMargin)
+    // sentinels push the watermark past the tail's timeout across a restart
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/c.json"),
+      """{"user_id":99,"ts":"2024-01-01T23:00:00"}
+        |""".stripMargin)
+    run()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/d.json"),
+      """{"user_id":98,"ts":"2024-01-01T23:30:00"}
+        |""".stripMargin)
+    val got = run().filter(_._1 == 1L)
+    assert(got == Seq((1L, "2024-01-01 10:05:00.0", "2024-01-01 10:20:00.0", 2L)),
+      s"straggler must extend session_start backward, not open a new session: $got")
   }
 
   test("streamingSessions agrees with the batch st2_sessionize rollup on the events fixture") {
