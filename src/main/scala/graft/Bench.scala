@@ -83,7 +83,14 @@ object Bench {
     // Failures are recorded by name, never silently absorbed as a fast
     // timing: a broken query must make the bench visibly fail, not improve
     // the total.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the sweep to named queries —
+    // for scaling probes (SCALE.md's per-family exponent tables) that
+    // re-measure a handful of heavy queries on an alternate dataset dir.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val before = listener.quiesce()
       listener.resetPeak()
       var err: Option[String] = None

@@ -452,25 +452,31 @@ object ScaleOps {
     require(maxQuota > 0, "maxQuota must be positive")
     val spark = df.sparkSession
     import spark.implicits._
+    // internal names are __qs_-prefixed so a caller's own `g`/`quota`/`ks`
+    // columns never collide with the join below
     val keyed = df.withColumn("__qs_key", rankKey.cast("string"))
     val bottom = keyed
-      .select(col(groupCol).cast("string").as("g"), col("__qs_key"))
+      .select(col(groupCol).cast("string").as("__qs_g"), col("__qs_key"))
       .as[(String, String)]
       .groupByKey(_._1)
       .mapValues(_._2)
       .agg(new BottomK(maxQuota).toColumn.name("ks"))
-      .toDF("g", "ks")
+      .toDF("__qs_g", "__qs_ks")
     val thresholds = bottom
-      .join(quotas.select(col(groupCol).cast("string").as("g"), col("quota")), Seq("g"))
+      .join(
+        quotas.select(col(groupCol).cast("string").as("__qs_g"),
+          col("quota").as("__qs_quota")),
+        Seq("__qs_g"))
       // threshold = quota-th smallest key; null = group smaller than quota
       // (keep all). The CASE guards element_at against quota = 0 (1-based).
-      .selectExpr("g", "quota",
-        "CASE WHEN quota > 0 AND size(ks) >= quota THEN element_at(ks, quota) END AS __qs_thr")
+      .selectExpr("__qs_g", "__qs_quota",
+        "CASE WHEN __qs_quota > 0 AND size(__qs_ks) >= __qs_quota " +
+          "THEN element_at(__qs_ks, __qs_quota) END AS __qs_thr")
     keyed
-      .join(broadcast(thresholds), col(groupCol).cast("string") === col("g"))
-      .where(col("quota") > 0 &&
+      .join(broadcast(thresholds), col(groupCol).cast("string") === col("__qs_g"))
+      .where(col("__qs_quota") > 0 &&
         (col("__qs_thr").isNull || col("__qs_key") <= col("__qs_thr")))
-      .drop("g", "quota", "__qs_thr", "__qs_key")
+      .drop("__qs_g", "__qs_quota", "__qs_thr", "__qs_key")
   }
 
   /** Small-files compaction for a parquet table directory — the operational

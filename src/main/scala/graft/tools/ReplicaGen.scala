@@ -1,0 +1,83 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scaling-probe dataset builder: replicates a driver testdata dir's
+  * `documents`/`embeddings` tables by an integer factor with CONTENT-DISJOINT
+  * replicas, giving SCALE.md a third measured decade beyond the largest
+  * driver-generated SF. Measurement-only — replica dirs never feed the
+  * correctness oracles (the driver's own parquet stays the only oracle
+  * input).
+  *
+  * Why not plain row duplication: exact copies would put every document in a
+  * `factor`-sized near-dup family, inflating pair counts ~quadratically in
+  * `factor` — the opposite of how a larger real corpus behaves. Instead each
+  * replica k:
+  *  - documents: every whitespace token gets a replica suffix, so replicas
+  *    are disjoint in shingle/gram space while INTRA-replica near-dup
+  *    structure (the thing dedup cost scales with) is preserved exactly;
+  *    lang/source skew is untouched; ids offset by k*10^7.
+  *  - embeddings: replica k sign-flips dims {k-1, k+3, k+7, k+11} — an
+  *    orthogonal transform (norms and intra-replica geometry exactly
+  *    preserved) that flips ONE dim inside each of the four 4-bit sign-LSH
+  *    bands over dims 0..15, so every replica group of a cluster lands in a
+  *    band bucket disjoint from every other replica's: bucket width stays
+  *    the real cluster width and candidate pairs scale linearly, as a
+  *    genuinely larger corpus's would. (A circular dim shift — the first
+  *    attempt — let shifted cluster sign-blocks COLLIDE across replicas,
+  *    quadratically inflating bucket pairs: an artifact of the synthetic
+  *    data, not a property of the engine.)
+  *
+  * Usage: ReplicaGen <sfDir> <outDir> <docFactor> <vecFactor>. Also copies
+  * `lineitem.parquet` verbatim so `graft.Bench`'s warmup works against the
+  * replica dir.
+  */
+object ReplicaGen {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir, fdS, fvS) = args
+    val fd = fdS.toInt
+    val fv = fvS.toInt
+    require(fd >= 1 && fv >= 1, "factors must be >= 1")
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", 16)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    (0 until fd).map { k =>
+      if (k == 0) docs
+      else docs
+        .withColumn("doc_id", expr(s"doc_id + ${k}L * 10000000"))
+        .withColumn("text",
+          expr(s"array_join(transform(split(text, ' '), w -> concat(w, 'q$k')), ' ')"))
+        .withColumn("n_chars", expr("CAST(length(text) AS BIGINT)"))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    (0 until fv).map { k =>
+      if (k == 0) emb
+      else {
+        val flips = Seq(k - 1, k + 3, k + 7, k + 11)
+        emb
+          .withColumn("vec_id", expr(s"vec_id + ${k}L * 10000000"))
+          .withColumn("embedding", expr(
+            s"transform(embedding, (x, i) -> IF(${flips.map(f => s"i = $f").mkString(" OR ")}, -x, x))"))
+          .select("vec_id", "embedding", "label")
+      }
+    }.reduce(_ unionByName _)
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/lineitem.parquet"),
+      java.nio.file.Paths.get(s"$outDir/lineitem.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    spark.stop()
+  }
+}

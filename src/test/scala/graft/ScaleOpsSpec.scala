@@ -117,6 +117,46 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("quotaSampleByGroup == row_number semantics on random data (small groups, zero quotas)") {
+    import spark.implicits._
+    // 400 rows over 5 groups with unique string rank keys; quotas include a
+    // group smaller than its quota (keep-all), a zero quota (keep-none) and
+    // a group missing from the quota table (dropped)
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 400).map { i =>
+      val g = s"g${rnd.nextInt(5)}"
+      (i.toLong, g, f"${rnd.nextLong().abs}%020d-$i")
+    } ++ Seq((9000L, "tiny", "00000000000000000001-x"), (9001L, "tiny", "00000000000000000002-x"))
+    val df = rows.toDF("id", "g", "key")
+    val quotas = Seq(("g0", 7), ("g1", 25), ("g2", 1), ("g3", 0), ("tiny", 10))
+      .toDF("g", "quota") // g4 intentionally absent
+    val got = graft.ops.ScaleOps
+      .quotaSampleByGroup(df, "g", col("key"), quotas, maxQuota = 25)
+      .collect().map(_.getAs[Long]("id")).toSet
+    // reference: per-group sort by key, take quota
+    val byG = rows.groupBy(_._2)
+    val want = Seq(("g0", 7), ("g1", 25), ("g2", 1), ("g3", 0), ("tiny", 10)).flatMap {
+      case (g, q) => byG.getOrElse(g, Seq.empty).sortBy(_._3).take(q).map(_._1)
+    }.toSet
+    assert(got == want, s"threshold selection diverges from rank semantics")
+    assert(!got.exists(id => byG("g4").exists(_._1 == id)), "group without a quota is dropped")
+    assert(got.count(id => byG("tiny").exists(_._1 == id)) == 2,
+      "group smaller than its quota keeps every row")
+  }
+
+  test("quotaSampleByGroup keeps original columns and plans no Window") {
+    import spark.implicits._
+    val df = (0 until 50).map(i => (i.toLong, s"g${i % 2}", s"p$i", i * 2))
+      .toDF("id", "g", "key", "payload")
+    val quotas = Seq(("g0", 3), ("g1", 3)).toDF("g", "quota")
+    val out = graft.ops.ScaleOps.quotaSampleByGroup(df, "g", col("key"), quotas, 3)
+    assert(out.columns.toSeq == Seq("id", "g", "key", "payload"),
+      s"helper columns must not leak: ${out.columns.toSeq}")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"bounded-state selection must not window:\n${plan.take(2000)}")
+  }
+
   test("compactParquet: many small files collapse to few, content byte-identical") {
     val dir = tmpDir("compact") + "/t"
     val df = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("k", "v")

@@ -169,6 +169,26 @@ class SimilaritySpec extends SparkSpec {
     a.unpersist()
   }
 
+  test("topKByTerm == per-key sort-and-take with the TopK tiebreak, no Window in the plan") {
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 500).map { i =>
+      (s"t${rnd.nextInt(7)}", i.toLong, math.floor(rnd.nextDouble() * 20) / 10.0)
+    }
+    val df = rows.toDF("key", "id", "score")
+    val got = Similarity.topKByTerm(df, k = 4).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("rank"), r.getAs[Long]("id"),
+        r.getAs[Double]("score")))
+    val want = rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (key, rs) =>
+      rs.sortBy { case (_, id, s) => (-s, id) }.take(4).zipWithIndex
+        .map { case ((_, id, s), i) => (key, (i + 1).toLong, id, s) }
+    }
+    assert(got.toSeq == want, "string-keyed top-k diverges from sort semantics")
+    val out = Similarity.topKByTerm(df, k = 4)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"k-bounded aggregation expected:\n${plan.take(2000)}")
+  }
+
   test("semDedup with d9's fixed centroids reproduces the d9 oracle rollup exactly") {
     graft.functions.GraftFunctions.register(spark)
     val sf = "/root/testdata/sf0.001"
