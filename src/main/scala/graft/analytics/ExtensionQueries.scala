@@ -1553,7 +1553,7 @@ object ExtensionQueries {
     ),
     Q(
       "m2_frame_sample",
-      "Video frame sampling as a generator transform (UDTF shape, Multimodal.sampleFrames): per-row duration -> one output row per 1.5 s frame index, zero-duration stills explode to zero rows (the sequence guard), per-lang frame counts + last frame offset. The every-Nth-frame extract step of a video training pipeline; a generator never materializes per-media frame lists driver-side",
+      "Video frame sampling as a generator transform (UDTF shape, Multimodal.sampleFrames): per-row duration -> one output row per 1.5 s frame index, zero-duration stills explode to zero rows (the sequence guard), per-lang frame counts + last frame offset. The every-Nth-frame extract step of a video training pipeline; a generator never materializes per-media frame lists driver-side. Durations here are synthetic expressions because the fixture documents carry no media bytes; a real audio/video table routes through Multimodal.withParsedDurations (header-only RIFF/WAVE container parse, MultimodalSpec-pinned) before this same generator",
       (s, d) => {
         val media = graft.ext.Multimodal.asMedia(
           documents(s, d), "doc_id", "text",
