@@ -349,6 +349,43 @@ object Similarity {
     bandTable.join(broadcast(oversized), keyCols, "left_anti")
   }
 
+  /** Embedding-cosine near-duplicate pairs — the library form of the
+    * registered `d5_dedup_embedding_cosine` query with the SIGNATURE WIDTH
+    * exposed: sign-LSH bands generate candidates (bucket self-join, capped
+    * by [[capBuckets]]), an exact cosine >= `threshold` join verifies them.
+    * Output: (id_a, id_b, score) with id_a < id_b, ordered.
+    *
+    * Why `bits`/`bands` are parameters and not constants: a b-bit band has
+    * 2^b possible keys, and once a corpus's cluster count saturates that key
+    * space, bucket width — and with it candidate-pair volume — grows
+    * linearly with corpus size (measured: SCALE.md round-6, 455k -> 7.28M
+    * candidates for 4x rows at the registered query's fixed 16-bit/4-band
+    * setting). The operational rule is bits-per-band ~ log2(expected cluster
+    * count), adding bands to recover recall (a pair must agree on ALL bits
+    * of SOME band, so wider bands are more selective but miss more; more
+    * bands compensate). The registered query pins 16/4 only because its
+    * DuckDB oracle must stay one static SQL string across scale factors.
+    */
+  def cosineNearDupPairs(prepared: DataFrame, threshold: Double,
+      bits: Int = 16, bands: Int = 4, maxBucket: Int = 1 << 20): DataFrame = {
+    val spark = prepared.sparkSession
+    GraftFunctions.register(spark)
+    val banded = capBuckets(
+      signBands(prepared, bits, bands).select("id", "band", "bkey"),
+      Seq("band", "bkey"), maxBucket)
+    val cands = banded.as("x")
+      .join(banded.as("y"), expr("x.band = y.band AND x.bkey = y.bkey AND x.id < y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    cands
+      .join(prepared.selectExpr("id AS id_a", "v AS va", "nrm AS na"), Seq("id_a"))
+      .join(prepared.selectExpr("id AS id_b", "v AS vb", "nrm AS nb"), Seq("id_b"))
+      .withColumn("score", expr("array_dot(va, vb) / (na * nb)"))
+      .where(col("score") >= threshold)
+      .select("id_a", "id_b", "score")
+      .orderBy("id_a", "id_b")
+  }
+
   /** LSH-bucketed ANN: candidates share at least one band with the query;
     * exact cosine re-ranking on candidates only. Corpus buckets above
     * `maxBucket` are dropped ([[capBuckets]]) so one degenerate band key

@@ -168,4 +168,23 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("BottomK: merge of partials == reduce of the whole; buffer bounded and sorted") {
+    // the law partial aggregation relies on: any split of the input stream,
+    // reduced independently and merged, equals the sequential fold — and
+    // both equal a sort-and-take (the semantics quotaSampleByGroup's
+    // threshold selection assumes)
+    val keyGen2 = Gen.listOfN(20, Gen.choose(0, 9999).map(i => f"$i%05d"))
+    val caseGen2 = Gen.zip(keyGen2, Gen.choose(1, 8), Gen.choose(0, 20))
+    forAllSeeded(caseGen2, n = 25) { case (keys, k, split) =>
+      val agg = new graft.ops.ScaleOps.BottomK(k)
+      val whole = keys.foldLeft(agg.zero)(agg.reduce)
+      val (l, r) = keys.splitAt(split.min(keys.length))
+      val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      val want = keys.sorted.take(k)
+      assert(whole == want, s"sequential fold diverges from sort-take: $whole vs $want")
+      assert(merged == want, s"partial merge diverges from sort-take: $merged vs $want")
+      assert(merged.length <= k && merged == merged.sorted, "buffer bounded and sorted")
+    }
+  }
 }

@@ -189,6 +189,57 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("Window"), s"k-bounded aggregation expected:\n${plan.take(2000)}")
   }
 
+  test("cosineNearDupPairs == brute-force pairs above threshold (planted fixture)") {
+    graft.functions.GraftFunctions.register(spark)
+    val got = Similarity.cosineNearDupPairs(prepared, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force reference over the 20-vector fixture
+    val vs = prepared.collect()
+      .map(r => (r.getAs[Long]("id"), r.getSeq[Double](1).toArray, r.getAs[Double]("nrm")))
+    val want = (for {
+      (ia, va, na) <- vs; (ib, vb, nb) <- vs if ia < ib
+      cos = va.zip(vb).map { case (x, y) => x * y }.sum / (na * nb)
+      if cos >= 0.9
+    } yield (ia, ib)).toSet
+    assert(want.contains((0L, 19L)), "fixture sanity: planted dup is above threshold")
+    assert(got == want, s"LSH-verified pairs diverge from brute force: got $got want $want")
+  }
+
+  test("cosineNearDupPairs: wider bands shrink candidate volume on saturated data, same pairs") {
+    graft.functions.GraftFunctions.register(spark)
+    // 40 tight clusters of 5 in 32 dims: cluster count saturates a 4-bit
+    // band key space (16 values) so narrow bands merge clusters into wide
+    // buckets; 8-bit bands (256 values) separate them. Intra-cluster pairs
+    // share signs in EVERY dim, so any banding finds them — recall is
+    // unchanged while candidate volume drops.
+    val rnd = new scala.util.Random(31)
+    val rows = (0 until 40).flatMap { c =>
+      val cent = Array.fill(32)(rnd.nextDouble() * 2 - 1)
+      (0 until 5).map { m =>
+        val v = cent.map(x => (x + (rnd.nextDouble() - 0.5) * 0.02 * math.signum(x)).toFloat)
+        ((c * 5 + m).toLong, v.toSeq)
+      }
+    }
+    val prep = Similarity.prepare(rows.toDF("vec_id", "embedding"), "vec_id", "embedding")
+      .localCheckpoint()
+    def candidates(bits: Int): Long = {
+      val b = Similarity.signBands(prep, bits, bands = 4).select("id", "band", "bkey")
+      b.as("x").join(b.as("y"),
+        expr("x.band = y.band AND x.bkey = y.bkey AND x.id < y.id"))
+        .select("x.id", "y.id").distinct().count()
+    }
+    val narrow = candidates(16)
+    val wide = candidates(32)
+    assert(wide < narrow,
+      s"wider band keys must de-merge saturated buckets: $wide !< $narrow")
+    val pNarrow = Similarity.cosineNearDupPairs(prep, 0.95, bits = 16, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pWide = Similarity.cosineNearDupPairs(prep, 0.95, bits = 32, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pNarrow == pWide, "verified pair set must survive the width change")
+    assert(pWide.size >= 40 * 10, "intra-cluster pairs are all above threshold")
+  }
+
   test("semDedup with d9's fixed centroids reproduces the d9 oracle rollup exactly") {
     graft.functions.GraftFunctions.register(spark)
     val sf = "/root/testdata/sf0.001"
