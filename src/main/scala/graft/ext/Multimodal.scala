@@ -266,6 +266,74 @@ object Multimodal {
     }
   }
 
+  /** Minimal ISO-BMFF (MP4/MOV) container-metadata reader: a box walk to
+    * `moov/mvhd`, whose timescale + duration fields give the presentation
+    * duration without touching a single sample — the video leg of the
+    * header-only duration dispatch ([[AudioCodec.durationMs]] is the audio
+    * leg). Sample DECODE stays out of scope (no JVM codec; [[StubCodec]]
+    * stands in) — but duration, the input frame sampling actually needs,
+    * is pure box arithmetic.
+    */
+  object VideoCodec {
+    private def be32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    private def be64(b: Array[Byte], o: Int): Long =
+      (be32(b, o) << 32) | be32(b, o + 4)
+
+    /** ISO-BMFF sniff: first box is `ftyp` (size >= 8 at offset 0). */
+    def sniff(bytes: Array[Byte]): Boolean =
+      bytes != null && bytes.length >= 12 &&
+        bytes(4) == 'f' && bytes(5) == 't' && bytes(6) == 'y' && bytes(7) == 'p'
+
+    /** Walk top-level boxes for `moov`, then its children for `mvhd`;
+      * duration_ms = mvhd.duration * 1000 / mvhd.timescale. Handles version
+      * 0 (32-bit) and version 1 (64-bit) mvhd; any malformed size/bound is
+      * None, never a throw (the PERMISSIVE posture of the codec family).
+      */
+    def durationMs(bytes: Array[Byte]): Option[Int] = {
+      if (!sniff(bytes)) return None
+      try {
+        def findBox(name: String, from: Int, until: Int): Option[(Int, Int)] = {
+          var off = from
+          while (off + 8 <= until) {
+            val sz = be32(bytes, off)
+            val id = new String(bytes, off + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+            // size 1 = 64-bit largesize; size 0 = to-end-of-file
+            val (bodyOff, boxEnd) =
+              if (sz == 1) {
+                if (off + 16 > until) return None
+                val big = be64(bytes, off + 8)
+                if (big < 16 || off + big > until) return None
+                (off + 16, off + big.toInt)
+              } else if (sz == 0) (off + 8, until)
+              else {
+                if (sz < 8 || off + sz > until) return None
+                (off + 8, off + sz.toInt)
+              }
+            if (id == name) return Some((bodyOff, boxEnd))
+            off = boxEnd
+          }
+          None
+        }
+        for {
+          (moovBody, moovEnd) <- findBox("moov", 0, bytes.length)
+          (mvhdBody, mvhdEnd) <- findBox("mvhd", moovBody, moovEnd)
+          version = bytes(mvhdBody) & 0xff
+          // v0: ver/flags(4) + ctime(4) + mtime(4) + timescale(4) + duration(4)
+          // v1: ver/flags(4) + ctime(8) + mtime(8) + timescale(4) + duration(8)
+          if (version == 0 && mvhdBody + 20 <= mvhdEnd) ||
+            (version == 1 && mvhdBody + 32 <= mvhdEnd)
+          timescale = if (version == 0) be32(bytes, mvhdBody + 12)
+                      else be32(bytes, mvhdBody + 20)
+          if timescale > 0
+          duration = if (version == 0) be32(bytes, mvhdBody + 16)
+                     else be64(bytes, mvhdBody + 24)
+        } yield math.round(duration.toDouble * 1000.0 / timescale).toInt
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
   /** Wrap a text/metadata table into media rows (fixture adapter: the
     * testdata has no real binaries, so content = UTF-8 bytes of a column).
     * `durationMs` lets a caller derive a per-row duration (video/audio
@@ -282,17 +350,18 @@ object Multimodal {
         durationMs.cast("int").as("duration_ms")).as("meta"))
 
   /** Rewrite `meta.duration_ms` from the ACTUAL container bytes where the
-    * payload parses as RIFF/WAVE PCM ([[AudioCodec.durationMs]] — a
-    * header-only chunk walk, no sample decode): this is the real
-    * container-metadata path that feeds [[sampleFrames]] for an audio/video
-    * table, replacing whatever duration the row declared. Unparseable
-    * payloads keep their declared duration (the [[asMedia]] default or a
-    * caller column) — the PERMISSIVE posture of the decode legs.
+    * payload parses as RIFF/WAVE PCM ([[AudioCodec.durationMs]]) or
+    * ISO-BMFF MP4/MOV ([[VideoCodec.durationMs]]) — both header-only walks,
+    * no sample decode: this is the real container-metadata path that feeds
+    * [[sampleFrames]] for an audio/video table, replacing whatever duration
+    * the row declared. Unparseable payloads keep their declared duration
+    * (the [[asMedia]] default or a caller column) — the PERMISSIVE posture
+    * of the decode legs.
     *
     * The registered m2 query does NOT route through this: the fixture
     * `documents` table carries no media bytes, so its durations stay
     * synthetic by construction — the MultimodalSpec e2e pins this path over
-    * real WAV bytes instead.
+    * real WAV and MP4 bytes instead.
     */
   def withParsedDurations(media: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(StructType(mediaSchema.fields.toSeq))
@@ -300,7 +369,7 @@ object Multimodal {
       it.map { r =>
         val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
         val meta = r.getStruct(2)
-        AudioCodec.durationMs(bytes) match {
+        AudioCodec.durationMs(bytes).orElse(VideoCodec.durationMs(bytes)) match {
           case Some(d) =>
             Row(r.getLong(0), bytes, Row(meta.get(0), meta.get(1), meta.get(2), d))
           case None => Row(r.getLong(0), bytes, meta)

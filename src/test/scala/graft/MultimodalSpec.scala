@@ -233,6 +233,46 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.AudioCodec.durationMs(wav.take(30)).isEmpty, "truncated header")
   }
 
+  /** Minimal ISO-BMFF file: `ftyp` + `moov{mvhd}` with the given version,
+    * timescale and duration, spec-honest box sizes (v0 mvhd = 108 bytes,
+    * v1 = 120), built big-endian byte by byte.
+    */
+  private def mp4(version: Int, timescale: Int, duration: Long): Array[Byte] = {
+    val mvhdSize = if (version == 0) 108 else 120
+    val bb = java.nio.ByteBuffer.allocate(16 + 8 + mvhdSize) // big-endian default
+    bb.putInt(16).put("ftyp".getBytes).put("isom".getBytes).putInt(0)
+    bb.putInt(8 + mvhdSize).put("moov".getBytes)
+    bb.putInt(mvhdSize).put("mvhd".getBytes)
+    bb.put(version.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    if (version == 0)
+      bb.putInt(0).putInt(0).putInt(timescale).putInt(duration.toInt)
+    else
+      bb.putLong(0L).putLong(0L).putInt(timescale).putLong(duration)
+    bb.array() // trailing mvhd fields (rate/volume/matrix/...) stay zero padding
+  }
+
+  test("VideoCodec.durationMs: mvhd v0/v1 box walk; hostile/truncated boxes are None") {
+    import spark.implicits._
+    val v0 = mp4(0, 600, 1500) // 1500 ticks at 600/s = 2500 ms
+    assert(Multimodal.VideoCodec.durationMs(v0).contains(2500))
+    val v1 = mp4(1, 1000, 7000) // 64-bit duration path
+    assert(Multimodal.VideoCodec.durationMs(v1).contains(7000))
+    assert(Multimodal.VideoCodec.durationMs(v0.take(30)).isEmpty,
+      "moov size past the buffer must be rejected")
+    assert(Multimodal.VideoCodec.durationMs(mp4(0, 0, 1500)).isEmpty, "zero timescale")
+    assert(Multimodal.VideoCodec.durationMs("not a video".getBytes).isEmpty)
+    assert(Multimodal.VideoCodec.durationMs(null).isEmpty)
+    // end to end: parsed MP4 duration drives the frame grid; WAV and MP4
+    // payloads coexist in one table through the same dispatch
+    val wav = sineWav(8000, 440.0, 0.5, secs = 1.0)
+    val media = Multimodal.withParsedDurations(Multimodal.asMedia(
+      Seq((5L, v0), (6L, wav)).toDF("id", "payload"), "id", "payload"))
+    val frames = Multimodal.sampleFrames(media, everyMs = 1000).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(frames == Set((5L, 0), (5L, 1000), (5L, 2000), (6L, 0)),
+      s"frame grid must follow each container's parsed duration: $frames")
+  }
+
   test("AudioCodec tolerates truncated/hostile RIFF payloads as None, never a throw") {
     val wav = sineWav(8000, 440.0, 0.5, 0.1)
     assert(Multimodal.AudioCodec.read(wav.take(30)).isEmpty, "truncated header")
