@@ -1018,9 +1018,8 @@ object ExtensionQueries {
     ),
     Q(
       "t5_tfidf",
-      "TF-IDF top-5 terms per lang: term frequency within lang x inverse document frequency over the corpus (tokenize -> explode -> two aggregations, all map-side-combining)",
+      "TF-IDF top-5 terms per lang: term frequency within lang x inverse document frequency over the corpus (tokenize -> explode -> two aggregations, all map-side-combining). The per-lang top-5 routes through the k-bounded TopKTerms Aggregator (Similarity.topTermsByKey) — a language's whole VOCABULARY reduces to 5 rows per partition before any shuffle, never a one-reducer vocab sort",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val toks = documents(s, d)
           .selectExpr("doc_id", "lang", s"$tokExpr AS toks")
           .localCheckpoint(eager = false) // explode over live lambda expr re-evaluates per output row
@@ -1030,12 +1029,15 @@ object ExtensionQueries {
         val nDocs = documents(s, d).agg(count(lit(1)).cast("double").as("n_docs_total"))
         val df_ = toks.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
         val tf = toks.groupBy("lang", "term").agg(count(lit(1)).as("tf"))
-        val w = Window.partitionBy("lang").orderBy(desc("tfidf"), col("term"))
-        tf.join(df_, Seq("term"))
+          .localCheckpoint(eager = false) // feeds the ranked scan AND the join-back
+        val scored = tf.join(df_, Seq("term"))
           .join(broadcast(nDocs))
           .withColumn("tfidf", expr("tf * ln(n_docs_total / df)"))
-          .withColumn("rank", row_number().over(w).cast("long"))
-          .where(col("rank") <= 5)
+        graft.ext.Similarity.topTermsByKey(
+            scored.selectExpr("lang AS key", "term", "tfidf AS score"), 5)
+          .selectExpr("key AS lang", "rank", "term")
+          .join(tf, Seq("lang", "term"))
+          .join(df_, Seq("term"))
           .select("lang", "rank", "term", "tf", "df")
           .orderBy("lang", "rank")
       },

@@ -113,6 +113,80 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** (score, term) pair for rankings whose RANKED ITEM is a string (term
+    * vocabularies) rather than a numeric id.
+    */
+  final case class ScoredTerm(score: Double, term: String)
+
+  /** [[TopK]] with string items: buffer sorted descending by score, ties
+    * ascending lexicographically by term, length <= k — the same bounded
+    * partial-aggregation contract.
+    */
+  final class TopKTerms(k: Int)
+      extends Aggregator[ScoredTerm, List[ScoredTerm], List[ScoredTerm]] {
+    override def zero: List[ScoredTerm] = Nil
+
+    private def beats(s: ScoredTerm, x: ScoredTerm): Boolean =
+      s.score > x.score || (s.score == x.score && s.term < x.term)
+
+    private def insert(buf: List[ScoredTerm], s: ScoredTerm): List[ScoredTerm] = {
+      if (buf.nonEmpty && buf.lengthCompare(k) >= 0 && !beats(s, buf.last)) return buf
+      val (hi, lo) = buf.span(x => !beats(s, x))
+      val merged = hi ::: s :: lo
+      if (merged.lengthCompare(k) > 0) merged.take(k) else merged
+    }
+
+    override def reduce(buf: List[ScoredTerm], in: ScoredTerm): List[ScoredTerm] =
+      insert(buf, in)
+
+    override def merge(a: List[ScoredTerm], b: List[ScoredTerm]): List[ScoredTerm] = {
+      val out = List.newBuilder[ScoredTerm]
+      var x = a
+      var y = b
+      var n = 0
+      while (n < k && (x.nonEmpty || y.nonEmpty)) {
+        if (y.isEmpty || (x.nonEmpty && !beats(y.head, x.head))) {
+          out += x.head; x = x.tail
+        } else {
+          out += y.head; y = y.tail
+        }
+        n += 1
+      }
+      out.result()
+    }
+
+    override def finish(buf: List[ScoredTerm]): List[ScoredTerm] = buf
+
+    override def bufferEncoder: Encoder[List[ScoredTerm]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[ScoredTerm]]()
+    override def outputEncoder: Encoder[List[ScoredTerm]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[ScoredTerm]]()
+  }
+
+  /** Rank `(key, term, score)` rows to per-key top-k TERMS through
+    * [[TopKTerms]] — the vocabulary-ranking shape (TF-IDF top terms per
+    * language): a language's whole vocabulary reduces to k rows per
+    * partition before the shuffle instead of sorting through one reducer.
+    * Ties: score desc, term lexicographic asc.
+    * Output: (key, rank, term, score), ordered.
+    */
+  def topTermsByKey(scoredTerms: DataFrame, k: Int): DataFrame = {
+    val spark = scoredTerms.sparkSession
+    import spark.implicits._
+    val scored = scoredTerms.selectExpr(
+      "CAST(key AS STRING) AS key", "CAST(term AS STRING) AS term", "CAST(score AS DOUBLE) AS score")
+      .as[(String, String, Double)]
+    val topk = new TopKTerms(k).toColumn
+    scored
+      .groupByKey(_._1)
+      .mapValues { case (_, term, score) => ScoredTerm(score, term) }
+      .agg(topk.name("topk"))
+      .toDF("key", "topk")
+      .selectExpr("key", "posexplode(topk) AS (pos, hit)")
+      .selectExpr("key", "CAST(pos + 1 AS BIGINT) AS rank", "hit.term AS term", "hit.score AS score")
+      .orderBy("key", "rank")
+  }
+
   /** String-keyed sibling of [[topKByQuery]] for rankings whose group key is
     * a term/token rather than a numeric query id (the BM25 shape): rank
     * `(key, id, score)` rows to per-key top-k through the same k-bounded

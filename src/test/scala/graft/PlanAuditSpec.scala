@@ -115,15 +115,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("t12: BM25 per-term top-5 is the k-bounded TopK Aggregator, never a posting window") {
+  test("t12/t5: per-term and per-vocab top-5 are k-bounded Aggregators, never a window") {
     // Window.partitionBy(term) ships every posting of a hot term to one task
-    // for a full sort; the TopK path reduces to 5 per partition map-side.
-    val df = Registry.byName("t12_bm25").fn(spark, sf)
-    df.collect()
-    val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("Window"), s"no posting-list window expected:\n${plan.take(3000)}")
-    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
-      s"TopK Aggregator expected in the re-rank:\n${plan.take(3000)}")
+    // for a full sort (t12); Window.partitionBy(lang) does the same with a
+    // language's whole vocabulary (t5). Both route through bounded TopK
+    // aggregation that reduces to 5 rows per partition map-side.
+    for (q <- Seq("t12_bm25", "t5_tfidf")) {
+      val df = Registry.byName(q).fn(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"$q: no rank window expected:\n${plan.take(3000)}")
+      assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+        s"$q: TopK Aggregator expected in the re-rank:\n${plan.take(3000)}")
+    }
   }
 
   test("d1: the keep-first window keys on md5(text), not the raw document") {
