@@ -435,15 +435,13 @@ object RelationalQueries {
     // ------------------------------------------------------- windows / top-k
     Q(
       "w1_latest_per_key",
-      "Latest-run-per-key via ranking window (streamlit_frontend.py:1455-1461)",
-      (s, d) => {
-        val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
+      "Latest-run-per-key (streamlit_frontend.py:1455-1461) as a bounded argmax aggregation: max of a (ts, event_id, payload) struct per key — partial aggregation keeps ONE row per key per partition before the shuffle, where the reference's ranking-window form would sort a hot key's whole history in one task. (ts, event_id) is unique per user, so the trailing payload field never decides the comparison",
+      (s, d) =>
         events(s, d)
-          .withColumn("rn", row_number().over(w))
-          .where(col("rn") === 1)
-          .select("user_id", "event_id", "event_type")
-          .orderBy("user_id")
-      },
+          .groupBy("user_id")
+          .agg(max(struct(col("ts"), col("event_id"), col("event_type"))).as("m"))
+          .selectExpr("user_id", "m.event_id AS event_id", "m.event_type AS event_type")
+          .orderBy("user_id"),
       Some("""SELECT user_id, event_id, event_type FROM (
              |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
              |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin)

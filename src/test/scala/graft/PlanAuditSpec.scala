@@ -130,6 +130,14 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("w1: latest-per-key is a partial-aggregating argmax, not a per-key window sort") {
+    val df = Registry.byName("w1_latest_per_key").fn(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"argmax aggregation expected:\n${plan.take(2000)}")
+    assert(plan.contains("partial_"), s"map-side combine expected:\n${plan.take(2000)}")
+  }
+
   test("d1: the keep-first window keys on md5(text), not the raw document") {
     // the exchange/sort key must be the 32-char hash — shuffling full
     // document bodies as sort keys multiplies exchange volume by doc size
