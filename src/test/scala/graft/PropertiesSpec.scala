@@ -169,6 +169,23 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("TopKTerms: merge of partials == reduce of the whole == sort-take (vocab ranking law)") {
+    import graft.ext.Similarity.{ScoredTerm, TopKTerms}
+    val itemGen = Gen.listOfN(18,
+      Gen.zip(Gen.choose(0, 5).map(i => s"w$i"), Gen.choose(0, 4).map(_.toDouble / 2)))
+    forAllSeeded(Gen.zip(itemGen, Gen.choose(1, 6), Gen.choose(0, 18)), n = 25) {
+      case (items, k, split) =>
+        val st = items.map { case (t, s) => ScoredTerm(s, t) }
+        val agg = new TopKTerms(k)
+        val whole = st.foldLeft(agg.zero)(agg.reduce)
+        val (l, r) = st.splitAt(split.min(st.length))
+        val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+        val want = st.sortBy(x => (-x.score, x.term)).take(k)
+        assert(whole == want, s"fold diverges from sort-take: $whole vs $want")
+        assert(merged == want, s"partial merge diverges from sort-take: $merged vs $want")
+    }
+  }
+
   test("BottomK: merge of partials == reduce of the whole; buffer bounded and sorted") {
     // the law partial aggregation relies on: any split of the input stream,
     // reduced independently and merged, equals the sequential fold — and
