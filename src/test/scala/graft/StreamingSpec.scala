@@ -447,6 +447,14 @@ class StreamingSpec extends SparkSpec {
     assert(got == want,
       s"streaming sessionization diverges from the batch window form: " +
         s"got ${got.size} users, want ${want.size}")
+    // recorded artifact (VERDICT r5 #9): the streaming==batch parity as a
+    // machine-readable file beside bench.json, refreshed on every test run
+    val artifact = java.nio.file.Paths.get("target/streaming_parity.json")
+    java.nio.file.Files.createDirectories(artifact.getParent)
+    java.nio.file.Files.writeString(artifact,
+      s"""{"pin":"streamingSessions==st2_sessionize","users":${want.size},""" +
+        s""""sessions":${want.values.map(_._1).sum},"events":${want.values.map(_._2).sum},""" +
+        s""""match":true,"fixture":"/root/testdata/sf0.001 events"}\n""")
   }
 
   test("streaming tumbling-window aggregate over a bounded file source (memory sink)") {
