@@ -34,20 +34,15 @@ import org.apache.spark.sql.functions._
   * replica dir.
   */
 object ReplicaGen {
-  def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir, fdS, fvS) = args
-    val fd = fdS.toInt
-    val fv = fvS.toInt
-    require(fd >= 1 && fv >= 1, "factors must be >= 1")
-    val spark = SparkSession.builder()
-      .master("local[16]")
-      .config("spark.sql.shuffle.partitions", 16)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
 
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    (0 until fd).map { k =>
+  /** `factor` content-disjoint document replicas: replica k suffixes every
+    * whitespace token with `qk` and offsets ids by k*10^7 (k = 0 is the
+    * original rows, untouched).
+    */
+  def replicateDocs(docs: org.apache.spark.sql.DataFrame, factor: Int):
+      org.apache.spark.sql.DataFrame = {
+    require(factor >= 1, "factor must be >= 1")
+    (0 until factor).map { k =>
       if (k == 0) docs
       else docs
         .withColumn("doc_id", expr(s"doc_id + ${k}L * 10000000"))
@@ -56,11 +51,16 @@ object ReplicaGen {
         .withColumn("n_chars", expr("CAST(length(text) AS BIGINT)"))
         .select("doc_id", "text", "lang", "source", "n_chars")
     }.reduce(_ unionByName _)
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+  }
 
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    (0 until fv).map { k =>
+  /** `factor` embedding replicas: replica k sign-flips dims
+    * {k-1, k+3, k+7, k+11} (orthogonal — norms/intra-replica cosines exact;
+    * one flipped dim inside each default 4-bit sign-LSH band).
+    */
+  def replicateEmbeddings(emb: org.apache.spark.sql.DataFrame, factor: Int):
+      org.apache.spark.sql.DataFrame = {
+    require(factor >= 1, "factor must be >= 1")
+    (0 until factor).map { k =>
       if (k == 0) emb
       else {
         val flips = Seq(k - 1, k + 3, k + 7, k + 11)
@@ -71,6 +71,21 @@ object ReplicaGen {
           .select("vec_id", "embedding", "label")
       }
     }.reduce(_ unionByName _)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir, fdS, fvS) = args
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", 16)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    replicateDocs(spark.read.parquet(s"$sfDir/documents.parquet"), fdS.toInt)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    replicateEmbeddings(spark.read.parquet(s"$sfDir/embeddings.parquet"), fvS.toInt)
       .repartition(8)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
