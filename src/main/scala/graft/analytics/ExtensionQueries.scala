@@ -1535,6 +1535,35 @@ object ExtensionQueries {
              |WHERE rn <= CASE lang WHEN 'en' THEN 40 WHEN 'de' THEN 20 WHEN 'es' THEN 15 WHEN 'fr' THEN 15 ELSE 10 END
              |GROUP BY lang ORDER BY lang""".stripMargin)
     ),
+    Q(
+      "p16_token_budget_mix",
+      "Token-BUDGET mixture: per-lang budgets in TOKEN MASS (how real mixture specs are written), filled in deterministic md5 rank order — keep the minimal rank-prefix whose cumulative tokens reach the budget, crossing doc included (kept iff tokens-before < budget). Bounded state (ScaleOps.tokenBudgetSampleByGroup): the budget boundary key is located by iterative hex-prefix refinement (O(log) passes of per-lang bucket aggregates, the exactQuantiles discipline) and broadcast as a filter — never a per-lang running-sum window through one reducer. Per lang: docs kept, exact token mass",
+      (s, d) => {
+        val budget = "CASE lang WHEN 'en' THEN 3000 WHEN 'de' THEN 1500 ELSE 800 END"
+        val budgets = documents(s, d).select("lang").distinct()
+          .withColumn("budget", expr(budget))
+        val rankKey = expr(
+          "concat(md5(CAST(doc_id AS STRING)), lpad(CAST(doc_id AS STRING), 19, '0'))")
+        graft.ops.ScaleOps.tokenBudgetSampleByGroup(
+            documents(s, d).selectExpr("doc_id", "lang", "size(split(text, ' ')) AS ntok"),
+            "lang", rankKey, "ntok", budgets)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("kept"), sum(col("ntok")).cast("long").as("tokens"))
+          .orderBy("lang")
+      },
+      Some("""WITH r AS (
+             |  SELECT lang, ntok,
+             |    SUM(ntok) OVER (PARTITION BY lang ORDER BY k
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM (
+             |    SELECT lang, length(string_split(text, ' ')) AS ntok,
+             |      md5(CAST(doc_id AS VARCHAR)) || lpad(CAST(doc_id AS VARCHAR), 19, '0') AS k
+             |    FROM documents))
+             |SELECT lang, COUNT(*) AS kept, CAST(SUM(ntok) AS BIGINT) AS tokens
+             |FROM r
+             |WHERE cum - ntok < CASE lang WHEN 'en' THEN 3000 WHEN 'de' THEN 1500 ELSE 800 END
+             |GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
     // -------------------------------------------------------- multimodal ops
     Q(
       "m1_multimodal_meta",

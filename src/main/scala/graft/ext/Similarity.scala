@@ -321,6 +321,22 @@ object Similarity {
     topKByQuery(scored, k)
   }
 
+  /** ANN index evaluation: per-query recall of an approximate result
+    * against the exact reference, both in the family's (qid, rank, id, …)
+    * output shape. recall = |approx ∩ exact| / |exact| per qid; queries the
+    * approximate path missed entirely score 0 (left join). State is
+    * k-bounded end to end — both inputs are top-k tables, so the
+    * collect_set buffers hold at most k ids. The index-quality probe every
+    * production ANN deployment runs before trusting a parameter choice
+    * (nlist/nprobe, bits/bands, PQ m).
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame =
+    exact.groupBy("qid").agg(collect_set(col("id")).as("__ref"))
+      .join(approx.groupBy("qid").agg(collect_set(col("id")).as("__got")), Seq("qid"), "left")
+      .selectExpr("qid",
+        "CAST(size(array_intersect(coalesce(__got, array()), __ref)) AS DOUBLE) / size(__ref) AS recall")
+      .orderBy("qid")
+
   /** Cell assignment against a DRIVER-HELD centroid list as one shuffle-free
     * projection: per cell, `||x - c||^2` ranks as `c.c - 2 x.c` (the `|x|^2`
     * term is constant per row), and the argmin with ties to the lowest cell

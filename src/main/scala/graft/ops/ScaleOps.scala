@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -477,6 +477,145 @@ object ScaleOps {
       .where(col("__qs_quota") > 0 &&
         (col("__qs_thr").isNull || col("__qs_key") <= col("__qs_thr")))
       .drop("__qs_g", "__qs_quota", "__qs_thr", "__qs_key")
+  }
+
+  /** Keep, per group, the rows whose rank key falls in the minimal
+    * rank-ordered prefix whose cumulative `weight` reaches the group's
+    * budget — token-budget sampling, the weighted sibling of
+    * [[quotaSampleByGroup]] (real mixture specs are token masses, not doc
+    * counts). A row is kept iff the total weight of strictly-smaller keys
+    * is below the budget, so the budget-crossing row is included; a group
+    * whose total weight is under budget keeps everything; budget <= 0
+    * keeps nothing; groups absent from `budgets` are dropped.
+    *
+    * The naive form is a per-group running-sum window over the full corpus
+    * in rank order — one reducer sorting the majority group. Instead the
+    * budget BOUNDARY KEY is located by iterative prefix refinement over
+    * the rank-key space: each pass buckets the current candidate range by
+    * the next `step` key characters (one aggregation whose state is
+    * groups x charset^step rows), the driver walks the bucket weights to
+    * find the crossing bucket and descends; when a candidate bucket's
+    * population fits `collectThreshold`, one bounded sorted fetch finds
+    * the exact boundary key, which is then broadcast as a `key <= thr`
+    * filter. Passes are O(log_|charset^step|(n)); executor state stays
+    * O(groups x buckets) throughout — the [[exactQuantiles]] discipline
+    * applied to weighted rank selection.
+    *
+    * Requirements: rank keys unique within a group, ASCII (driver-side
+    * lexicographic walk must match Spark's binary string ordering — md5
+    * hex + zero-padded ids qualify), weights non-negative.
+    */
+  def tokenBudgetSampleByGroup(df: DataFrame, groupCol: String, rankKey: Column,
+      weightCol: String, budgets: DataFrame, step: Int = 2,
+      collectThreshold: Long = 65536): DataFrame = {
+    require(step >= 1 && step <= 8, "step must be in [1, 8]")
+    val keyed = df.withColumn("__tb_key", rankKey.cast("string"))
+    val pairs = keyed.select(col(groupCol).cast("string").as("g"),
+      col("__tb_key").as("k"), col(weightCol).cast("long").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val budgetOf = budgets
+        .select(col(groupCol).cast("string").as("g"), col("budget").cast("long"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // one row/group
+      val totals = pairs.groupBy("g")
+        .agg(sum(col("w")).as("tw"), count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+      // thr: g -> inclusive boundary key; null value = keep the whole group
+      var thrOf = Map.empty[String, String]
+      var keepAll = Set.empty[String]
+      // g -> (prefix of the candidate bucket, weight strictly before it, rows in it)
+      var active = Map.empty[String, (String, Long, Long)]
+      budgetOf.foreach { case (g, b) =>
+        totals.get(g).foreach { case (tw, n) =>
+          if (b > 0) {
+            if (tw <= b) keepAll += g
+            else active += g -> (("", 0L, n))
+          } // b <= 0: neither keepAll nor active nor thrOf -> filtered out
+        }
+      }
+
+      def perGroupStr(m: Seq[(String, String)]): Column =
+        m.tail.foldLeft(when(col("g") === m.head._1, lit(m.head._2))) {
+          case (acc, (g, v)) => acc.when(col("g") === g, lit(v))
+        }
+
+      var passes = 0
+      while (active.nonEmpty) {
+        passes += 1
+        require(passes <= 64, "token-budget descent failed to converge")
+        val (small, big) = active.partition(_._2._3 <= collectThreshold)
+
+        if (small.nonEmpty) {
+          val gs = small.keys.toSeq.sorted
+          val plen = small(gs.head)._1.length // uniform: all groups descend in lockstep
+          val cond =
+            if (plen == 0) col("g").isin(gs: _*)
+            else col("g").isin(gs: _*) &&
+              substring(col("k"), 1, plen) === perGroupStr(gs.map(g => g -> small(g)._1))
+          pairs.where(cond)
+            .groupBy("g").agg(sort_array(collect_list(struct(col("k"), col("w")))).as("rows"))
+            .collect().foreach { r =>
+              val g = r.getString(0)
+              val b = budgetOf(g)
+              var acc = small(g)._2
+              val it = r.getSeq[Row](1).iterator
+              var found = false
+              while (!found && it.hasNext) {
+                val row = it.next()
+                val (kk, ww) = (row.getString(0), row.getLong(1))
+                if (acc + ww >= b) { thrOf += g -> kk; found = true }
+                else acc += ww
+              }
+              require(found, s"token-budget boundary lost in collect for group $g")
+            }
+          active --= gs
+        }
+
+        if (big.nonEmpty) {
+          val gs = big.keys.toSeq.sorted
+          val plen = big(gs.head)._1.length
+          val cond =
+            if (plen == 0) col("g").isin(gs: _*)
+            else col("g").isin(gs: _*) &&
+              substring(col("k"), 1, plen) === perGroupStr(gs.map(g => g -> big(g)._1))
+          val buckets = pairs.where(cond)
+            .groupBy(col("g"), substring(col("k"), plen + 1, step).as("b"))
+            .agg(sum(col("w")).as("bw"), count(lit(1)).as("bn"))
+            .collect()
+            .groupBy(_.getString(0))
+          var next = Map.empty[String, (String, Long, Long)]
+          gs.foreach { g =>
+            val b = budgetOf(g)
+            var acc = big(g)._2
+            val sorted = buckets(g)
+              .map(r => (r.getString(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+            var hit: Option[(String, Long)] = None
+            val it = sorted.iterator
+            while (hit.isEmpty && it.hasNext) {
+              val (bk, bw, bn) = it.next()
+              if (acc + bw >= b) hit = Some((bk, bn))
+              else acc += bw
+            }
+            val (bk, bn) = hit.getOrElse(
+              throw new IllegalStateException(s"token-budget boundary lost in descent for $g"))
+            next += g -> ((big(g)._1 + bk, acc, bn))
+          }
+          active = active -- gs ++ next
+        }
+      }
+
+      val spark = df.sparkSession
+      import spark.implicits._
+      val thrRows = (thrOf.toSeq.map { case (g, t) => (g, t) } ++
+        keepAll.toSeq.map(g => (g, null: String)))
+      if (thrRows.isEmpty) return keyed.where(lit(false)).drop("__tb_key")
+      val thresholds = thrRows.toDF("__tb_g", "__tb_thr")
+      keyed
+        .join(broadcast(thresholds), col(groupCol).cast("string") === col("__tb_g"))
+        .where(col("__tb_thr").isNull || col("__tb_key") <= col("__tb_thr"))
+        .drop("__tb_g", "__tb_thr", "__tb_key")
+    } finally pairs.unpersist(blocking = false)
   }
 
   /** Small-files compaction for a parquet table directory — the operational

@@ -157,6 +157,44 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"bounded-state selection must not window:\n${plan.take(2000)}")
   }
 
+  test("tokenBudgetSampleByGroup == running-sum semantics (crossing row kept, edges exact)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    // 600 rows over 4 groups, hex-ish unique keys, weights 0..9 (zeros
+    // exercise the boundary: zero-weight rows AFTER the crossing key drop)
+    val rows = (0 until 600).map { i =>
+      (i.toLong, s"g${rnd.nextInt(4)}", f"${rnd.nextLong().abs % 100000000}%08x-$i%04d",
+        rnd.nextInt(10).toLong)
+    }
+    val df = rows.toDF("id", "g", "key", "w")
+    // g0 binds mid-group, g1 binds early, g2 keep-all (budget > total),
+    // g3 zero budget; g-missing group dropped
+    val budgets = Seq(("g0", 120L), ("g1", 7L), ("g2", 1000000L), ("g3", 0L))
+      .toDF("g", "budget")
+    val got = graft.ops.ScaleOps
+      .tokenBudgetSampleByGroup(df, "g", col("key"), "w", budgets,
+        step = 1, collectThreshold = 16) // force several descent passes
+      .collect().map(_.getAs[Long]("id")).toSet
+    val byG = rows.groupBy(_._2)
+    val want = Seq(("g0", 120L), ("g1", 7L), ("g2", 1000000L), ("g3", 0L)).flatMap {
+      case (g, b) =>
+        var acc = 0L
+        byG.getOrElse(g, Seq.empty).sortBy(_._3).flatMap { r =>
+          val keep = acc < b
+          acc += r._4
+          if (keep) Some(r._1) else None
+        }
+    }.toSet
+    assert(got == want, s"boundary selection diverges from running-sum semantics")
+    assert(got.intersect(byG("g3").map(_._1).toSet).isEmpty, "zero budget keeps nothing")
+    assert(byG("g2").map(_._1).toSet.subsetOf(got), "under-budget group keeps everything")
+    // no Window node anywhere
+    val out = graft.ops.ScaleOps.tokenBudgetSampleByGroup(df, "g", col("key"), "w", budgets)
+    out.collect()
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"),
+      "bounded-state selection must not window")
+  }
+
   test("compactParquet: many small files collapse to few, content byte-identical") {
     val dir = tmpDir("compact") + "/t"
     val df = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("k", "v")

@@ -189,6 +189,26 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("Window"), s"k-bounded aggregation expected:\n${plan.take(2000)}")
   }
 
+  test("recallAtK: exact self-recall 1.0, missing query scores 0, partial overlap fractional") {
+    import spark.implicits._
+    val exact = Seq((1L, 1L, 10L), (1L, 2L, 11L), (1L, 3L, 12L),
+      (2L, 1L, 20L), (2L, 2L, 21L)).toDF("qid", "rank", "id")
+    assert(Similarity.recallAtK(exact, exact).collect()
+      .forall(_.getAs[Double]("recall") == 1.0), "self-recall must be 1")
+    // approx: qid 1 finds 2 of 3, qid 2 absent entirely
+    val approx = Seq((1L, 1L, 10L), (1L, 2L, 12L)).toDF("qid", "rank", "id")
+    val r = Similarity.recallAtK(approx, exact).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r(1L) - 2.0 / 3) < 1e-15 && r(2L) == 0.0, s"$r")
+    // the real pipeline: LSH vs brute force on the planted fixture
+    val q = prepared.where(col("id") === 0)
+    val rec = Similarity.recallAtK(
+      Similarity.lshTopK(prepared, q, k = 1),
+      Similarity.bruteForceTopK(prepared, q, k = 1)).collect()
+    assert(rec.length == 1 && rec(0).getAs[Double]("recall") == 1.0,
+      "LSH finds the planted top-1 exactly")
+  }
+
   test("cosineNearDupPairs == brute-force pairs above threshold (planted fixture)") {
     graft.functions.GraftFunctions.register(spark)
     val got = Similarity.cosineNearDupPairs(prepared, threshold = 0.9)
