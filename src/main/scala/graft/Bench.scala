@@ -88,6 +88,13 @@ object Bench {
     // re-measure a handful of heavy queries on an alternate dataset dir.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd name must fail the probe loudly, not silently shrink the
+    // sweep to a green empty run (the bench's broken-query discipline)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.mkString(", ")}")
+      require(names.nonEmpty, "SPARK_GRAFT_BENCH_ONLY is set but empty")
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

@@ -214,9 +214,12 @@ object Multimodal {
       * cost, not per-sample — and the rounding matches [[features]] exactly.
       */
     def durationMs(bytes: Array[Byte]): Option[Int] =
-      pcmChunks(bytes).map { case ((_, ch, rate, bits), (_, dLen)) =>
+      pcmChunks(bytes).flatMap { case ((_, ch, rate, bits), (_, dLen)) =>
         val frames = dLen / (ch * (bits / 8))
-        math.round(frames.toDouble * 1000.0 / rate).toInt
+        val ms = math.round(frames.toDouble * 1000.0 / rate)
+        // a pathological low-rate header can claim > Int.MaxValue ms —
+        // refuse rather than wrap negative
+        if (ms > Int.MaxValue) None else Some(ms.toInt)
       }
 
     /** Chunk-walk the RIFF container; uncompressed PCM 8/16-bit only —
@@ -329,7 +332,13 @@ object Multimodal {
           if timescale > 0
           duration = if (version == 0) be32(bytes, mvhdBody + 16)
                      else be64(bytes, mvhdBody + 24)
-        } yield math.round(duration.toDouble * 1000.0 / timescale).toInt
+          // all-ones duration is the spec's "unknown" sentinel — a real
+          // duration it is not; and a >Int.MaxValue-ms result must refuse
+          // rather than wrap negative through toInt
+          if duration != (if (version == 0) 0xffffffffL else -1L) && duration >= 0
+          ms = math.round(duration.toDouble * 1000.0 / timescale)
+          if ms <= Int.MaxValue
+        } yield ms.toInt
       } catch { case scala.util.control.NonFatal(_) => None }
     }
   }

@@ -469,8 +469,14 @@ object ScaleOps {
         Seq("__qs_g"))
       // threshold = quota-th smallest key; null = group smaller than quota
       // (keep all). The CASE guards element_at against quota = 0 (1-based).
+      // A quota beyond maxQuota would silently fall into the null/keep-all
+      // branch (the clipped buffer looks like a small group) — fail loudly
+      // instead; the check runs on the tiny per-group threshold rows only.
       .selectExpr("__qs_g", "__qs_quota",
-        "CASE WHEN __qs_quota > 0 AND size(__qs_ks) >= __qs_quota " +
+        s"CASE WHEN __qs_quota > $maxQuota THEN " +
+          "raise_error(concat('quotaSampleByGroup: quota ', CAST(__qs_quota AS STRING), " +
+          s"' for group ', __qs_g, ' exceeds maxQuota $maxQuota')) " +
+          "WHEN __qs_quota > 0 AND size(__qs_ks) >= __qs_quota " +
           "THEN element_at(__qs_ks, __qs_quota) END AS __qs_thr")
     keyed
       .join(broadcast(thresholds), col(groupCol).cast("string") === col("__qs_g"))

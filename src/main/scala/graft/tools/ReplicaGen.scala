@@ -59,7 +59,12 @@ object ReplicaGen {
     */
   def replicateEmbeddings(emb: org.apache.spark.sql.DataFrame, factor: Int):
       org.apache.spark.sql.DataFrame = {
-    require(factor >= 1, "factor must be >= 1")
+    // k-1 must stay inside band 0 (dims 0..3) for the flips to hit one dim
+    // in EVERY 4-bit band and stay pairwise-distinct per band — beyond
+    // factor 5 replicas would silently share band keys and re-inflate
+    // bucket pairs (the artifact this scheme exists to prevent)
+    require(factor >= 1 && factor <= 5,
+      s"embedding replica factor must be in [1, 5], got $factor")
     (0 until factor).map { k =>
       if (k == 0) emb
       else {

@@ -260,6 +260,12 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.VideoCodec.durationMs(v0.take(30)).isEmpty,
       "moov size past the buffer must be rejected")
     assert(Multimodal.VideoCodec.durationMs(mp4(0, 0, 1500)).isEmpty, "zero timescale")
+    assert(Multimodal.VideoCodec.durationMs(mp4(0, 1000, 0xffffffffL)).isEmpty,
+      "all-ones v0 duration is the spec's UNKNOWN sentinel, not ~49.7 days")
+    assert(Multimodal.VideoCodec.durationMs(mp4(1, 1000, -1L)).isEmpty,
+      "all-ones v1 duration is the unknown sentinel")
+    assert(Multimodal.VideoCodec.durationMs(mp4(1, 1, 4000000000L)).isEmpty,
+      "a duration past Int.MaxValue ms must refuse, never wrap negative")
     assert(Multimodal.VideoCodec.durationMs("not a video".getBytes).isEmpty)
     assert(Multimodal.VideoCodec.durationMs(null).isEmpty)
     // end to end: parsed MP4 duration drives the frame grid; WAV and MP4

@@ -41,6 +41,15 @@ class ReplicaGenSpec extends SparkSpec {
       "one 2-doc exact-dup family per replica")
   }
 
+  test("embedding replica factor is capped at 5 (flips must stay one-per-band and distinct)") {
+    val emb = Seq((0L, Array.fill(16)(0.5f).toSeq, 1)).toDF("vec_id", "embedding", "label")
+    val e = intercept[IllegalArgumentException] {
+      ReplicaGen.replicateEmbeddings(emb, 6)
+    }
+    assert(e.getMessage.contains("[1, 5]"),
+      "factor 6 would silently share band keys across replicas — must refuse")
+  }
+
   test("embedding replicas: orthogonal flips preserve norms; band signatures de-collide") {
     graft.functions.GraftFunctions.register(spark)
     val emb = Seq(

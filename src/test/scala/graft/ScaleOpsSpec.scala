@@ -157,6 +157,19 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"bounded-state selection must not window:\n${plan.take(2000)}")
   }
 
+  test("quotaSampleByGroup fails loudly when a quota exceeds maxQuota (never silent keep-all)") {
+    import spark.implicits._
+    val df = (0 until 30).map(i => (i.toLong, "g0", f"k$i%03d")).toDF("id", "g", "key")
+    val quotas = Seq(("g0", 10)).toDF("g", "quota")
+    val e = intercept[Exception] {
+      graft.ops.ScaleOps.quotaSampleByGroup(df, "g", col("key"), quotas, maxQuota = 5).collect()
+    }
+    val messages = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(messages.contains("exceeds maxQuota"),
+      s"clipped BottomK buffer must not masquerade as a small group: $messages")
+  }
+
   test("tokenBudgetSampleByGroup == running-sum semantics (crossing row kept, edges exact)") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
