@@ -26,52 +26,14 @@ object Similarity {
   final case class Scored(score: Double, id: Long)
 
   /** Typed top-k Aggregator (SURVEY §7.5's "top-k heap aggregator"): the
-    * buffer is a bounded sorted list, merged associatively, so partial
-    * aggregation ships at most k rows per partition per group instead of the
-    * whole candidate set.
+    * shared [[graft.ops.BoundedRank]] discipline over (score, id) — sorted
+    * descending by score, ties ascending by id (deterministic). Every ANN
+    * path funnels through this aggregator, so its insert fast path is the
+    * hot loop of the whole family.
     */
-  final class TopK(k: Int) extends Aggregator[Scored, List[Scored], List[Scored]] {
-    override def zero: List[Scored] = Nil
-
-    // buffer invariant: sorted descending by score, ties ascending by id
-    // (deterministic), length <= k. Every ANN path funnels through this
-    // aggregator, so the per-row cost is the hot loop of the whole family:
-    // once the buffer is full, the overwhelming majority of candidates lose
-    // to the current minimum and must cost one comparison, not a k log k
-    // re-sort of the buffer.
-    private def beats(s: Scored, x: Scored): Boolean =
+  final class TopK(k: Int) extends graft.ops.BoundedRank[Scored](k) {
+    override protected def beats(s: Scored, x: Scored): Boolean =
       s.score > x.score || (s.score == x.score && s.id < x.id)
-
-    private def insert(buf: List[Scored], s: Scored): List[Scored] = {
-      // nonEmpty first: k <= 0 must yield Nil (as the sort-based semantics
-      // did), not NoSuchElementException on Nil.last
-      if (buf.nonEmpty && buf.lengthCompare(k) >= 0 && !beats(s, buf.last)) return buf
-      // insertion at sorted position: O(position), no re-sort, no tuple allocs
-      val (hi, lo) = buf.span(x => !beats(s, x))
-      val merged = hi ::: s :: lo
-      if (merged.lengthCompare(k) > 0) merged.take(k) else merged
-    }
-
-    override def reduce(buf: List[Scored], in: Scored): List[Scored] = insert(buf, in)
-
-    // both sides hold the invariant — linear merge, truncated at k
-    override def merge(a: List[Scored], b: List[Scored]): List[Scored] = {
-      val out = List.newBuilder[Scored]
-      var x = a
-      var y = b
-      var n = 0
-      while (n < k && (x.nonEmpty || y.nonEmpty)) {
-        if (y.isEmpty || (x.nonEmpty && !beats(y.head, x.head))) {
-          out += x.head; x = x.tail
-        } else {
-          out += y.head; y = y.tail
-        }
-        n += 1
-      }
-      out.result()
-    }
-
-    override def finish(buf: List[Scored]): List[Scored] = buf
 
     override def bufferEncoder: Encoder[List[Scored]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Scored]]()
@@ -118,44 +80,12 @@ object Similarity {
     */
   final case class ScoredTerm(score: Double, term: String)
 
-  /** [[TopK]] with string items: buffer sorted descending by score, ties
-    * ascending lexicographically by term, length <= k — the same bounded
-    * partial-aggregation contract.
+  /** [[TopK]] with string items ([[graft.ops.BoundedRank]] instantiation):
+    * sorted descending by score, ties ascending lexicographically by term.
     */
-  final class TopKTerms(k: Int)
-      extends Aggregator[ScoredTerm, List[ScoredTerm], List[ScoredTerm]] {
-    override def zero: List[ScoredTerm] = Nil
-
-    private def beats(s: ScoredTerm, x: ScoredTerm): Boolean =
+  final class TopKTerms(k: Int) extends graft.ops.BoundedRank[ScoredTerm](k) {
+    override protected def beats(s: ScoredTerm, x: ScoredTerm): Boolean =
       s.score > x.score || (s.score == x.score && s.term < x.term)
-
-    private def insert(buf: List[ScoredTerm], s: ScoredTerm): List[ScoredTerm] = {
-      if (buf.nonEmpty && buf.lengthCompare(k) >= 0 && !beats(s, buf.last)) return buf
-      val (hi, lo) = buf.span(x => !beats(s, x))
-      val merged = hi ::: s :: lo
-      if (merged.lengthCompare(k) > 0) merged.take(k) else merged
-    }
-
-    override def reduce(buf: List[ScoredTerm], in: ScoredTerm): List[ScoredTerm] =
-      insert(buf, in)
-
-    override def merge(a: List[ScoredTerm], b: List[ScoredTerm]): List[ScoredTerm] = {
-      val out = List.newBuilder[ScoredTerm]
-      var x = a
-      var y = b
-      var n = 0
-      while (n < k && (x.nonEmpty || y.nonEmpty)) {
-        if (y.isEmpty || (x.nonEmpty && !beats(y.head, x.head))) {
-          out += x.head; x = x.tail
-        } else {
-          out += y.head; y = y.tail
-        }
-        n += 1
-      }
-      out.result()
-    }
-
-    override def finish(buf: List[ScoredTerm]): List[ScoredTerm] = buf
 
     override def bufferEncoder: Encoder[List[ScoredTerm]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[ScoredTerm]]()

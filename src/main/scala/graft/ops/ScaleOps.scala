@@ -394,37 +394,11 @@ object ScaleOps {
   // and filter the corpus scan against it — no global sort anywhere.
   // ------------------------------------------------------------------------
 
-  /** k-smallest-strings Aggregator: buffer is a sorted ascending list capped
-    * at k, merged associatively — the [[graft.ext.Similarity.TopK]] discipline
-    * applied to string rank keys.
+  /** k-smallest-strings Aggregator ([[BoundedRank]] instantiation, ascending
+    * lexicographic order over rank keys).
     */
-  final class BottomK(k: Int)
-      extends org.apache.spark.sql.expressions.Aggregator[String, List[String], List[String]] {
-    override def zero: List[String] = Nil
-
-    private def insert(buf: List[String], s: String): List[String] = {
-      if (buf.nonEmpty && buf.lengthCompare(k) >= 0 && s >= buf.last) return buf
-      val (lo, hi) = buf.span(_ < s)
-      val merged = lo ::: s :: hi
-      if (merged.lengthCompare(k) > 0) merged.take(k) else merged
-    }
-
-    override def reduce(buf: List[String], in: String): List[String] = insert(buf, in)
-
-    override def merge(a: List[String], b: List[String]): List[String] = {
-      val out = List.newBuilder[String]
-      var x = a
-      var y = b
-      var n = 0
-      while (n < k && (x.nonEmpty || y.nonEmpty)) {
-        if (y.isEmpty || (x.nonEmpty && x.head <= y.head)) { out += x.head; x = x.tail }
-        else { out += y.head; y = y.tail }
-        n += 1
-      }
-      out.result()
-    }
-
-    override def finish(buf: List[String]): List[String] = buf
+  final class BottomK(k: Int) extends BoundedRank[String](k) {
+    override protected def beats(a: String, b: String): Boolean = a < b
 
     override def bufferEncoder: org.apache.spark.sql.Encoder[List[String]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[String]]()
