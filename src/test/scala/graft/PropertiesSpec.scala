@@ -186,6 +186,60 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("tokenBudgetSampleByGroup == driver running-sum reference on randomized corpora") {
+    // randomized differential test for the boundary-descent sampler: rows,
+    // weights (incl. zeros) and budgets all drawn per seed; tiny
+    // collectThreshold forces multi-pass descent through random key shapes
+    val caseGen = for {
+      n <- Gen.choose(30, 120)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.choose(0, 2).map(g => s"g$g"), Gen.choose(0L, 8L)))
+      budgets <- Gen.listOfN(3, Gen.choose(0L, 150L))
+    } yield (rows, budgets)
+    forAllSeeded(caseGen, n = 10) { case (rows, bs) =>
+      val keyed = rows.zipWithIndex.map { case ((g, w), i) =>
+        // md5-style key: hash-prefix + unique zero-padded suffix
+        (i.toLong, g, f"${(g + i).hashCode.abs % 4096}%03x${i}%04d", w)
+      }
+      val df = keyed.toDF("id", "g", "key", "w")
+      val budgets = bs.zipWithIndex.map { case (b, i) => (s"g$i", b) }.toDF("g", "budget")
+      val got = graft.ops.ScaleOps
+        .tokenBudgetSampleByGroup(df, "g", col("key"), "w", budgets,
+          step = 1, collectThreshold = 8)
+        .collect().map(_.getAs[Long]("id")).toSet
+      val want = bs.zipWithIndex.flatMap { case (b, gi) =>
+        var acc = 0L
+        keyed.filter(_._2 == s"g$gi").sortBy(_._3).flatMap { r =>
+          val keep = acc < b
+          acc += r._4
+          if (keep) Some(r._1) else None
+        }
+      }.toSet
+      assert(got == want, s"boundary descent diverges from running-sum reference")
+    }
+  }
+
+  test("quotaSampleByGroup == driver rank reference on randomized corpora") {
+    val caseGen = for {
+      n <- Gen.choose(20, 100)
+      rows <- Gen.listOfN(n, Gen.choose(0, 2).map(g => s"g$g"))
+      quotas <- Gen.listOfN(3, Gen.choose(0, 12))
+    } yield (rows, quotas)
+    forAllSeeded(caseGen, n = 10) { case (rows, qs) =>
+      val keyed = rows.zipWithIndex.map { case (g, i) =>
+        (i.toLong, g, f"${(g + i).hashCode.abs % 4096}%03x${i}%04d")
+      }
+      val df = keyed.toDF("id", "g", "key")
+      val quotas = qs.zipWithIndex.map { case (q, i) => (s"g$i", q) }.toDF("g", "quota")
+      val got = graft.ops.ScaleOps
+        .quotaSampleByGroup(df, "g", col("key"), quotas, maxQuota = 12)
+        .collect().map(_.getAs[Long]("id")).toSet
+      val want = qs.zipWithIndex.flatMap { case (q, gi) =>
+        keyed.filter(_._2 == s"g$gi").sortBy(_._3).take(q).map(_._1)
+      }.toSet
+      assert(got == want, s"threshold selection diverges from rank reference")
+    }
+  }
+
   test("BottomK: merge of partials == reduce of the whole; buffer bounded and sorted") {
     // the law partial aggregation relies on: any split of the input stream,
     // reduced independently and merged, equals the sequential fold — and
