@@ -35,6 +35,26 @@ object ExtensionQueries {
       |ELSE list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
       |  for i in generate_series(1, len(t) - 2)]) END""".stripMargin
 
+  /** Shared d7/d11 oracle: both compute the same exact result (the Bloom in
+    * d11 is a no-false-negative prefilter followed by the same verify join),
+    * so they gate against the same SQL.
+    */
+  private val decontaminateSql =
+    """WITH sp AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS t FROM documents),
+      |g AS (SELECT doc_id, lang,
+      |  CASE WHEN len(t) < 13 THEN CAST([] AS VARCHAR[])
+      |  ELSE list_distinct([array_to_string(t[i:i+12], ' ')
+      |    for i in generate_series(1, len(t) - 12)]) END AS g13
+      |  FROM sp),
+      |bench AS (SELECT DISTINCT unnest(g13) AS gram FROM g WHERE doc_id < 50),
+      |corpus AS (SELECT doc_id, lang, unnest(g13) AS gram FROM g WHERE doc_id >= 50),
+      |contam AS (SELECT DISTINCT doc_id FROM corpus JOIN bench USING (gram))
+      |SELECT lang, COUNT(*) AS docs,
+      |  CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS contaminated
+      |FROM (SELECT doc_id, lang FROM g WHERE doc_id >= 50) d
+      |LEFT JOIN contam c USING (doc_id)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---- SimHash: 32-bit signature from md5 of each distinct token ----------
   // Bit j of token-hash = j-th bit of the first 8 hex chars of md5(token),
   // extracted via a hex->binary lookup string (dialect-portable: no native
@@ -550,20 +570,38 @@ object ExtensionQueries {
             sum(coalesce(col("flag"), lit(0))).cast("long").as("contaminated"))
           .orderBy("lang")
       },
-      Some("""WITH sp AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS t FROM documents),
-             |g AS (SELECT doc_id, lang,
-             |  CASE WHEN len(t) < 13 THEN CAST([] AS VARCHAR[])
-             |  ELSE list_distinct([array_to_string(t[i:i+12], ' ')
-             |    for i in generate_series(1, len(t) - 12)]) END AS g13
-             |  FROM sp),
-             |bench AS (SELECT DISTINCT unnest(g13) AS gram FROM g WHERE doc_id < 50),
-             |corpus AS (SELECT doc_id, lang, unnest(g13) AS gram FROM g WHERE doc_id >= 50),
-             |contam AS (SELECT DISTINCT doc_id FROM corpus JOIN bench USING (gram))
-             |SELECT lang, COUNT(*) AS docs,
-             |  CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS contaminated
-             |FROM (SELECT doc_id, lang FROM g WHERE doc_id >= 50) d
-             |LEFT JOIN contam c USING (doc_id)
-             |GROUP BY lang ORDER BY lang""".stripMargin)
+      Some(decontaminateSql)
+    ),
+    Q(
+      "d11_decontaminate_bloom",
+      "Decontamination, Bloom-prefiltered (the shape d7 should take at 100 TB): build a Bloom filter of the benchmark 13-grams with a distributed bit-OR aggregate (driver sees only the filter's few KB, never the grams), probe it SCAN-SIDE with pure codegen'd column arithmetic (xxhash64 double-hash, literal word array, element_at + shiftright), and only the surviving grams — true hits plus an fpp~1% trickle — reach the exchange for the exact verify join. A Bloom has no false negatives, so the output is bitwise-identical to d7's inverted join (same oracle SQL); what changes is the shuffle: O(hits) instead of O(corpus grams)",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val g13 = "shinglen(t, 13)"
+        val sh = documents(s, d)
+          .selectExpr("doc_id", "lang", graft.ext.MinHash.splitExpr)
+          .selectExpr("doc_id", "lang", s"($g13) AS g13")
+          .localCheckpoint(eager = false) // feeds bench build + probe + doc base
+        val bench = sh.where(col("doc_id") < 50)
+          .selectExpr("explode(g13) AS gram").distinct()
+          .localCheckpoint(eager = false) // counted, bloom-built, then verify-joined
+        // Two bounded jobs over the BENCHMARK set only (small by definition):
+        // size the filter, then fold its grams into words*8 bytes of bits.
+        val p = graft.ext.Bloom.params(bench.count(), 0.01)
+        val bloom = graft.ext.Bloom.build(bench, "gram", p)
+        val pre = sh.where(col("doc_id") >= 50)
+          .selectExpr("doc_id", "explode(g13) AS gram")
+          .where(graft.ext.Bloom.mightContain(col("gram"), bloom, p.k))
+        val contam = pre.join(bench, Seq("gram")).select("doc_id").distinct()
+        sh.where(col("doc_id") >= 50).select("doc_id", "lang")
+          .join(contam.withColumn("flag", lit(1)), Seq("doc_id"), "left")
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("docs"),
+            sum(coalesce(col("flag"), lit(0))).cast("long").as("contaminated"))
+          .orderBy("lang")
+      },
+      Some(decontaminateSql)
     ),
     Q(
       "d8_cluster_canonical",

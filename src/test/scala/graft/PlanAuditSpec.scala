@@ -156,4 +156,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("ShuffledHashJoin"),
       s"gram-frequency join must be shuffle-hash:\n${plan.take(3000)}")
   }
+
+  test("d11: the bloom probe filters the corpus grams BELOW the verify join") {
+    // The whole point of the bloom path: non-matching grams die scan-side,
+    // so the exchange feeding the verify join carries O(hits), not
+    // O(corpus grams). The probe compiles to shiftright/element_at over the
+    // literal word array — find that Filter and assert no join runs under it
+    // (i.e. it prefilters a join INPUT rather than post-filtering its output).
+    import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = Registry.byName("d11_decontaminate_bloom").fn(spark, sf)
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: walk(a.executedPlan)
+      case other => p +: (other.children ++ other.subqueries).flatMap(walk)
+    }
+    val nodes = walk(df.queryExecution.executedPlan)
+    val probes = nodes.collect {
+      case f: FilterExec if f.condition.toString.contains("shiftright") => f
+    }
+    assert(probes.nonEmpty, "bloom probe Filter not found in the executed plan")
+    probes.foreach { f =>
+      val below = walk(f).map(_.nodeName.toLowerCase)
+      assert(!below.exists(_.contains("join")),
+        s"bloom probe must sit on the scan side, found a join beneath it: $below")
+    }
+  }
 }
