@@ -696,6 +696,64 @@ object ExtensionQueries {
              |GROUP BY lang ORDER BY lang""".stripMargin)
     ),
     Q(
+      "d12_dup_span_removal",
+      "Exact duplicated-substring EXCISION (the Lee-et-al 'Deduplicating Training Data' rewrite, at 5-token granularity): a 5-gram is duplicated when it occurs in >= 2 distinct docs; every token position covered by a duplicated gram's span is removed and the doc is rebuilt from the survivors. Candidate generation is the d10 posting shape — positional (doc, start, gram) postings -> distinct-doc gram frequency -> posting join back (SHUFFLE_HASH) -> per-doc start list (bounded by doc length, never corpus state); the span union + rebuild are per-row array expressions. Per-lang accounting: docs, docs_rewritten, tokens_before, tokens_after",
+      (s, d) => {
+        val base = documents(s, d)
+          .selectExpr("doc_id", "lang", graft.ext.MinHash.splitExpr)
+          .selectExpr("doc_id", "lang", "t", "CAST(size(t) AS BIGINT) AS n")
+          .localCheckpoint(eager = false) // feeds the postings AND the rebuild
+        val post = base.where(col("n") >= 5)
+          .selectExpr(
+            "doc_id",
+            "posexplode(transform(sequence(1, CAST(n AS INT) - 4), i -> concat_ws(' ', slice(t, i, 5))))")
+          .selectExpr("doc_id", "pos + 1 AS start", "col AS gram")
+        val dupGrams = post.select("gram", "doc_id").distinct()
+          .groupBy("gram").agg(count(lit(1)).as("df"))
+          .where(col("df") >= 2).select("gram")
+        val dupStarts = post.join(dupGrams.hint("SHUFFLE_HASH"), Seq("gram"))
+          .groupBy("doc_id")
+          .agg(sort_array(collect_list(col("start"))).as("starts"))
+        base.join(dupStarts, Seq("doc_id"), "left")
+          .withColumn("starts", coalesce(col("starts"), expr("CAST(array() AS ARRAY<INT>)")))
+          .withColumn(
+            "kept",
+            expr("size(filter(sequence(1, CAST(n AS INT)), p -> NOT exists(starts, st -> p >= st AND p <= st + 4)))"))
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("docs"),
+            sum(when(size(col("starts")) > 0, 1).otherwise(0)).cast("long").as("docs_rewritten"),
+            sum(col("n")).cast("long").as("tokens_before"),
+            sum(col("kept")).cast("long").as("tokens_after"))
+          .orderBy("lang")
+      },
+      Some("""WITH sp AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS t FROM documents),
+             |b AS (SELECT doc_id, lang, t, len(t) AS n FROM sp),
+             |g AS (SELECT doc_id, n,
+             |  CASE WHEN n < 5 THEN CAST([] AS STRUCT(s BIGINT, gram VARCHAR)[])
+             |  ELSE [struct_pack(s := i, gram := array_to_string(t[i:i+4], ' '))
+             |    for i in generate_series(1, n - 4)] END AS gs
+             |  FROM b),
+             |pp AS (SELECT doc_id, u.s AS start, u.gram AS gram
+             |  FROM (SELECT doc_id, unnest(gs) AS u FROM g)),
+             |dg AS (SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM pp)
+             |  GROUP BY gram HAVING COUNT(*) >= 2),
+             |ds AS (SELECT doc_id, list(start ORDER BY start) AS starts
+             |  FROM pp JOIN dg USING (gram) GROUP BY doc_id),
+             |r AS (SELECT b.doc_id, b.lang, b.n,
+             |  COALESCE(d.starts, CAST([] AS BIGINT[])) AS starts
+             |  FROM b LEFT JOIN ds d ON b.doc_id = d.doc_id),
+             |k AS (SELECT lang, n, starts,
+             |  len([p for p in generate_series(1, n)
+             |    if len(list_filter(starts, st -> p >= st and p <= st + 4)) = 0]) AS kept
+             |  FROM r)
+             |SELECT lang, COUNT(*) AS docs,
+             |  CAST(SUM(CASE WHEN len(starts) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_rewritten,
+             |  CAST(SUM(n) AS BIGINT) AS tokens_before,
+             |  CAST(SUM(kept) AS BIGINT) AS tokens_after
+             |FROM k GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
+    Q(
       "d9_semdedup",
       "SemDeDup-style semantic dedup: coarse-quantize embeddings to k cells (argmin over fixed centroids — the oracle-shareable stand-in for per-corpus k-means), then within each cell apply the ONE-PASS dominance rule: drop any member with an earlier (lower-id) cell-mate at cosine>=0.35. Deliberately join-shaped rather than the sequential greedy scan (which is order-iterative and not SQL/one-shuffle expressible); on a transitive chain a~b~c it may also drop c where sequential greedy would keep it — a conservative over-drop, never an under-drop. The cell is the blocking key: pair generation is cluster-bounded (k grows with corpus size in the real deployment, capping cell width), never corpus-global. Per cell: members, kept, dropped",
       (s, d) => {

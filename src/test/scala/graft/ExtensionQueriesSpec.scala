@@ -213,4 +213,26 @@ class ExtensionQueriesSpec extends SparkSpec {
     assert(totalMembers == graft.analytics.Tables.embeddings(spark, sf).count(),
       "every embedding must land in exactly one cell")
   }
+
+  test("d12_dup_span_removal: excision accounting is consistent") {
+    val rows = Registry.byName("d12_dup_span_removal").fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var rewrittenTotal = 0L
+    rows.foreach { r =>
+      val docs = r.getAs[Long]("docs")
+      val rewritten = r.getAs[Long]("docs_rewritten")
+      val before = r.getAs[Long]("tokens_before")
+      val after = r.getAs[Long]("tokens_after")
+      assert(rewritten <= docs, s"$r: more rewrites than docs")
+      assert(after <= before, s"$r: excision grew a document")
+      // a rewritten doc lost at least one full 5-token span; an untouched
+      // doc lost nothing — so the removed mass brackets the rewrite count
+      assert(before - after >= 5L * rewritten, s"$r: partial span removed")
+      if (rewritten == 0) assert(after == before, s"$r: untouched lang changed")
+      rewrittenTotal += rewritten
+    }
+    assert(rewrittenTotal >= 1, "fixture corpus has cross-doc duplicated 5-grams")
+    val langs = rows.map(_.getAs[String]("lang")).toSeq
+    assert(langs == langs.sorted && langs.distinct == langs, "lang rollup order")
+  }
 }

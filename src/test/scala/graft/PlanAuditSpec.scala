@@ -157,6 +157,16 @@ class PlanAuditSpec extends SparkSpec {
       s"gram-frequency join must be shuffle-hash:\n${plan.take(3000)}")
   }
 
+  test("d12: span excision keeps the d10 posting shape — shuffle-hash join, no Window") {
+    // Per-doc state is the start list (bounded by doc length); a Window or a
+    // broadcast of the corpus-sized posting table would both be 100 TB bugs.
+    val df = Registry.byName("d12_dup_span_removal").fn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"gram posting join must be shuffle-hash:\n${plan.take(3000)}")
+    assert(!plan.contains("Window"), s"no Window allowed:\n${plan.take(3000)}")
+  }
+
   test("d11: the bloom probe filters the corpus grams BELOW the verify join") {
     // The whole point of the bloom path: non-matching grams die scan-side,
     // so the exchange feeding the verify join carries O(hits), not
