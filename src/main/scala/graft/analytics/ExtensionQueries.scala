@@ -1475,6 +1475,25 @@ object ExtensionQueries {
       Some(bpeOracleSql)
     ),
     Q(
+      "t15_heavy_hitters",
+      "Per-lang heavy-hitter tokens via a Misra-Gries sketch (ops.FreqSketch, c=64, report top 10): ONE bounded-state aggregation whose partial state is at most c counters per lang per partition REGARDLESS of vocabulary size — the exchange is tasks x c entries, not one row per distinct token, the only frequency shape that survives a corpus whose dictionary is itself too large to shuffle (t5's exact path is linear in vocab). MG guarantees estimate <= true, deficit <= N/(c+1), every token above that threshold present; the fixture vocabulary (31 tokens/lang) is under c, the regime where the sketch is provably EXACT and deterministic — which is what the oracle gates (FreqSketchSpec pins the approximate-regime bounds)",
+      (s, d) => {
+        val toks = documents(s, d)
+          .selectExpr("lang AS key", "explode(split(lower(text), ' ')) AS token")
+        graft.ops.FreqSketch.heavyHittersByKey(toks, c = 64, k = 10)
+          .selectExpr("key AS lang", "rank", "token", "n")
+          .orderBy("lang", "rank")
+      },
+      Some("""WITH toks AS (
+             |  SELECT lang, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+             |cnt AS (SELECT lang, token, COUNT(*) AS n FROM toks GROUP BY lang, token),
+             |r AS (SELECT lang, token, n,
+             |  row_number() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS rank
+             |  FROM cnt)
+             |SELECT lang, rank, token, n FROM r WHERE rank <= 10
+             |ORDER BY lang, rank""".stripMargin)
+    ),
+    Q(
       "p15_temperature_mix",
       "Temperature-weighted language mixture (UniMax/mT5-style, alpha=0.5): per-lang quota = floor(T * sqrt(share)) up-weights low-resource langs vs proportional sampling, membership by deterministic md5 rank within lang (p14's coordination-free recipe). The quota rule is one division + one sqrt per lang on exact integer counts — no cross-lang double SUM whose accumulation order could diverge between engines. Selection is bounded-state threshold sampling (ScaleOps.quotaSampleByGroup): the quota-th smallest md5 rank per lang comes from a k-bounded BottomK aggregation and is broadcast as a filter — the majority language is never total-sorted through one reducer. Per lang: corpus docs, quota, sampled docs, sampled token mass",
       (s, d) => {

@@ -157,6 +157,16 @@ class PlanAuditSpec extends SparkSpec {
       s"gram-frequency join must be shuffle-hash:\n${plan.take(3000)}")
   }
 
+  test("t15: the frequency sketch partial-aggregates before the exchange, no Window") {
+    // The sketch's whole point: at most c counters per lang per partition
+    // cross the wire. A Window (or a missing partial phase) would put the
+    // token stream itself through the shuffle.
+    val df = Registry.byName("t15_heavy_hitters").fn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_"), s"map-side sketch combine expected:\n${plan.take(3000)}")
+    assert(!plan.contains("Window"), s"no Window allowed:\n${plan.take(3000)}")
+  }
+
   test("d12: span excision keeps the d10 posting shape — shuffle-hash join, no Window") {
     // Per-doc state is the start list (bounded by doc length); a Window or a
     // broadcast of the corpus-sized posting table would both be 100 TB bugs.
