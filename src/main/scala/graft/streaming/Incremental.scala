@@ -311,6 +311,42 @@ object Incremental {
       .toDF()
   }
 
+  /** Current sketch report for one key — `hits` is estimate-desc/token-asc,
+    * at most the report size k.
+    */
+  final case class HeavyHitterRow(key: String, hits: List[graft.ops.FreqSketch.KeyCount])
+
+  /** Streaming heavy hitters — the incremental form of t15's Misra–Gries
+    * sketch: per-key MG state (at most c counters, bounded regardless of
+    * how many distinct tokens stream through) lives in the state store, and
+    * each micro-batch folds its tokens through the SAME `reduce` the batch
+    * Aggregator uses. After draining any prefix of the stream the state is
+    * a valid MG summary of that prefix (same deficit bound), and in the
+    * exact regime (support <= c) it equals exact counts no matter how the
+    * stream was batched — StreamingSpec pins streaming == batch there.
+    * Update-mode output: each batch re-emits the touched keys' current
+    * top-k reports (a sketch report is a refinable estimate, not an
+    * immutable fact — append mode would be the wrong contract).
+    */
+  def streamingHeavyHitters(tokens: DataFrame, c: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    require(k >= 1 && k <= c, s"report size k=$k must be in [1, c=$c]")
+    val spark = tokens.sparkSession
+    import spark.implicits._
+    val mg = new graft.ops.FreqSketch.MisraGries(c)
+    tokens
+      .selectExpr("CAST(key AS STRING) AS key", "CAST(token AS STRING) AS token")
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Map[String, Long], HeavyHitterRow](GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, String)], state) =>
+          val buf = rows.map(_._2).foldLeft(state.getOption.getOrElse(mg.zero))(mg.reduce)
+          state.update(buf)
+          HeavyHitterRow(key, mg.finish(buf).take(k))
+      }
+      .toDF()
+  }
+
   /** ST7 — scheduled periodic ingestion: the reference's external cron
     * scheduler (pipeline_scheduler.py:42-103 cron -> job publish) collapses
     * into Structured Streaming's own trigger scheduler. The SAME pipeline as

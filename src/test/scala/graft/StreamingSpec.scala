@@ -283,6 +283,68 @@ class StreamingSpec extends SparkSpec {
       "restarted stream appends beside the consolidated tree")
   }
 
+  test("streamingHeavyHitters: MG state folds across micro-batches == batch sketch") {
+    val dir = tmpDir("hh-in")
+    val chk = tmpDir("hh-chk")
+    // three waves, one per micro-batch; counts only add up if the state
+    // store actually carries the sketch across batches
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/a.json"),
+      """{"key":"aa","token":"x"}
+        |{"key":"aa","token":"x"}
+        |{"key":"aa","token":"y"}
+        |{"key":"bb","token":"p"}
+        |""".stripMargin)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/b.json"),
+      """{"key":"aa","token":"y"}
+        |{"key":"aa","token":"y"}
+        |{"key":"aa","token":"z"}
+        |{"key":"bb","token":"q"}
+        |{"key":"bb","token":"p"}
+        |""".stripMargin)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/c.json"),
+      """{"key":"aa","token":"z"}
+        |{"key":"aa","token":"z"}
+        |{"key":"bb","token":"p"}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("key", StringType), StructField("token", StringType)))
+    val last = scala.collection.mutable.Map.empty[String, Seq[(String, Long)]]
+    var batches = 0
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(dir)
+    val q = Incremental.streamingHeavyHitters(stream, c = 16, k = 5)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", chk)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.collect()
+        last.synchronized {
+          if (rows.nonEmpty) batches += 1
+          rows.foreach { r =>
+            last(r.getString(0)) = r.getSeq[org.apache.spark.sql.Row](1)
+              .map(h => (h.getString(0), h.getLong(1)))
+          }
+        }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    assert(batches >= 3, s"maxFilesPerTrigger=1 must yield one batch per wave, got $batches")
+    // support <= c: the sketch is exact, so the final update per key must
+    // equal the batch sketch (== exact counts) over the whole stream
+    val want = graft.ops.FreqSketch
+      .heavyHittersByKey(spark.read.schema(schema).json(dir), c = 16, k = 5)
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rs) =>
+        k -> rs.sortBy(_.getLong(1)).map(r => (r.getString(2), r.getLong(3))).toSeq
+      }
+    assert(last.synchronized(last.toMap) == want,
+      s"streaming reports diverged:\n got $last\nwant $want")
+  }
+
   test("streamingSessions: gap-split sessions close on data; tails close on event-time timeout") {
     val dir = tmpDir("sess-ev")
     val chk = tmpDir("sess-chk")
