@@ -903,6 +903,69 @@ object ExtensionQueries {
              |SELECT qid, rank, vec_id, cos FROM scored WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)
     ),
     Q(
+      "n5_ann_recall",
+      "ANN recall evaluation — the tuning loop the approximate family needs: recall@3 of the sign-LSH path (n2's exact plan) against brute-force ground truth (n1's exact plan) per query. At 100 TB this is how banding width / nprobe get chosen: ground truth costs ONE broadcast-queries x corpus pass over a query SAMPLE (never corpus x corpus), the approximate path runs as deployed, and the per-query hit overlap is an equi-join on (qid, id). Integer hits + k columns; recall is the one division both engines perform identically on {0..3}/3",
+      (s, d) => {
+        val prepared = graft.ext.Similarity.prepare(embeddings(s, d), "vec_id", "embedding")
+        val queries = prepared.where(col("id") < 10)
+        val gt = graft.ext.Similarity.bruteForceTopK(prepared, queries, k = 3)
+          .select(col("qid"), col("id"))
+        val approx = graft.ext.Similarity.lshTopK(prepared, queries, k = 3, maxBucket = 1000)
+          .select(col("qid"), col("id"))
+        val hits = gt.join(approx, Seq("qid", "id"))
+          .groupBy("qid").agg(count(lit(1)).as("hits"))
+        queries.select(col("id").as("qid"))
+          .join(hits, Seq("qid"), "left")
+          .selectExpr(
+            "qid",
+            "CAST(coalesce(hits, 0) AS BIGINT) AS hits",
+            "CAST(3 AS BIGINT) AS k",
+            "CAST(coalesce(hits, 0) AS DOUBLE) / 3.0 AS recall")
+          .orderBy("qid")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             |  sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), (acc, x) -> acc + x)) AS nrm
+             |  FROM embeddings),
+             |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM e WHERE vec_id < 10),
+             |gt AS (
+             |  SELECT qid, vec_id FROM (
+             |    SELECT qid, vec_id,
+             |      row_number() OVER (PARTITION BY qid ORDER BY
+             |        list_reduce(list_transform(list_zip(qv, v), p -> p[1] * p[2]), (acc, x) -> acc + x) / (qnrm * nrm) DESC,
+             |        vec_id) AS rank
+             |    FROM e JOIN q ON vec_id <> qid)
+             |  WHERE rank <= 3),
+             |sig AS (SELECT vec_id, v, nrm,
+             |""".stripMargin +
+        (0 until 4).map(b =>
+          "  concat(" + (b * 4 until b * 4 + 4).map(i =>
+            s"(CASE WHEN v[${i + 1}] >= 0 THEN '1' ELSE '0' END)").mkString(", ") + s") AS band$b").mkString(",\n") +
+        """
+          |  FROM e),
+          |bands AS (
+          |  SELECT vec_id, 0 AS band, band0 AS bkey FROM sig
+          |  UNION ALL SELECT vec_id, 1, band1 FROM sig
+          |  UNION ALL SELECT vec_id, 2, band2 FROM sig
+          |  UNION ALL SELECT vec_id, 3, band3 FROM sig),
+          |cands AS (
+          |  SELECT DISTINCT qb.vec_id AS qid, c.vec_id AS vec_id FROM bands qb
+          |  JOIN bands c ON qb.band = c.band AND qb.bkey = c.bkey AND qb.vec_id < 10 AND c.vec_id <> qb.vec_id),
+          |lsh AS (
+          |  SELECT qid, vec_id FROM (
+          |    SELECT qid, c.vec_id AS vec_id,
+          |      row_number() OVER (PARTITION BY qid ORDER BY
+          |        list_reduce(list_transform(list_zip(qe.v, ce.v), p -> p[1] * p[2]), (acc, x) -> acc + x) / (qe.nrm * ce.nrm) DESC,
+          |        c.vec_id) AS rank
+          |    FROM cands c JOIN e qe ON c.qid = qe.vec_id JOIN e ce ON c.vec_id = ce.vec_id)
+          |  WHERE rank <= 3),
+          |h AS (SELECT gt.qid, COUNT(*) AS hits FROM gt JOIN lsh USING (qid, vec_id) GROUP BY gt.qid)
+          |SELECT q.qid AS qid, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+          |  CAST(3 AS BIGINT) AS k,
+          |  CAST(COALESCE(h.hits, 0) AS DOUBLE) / 3.0 AS recall
+          |FROM q LEFT JOIN h ON q.qid = h.qid
+          |ORDER BY qid""".stripMargin)
+    ),
+    Q(
       "pq_adc_topk",
       "Product-quantization ANN: per-block argmin encode to m=4 codes over the leading 16 dims, then ADC top-5 (per-query centroid-distance LUT, negated approx L2). The codebook is a SEEDED CONSTANT (not trained): the oracle is one static SQL string across scale factors, so the model must be data-independent — k-means training is pinned by PqSpec; this row gates the distributed legs (encode + ADC search) bitwise, f32 arithmetic mirrored on both sides",
       (s, d) => {

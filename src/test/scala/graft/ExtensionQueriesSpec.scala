@@ -214,6 +214,20 @@ class ExtensionQueriesSpec extends SparkSpec {
       "every embedding must land in exactly one cell")
   }
 
+  test("n5_ann_recall: per-query recall is a consistent hits/k ratio") {
+    val rows = Registry.byName("n5_ann_recall").fn(spark, sf).collect()
+    assert(rows.length == 10, "one row per query vector")
+    rows.foreach { r =>
+      val hits = r.getAs[Long]("hits")
+      val k = r.getAs[Long]("k")
+      assert(k == 3 && hits >= 0 && hits <= k, s"$r: hits outside [0, k]")
+      assert(r.getAs[Double]("recall") == hits.toDouble / 3.0, s"$r: recall != hits/k")
+    }
+    // the 16-bit/4-band signature keeps genuinely-similar vectors together:
+    // the eval is only informative if the approximate path finds SOMETHING
+    assert(rows.map(_.getAs[Long]("hits")).sum >= 1, "LSH recall collapsed to zero")
+  }
+
   test("d12_dup_span_removal: excision accounting is consistent") {
     val rows = Registry.byName("d12_dup_span_removal").fn(spark, sf).collect()
     assert(rows.nonEmpty)
