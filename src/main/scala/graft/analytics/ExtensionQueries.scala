@@ -574,7 +574,7 @@ object ExtensionQueries {
     ),
     Q(
       "d11_decontaminate_bloom",
-      "Decontamination, Bloom-prefiltered (the shape d7 should take at 100 TB): build a Bloom filter of the benchmark 13-grams with a distributed bit-OR aggregate (driver sees only the filter's few KB, never the grams), probe it SCAN-SIDE with pure codegen'd column arithmetic (xxhash64 double-hash, literal word array, element_at + shiftright), and only the surviving grams — true hits plus an fpp~1% trickle — reach the exchange for the exact verify join. A Bloom has no false negatives, so the output is bitwise-identical to d7's inverted join (same oracle SQL); what changes is the shuffle: O(hits) instead of O(corpus grams)",
+      "Decontamination, Bloom-prefiltered (the shape d7 takes when the reference set outgrows a broadcast): build a Bloom filter of the benchmark 13-grams with a distributed bit-OR aggregate (driver sees only the filter's bits, never the grams), probe it SCAN-SIDE with pure codegen'd column arithmetic (xxhash64 double-hash, literal word array, element_at + shiftright), and only the survivors — true hits plus an fpp~1% trickle — feed the exact verify join. A Bloom has no false negatives, so the output is bitwise-identical to d7 (same oracle SQL). At fixture scale AQE broadcasts the tiny bench set in BOTH plans; the bloom's regime is the real one — a reference set of every eval suite's n-grams (GBs, non-broadcastable: ~10 bits/gram here vs ~100-byte strings in a hash set), where the exact path must shuffle the full corpus gram stream and this plan still prunes it at the scan (measured ~1.1% survivors at sf0.1, SCALE.md)",
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
         val g13 = "shinglen(t, 13)"

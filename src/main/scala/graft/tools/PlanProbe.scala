@@ -1,0 +1,40 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** CLI plan auditor: executes named registry queries against a scale-factor
+  * dir and prints the plan-shape facts SCALE.md cites (join strategies,
+  * exchanges, windows, whole-stage-codegen spans) — the command-line
+  * sibling of PlanAuditSpec for ad-hoc "is this still the plan I want?"
+  * checks while iterating.
+  *
+  * Usage: runMain graft.tools.PlanProbe <sfDir> <query>[,<query>...]
+  */
+object PlanProbe {
+
+  private val Nodes = Seq(
+    "BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+    "BroadcastNestedLoopJoin", "Exchange", "Window",
+    "TakeOrderedAndProject", "WholeStageCodegen")
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 2, "usage: PlanProbe <sfDir> <q1>[,<q2>...]")
+    val Array(dir, names) = args
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .appName("graft-plan-probe")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      names.split(",").map(_.trim).filter(_.nonEmpty).foreach { n =>
+        val q = graft.analytics.Registry.byName(n).fn(spark, dir)
+        q.collect() // executed (not just planned): AQE finalizes the shapes
+        val p = q.queryExecution.executedPlan.toString
+        val counts = Nodes.map(j => s"$j=${p.sliding(j.length).count(_ == j)}")
+        println(s"PLANPROBE $n: ${counts.mkString(" ")}")
+      }
+    } finally spark.stop()
+  }
+}
