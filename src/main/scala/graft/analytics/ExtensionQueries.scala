@@ -1742,6 +1742,37 @@ object ExtensionQueries {
              |WHERE cum - ntok < CASE lang WHEN 'en' THEN 3000 WHEN 'de' THEN 1500 ELSE 800 END
              |GROUP BY lang ORDER BY lang""".stripMargin)
     ),
+    Q(
+      "p17_source_cap",
+      "Per-source document capping (the web-crawl per-DOMAIN cap: no single crawl, dump, or domain may dominate the mix): cap = LEAST(source docs, 20), filled in deterministic md5 rank order within each source through the same bounded-state threshold selection as p14/p15 (quotaSampleByGroup: k-bounded BottomK -> broadcast per-source threshold -> filter) — no per-source total sort, so a monster domain costs one k-bounded buffer exactly like a small one. Per source: corpus docs, cap, kept docs, kept token mass",
+      (s, d) => {
+        val caps = documents(s, d).groupBy("source").agg(count(lit(1)).as("c_s"))
+          .withColumn("quota", expr("CAST(LEAST(c_s, 20) AS INT)"))
+        val rankKey = expr(
+          "concat(md5(CAST(doc_id AS STRING)), lpad(CAST(doc_id AS STRING), 19, '0'))")
+        graft.ops.ScaleOps.quotaSampleByGroup(
+            documents(s, d).selectExpr("doc_id", "source", "size(split(text, ' ')) AS ntok"),
+            "source", rankKey, caps.select("source", "quota"), maxQuota = 20)
+          .groupBy("source")
+          .agg(count(lit(1)).as("kept"), sum(col("ntok")).cast("long").as("tokens"))
+          .join(broadcast(caps), Seq("source"))
+          .selectExpr("source", "c_s AS docs", "CAST(quota AS BIGINT) AS cap",
+            "kept", "tokens")
+          .orderBy("source")
+      },
+      Some("""WITH c AS (SELECT source, COUNT(*) AS c_s FROM documents GROUP BY source),
+             |r AS (
+             |  SELECT source, length(string_split(text, ' ')) AS ntok,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             |  FROM documents)
+             |SELECT r.source AS source, CAST(MAX(c_s) AS BIGINT) AS docs,
+             |  CAST(MAX(LEAST(c_s, 20)) AS BIGINT) AS cap,
+             |  COUNT(*) AS kept, CAST(SUM(ntok) AS BIGINT) AS tokens
+             |FROM r JOIN c USING (source)
+             |WHERE rn <= LEAST(c_s, 20)
+             |GROUP BY r.source ORDER BY source""".stripMargin)
+    ),
     // -------------------------------------------------------- multimodal ops
     Q(
       "m1_multimodal_meta",

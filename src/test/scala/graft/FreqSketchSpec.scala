@@ -68,6 +68,35 @@ class FreqSketchSpec extends SparkSpec {
     assert(hit == Map("a" -> 1L), s"got $hit")
   }
 
+  test("property: MG bounds hold for random streams, capacities, and partitionings") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      c <- Gen.choose(2, 24)
+      keys <- Gen.choose(2, 120)
+      n <- Gen.choose(50, 3000)
+      cuts <- Gen.choose(1, 9)
+      toks <- Gen.listOfN(n, Gen.choose(0, keys - 1).map(i => s"k$i"))
+    } yield (c, cuts, toks)
+    (1 to 40).foreach { i =>
+      gen(Gen.Parameters.default, Seed(9000L + i)).foreach { case (c, cuts, toks) =>
+        val truth = exact(toks)
+        val est = sketch(toks, c, cuts)
+        val deficit = toks.size.toLong / (c + 1).toLong
+        assert(est.size <= c, s"seed $i: over capacity")
+        est.foreach { case (k, e) =>
+          val t = truth.getOrElse(k, 0L)
+          assert(e <= t && t - e <= deficit, s"seed $i ($c,$cuts): $k est=$e true=$t")
+        }
+        truth.foreach { case (k, t) =>
+          if (t > deficit) assert(est.contains(k), s"seed $i: lost heavy hitter $k ($t > $deficit)")
+        }
+        if (truth.size <= c)
+          assert(est == truth, s"seed $i: exact regime must be exact")
+      }
+    }
+  }
+
   test("heavyHittersByKey: exact-regime end-to-end equals the exact top-k") {
     import spark.implicits._
     val rows = for {

@@ -99,13 +99,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans(df).length == 1, s"expected a single documents scan:\n${df.queryExecution}")
   }
 
-  test("p14/p15: quota sampling never plans a corpus-wide Window") {
+  test("p14/p15/p17: quota sampling never plans a corpus-wide Window") {
     // row_number().over(partitionBy(lang)) would total-sort each language's
     // every row in one reducer — the majority language becomes THE straggler
     // at corpus scale. Selection must be the bounded-state threshold path
     // (ScaleOps.quotaSampleByGroup): a k-bounded aggregation + broadcast
     // threshold filter, no Window node anywhere in the executed plan.
-    for (q <- Seq("p14_mixture_sample", "p15_temperature_mix")) {
+    for (q <- Seq("p14_mixture_sample", "p15_temperature_mix", "p17_source_cap")) {
       val df = Registry.byName(q).fn(spark, sf)
       df.collect() // materialize so AQE finalizes the executed plan
       val plan = df.queryExecution.executedPlan.toString
