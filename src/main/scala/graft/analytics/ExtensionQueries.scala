@@ -1067,6 +1067,50 @@ object ExtensionQueries {
              |  MAX(err) <= MAX(scale / 2.0) AS within_bound
              |FROM q GROUP BY label ORDER BY label""".stripMargin)
     ),
+    Q(
+      "e3_embedding_covariance",
+      "Embedding co-moment (covariance) matrix over the leading 8 dims — the second-moment pass PCA/whitening needs before PQ/SemDeDup, as ONE distributed aggregation: vectors quantize to exact integers (floor(x*1e4) — double arithmetic + floor is IEEE-identical in both engines), per-row pair products fan out via a generator (d(d+1)/2 = 36 rows/vector), and every cross-row sum is exact integer arithmetic (products summed as DECIMAL — overflow-checked at any corpus size; a float double-sum would be addition-order-dependent and hash-diverge). The only floating point is the final identical covariance expression over exact components (a12's recipe generalized to float inputs): cov_ij = (n*Spp - Si*Sj)/n^2 at the 1e-4 quantization, rounded to 9 decimals",
+      (s, d) => {
+        val q = embeddings(s, d)
+          .selectExpr(
+            "transform(slice(embedding, 1, 8), x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS qv")
+          .localCheckpoint(eager = false) // feeds pair products, first moments, count
+        val pairStructs = (for (i <- 0 until 8; j <- i until 8) yield
+          s"struct($i AS i, $j AS j, CAST(element_at(qv, ${i + 1}) AS DECIMAL(20, 0)) * CAST(element_at(qv, ${j + 1}) AS DECIMAL(20, 0)) AS p)")
+          .mkString(", ")
+        val spp = q.selectExpr(s"inline(array($pairStructs))")
+          .groupBy("i", "j").agg(sum(col("p")).as("sppd"))
+        val mom = q.selectExpr("posexplode(qv)")
+          .selectExpr("pos AS i", "CAST(col AS DECIMAL(38, 0)) AS qvi")
+          .groupBy("i").agg(sum(col("qvi")).as("sd"))
+        val cnt = q.agg(count(lit(1)).as("n"))
+        spp
+          .join(broadcast(mom.selectExpr("i", "sd AS si")), Seq("i"))
+          .join(broadcast(mom.selectExpr("i AS j", "sd AS sj")), Seq("j"))
+          .join(broadcast(cnt))
+          .selectExpr(
+            "i", "j",
+            "round((CAST(n AS DOUBLE) * CAST(sppd AS DOUBLE) - CAST(si AS DOUBLE) * CAST(sj AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 100000000.0, 9) AS cov")
+          .orderBy("i", "j")
+      },
+      Some {
+        val valuesList = (for (i <- 0 until 8; j <- i until 8) yield s"($i, $j)").mkString(", ")
+        s"""WITH e AS (
+           |  SELECT list_transform(CAST(embedding AS DOUBLE[])[1:8],
+           |    x -> CAST(FLOOR(x * 10000.0) AS BIGINT)) AS qv
+           |  FROM embeddings),
+           |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM e),
+           |pr AS (SELECT p.i AS i, p.j AS j, qv[p.i + 1] * qv[p.j + 1] AS prod
+           |  FROM e, (VALUES $valuesList) p(i, j)),
+           |spp AS (SELECT i, j, CAST(SUM(prod) AS DOUBLE) AS sppd FROM pr GROUP BY i, j),
+           |m AS (SELECT g.i AS i, CAST(SUM(qv[g.i + 1]) AS DOUBLE) AS s
+           |  FROM e, generate_series(0, 7) g(i) GROUP BY g.i)
+           |SELECT spp.i AS i, spp.j AS j,
+           |  round((nn.n * sppd - mi.s * mj.s) / (nn.n * nn.n) / 100000000.0, 9) AS cov
+           |FROM spp JOIN m mi ON spp.i = mi.i JOIN m mj ON spp.j = mj.i CROSS JOIN nn
+           |ORDER BY i, j""".stripMargin
+      }
+    ),
     // ------------------------------------------------------------- text ops
     Q(
       "t1_text_langid",
