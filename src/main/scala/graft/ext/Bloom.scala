@@ -102,10 +102,13 @@ object Bloom {
 
   /** Membership probe as a pure built-in Column predicate over `valueCol`:
     * true iff all k probe bits are set. False positives at ~the build fpp;
-    * false negatives never. The filter ships inside the plan as a literal
-    * long array (broadcast with the task binary — no extra job), and every
-    * piece (xxhash64, pmod, element_at, shiftright, bitwise AND) is
-    * codegen'd, so the probe rides the scan.
+    * false negatives never — PROVIDED `k` is at most the k the filter was
+    * built with (the same `Params` the builder used; a LARGER probe k tests
+    * bits the builder never set and silently introduces false negatives,
+    * which would change query results, not just performance). The filter
+    * ships inside the plan as a literal long array (broadcast with the task
+    * binary — no extra job), and every piece (xxhash64, pmod, element_at,
+    * shiftright, bitwise AND) is codegen'd, so the probe rides the scan.
     */
   def mightContain(valueCol: Column, bloom: Array[Long], k: Int): Column = {
     require(bloom.nonEmpty && k >= 1, "empty bloom or k < 1")

@@ -58,6 +58,23 @@ class BloomSpec extends SparkSpec {
     assert(java.util.Arrays.equals(one, many), "bloom bits differ across partitionings")
   }
 
+  test("probe-k contract: fewer probes than built is safe, more is NOT") {
+    val members = (0 until 400).map(i => s"m-$i")
+    val p = Bloom.params(members.size.toLong, 0.01)
+    val bloom = Bloom.build(strDf(members), "v", p)
+    // fewer probes: strictly more permissive — still zero false negatives
+    val fewer = strDf(members)
+      .where(Bloom.mightContain(col("v"), bloom, math.max(1, p.k - 1))).count()
+    assert(fewer == members.size.toLong, "k-1 probe dropped a true member")
+    // one probe MORE than built tests bits the builder never set: with ~half
+    // the filter's bits set, members start failing — the false-negative mode
+    // the scaladoc warns about (deterministic here: fixed strings, fixed hash)
+    val more = strDf(members)
+      .where(Bloom.mightContain(col("v"), bloom, p.k + 1)).count()
+    assert(more < members.size.toLong,
+      "probing beyond the build k should demonstrably lose members on this fixture")
+  }
+
   test("d11 (bloom prefilter + exact verify) == d7 (inverted join), row for row") {
     val d7 = Registry.byName("d7_decontaminate").fn(spark, sf).collect().toSeq
     val d11 = Registry.byName("d11_decontaminate_bloom").fn(spark, sf).collect().toSeq
