@@ -353,12 +353,12 @@ object ExtensionQueries {
     // ------------------------------------------------------------- dedup ops
     Q(
       "d1_dedup_exact",
-      "Exact dedup: keep-first per identical text, survivors per lang. The window partitions on md5(text), never the raw document (x1's discipline): the exchange and every sort comparison carry a 32-char hash, not the document body — per-hash partitions are duplicate families, so the window state is tiny",
+      "Exact dedup: keep-first per identical text, survivors per lang. The window partitions on sha2(text, 256), never the raw document (x1's discipline): the exchange and every sort comparison carry a 64-char hash, not the document body — per-hash partitions are duplicate families, so the window state is tiny. sha2-256 (not md5) because the oracle partitions on RAW text: a crawl-facing dedup must not let an adversarially constructible md5 collision merge two distinct documents into one family",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy("h").orderBy("doc_id")
         documents(s, d)
-          .withColumn("h", md5(col("text")))
+          .withColumn("h", sha2(col("text"), 256))
           .withColumn("rn", row_number().over(w))
           .where(col("rn") === 1)
           .groupBy("lang")
@@ -904,7 +904,7 @@ object ExtensionQueries {
     ),
     Q(
       "n5_ann_recall",
-      "ANN recall evaluation — the tuning loop the approximate family needs: recall@3 of the sign-LSH path (n2's exact plan) against brute-force ground truth (n1's exact plan) per query. At 100 TB this is how banding width / nprobe get chosen: ground truth costs ONE broadcast-queries x corpus pass over a query SAMPLE (never corpus x corpus), the approximate path runs as deployed, and the per-query hit overlap is an equi-join on (qid, id). Integer hits + k columns; recall is the one division both engines perform identically on {0..3}/3",
+      "ANN recall evaluation — the tuning loop the approximate family needs: recall@3 of the sign-LSH path (n2's exact plan) against brute-force ground truth (n1's exact plan) per query. At 100 TB this is how banding width / nprobe get chosen: ground truth costs ONE broadcast-queries x corpus pass over a query SAMPLE (never corpus x corpus), the approximate path runs as deployed, and the per-query hit overlap is an equi-join on (qid, id). Integer hits + k columns; recall is the one division both engines perform identically on {0..3}/3. The deployed path's maxBucket=1000 stop-bucket cap is mirrored in the oracle (HAVING COUNT(*) <= 1000 on corpus band buckets) so the parity holds at any SF where a 4-bit band bucket saturates",
       (s, d) => {
         val prepared = graft.ext.Similarity.prepare(embeddings(s, d), "vec_id", "embedding")
         val queries = prepared.where(col("id") < 10)
@@ -947,9 +947,12 @@ object ExtensionQueries {
           |  UNION ALL SELECT vec_id, 1, band1 FROM sig
           |  UNION ALL SELECT vec_id, 2, band2 FROM sig
           |  UNION ALL SELECT vec_id, 3, band3 FROM sig),
+          |capped AS (
+          |  SELECT band, bkey FROM bands GROUP BY band, bkey HAVING COUNT(*) <= 1000),
           |cands AS (
           |  SELECT DISTINCT qb.vec_id AS qid, c.vec_id AS vec_id FROM bands qb
-          |  JOIN bands c ON qb.band = c.band AND qb.bkey = c.bkey AND qb.vec_id < 10 AND c.vec_id <> qb.vec_id),
+          |  JOIN bands c ON qb.band = c.band AND qb.bkey = c.bkey AND qb.vec_id < 10 AND c.vec_id <> qb.vec_id
+          |  JOIN capped ON c.band = capped.band AND c.bkey = capped.bkey),
           |lsh AS (
           |  SELECT qid, vec_id FROM (
           |    SELECT qid, c.vec_id AS vec_id,
@@ -1837,12 +1840,13 @@ object ExtensionQueries {
     ),
     Q(
       "m2_frame_sample",
-      "Video frame sampling as a generator transform (UDTF shape, Multimodal.sampleFrames): per-row duration -> one output row per 1.5 s frame index, zero-duration stills explode to zero rows (the sequence guard), per-lang frame counts + last frame offset. The every-Nth-frame extract step of a video training pipeline; a generator never materializes per-media frame lists driver-side. Durations here are synthetic expressions because the fixture documents carry no media bytes; a real audio/video table routes through Multimodal.withParsedDurations (header-only RIFF/WAVE container parse, MultimodalSpec-pinned) before this same generator",
+      "Video frame sampling as a generator transform (UDTF shape, Multimodal.sampleFrames): per-row duration -> one output row per 1.5 s frame index, zero-duration stills explode to zero rows (the sequence guard), per-lang frame counts + last frame offset. The every-Nth-frame extract step of a video training pipeline; a generator never materializes per-media frame lists driver-side. This IS the production plan: the media table routes through Multimodal.withParsedDurations (header-only RIFF/WAVE + ISO-BMFF container parse, coalesce(parsed, declared) semantics, MultimodalSpec-pinned on real WAV/MP4 bytes) before the generator — a no-op on the fixture's media-less payloads, where the declared synthetic durations survive the parse attempt, so the oracle gates the same plan a real audio/video table runs",
       (s, d) => {
         val media = graft.ext.Multimodal.asMedia(
           documents(s, d), "doc_id", "text",
           durationMs = expr("CASE WHEN doc_id % 7 = 0 THEN 0 ELSE n_chars * 40 END"))
-        graft.ext.Multimodal.sampleFrames(media, everyMs = 1500)
+        graft.ext.Multimodal.sampleFrames(
+          graft.ext.Multimodal.withParsedDurations(media), everyMs = 1500)
           .join(
             documents(s, d).select(col("doc_id").as("media_id"), col("lang")),
             Seq("media_id"))

@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 
 /** Broadcast Bloom filter for membership prefilters — the 100 TB shape for
   * "is this corpus item in the (small) reference set?" checks such as
-  * benchmark decontamination (reference `decontaminate/check_ngrams.py`
-  * inverted-join shape, here made scan-local).
+  * benchmark decontamination (the scan-local sibling of d7's inverted
+  * 13-gram join, SURVEY.md §7.5 — the reference pipeline has no
+  * decontamination stage; this is training-data-pipeline surface).
   *
   * Why this exists: the exact inverted-join form (d7) shuffles EVERY corpus
   * n-gram to co-locate it with the benchmark grams — at 100 TB that shuffle

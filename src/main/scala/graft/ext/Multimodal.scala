@@ -367,10 +367,10 @@ object Multimodal {
     * (the [[asMedia]] default or a caller column) — the PERMISSIVE posture
     * of the decode legs.
     *
-    * The registered m2 query does NOT route through this: the fixture
-    * `documents` table carries no media bytes, so its durations stay
-    * synthetic by construction — the MultimodalSpec e2e pins this path over
-    * real WAV and MP4 bytes instead.
+    * The registered m2 query routes through this (so its oracle gates the
+    * production plan): on the fixture's media-less payloads every parse
+    * attempt misses and the declared durations survive unchanged — the
+    * MultimodalSpec e2e pins the parse itself over real WAV and MP4 bytes.
     */
   def withParsedDurations(media: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(StructType(mediaSchema.fields.toSeq))

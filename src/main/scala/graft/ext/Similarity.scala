@@ -311,10 +311,22 @@ object Similarity {
     * capping cell width), never corpus-global; assignment is a broadcast
     * projection; the only shuffles are the dominance self-join on `cell`
     * (and, on the trained path, k-means' own sampled fit).
+    *
+    * `maxCellWidth` guards the self-join against a degenerate embedding
+    * distribution (or bad centroids) collapsing the corpus into one cell and
+    * silently re-creating the O(n^2) join cell-blocking exists to avoid.
+    * Unlike the LSH family's [[capBuckets]] (where dropping a
+    * non-discriminative bucket only trades recall), skipping an oversized
+    * CELL here would silently leave its members UN-deduplicated — so the
+    * guard fails loudly instead: the fix is a larger `k` (more, narrower
+    * cells) or retrained centroids, and the operator must choose it. The
+    * check is one narrow (cell, count) aggregate over the assignment —
+    * cheap, and it pre-materializes the checkpoint the join reads anyway.
     */
   def semDedup(vectors: DataFrame, k: Int, threshold: Double,
       centroids: Option[DataFrame] = None, assignVec: String = "v",
-      seed: Long = 42L, trainFraction: Double = 1.0): DataFrame = {
+      seed: Long = 42L, trainFraction: Double = 1.0,
+      maxCellWidth: Int = 1 << 20): DataFrame = {
     val spark = vectors.sparkSession
     GraftFunctions.register(spark)
     val assigned = centroids match {
@@ -333,6 +345,14 @@ object Similarity {
     // assignment (and on the trained path the k-means transform) runs once
     val a = assigned.select(col("id"), col("cell"), col("v"), col("nrm"))
       .localCheckpoint(eager = false)
+    val hot = a.groupBy("cell").agg(count(lit(1)).as("__w"))
+      .where(col("__w") > maxCellWidth).limit(1).collect()
+    hot.headOption.foreach { r =>
+      throw new IllegalStateException(
+        s"semDedup: cell ${r.get(0)} holds ${r.getLong(1)} members (> maxCellWidth " +
+          s"$maxCellWidth) — the dominance self-join would go quadratic. Raise k " +
+          "(narrower cells), retrain centroids, or raise maxCellWidth deliberately.")
+    }
     val dropped = a.as("a")
       .join(a.as("b"), expr(
         s"a.cell = b.cell AND b.id < a.id AND " +

@@ -31,13 +31,19 @@ object GraphOps {
     * vertices don't appear (an edge list has no singletons); union the full
     * vertex set afterwards if singleton components matter.
     *
-    * Hybrid execution: at or below `driverThreshold` distinct directed edges
-    * the component structure fits trivially in driver memory, and a
+    * Hybrid execution: small graphs fit trivially in driver memory, and a
     * union-find there costs one collect instead of 3 jobs x diameter rounds
     * of fixed scheduling overhead (measured: the distributed loop spent
-    * ~2.5s of pure job latency on an 8-edge fixture). Above the threshold —
-    * the 100 TB regime — the distributed min-label loop runs; both paths
-    * produce identical labels (spec-pinned).
+    * ~2.5s of pure job latency on an 8-edge fixture). The gate is LAZY — a
+    * short-circuiting `limit(driverThreshold/2 + 1).count()` over the RAW
+    * edge list (<= driverThreshold/2 raw rows bounds the distinct
+    * undirected list at driverThreshold), never a full count of the
+    * distinct-union: the eager `und.count()` it replaces ran a whole extra
+    * shuffle job per clustering call just to decide the route (the
+    * round-6 -> round-5 d6/d8 bench regression). A duplicate-heavy edge
+    * list above the raw bound takes the distributed path even when its
+    * distinct form is small — a conservative miss, never a wrong result;
+    * both paths produce identical labels (spec-pinned).
     */
   def connectedComponents(
       edges: DataFrame,
@@ -50,7 +56,8 @@ object GraphOps {
       .distinct()
       .localCheckpoint(eager = false)
 
-    if (und.count() <= driverThreshold) return unionFindOnDriver(und)
+    val rawBound = math.min(driverThreshold / 2 + 1, Int.MaxValue.toLong)
+    if (edges.limit(rawBound.toInt).count() < rawBound) return unionFindOnDriver(und)
 
     // A localCheckpointed Dataset's plan is a LogicalRDD wrapping exactly the
     // persisted RDD — extract it so each round can unpersist the previous

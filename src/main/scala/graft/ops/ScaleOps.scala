@@ -410,20 +410,57 @@ object ScaleOps {
     * smallest — `row_number <= quota` semantics with bounded state.
     *
     * `quotas` is a small `(groupCol, quota: int)` relation (one row per
-    * group; it is broadcast). `maxQuota` must bound every quota value — it
-    * sizes the Aggregator buffer and is a plan-construction constant.
+    * group; it is broadcast). `maxQuota` must bound every quota value.
     * Groups absent from `quotas` are dropped; a non-positive quota keeps
     * nothing. Rank keys MUST be unique within a group (append a unique id to
     * break ties) — the threshold filter keeps exactly the quota smallest
     * only when no two rows share a key.
     *
-    * Scale: one narrow (group, key) aggregation with <= maxQuota keys per
-    * group per partition shipped, a broadcast of one threshold row per
-    * group, and a filtered re-scan — the corpus is never sorted.
+    * TWO EXECUTION PATHS, one semantics, routed on `maxQuota`:
+    *
+    *  - `maxQuota <= descentThreshold` (caps, per-domain limits, fixture
+    *    mixes — quotas in the tens to tens of thousands): `maxQuota` sizes a
+    *    [[BottomK]] Aggregator buffer. One narrow (group, key) aggregation
+    *    ships <= maxQuota keys per group per partition, the quota-th
+    *    smallest key per group broadcasts as a threshold, and a filtered
+    *    re-scan keeps the winners — the corpus is never sorted. A quota
+    *    above `maxQuota` on this path fails loudly (the clipped buffer
+    *    would silently keep everything).
+    *
+    *  - `maxQuota > descentThreshold` (real temperature mixes, where the
+    *    majority-group quota is ~corpus-sized): buffering maxQuota keys per
+    *    group per partition is itself the straggler, so the call routes
+    *    through [[tokenBudgetSampleByGroup]]'s iterative prefix descent with
+    *    unit weights — O(groups x buckets) executor state and O(log n)
+    *    passes at ANY quota. Requires the descent's stricter key contract:
+    *    fixed-width ASCII rank keys (md5 hex + zero-padded ids qualify).
+    *
+    * Choosing `maxQuota`: it is the declared bound on quota values, so pass
+    * the real bound — the routing picks the right engine. The default
+    * `descentThreshold` (64k) keeps per-partition buffers a few MB; lower it
+    * only to force the descent path (tests), raise it only with executor
+    * memory to spare.
     */
   def quotaSampleByGroup(df: DataFrame, groupCol: String, rankKey: Column,
-      quotas: DataFrame, maxQuota: Int): DataFrame = {
+      quotas: DataFrame, maxQuota: Int, descentThreshold: Int = 65536): DataFrame = {
     require(maxQuota > 0, "maxQuota must be positive")
+    if (maxQuota > descentThreshold) {
+      // corpus-sized quotas: BottomK buffers would be the bottleneck — the
+      // prefix descent holds O(groups x buckets) state at any quota. Unit
+      // weights make "cumulative weight reaches budget" = "row_number <=
+      // quota" exactly (the crossing row is the quota-th smallest key).
+      // Keep the bound contract uniform across paths: quotas beyond the
+      // declared maxQuota fail loudly here too (driver-side check on the
+      // tiny per-group quota relation).
+      val over = quotas.where(col("quota") > maxQuota).limit(1).collect()
+      require(over.isEmpty,
+        s"quotaSampleByGroup: quota ${over.headOption.map(_.toString).getOrElse("")} " +
+          s"exceeds declared maxQuota $maxQuota")
+      return tokenBudgetSampleByGroup(
+        df.withColumn("__qs_w", lit(1L)), groupCol, rankKey, "__qs_w",
+        quotas.select(col(groupCol), col("quota").cast("long").as("budget")))
+        .drop("__qs_w")
+    }
     val spark = df.sparkSession
     import spark.implicits._
     // internal names are __qs_-prefixed so a caller's own `g`/`quota`/`ks`
@@ -481,9 +518,13 @@ object ScaleOps {
     * O(groups x buckets) throughout — the [[exactQuantiles]] discipline
     * applied to weighted rank selection.
     *
-    * Requirements: rank keys unique within a group, ASCII (driver-side
-    * lexicographic walk must match Spark's binary string ordering — md5
-    * hex + zero-padded ids qualify), weights non-negative.
+    * Requirements: rank keys unique within a group, FIXED-WIDTH ASCII —
+    * fixed-width because the descent refines one shared prefix length per
+    * candidate range (variable-width keys would desynchronize the prefix
+    * bucketing), ASCII because the driver-side lexicographic walk must
+    * match Spark's binary string ordering. md5 hex + zero-padded ids
+    * qualify; raw document ids of varying length do not.
+    * Weights non-negative.
     */
   def tokenBudgetSampleByGroup(df: DataFrame, groupCol: String, rankKey: Column,
       weightCol: String, budgets: DataFrame, step: Int = 2,
@@ -568,7 +609,12 @@ object ScaleOps {
           gs.foreach { g =>
             val b = budgetOf(g)
             var acc = big(g)._2
-            val sorted = buckets(g)
+            // a group whose candidate prefix suddenly matches no rows means
+            // the key contract was broken (variable-width or non-ASCII rank
+            // keys) — name the cause instead of a bare NoSuchElementException
+            val sorted = buckets.getOrElse(g, throw new IllegalStateException(
+              s"token-budget descent lost group $g at prefix '${big(g)._1}' — " +
+                "rank keys must be fixed-width ASCII (see scaladoc)"))
               .map(r => (r.getString(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
             var hit: Option[(String, Long)] = None
             val it = sorted.iterator
@@ -612,9 +658,11 @@ object ScaleOps {
     * `transform` (default identity) rewrites the table body before the
     * compaction — e.g. dropping a replay-key partition column when folding
     * a streaming store ([[graft.ext.Pq.consolidateIndex]]). It MUST be
-    * row-count-preserving: the row-count validation runs on the transformed
-    * frame, so a dropping transform would validate against its own output
-    * and silently lose data.
+    * row-count-preserving, and that is ENFORCED, not trusted: the row-count
+    * validation compares the rewritten table against the PRE-transform
+    * count, so a transform that drops (or fabricates) rows aborts the swap
+    * with the original untouched instead of validating against its own
+    * output and silently losing data.
     *
     * SINGLE-WRITER, NO CONCURRENT READERS: the publish swap has an
     * unavoidable window between `rename(root, bak)` and `rename(tmp, root)`
@@ -663,8 +711,12 @@ object ScaleOps {
     val totalBytes = before.map(_.getLen).sum
     val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
 
-    val df = transform(spark.read.parquet(path))
-    val expected = df.count()
+    // expected = the RAW table's count, taken before `transform` runs — the
+    // validation must not be self-referential (a dropping transform counted
+    // on its own output would always "pass")
+    val raw = spark.read.parquet(path)
+    val expected = raw.count()
+    val df = transform(raw)
     val writer =
       (if (partitionBy.nonEmpty) {
         // Honor the size target INSIDE each partition directory too: hashing
@@ -688,7 +740,9 @@ object ScaleOps {
     if (got != expected) {
       fs.delete(tmp, true)
       throw new java.io.IOException(
-        s"compactParquet: rewrite of $path has $got rows, expected $expected — aborted, original untouched")
+        s"compactParquet: rewrite of $path has $got rows, expected $expected " +
+          "(either the rewrite lost rows or the caller's transform is not " +
+          "row-count-preserving) — aborted, original untouched")
     }
     if (!fs.rename(root, bak))
       throw new java.io.IOException(s"compactParquet: rename $path aside failed")

@@ -32,7 +32,15 @@ object PlanProbe {
         val q = graft.analytics.Registry.byName(n).fn(spark, dir)
         q.collect() // executed (not just planned): AQE finalizes the shapes
         val p = q.queryExecution.executedPlan.toString
-        val counts = Nodes.map(j => s"$j=${p.sliding(j.length).count(_ == j)}")
+        // word-boundary match, not raw substring: "Exchange" must not also
+        // count "BroadcastExchange" (SCALE.md cites these as SHUFFLE counts)
+        val counts = Nodes.map { j =>
+          val m = java.util.regex.Pattern
+            .compile("(?<![A-Za-z])" + java.util.regex.Pattern.quote(j)).matcher(p)
+          var c = 0
+          while (m.find()) c += 1
+          s"$j=$c"
+        }
         println(s"PLANPROBE $n: ${counts.mkString(" ")}")
       }
     } finally spark.stop()

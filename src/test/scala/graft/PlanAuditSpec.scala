@@ -138,12 +138,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial_"), s"map-side combine expected:\n${plan.take(2000)}")
   }
 
-  test("d1: the keep-first window keys on md5(text), not the raw document") {
-    // the exchange/sort key must be the 32-char hash — shuffling full
-    // document bodies as sort keys multiplies exchange volume by doc size
+  test("d1: the keep-first window keys on sha2(text), not the raw document") {
+    // the exchange/sort key must be the 64-char hash — shuffling full
+    // document bodies as sort keys multiplies exchange volume by doc size.
+    // sha2-256, not md5: the oracle partitions on raw text, so the hash must
+    // be collision-resistant for the legs to agree on adversarial corpora.
     val df = Registry.byName("d1_dedup_exact").fn(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("md5"), s"hash partition key expected:\n${plan.take(3000)}")
+    assert(plan.contains("sha2"), s"hash partition key expected:\n${plan.take(3000)}")
     assert(!plan.matches("(?s).*hashpartitioning\\(text.*"),
       s"raw text must not be the exchange key:\n${plan.take(3000)}")
   }

@@ -170,6 +170,52 @@ class ScaleOpsSpec extends SparkSpec {
       s"clipped BottomK buffer must not masquerade as a small group: $messages")
   }
 
+  test("quotaSampleByGroup routes corpus-sized quotas through the prefix descent, same selection") {
+    import spark.implicits._
+    // A real temperature mix's majority-language quota is ~corpus-sized —
+    // buffering maxQuota keys per group per partition (the BottomK path)
+    // would itself be the straggler. Forcing descentThreshold below maxQuota
+    // sends the call down tokenBudgetSampleByGroup's prefix descent with
+    // unit weights; selection must be identical to the BottomK path.
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 500).map { i =>
+      // fixed-width ASCII keys: the descent's key contract
+      (i.toLong, s"g${rnd.nextInt(3)}", f"${rnd.nextLong().abs % 100000000}%08x-$i%04d")
+    }
+    val df = rows.toDF("id", "g", "key")
+    val quotas = Seq(("g0", 120), ("g1", 7), ("g2", 1000)).toDF("g", "quota")
+    val viaBottomK = graft.ops.ScaleOps
+      .quotaSampleByGroup(df, "g", col("key"), quotas, maxQuota = 1000)
+      .collect().map(_.getAs[Long]("id")).toSet
+    val viaDescent = graft.ops.ScaleOps
+      .quotaSampleByGroup(df, "g", col("key"), quotas, maxQuota = 1000, descentThreshold = 16)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(viaDescent == viaBottomK,
+      "descent routing must select exactly the BottomK path's rows")
+    // over-budget group kept exactly quota rows; under-budget group keeps all
+    val byG = rows.groupBy(_._2)
+    assert(viaDescent.count(id => byG("g0").exists(_._1 == id)) == 120)
+    assert(byG("g2").map(_._1).toSet.subsetOf(viaDescent))
+    // helper columns must not leak through the routed path either
+    val out = graft.ops.ScaleOps
+      .quotaSampleByGroup(df, "g", col("key"), quotas, maxQuota = 1000, descentThreshold = 16)
+    assert(out.columns.toSeq == Seq("id", "g", "key"),
+      s"helper columns leaked: ${out.columns.toSeq}")
+  }
+
+  test("quotaSampleByGroup descent route still enforces the declared maxQuota bound") {
+    import spark.implicits._
+    val df = (0 until 30).map(i => (i.toLong, "g0", f"k$i%03d")).toDF("id", "g", "key")
+    val quotas = Seq(("g0", 500)).toDF("g", "quota")
+    val e = intercept[Exception] {
+      graft.ops.ScaleOps
+        .quotaSampleByGroup(df, "g", col("key"), quotas, maxQuota = 100, descentThreshold = 8)
+        .collect()
+    }
+    assert(Option(e.getMessage).getOrElse("").contains("exceeds declared maxQuota"),
+      s"descent route must keep the bound contract: ${e.getMessage}")
+  }
+
   test("tokenBudgetSampleByGroup == running-sum semantics (crossing row kept, edges exact)") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
@@ -220,6 +266,24 @@ class ScaleOpsSpec extends SparkSpec {
     assert(nb >= 40 && na <= 2, s"compaction must shrink the file count: $nb -> $na")
     val after = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
     assert(after == before, "compaction must not change table content")
+  }
+
+  test("compactParquet rejects a row-dropping transform (validates against the pre-transform count)") {
+    import spark.implicits._
+    val dir = tmpDir("compactt") + "/t"
+    val df = (1 to 300).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    df.repartition(6).write.parquet(dir)
+    val before = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+    // a filtering transform violates the row-count-preserving contract; the
+    // validation must compare against the RAW count (counting the transformed
+    // frame would be self-referential and always pass)
+    val e = intercept[java.io.IOException] {
+      ScaleOps.compactParquet(spark, dir, targetFileBytes = 1L << 30,
+        transform = _.where(col("k") > 100))
+    }
+    assert(e.getMessage.contains("expected 300"), s"raw-count validation expected: ${e.getMessage}")
+    assert(spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq == before,
+      "aborted compaction must leave the original untouched")
   }
 
   test("compactParquet recovers a crash between the publish renames (live dir missing)") {

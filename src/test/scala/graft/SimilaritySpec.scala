@@ -301,6 +301,29 @@ class SimilaritySpec extends SparkSpec {
     assert(out(3L) == ((0, false)), "within-cell later near-dup must drop")
   }
 
+  test("semDedup refuses a degenerate one-cell corpus instead of going quadratic") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // every vector lands in cell 0 (the centroid layout guarantees it) —
+    // the dominance self-join over that cell would be O(n^2). Unlike
+    // capBuckets (a recall trade), skipping the cell would silently leave
+    // it UN-deduplicated, so the guard must fail loudly and name the fix.
+    val vs = (0 until 40).map(i => (i.toLong, Seq(1.0, 0.001 * i)))
+      .toDF("id", "v")
+      .selectExpr("id", "v", "sqrt(array_dot(v, v)) AS nrm")
+    val cents = Seq((0, Seq(1.0, 0.0)), (1, Seq(-1.0, 0.0))).toDF("cell", "cv")
+    val e = intercept[IllegalStateException] {
+      Similarity.semDedup(vs, k = 2, threshold = 0.95, centroids = Some(cents),
+        maxCellWidth = 10)
+    }
+    assert(e.getMessage.contains("maxCellWidth") && e.getMessage.contains("Raise k"),
+      s"guard must name the cause and the fix: ${e.getMessage}")
+    // a healthy distribution under the same cap is untouched
+    val ok = Similarity.semDedup(vs, k = 2, threshold = 0.95, centroids = Some(cents),
+      maxCellWidth = 64)
+    assert(ok.count() == 40)
+  }
+
   test("semDedup trained path fits k-means once; the earliest member of every cell survives") {
     val before = Similarity.kmeansFits.get()
     val res = Similarity.semDedup(prepared, k = 4, threshold = 0.99).collect()
