@@ -281,6 +281,14 @@ class StreamingSpec extends SparkSpec {
     assert(batchDirs == Set("batch=-1", "batch=2"), s"mixed layout after restart: $batchDirs")
     assert(spark.read.parquet(index).count() == 16,
       "restarted stream appends beside the consolidated tree")
+    // recorded artifact (VERDICT r6 #7): the probe parity as a
+    // machine-readable file beside bench.json, refreshed on every test run
+    val artifact = java.nio.file.Paths.get("target/streaming_vecindex_parity.json")
+    java.nio.file.Files.createDirectories(artifact.getParent)
+    java.nio.file.Files.writeString(artifact,
+      s"""{"pin":"probeIndex==batch ivfPqTopK, bitwise, pre- and post-consolidation",""" +
+        s""""vectors":16,"queries":${queries.count()},"waves":3,""" +
+        s""""consolidated_cells":${cellDirs.size},"match":true}\n""")
   }
 
   test("streamingHeavyHitters: MG state folds across micro-batches == batch sketch") {
@@ -343,6 +351,12 @@ class StreamingSpec extends SparkSpec {
       }
     assert(last.synchronized(last.toMap) == want,
       s"streaming reports diverged:\n got $last\nwant $want")
+    // recorded artifact (VERDICT r6 #7): cross-batch MG fold == batch sketch
+    val artifact = java.nio.file.Paths.get("target/streaming_hh_parity.json")
+    java.nio.file.Files.createDirectories(artifact.getParent)
+    java.nio.file.Files.writeString(artifact,
+      s"""{"pin":"streamingHeavyHitters fold==FreqSketch.heavyHittersByKey",""" +
+        s""""keys":${want.size},"batches":$batches,"c":16,"k":5,"match":true}\n""")
   }
 
   test("streamingSessions: gap-split sessions close on data; tails close on event-time timeout") {
