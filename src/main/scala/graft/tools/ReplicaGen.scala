@@ -29,9 +29,12 @@ import org.apache.spark.sql.functions._
   *    quadratically inflating bucket pairs: an artifact of the synthetic
   *    data, not a property of the engine.)
   *
-  * Usage: ReplicaGen <sfDir> <outDir> <docFactor> <vecFactor>. Also copies
-  * `lineitem.parquet` verbatim so `graft.Bench`'s warmup works against the
-  * replica dir.
+  * Usage: ReplicaGen <sfDir> <outDir> <docFactor> <vecFactor>. Every other
+  * `*.parquet` table in `sfDir` is copied VERBATIM so the full 91-query
+  * battery runs against the replica dir: the document/embedding axis is the
+  * scaling probe (it feeds the dedup/ANN/text families, the battery's heavy
+  * tail); the relational decades are already measured across the
+  * driver-generated SFs themselves.
   */
 object ReplicaGen {
 
@@ -94,10 +97,15 @@ object ReplicaGen {
       .repartition(8)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/lineitem.parquet"),
-      java.nio.file.Paths.get(s"$outDir/lineitem.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val src = java.nio.file.Paths.get(sfDir)
+    java.nio.file.Files.list(src).forEach { p =>
+      val name = p.getFileName.toString
+      if (name.endsWith(".parquet") &&
+          name != "documents.parquet" && name != "embeddings.parquet")
+        java.nio.file.Files.copy(p,
+          java.nio.file.Paths.get(s"$outDir/$name"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
     spark.stop()
   }
 }
