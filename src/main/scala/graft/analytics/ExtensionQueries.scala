@@ -223,7 +223,40 @@ object ExtensionQueries {
   // widen to DOUBLE, and block sums parenthesize to match the Scala
   // accumulation order exactly.
   private val n4Nprobe = 2
-  private lazy val n4OracleSql: String = {
+  private lazy val n4OracleSql: String =
+    n4CtePrefix +
+      "\nSELECT qid, rank, vec_id, adc FROM ranked WHERE rank <= 5 ORDER BY qid, rank"
+
+  /** n6's oracle: the n4 CTEs verbatim (the approx leg IS the deployed n4
+    * plan), plus exact squared-L2 ground truth on the same 16-dim slice
+    * (2·q·v − v·v ranks identically to −|q−v|²; the dot is the n3-style
+    * list_reduce mirror of `array_dot`, identical DOUBLE accumulation
+    * order), and the per-query overlap — integer hits, one division.
+    */
+  private lazy val n6OracleSql: String = {
+    val dot = (a: String, b: String) =>
+      s"list_reduce(list_transform(list_zip($a, $b), p -> p[1] * p[2]), (acc, x) -> acc + x)"
+    n4CtePrefix + s""",
+       |approx AS (SELECT qid, vec_id FROM ranked WHERE rank <= 5),
+       |ev AS (SELECT vec_id, CAST(embedding[1:$pqDim] AS DOUBLE[]) AS dv FROM embeddings),
+       |qd AS (SELECT vec_id AS qid, dv AS qv FROM ev WHERE vec_id < 10),
+       |gt AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, s.vec_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY
+       |        2 * ${dot("qv", "s.dv")} - ${dot("s.dv", "s.dv")} DESC,
+       |        s.vec_id) AS rank
+       |    FROM qd JOIN ev s ON s.vec_id <> qid)
+       |  WHERE rank <= 5),
+       |h AS (SELECT gt.qid, COUNT(*) AS hits FROM gt JOIN approx USING (qid, vec_id) GROUP BY gt.qid)
+       |SELECT q2.qid AS qid, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       |  CAST(5 AS BIGINT) AS k,
+       |  CAST(COALESCE(h.hits, 0) AS DOUBLE) / 5.0 AS recall
+       |FROM qd q2 LEFT JOIN h ON q2.qid = h.qid
+       |ORDER BY qid""".stripMargin
+  }
+
+  private lazy val n4CtePrefix: String = {
     val centsLit = "[" + sdCent.map(c => "[" + c.map(pqLit).mkString(", ") + "]").mkString(",\n    ") + "]"
     val cbLit = "[" + pqModel.codebooks.map(cb =>
       "[" + cb.map(cent => "[" + cent.map(pqLit).mkString(", ") + "]").mkString(", ") + "]").mkString(",\n    ") + "]"
@@ -269,8 +302,7 @@ object ExtensionQueries {
        |ranked AS (
        |  SELECT qid, vec_id, adc,
        |    row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) AS rank
-       |  FROM scored)
-       |SELECT qid, rank, vec_id, adc FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+       |  FROM scored)""".stripMargin
   }
 
   // ---- SemDeDup fixed coarse centroids (d9_semdedup) -----------------------
@@ -754,6 +786,44 @@ object ExtensionQueries {
              |FROM k GROUP BY lang ORDER BY lang""".stripMargin)
     ),
     Q(
+      "d13_paragraph_dedup",
+      "Paragraph-level exact dedup (the C4/RefinedWeb line-dedup discipline, a granularity between d1's whole-document and d12's 5-gram spans): docs segment into consecutive 10-token windows (the fixture's paragraph analog — real corpora split on newline), every segment whose text was seen earlier anywhere in the corpus (global first occurrence by (doc_id, idx)) counts as removed boilerplate; per-lang segment/token removal stats. 100 TB shape: the exchange carries (sha2-256 hash, ids, token count), never segment text; first-occurrence selection is a partial-aggregating min(struct) — no Window anywhere; the hash join is SHUFFLE_HASH on the fine-grained hash key (broadcasting a corpus-sized winner set would be the bug). sha2, not md5, for d1's collision posture",
+      (s, d) => {
+        val segs = documents(s, d)
+          .selectExpr("doc_id", "lang", "split(text, ' ') AS t")
+          .selectExpr("doc_id", "lang",
+            "posexplode(transform(sequence(0, CAST(ceil(size(t) / 10.0) AS INT) - 1), " +
+              "i -> slice(t, i * 10 + 1, 10))) AS (idx, seg)")
+          .selectExpr("doc_id", "lang", "idx",
+            "sha2(concat_ws(' ', seg), 256) AS h", "CAST(size(seg) AS BIGINT) AS ntoks")
+        val winners = segs.groupBy("h")
+          .agg(min(struct(col("doc_id"), col("idx"))).as("w"))
+        segs.join(winners.hint("SHUFFLE_HASH"), Seq("h"))
+          .withColumn("dup",
+            col("doc_id") =!= col("w.doc_id") || col("idx") =!= col("w.idx"))
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("segments"),
+            sum(when(col("dup"), 1).otherwise(0)).cast("long").as("dup_segments"),
+            sum(when(col("dup"), col("ntoks")).otherwise(0L)).cast("long").as("tokens_removed"),
+            countDistinct(when(col("dup"), col("doc_id"))).cast("long").as("docs_affected"))
+          .orderBy("lang")
+      },
+      Some("""WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+             |sg AS (SELECT doc_id, lang, t,
+             |  unnest(generate_series(0, CAST(ceil(len(t) / 10.0) AS BIGINT) - 1)) AS idx FROM tok),
+             |segs AS (SELECT doc_id, lang, idx,
+             |  array_to_string(t[(idx * 10 + 1):(idx * 10 + 10)], ' ') AS seg,
+             |  len(t[(idx * 10 + 1):(idx * 10 + 10)]) AS ntoks FROM sg),
+             |k AS (SELECT lang, doc_id, idx, ntoks,
+             |  row_number() OVER (PARTITION BY seg ORDER BY doc_id, idx) AS rn FROM segs)
+             |SELECT lang, COUNT(*) AS segments,
+             |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_segments,
+             |  CAST(SUM(CASE WHEN rn > 1 THEN ntoks ELSE 0 END) AS BIGINT) AS tokens_removed,
+             |  CAST(COUNT(DISTINCT CASE WHEN rn > 1 THEN doc_id END) AS BIGINT) AS docs_affected
+             |FROM k GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
+    Q(
       "d9_semdedup",
       "SemDeDup-style semantic dedup: coarse-quantize embeddings to k cells (argmin over fixed centroids — the oracle-shareable stand-in for per-corpus k-means), then within each cell apply the ONE-PASS dominance rule: drop any member with an earlier (lower-id) cell-mate at cosine>=0.35. Deliberately join-shaped rather than the sequential greedy scan (which is order-iterative and not SQL/one-shuffle expressible); on a transitive chain a~b~c it may also drop c where sequential greedy would keep it — a conservative over-drop, never an under-drop. The cell is the blocking key: pair generation is cluster-bounded (k grows with corpus size in the real deployment, capping cell width), never corpus-global. Per cell: members, kept, dropped",
       (s, d) => {
@@ -967,6 +1037,38 @@ object ExtensionQueries {
           |  CAST(COALESCE(h.hits, 0) AS DOUBLE) / 3.0 AS recall
           |FROM q LEFT JOIN h ON q.qid = h.qid
           |ORDER BY qid""".stripMargin)
+    ),
+    Q(
+      "n6_ann_ivfpq_recall",
+      "IVFPQ recall evaluation — recall@5 of the DEPLOYED n4 index plan (fixed coarse cells, residual PQ codes, nprobe=2, ADC ranking) against exact squared-L2 ground truth on the same 16-dim slice, per query: the FAISS-style quality gate a quantized index must pass before its parameters (nlist/nprobe/m) are trusted, completing the tuning loop n5 opened for the LSH path. Ground truth is one broadcast-queries x corpus pass ranking by 2*q.v - v.v (monotone in L2 distance, array_dot both sides) into a k-bounded TopK; the approximate leg is n4's production plan unchanged; the overlap is an equi-join on (qid, id). At 100 TB the ground-truth pass runs over a query SAMPLE — integer hits + one division both engines perform identically on {0..5}/5",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = embeddings(s, d).selectExpr("vec_id", s"slice(embedding, 1, $pqDim) AS v16")
+        val encoded = graft.ext.Pq.ivfPqEncode(emb, "vec_id", "v16", sdCent, pqModel)
+        val approx = graft.ext.Pq
+          .ivfPqTopK(encoded, emb.where(col("vec_id") < 10), "vec_id", "v16",
+            sdCent, pqModel, nprobe = n4Nprobe, k = 5)
+          .select(col("qid"), col("id"))
+        val dv = embeddings(s, d)
+          .selectExpr("vec_id", s"CAST(slice(embedding, 1, $pqDim) AS ARRAY<DOUBLE>) AS dv")
+        val q = dv.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("dv").as("qv"))
+        val scored = dv.join(broadcast(q), expr("vec_id <> qid"))
+          .selectExpr("qid", "vec_id AS id",
+            "2 * array_dot(qv, dv) - array_dot(dv, dv) AS score")
+        val gt = graft.ext.Similarity.topKByQuery(scored, 5).select(col("qid"), col("id"))
+        val hits = gt.join(approx, Seq("qid", "id"))
+          .groupBy("qid").agg(count(lit(1)).as("hits"))
+        q.select(col("qid"))
+          .join(hits, Seq("qid"), "left")
+          .selectExpr(
+            "qid",
+            "CAST(coalesce(hits, 0) AS BIGINT) AS hits",
+            "CAST(5 AS BIGINT) AS k",
+            "CAST(coalesce(hits, 0) AS DOUBLE) / 5.0 AS recall")
+          .orderBy("qid")
+      },
+      Some(n6OracleSql)
     ),
     Q(
       "pq_adc_topk",

@@ -179,6 +179,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"no Window allowed:\n${plan.take(3000)}")
   }
 
+  test("d13: paragraph dedup is a partial-aggregating min + shuffle-hash join, no Window") {
+    // first-occurrence selection must reduce map-side (min(struct) partial
+    // agg); the winner join stays shuffle-hash on the fine-grained hash key
+    // (broadcasting a corpus-sized winner set would be the 100 TB bug); and
+    // no per-segment Window anywhere.
+    val df = Registry.byName("d13_paragraph_dedup").fn(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"no Window allowed:\n${plan.take(3000)}")
+    assert(plan.contains("partial_"), s"map-side combine expected:\n${plan.take(3000)}")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"winner join must be shuffle-hash:\n${plan.take(3000)}")
+    assert(plan.contains("sha2"), s"hash exchange key expected:\n${plan.take(3000)}")
+  }
+
   test("d11: the bloom probe filters the corpus grams BELOW the verify join") {
     // The whole point of the bloom path: non-matching grams die scan-side,
     // so the exchange feeding the verify join carries O(hits), not
