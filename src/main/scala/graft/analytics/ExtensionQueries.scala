@@ -81,6 +81,23 @@ object ExtensionQueries {
     */
   private def verifiedNearDupPairs(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val (docs, cands) = nearDupCandidates(s, d)
+    val t = docs.select(col("doc_id"), col("lang"), col("sh"))
+    cands
+      .join(t.as("a"), col("id_a") === col("a.doc_id"))
+      .join(t.as("b"), col("id_b") === col("b.doc_id"))
+      .where(expr(s"${graft.ext.MinHash.jaccardExpr("a.sh", "b.sh")} >= 0.8"))
+      .select(col("id_a"), col("id_b"), col("a.lang").as("lang"))
+  }
+
+  /** The shared candidate stage of [[verifiedNearDupPairs]] and d14: MinHash
+    * signatures + capped 4-band LSH bucket self-join. Returns (signature
+    * table, distinct (id_a < id_b) candidate pairs) — the verifier (shingle
+    * Jaccard for d2/d6, character edit similarity for d14) is the caller's.
+    */
+  private def nearDupCandidates(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     // Materialize the signature table once: this subplan feeds four
     // consumers (two band-join sides, two verify-join sides) and without
     // a lineage cut Spark recomputes the md5 minhashes for each (observed:
@@ -117,12 +134,7 @@ object ExtensionQueries {
       .join(bands.as("y"), expr("x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
-    val t = docs.select(col("doc_id"), col("lang"), col("sh"))
-    cands
-      .join(t.as("a"), col("id_a") === col("a.doc_id"))
-      .join(t.as("b"), col("id_b") === col("b.doc_id"))
-      .where(expr(s"${graft.ext.MinHash.jaccardExpr("a.sh", "b.sh")} >= 0.8"))
-      .select(col("id_a"), col("id_b"), col("a.lang").as("lang"))
+    (docs, cands)
   }
 
   /** The d2/d6 oracle's shared CTE chain, mirroring [[verifiedNearDupPairs]]. */
@@ -824,6 +836,47 @@ object ExtensionQueries {
              |FROM k GROUP BY lang ORDER BY lang""".stripMargin)
     ),
     Q(
+      "d14_edit_dedup",
+      "Edit-similarity near-dup verification (the NearDup metric of Lee et al. deployed over the d2 LSH candidates): the band join proposes pairs, but the verifier is character edit distance, not shingle Jaccard — the metric of record when documents differ by small in-place edits that shift every k-gram. Threshold edit_sim = 1 - lev/max(len) >= 0.8 tested in EXACT integer arithmetic (5*lev <= max(len) — no division, no float in the predicate); per-lang candidate/verified counts and exact distance/length masses, with one final ratio both engines compute identically from the same two BIGINTs. 100 TB shape: the O(len^2) DP runs only on O(near-dup) candidate pairs from capped buckets, never corpus x corpus, and the pair exchange carries ids — text joins in by id. Fixture texts are ASCII, where Spark's code-unit DP and DuckDB's byte DP agree by construction",
+      (s, d) => {
+        val (_, cands) = nearDupCandidates(s, d)
+        val txt = documents(s, d).select(col("doc_id"), col("lang"), col("text"),
+          length(col("text")).as("len"))
+        val v = cands
+          .join(txt.as("a"), col("id_a") === col("a.doc_id"))
+          .join(txt.as("b"), col("id_b") === col("b.doc_id"))
+          .select(col("a.lang").as("lang"),
+            levenshtein(col("a.text"), col("b.text")).cast("long").as("lev"),
+            greatest(col("a.len"), col("b.len")).cast("long").as("mx"))
+        v.groupBy("lang")
+          .agg(
+            count(lit(1)).as("candidates"),
+            sum(when(expr("5 * lev <= mx"), 1L).otherwise(0L)).cast("long").as("verified_pairs"),
+            sum(when(expr("5 * lev <= mx"), col("lev")).otherwise(0L)).cast("long").as("edit_mass"),
+            sum(when(expr("5 * lev <= mx"), col("mx")).otherwise(0L)).cast("long").as("len_mass"))
+          .select(col("lang"), col("candidates"), col("verified_pairs"),
+            col("edit_mass"), col("len_mass"),
+            when(col("len_mass") > 0,
+              lit(1.0) - col("edit_mass").cast("double") / col("len_mass").cast("double"))
+              .otherwise(lit(1.0)).as("mean_edit_sim"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH $nearDupCtes,
+              |v AS (
+              |  SELECT a.lang AS lang, levenshtein(a.text, b.text) AS lev,
+              |    greatest(length(a.text), length(b.text)) AS mx
+              |  FROM cands JOIN sp a ON id_a = a.doc_id JOIN sp b ON id_b = b.doc_id)
+              |SELECT lang, COUNT(*) AS candidates,
+              |  CAST(SUM(CASE WHEN 5 * lev <= mx THEN 1 ELSE 0 END) AS BIGINT) AS verified_pairs,
+              |  CAST(SUM(CASE WHEN 5 * lev <= mx THEN lev ELSE 0 END) AS BIGINT) AS edit_mass,
+              |  CAST(SUM(CASE WHEN 5 * lev <= mx THEN mx ELSE 0 END) AS BIGINT) AS len_mass,
+              |  CASE WHEN SUM(CASE WHEN 5 * lev <= mx THEN mx ELSE 0 END) > 0
+              |    THEN 1.0 - CAST(SUM(CASE WHEN 5 * lev <= mx THEN lev ELSE 0 END) AS DOUBLE)
+              |             / CAST(SUM(CASE WHEN 5 * lev <= mx THEN mx ELSE 0 END) AS DOUBLE)
+              |    ELSE 1.0 END AS mean_edit_sim
+              |FROM v GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
+    Q(
       "d9_semdedup",
       "SemDeDup-style semantic dedup: coarse-quantize embeddings to k cells (argmin over fixed centroids — the oracle-shareable stand-in for per-corpus k-means), then within each cell apply the ONE-PASS dominance rule: drop any member with an earlier (lower-id) cell-mate at cosine>=0.35. Deliberately join-shaped rather than the sequential greedy scan (which is order-iterative and not SQL/one-shuffle expressible); on a transitive chain a~b~c it may also drop c where sequential greedy would keep it — a conservative over-drop, never an under-drop. The cell is the blocking key: pair generation is cluster-bounded (k grows with corpus size in the real deployment, capping cell width), never corpus-global. Per cell: members, kept, dropped",
       (s, d) => {
@@ -1069,6 +1122,45 @@ object ExtensionQueries {
           .orderBy("qid")
       },
       Some(n6OracleSql)
+    ),
+    Q(
+      "n7_knn_graph",
+      "Corpus k-nearest-neighbor graph (k=3) over sign-LSH buckets — the substrate under graph dedup, SemDeDup-style cluster pruning, and kNN label propagation. Every node is query AND corpus, so the shape matters: a corpus-sized query set must never broadcast (n2's shape would be the bug) — candidate edges come from a bucket SELF-join on the capped band table, both sides shuffling on (band, bkey); exact cosine re-ranks through the k-bounded TopK aggregator (partial agg, no Window). maxBucket=1000 mirrored in the oracle. 100 TB shape: candidate volume <= maxBucket x bands per node, the bucket exchange carries ids + 4-char keys (vectors join in by id after the edge set is distinct), per-group state is k entries",
+      (s, d) => {
+        val prepared = graft.ext.Similarity.prepare(embeddings(s, d), "vec_id", "embedding")
+        graft.ext.Similarity.knnGraph(prepared, k = 3, maxBucket = 1000)
+          .selectExpr("qid", "rank", "id AS vec_id", "score AS cos")
+          .orderBy("qid", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             |  sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), (acc, x) -> acc + x)) AS nrm
+             |  FROM embeddings),
+             |sig AS (SELECT vec_id, v, nrm,
+             |""".stripMargin +
+        (0 until 4).map(b =>
+          "  concat(" + (b * 4 until b * 4 + 4).map(i =>
+            s"(CASE WHEN v[${i + 1}] >= 0 THEN '1' ELSE '0' END)").mkString(", ") + s") AS band$b").mkString(",\n") +
+        """
+          |  FROM e),
+          |bands AS (
+          |  SELECT vec_id, 0 AS band, band0 AS bkey FROM sig
+          |  UNION ALL SELECT vec_id, 1, band1 FROM sig
+          |  UNION ALL SELECT vec_id, 2, band2 FROM sig
+          |  UNION ALL SELECT vec_id, 3, band3 FROM sig),
+          |capped AS (
+          |  SELECT band, bkey FROM bands GROUP BY band, bkey HAVING COUNT(*) <= 1000),
+          |cands AS (
+          |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS vec_id FROM bands q
+          |  JOIN capped cp ON q.band = cp.band AND q.bkey = cp.bkey
+          |  JOIN bands c ON q.band = c.band AND q.bkey = c.bkey AND c.vec_id <> q.vec_id),
+          |scored AS (
+          |  SELECT qid, c.vec_id AS vec_id,
+          |    list_reduce(list_transform(list_zip(qe.v, ce.v), p -> p[1] * p[2]), (acc, x) -> acc + x) / (qe.nrm * ce.nrm) AS cos,
+          |    row_number() OVER (PARTITION BY qid ORDER BY
+          |      list_reduce(list_transform(list_zip(qe.v, ce.v), p -> p[1] * p[2]), (acc, x) -> acc + x) / (qe.nrm * ce.nrm) DESC,
+          |      c.vec_id) AS rank
+          |  FROM cands c JOIN e qe ON c.qid = qe.vec_id JOIN e ce ON c.vec_id = ce.vec_id)
+          |SELECT qid, rank, vec_id, cos FROM scored WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)
     ),
     Q(
       "pq_adc_topk",

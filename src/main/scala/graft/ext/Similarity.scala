@@ -451,4 +451,45 @@ object Similarity {
       .selectExpr("qid", "id", "array_dot(qv, v) / (qnrm * nrm) AS score")
     topKByQuery(scored, k)
   }
+
+  /** Corpus k-nearest-neighbor graph over sign-LSH buckets: every node is
+    * simultaneously query and corpus, so this is [[lshTopK]]'s semantics with
+    * the broadcast dropped — a corpus-sized "query set" must never broadcast.
+    * Candidate edges come from a bucket SELF-join on the capped band table
+    * (both sides shuffle on the (band, bkey) key; a pair must share some
+    * band), exact cosine re-ranks through the k-bounded [[TopK]] aggregator.
+    * The kNN graph is the substrate under graph dedup (d6's edges at a fixed
+    * degree), SemDeDup-style cluster pruning, and kNN classification.
+    *
+    * Scale: candidate volume is bounded by `maxBucket` × `bands` per node —
+    * [[capBuckets]] drops degenerate buckets before the self-join, so a
+    * collapsed signature distribution cannot go quadratic. Vector payloads
+    * join in by id AFTER the (qid, id) edge set is distinct — the bucket
+    * exchange carries ids and 4-char keys, never vectors. State per group is
+    * k entries (partial aggregation, no Window).
+    */
+  def knnGraph(prepared: DataFrame, k: Int,
+      bits: Int = 16, bands: Int = 4, maxBucket: Int = 1 << 20): DataFrame = {
+    val spark = prepared.sparkSession
+    GraftFunctions.register(spark)
+    val cb = capBuckets(
+      signBands(prepared, bits, bands).select("id", "band", "bkey"),
+      Seq("band", "bkey"), maxBucket)
+    val cands = cb.select(col("id").as("qid"), col("band"), col("bkey"))
+      .join(cb, Seq("band", "bkey"))
+      .where(expr("id <> qid"))
+      .select("qid", "id")
+      .distinct()
+    val t = prepared.select(col("id"), col("v"), col("nrm"))
+    val q = t.select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    // Both payload joins are corpus x corpus on fine-grained id keys:
+    // SHUFFLE_HASH explicitly — at fixture scale the optimizer would
+    // broadcast the "query" side, which is exactly the plan that cannot
+    // exist at corpus scale (this function's reason to exist).
+    val scored = cands
+      .join(t.hint("SHUFFLE_HASH"), Seq("id"))
+      .join(q.hint("SHUFFLE_HASH"), Seq("qid"))
+      .selectExpr("qid", "id", "array_dot(qv, v) / (qnrm * nrm) AS score")
+    topKByQuery(scored, k)
+  }
 }

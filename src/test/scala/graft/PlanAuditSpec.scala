@@ -194,6 +194,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("sha2"), s"hash exchange key expected:\n${plan.take(3000)}")
   }
 
+  test("n7: the kNN graph never broadcasts the corpus query side, no Window") {
+    // knnGraph is lshTopK with the query broadcast dropped: both the bucket
+    // self-join and the (qid -> query vector) join must shuffle — a
+    // BroadcastHashJoin keyed on qid would ship the whole corpus's vectors
+    // to every task. Re-rank stays the k-bounded TopK aggregator.
+    val df = Registry.byName("n7_knn_graph").fn(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"no Window allowed:\n${plan.take(3000)}")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"payload joins must shuffle on id keys, not broadcast:\n${plan.take(3000)}")
+    assert(!plan.matches("(?s).*BroadcastHashJoin \\[qid.*"),
+      s"the query-vector join must not broadcast the corpus:\n${plan.take(3000)}")
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"TopK Aggregator expected in the re-rank:\n${plan.take(3000)}")
+  }
+
+  test("d14: edit verify runs on joined-by-id candidates — no Window, integer predicate") {
+    // The levenshtein DP must see only band-join candidates (text joins in
+    // by id), and the threshold is exact integer arithmetic: no division
+    // and no float comparison in the verify predicate.
+    val df = Registry.byName("d14_edit_dedup").fn(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"no Window allowed:\n${plan.take(3000)}")
+    assert(plan.contains("levenshtein"), s"edit-distance verify expected:\n${plan.take(3000)}")
+  }
+
   test("d11: the bloom probe filters the corpus grams BELOW the verify join") {
     // The whole point of the bloom path: non-matching grams die scan-side,
     // so the exchange feeding the verify join carries O(hits), not

@@ -340,6 +340,38 @@ class SimilaritySpec extends SparkSpec {
       assert(!by(19L)._2, "the planted dup sharing id 0's cell must be dominance-dropped")
   }
 
+  test("knnGraph == lshTopK with the whole corpus as queries (broadcast-free sibling)") {
+    // Semantics parity: knnGraph exists because a corpus-sized query set must
+    // not broadcast — its results must be exactly lshTopK's with
+    // queries = prepared, row for row.
+    val viaLsh = Similarity.lshTopK(prepared, prepared, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val viaGraph = Similarity.knnGraph(prepared, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(viaGraph.nonEmpty)
+    assert(viaGraph.toSeq == viaLsh.toSeq)
+  }
+
+  test("knnGraph excludes self-edges and respects the bucket cap (adversarial flood)") {
+    // Same adversary as the lshTopK cap test: 280 alternating-sign flood
+    // vectors collapse into one degenerate bucket (> maxBucket, dropped);
+    // the 20 structured all-positive vectors' bucket (20 members) survives
+    // and keeps its graph, including the planted (0, 19) pair.
+    val flood = (100L until 380L).map { i =>
+      (i, Array.tabulate(16)(j =>
+        (if (j % 2 == 0) -0.5f else 0.5f) + 0.001f * ((i + j) % 7)).toSeq)
+    }.toDF("vec_id", "embedding")
+    val adversarial = Similarity.prepare(vecs.unionByName(flood), "vec_id", "embedding")
+    val rows = Similarity.knnGraph(adversarial, k = 3, maxBucket = 50).collect()
+    assert(rows.forall(r => r.getLong(0) != r.getLong(2)), "no self-edges")
+    // flood members (only ever in the dropped bucket) emit and receive no edges
+    val ids = rows.map(_.getLong(0)).toSet ++ rows.map(_.getLong(2)).toSet
+    assert(ids.nonEmpty && ids.forall(_ < 100L), s"capped flood must not appear: $ids")
+    // the planted near-dup pair is each other's top hit
+    val top0 = rows.filter(r => r.getLong(0) == 0L && r.getLong(1) == 1L).map(_.getLong(2))
+    assert(top0.sameElements(Array(19L)), s"planted dup must rank first: ${top0.toSeq}")
+  }
+
   test("TopK fast-path insert matches a full sort on random streams (incl. duplicates)") {
     // the O(1) reject path and in-place insertion must be behaviorally
     // identical to sorting the whole stream — ties and all
