@@ -877,6 +877,53 @@ object ExtensionQueries {
               |FROM v GROUP BY lang ORDER BY lang""".stripMargin)
     ),
     Q(
+      "d15_source_overlap",
+      "Cross-source duplication matrix (the dump-overlap analysis CommonCrawl pipelines run before mixing snapshots): for each source pair, the distinct 5-grams both emit and the Jaccard overlap of their gram vocabularies — the number that decides whether a new dump adds content or re-crawls the old one. Inverted shape end to end: distinct (source, gram) postings -> gram self-join (SHUFFLE_HASH, never a corpus-sized broadcast) -> per-pair counts; per-source vocabulary sizes broadcast in for the ratio (|sources| rows — dumps are tens, a deployment constant). 100 TB shape: per-gram fan-out is capped at |sources| choose 2 BY THE DISTINCT (a gram appears once per source it lives in), so pair volume is O(distinct postings x source-multiplicity), never corpus x corpus; the Jaccard division is one double op both engines compute from the same exact BIGINTs",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val grams = documents(s, d)
+          .selectExpr("source", graft.ext.MinHash.splitExpr)
+          .selectExpr("source", "explode(shinglen(t, 5)) AS gram")
+          .distinct()
+          .localCheckpoint(eager = false) // feeds both join sides + the counts
+        val counts = grams.groupBy("source").agg(count(lit(1)).as("n"))
+        val pairs = grams.select(col("source").as("source_a"), col("gram"))
+          .join(grams.select(col("source").as("source_b"), col("gram"))
+            .hint("SHUFFLE_HASH"), Seq("gram"))
+          .where(col("source_a") < col("source_b"))
+          .groupBy("source_a", "source_b")
+          .agg(count(lit(1)).cast("long").as("shared_grams"))
+        pairs
+          .join(broadcast(counts.select(col("source").as("source_a"), col("n").as("na"))),
+            Seq("source_a"))
+          .join(broadcast(counts.select(col("source").as("source_b"), col("n").as("nb"))),
+            Seq("source_b"))
+          .select(col("source_a"), col("source_b"), col("shared_grams"),
+            col("na").cast("long").as("na"), col("nb").cast("long").as("nb"),
+            (col("shared_grams").cast("double") /
+              (col("na") + col("nb") - col("shared_grams")).cast("double")).as("jaccard"))
+          .orderBy("source_a", "source_b")
+      },
+      Some("""WITH sp AS (SELECT source, string_split(lower(text), ' ') AS t FROM documents),
+             |g AS (SELECT source,
+             |  CASE WHEN len(t) < 5 THEN CAST([] AS VARCHAR[])
+             |  ELSE list_distinct([array_to_string(t[i:i+4], ' ')
+             |    for i in generate_series(1, len(t) - 4)]) END AS g5
+             |  FROM sp),
+             |sg AS (SELECT DISTINCT source, gram
+             |  FROM (SELECT source, unnest(g5) AS gram FROM g)),
+             |cnt AS (SELECT source, COUNT(*) AS n FROM sg GROUP BY source),
+             |pairs AS (
+             |  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS shared
+             |  FROM sg a JOIN sg b ON a.gram = b.gram AND a.source < b.source
+             |  GROUP BY 1, 2)
+             |SELECT source_a, source_b, CAST(shared AS BIGINT) AS shared_grams,
+             |  CAST(ca.n AS BIGINT) AS na, CAST(cb.n AS BIGINT) AS nb,
+             |  CAST(shared AS DOUBLE) / CAST(ca.n + cb.n - shared AS DOUBLE) AS jaccard
+             |FROM pairs JOIN cnt ca ON source_a = ca.source JOIN cnt cb ON source_b = cb.source
+             |ORDER BY source_a, source_b""".stripMargin)
+    ),
+    Q(
       "d9_semdedup",
       "SemDeDup-style semantic dedup: coarse-quantize embeddings to k cells (argmin over fixed centroids — the oracle-shareable stand-in for per-corpus k-means), then within each cell apply the ONE-PASS dominance rule: drop any member with an earlier (lower-id) cell-mate at cosine>=0.35. Deliberately join-shaped rather than the sequential greedy scan (which is order-iterative and not SQL/one-shuffle expressible); on a transitive chain a~b~c it may also drop c where sequential greedy would keep it — a conservative over-drop, never an under-drop. The cell is the blocking key: pair generation is cluster-bounded (k grows with corpus size in the real deployment, capping cell width), never corpus-global. Per cell: members, kept, dropped",
       (s, d) => {

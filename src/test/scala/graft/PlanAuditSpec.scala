@@ -222,6 +222,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("levenshtein"), s"edit-distance verify expected:\n${plan.take(3000)}")
   }
 
+  test("d15: the source-overlap gram self-join shuffles, only the counts broadcast") {
+    // The (source, gram) posting table is corpus-sized: the self-join must
+    // shuffle on the gram key (a broadcast would ship a corpus's vocabulary
+    // to every task), and no Window anywhere. The per-source count joins
+    // MAY broadcast — |sources| rows is a deployment constant.
+    val df = Registry.byName("d15_source_overlap").fn(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"no Window allowed:\n${plan.take(3000)}")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"gram self-join must be shuffle-hash:\n${plan.take(3000)}")
+    assert(!plan.matches("(?s).*BroadcastHashJoin \\[gram.*"),
+      s"the gram posting table must never broadcast:\n${plan.take(3000)}")
+  }
+
   test("d11: the bloom probe filters the corpus grams BELOW the verify join") {
     // The whole point of the bloom path: non-matching grams die scan-side,
     // so the exchange feeding the verify join carries O(hits), not
