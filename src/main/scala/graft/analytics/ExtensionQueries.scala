@@ -203,6 +203,18 @@ object ExtensionQueries {
     }.mkString(" + ")
   }
 
+  /** e4's seeded Achlioptas sign matrix (8 x 64, entries {-1,0,+1} with
+    * P(+-1)=1/6): a constant of the query, generated once and rendered into
+    * BOTH engine legs — parity is structural, like [[pqModel]].
+    */
+  private lazy val e4Signs: Array[Array[Int]] = {
+    val rng = new scala.util.Random(2207L)
+    Array.fill(8, 64) {
+      val r = rng.nextInt(6)
+      if (r == 0) 1 else if (r == 1) -1 else 0
+    }
+  }
+
   private lazy val pqOracleSql: String = {
     val lists = (0 until pqM).map { j =>
       "  [" + (0 until pqK).map(c => pqDistExpr(j, c)).mkString(",\n   ") + s"] AS l$j"
@@ -1353,6 +1365,63 @@ object ExtensionQueries {
            |  round((nn.n * sppd - mi.s * mj.s) / (nn.n * nn.n) / 100000000.0, 9) AS cov
            |FROM spp JOIN m mi ON spp.i = mi.i JOIN m mj ON spp.j = mj.i CROSS JOIN nn
            |ORDER BY i, j""".stripMargin
+      }
+    ),
+    Q(
+      "e4_random_projection",
+      "Johnson-Lindenstrauss random projection 64 -> 8 dims (Achlioptas sparse sign matrix, the database-friendly JL construction: entries in {-1,0,+1} with P(+-1)=1/6, so E[s^2]=1/3 and Achlioptas' sqrt(3) factor becomes the exact RATIONAL 3 on squared distances — no irrational scale ever touches the integers) with the distortion audit that decides whether the cheap projection can stand in for the full embedding downstream (coarse ANN blocking, dedup prefilters). Determinism recipe: inputs quantize to exact integers (floor(x*1e4)), the seeded sign matrix is a CONSTANT generated once and inlined into BOTH legs, projected coords / squared distances are exact BIGINT arithmetic, the unbiased estimate of d2 is 3*p2/k, the within-50%-distortion JL test is the exact integer predicate |3*p2 - 8*d2| <= 4*d2, and the one final ratio is a single double division over the same exact sums. Pair sample is adjacent vec_ids — an O(n) equi-join, never pairs x pairs. 100 TB shape: projection is scan-side codegen'd column arithmetic (8 running sums per row), the audit join shuffles on the id key (SHUFFLE_HASH pinned: at corpus scale neither side broadcasts), per-label state is four sums",
+      (s, d) => {
+        val yExprs = e4Signs.map(row =>
+          "CAST((0" + row.zipWithIndex.collect { case (sg, i) if sg != 0 =>
+            (if (sg > 0) " + " else " - ") + s"element_at(q, ${i + 1})"
+          }.mkString + ") AS BIGINT)")
+        val q = embeddings(s, d)
+          .selectExpr("vec_id", "label",
+            "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS q")
+          .selectExpr("vec_id", "label", "q", s"array(${yExprs.mkString(", ")}) AS y")
+          .localCheckpoint(eager = false) // feeds both sides of the pair join
+        val pr = q.as("a")
+          .join(q.as("b").hint("SHUFFLE_HASH"), expr("b.vec_id = a.vec_id + 1"))
+          .selectExpr("a.label AS label",
+            "aggregate(zip_with(a.q, b.q, (x, z) -> (x - z) * (x - z)), 0L, (acc, x) -> acc + x) AS d2",
+            "aggregate(zip_with(a.y, b.y, (x, z) -> (x - z) * (x - z)), 0L, (acc, x) -> acc + x) AS p2")
+        pr.groupBy("label")
+          .agg(
+            count(lit(1)).as("pairs"),
+            sum(col("d2").cast("decimal(38,0)")).cast("long").as("sum_d2"),
+            sum(col("p2").cast("decimal(38,0)")).cast("long").as("sum_p2"),
+            sum(when(expr("abs(3 * p2 - 8 * d2) <= 4 * d2"), 1).otherwise(0))
+              .cast("long").as("within_half"))
+          .select(col("label"), col("pairs"), col("sum_d2"), col("sum_p2"), col("within_half"),
+            when(col("sum_d2") > 0,
+              lit(3.0) * col("sum_p2").cast("double") / (lit(8.0) * col("sum_d2").cast("double")))
+              .otherwise(lit(1.0)).as("distortion_ratio"))
+          .orderBy("label")
+      },
+      Some {
+        val yExprs = e4Signs.map(row =>
+          "CAST((0" + row.zipWithIndex.collect { case (sg, i) if sg != 0 =>
+            (if (sg > 0) " + " else " - ") + s"q[${i + 1}]"
+          }.mkString + ") AS BIGINT)")
+        s"""WITH e AS (
+           |  SELECT vec_id, label,
+           |    list_transform(CAST(embedding AS DOUBLE[]),
+           |      x -> CAST(FLOOR(x * 10000.0) AS BIGINT)) AS q
+           |  FROM embeddings),
+           |p AS (SELECT vec_id, label, q, [${yExprs.mkString(", ")}] AS y FROM e),
+           |pr AS (
+           |  SELECT a.label AS label,
+           |    list_reduce(list_transform(list_zip(a.q, b.q), t -> (t[1] - t[2]) * (t[1] - t[2])), (acc, x) -> acc + x) AS d2,
+           |    list_reduce(list_transform(list_zip(a.y, b.y), t -> (t[1] - t[2]) * (t[1] - t[2])), (acc, x) -> acc + x) AS p2
+           |  FROM p a JOIN p b ON b.vec_id = a.vec_id + 1)
+           |SELECT label, COUNT(*) AS pairs,
+           |  CAST(SUM(d2) AS BIGINT) AS sum_d2,
+           |  CAST(SUM(p2) AS BIGINT) AS sum_p2,
+           |  CAST(SUM(CASE WHEN abs(3 * p2 - 8 * d2) <= 4 * d2 THEN 1 ELSE 0 END) AS BIGINT) AS within_half,
+           |  CASE WHEN SUM(d2) > 0
+           |    THEN 3.0 * CAST(SUM(p2) AS DOUBLE) / (8.0 * CAST(SUM(d2) AS DOUBLE))
+           |    ELSE 1.0 END AS distortion_ratio
+           |FROM pr GROUP BY label ORDER BY label""".stripMargin
       }
     ),
     // ------------------------------------------------------------- text ops

@@ -237,6 +237,21 @@ class PlanAuditSpec extends SparkSpec {
       s"the gram posting table must never broadcast:\n${plan.take(3000)}")
   }
 
+  test("e4: the projection audit join shuffles on the id key — no broadcast, no Window") {
+    // Both sides of the adjacent-id pair join are the corpus: at fixture
+    // scale AQE would happily broadcast one, which is exactly the plan that
+    // cannot exist at 100 TB. The projection itself must stay scan-side
+    // column arithmetic (no extra exchange below the join).
+    val df = Registry.byName("e4_random_projection").fn(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"no Window allowed:\n${plan.take(3000)}")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"pair join must shuffle on the id key:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair sampling must stay an equi-join:\n${plan.take(3000)}")
+  }
+
   test("d11: the bloom probe filters the corpus grams BELOW the verify join") {
     // The whole point of the bloom path: non-matching grams die scan-side,
     // so the exchange feeding the verify join carries O(hits), not
