@@ -249,4 +249,63 @@ class ExtensionQueriesSpec extends SparkSpec {
     val langs = rows.map(_.getAs[String]("lang")).toSeq
     assert(langs == langs.sorted && langs.distinct == langs, "lang rollup order")
   }
+
+  test("d14_edit_dedup: verification accounting is consistent and finds the exact dups") {
+    val rows = Registry.byName("d14_edit_dedup").fn(spark, sf).collect()
+    assert(rows.nonEmpty, "fixture has LSH candidate pairs")
+    rows.foreach { r =>
+      val cands = r.getAs[Long]("candidates")
+      val verified = r.getAs[Long]("verified_pairs")
+      val editMass = r.getAs[Long]("edit_mass")
+      val lenMass = r.getAs[Long]("len_mass")
+      assert(verified <= cands, s"$r: verified more pairs than proposed")
+      assert(editMass >= 0 && lenMass >= 0 && editMass <= lenMass,
+        s"$r: a verified pair's edit distance can't exceed its max length")
+      val sim = r.getAs[Double]("mean_edit_sim")
+      assert(sim >= 0.0 && sim <= 1.0, s"$r: similarity out of range")
+      // the verify threshold is edit_sim >= 0.8 <=> 5*lev <= mx, so the
+      // aggregate of accepted pairs can't fall below the per-pair floor
+      if (lenMass > 0) assert(sim >= 0.8, s"$r: accepted mass violates the threshold")
+    }
+    // exact duplicates (lev = 0) exist in the fixture and always share every
+    // band bucket, so at least one verified pair survives somewhere
+    assert(rows.map(_.getAs[Long]("verified_pairs")).sum >= 1, "no verified pair found")
+  }
+
+  test("d15_source_overlap: the matrix is upper-triangular with bounded Jaccard") {
+    val rows = Registry.byName("d15_source_overlap").fn(spark, sf).collect()
+    assert(rows.nonEmpty, "fixture sources share 5-grams")
+    rows.foreach { r =>
+      val a = r.getAs[String]("source_a"); val b = r.getAs[String]("source_b")
+      assert(a < b, s"$r: pair not canonically ordered")
+      val shared = r.getAs[Long]("shared_grams")
+      val na = r.getAs[Long]("na"); val nb = r.getAs[Long]("nb")
+      assert(shared >= 1 && shared <= math.min(na, nb),
+        s"$r: shared vocabulary exceeds a side's vocabulary")
+      val j = r.getAs[Double]("jaccard")
+      assert(j > 0.0 && j <= 1.0, s"$r: jaccard out of range")
+      assert(math.abs(j - shared.toDouble / (na + nb - shared)) < 1e-12,
+        s"$r: jaccard inconsistent with its own integer components")
+    }
+  }
+
+  test("e4_random_projection: the JL estimate is unbiased enough on the fixture") {
+    val rows = Registry.byName("e4_random_projection").fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var pairsTotal = 0L; var withinTotal = 0L
+    rows.foreach { r =>
+      val pairs = r.getAs[Long]("pairs")
+      val within = r.getAs[Long]("within_half")
+      assert(within <= pairs, s"$r: more in-band pairs than pairs")
+      assert(r.getAs[Long]("sum_d2") > 0, s"$r: adjacent fixture vectors collapsed")
+      val ratio = r.getAs[Double]("distortion_ratio")
+      // k=8 is a LOOSE projection; the aggregate ratio still concentrates
+      // far inside (0.5, 2.0) for gaussian-ish fixture data
+      assert(ratio > 0.5 && ratio < 2.0, s"$r: aggregate distortion off the JL scale")
+      pairsTotal += pairs; withinTotal += within
+    }
+    // the pair-level 50% band should hold for well over half the sample
+    assert(withinTotal * 2 > pairsTotal,
+      s"JL band hit rate too low: $withinTotal of $pairsTotal")
+  }
 }

@@ -372,6 +372,32 @@ class SimilaritySpec extends SparkSpec {
     assert(top0.sameElements(Array(19L)), s"planted dup must rank first: ${top0.toSeq}")
   }
 
+  test("knnGraph: wider bands shrink the candidate volume (the key-space scaling knob)") {
+    // SCALE.md's n7 reading: with every node a query, candidate volume at a
+    // FIXED band width grows ~(n/buckets)^2 — the mitigation is scaling the
+    // key space with the corpus. Pin it quantitatively: same 400-vector
+    // corpus, 4-bit bands vs 8-bit bands, counted through the exact
+    // candidate stage knnGraph runs (capped bucket self-join, distinct).
+    val rnd = new scala.util.Random(11)
+    val corpus = (0L until 400L).map(i =>
+      (i, Array.fill(32)(rnd.nextFloat() * 2f - 1f).toSeq)).toDF("vec_id", "embedding")
+    val prep = Similarity.prepare(corpus, "vec_id", "embedding")
+    def candidates(bits: Int): Long = {
+      val cb = Similarity.capBuckets(
+        Similarity.signBands(prep, bits, 4).select("id", "band", "bkey"),
+        Seq("band", "bkey"), maxBucket = 1000)
+      cb.select(col("id").as("qid"), col("band"), col("bkey"))
+        .join(cb, Seq("band", "bkey"))
+        .where(expr("id <> qid"))
+        .select("qid", "id").distinct().count()
+    }
+    val narrow = candidates(16) // 4-bit bands: 16 buckets, width ~25
+    val wide = candidates(32)   // 8-bit bands: 256 buckets, width ~1.6
+    assert(narrow > 0, "narrow bands must collide on 400 random vectors")
+    assert(wide * 4 < narrow,
+      s"8-bit bands must cut candidates by >4x vs 4-bit: narrow=$narrow wide=$wide")
+  }
+
   test("TopK fast-path insert matches a full sort on random streams (incl. duplicates)") {
     // the O(1) reject path and in-place insertion must be behaviorally
     // identical to sorting the whole stream — ties and all
