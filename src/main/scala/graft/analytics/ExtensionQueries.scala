@@ -203,6 +203,43 @@ object ExtensionQueries {
     }.mkString(" + ")
   }
 
+  /** The n7/n8 kNN-graph oracle, parameterized by band width: 4 sign bands
+    * of `perBand` bits over the leading 4*perBand dims, mirroring
+    * [[graft.ext.Similarity.signBands]]'s bit layout, the maxBucket=1000
+    * cap, and the TopK (score desc, id) tiebreak.
+    */
+  private def knnGraphOracleSql(perBand: Int): String = {
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |  sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), (acc, x) -> acc + x)) AS nrm
+      |  FROM embeddings),
+      |sig AS (SELECT vec_id, v, nrm,
+      |""".stripMargin +
+      (0 until 4).map(b =>
+        "  concat(" + (b * perBand until (b + 1) * perBand).map(i =>
+          s"(CASE WHEN v[${i + 1}] >= 0 THEN '1' ELSE '0' END)").mkString(", ") + s") AS band$b").mkString(",\n") +
+      """
+        |  FROM e),
+        |bands AS (
+        |  SELECT vec_id, 0 AS band, band0 AS bkey FROM sig
+        |  UNION ALL SELECT vec_id, 1, band1 FROM sig
+        |  UNION ALL SELECT vec_id, 2, band2 FROM sig
+        |  UNION ALL SELECT vec_id, 3, band3 FROM sig),
+        |capped AS (
+        |  SELECT band, bkey FROM bands GROUP BY band, bkey HAVING COUNT(*) <= 1000),
+        |cands AS (
+        |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS vec_id FROM bands q
+        |  JOIN capped cp ON q.band = cp.band AND q.bkey = cp.bkey
+        |  JOIN bands c ON q.band = c.band AND q.bkey = c.bkey AND c.vec_id <> q.vec_id),
+        |scored AS (
+        |  SELECT qid, c.vec_id AS vec_id,
+        |    list_reduce(list_transform(list_zip(qe.v, ce.v), p -> p[1] * p[2]), (acc, x) -> acc + x) / (qe.nrm * ce.nrm) AS cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY
+        |      list_reduce(list_transform(list_zip(qe.v, ce.v), p -> p[1] * p[2]), (acc, x) -> acc + x) / (qe.nrm * ce.nrm) DESC,
+        |      c.vec_id) AS rank
+        |  FROM cands c JOIN e qe ON c.qid = qe.vec_id JOIN e ce ON c.vec_id = ce.vec_id)
+        |SELECT qid, rank, vec_id, cos FROM scored WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+  }
+
   /** e4's seeded Achlioptas sign matrix (8 x 64, entries {-1,0,+1} with
     * P(+-1)=1/6): a constant of the query, generated once and rendered into
     * BOTH engine legs — parity is structural, like [[pqModel]].
@@ -849,23 +886,30 @@ object ExtensionQueries {
     ),
     Q(
       "d14_edit_dedup",
-      "Edit-similarity near-dup verification (the NearDup metric of Lee et al. deployed over the d2 LSH candidates): the band join proposes pairs, but the verifier is character edit distance, not shingle Jaccard — the metric of record when documents differ by small in-place edits that shift every k-gram. Threshold edit_sim = 1 - lev/max(len) >= 0.8 tested in EXACT integer arithmetic (5*lev <= max(len) — no division, no float in the predicate); per-lang candidate/verified counts and exact distance/length masses, with one final ratio both engines compute identically from the same two BIGINTs. 100 TB shape: the O(len^2) DP runs only on O(near-dup) candidate pairs from capped buckets, never corpus x corpus, and the pair exchange carries ids — text joins in by id. Fixture texts are ASCII, where Spark's code-unit DP and DuckDB's byte DP agree by construction",
+      "Edit-similarity near-dup verification (the NearDup metric of Lee et al. deployed over the d2 LSH candidates): the band join proposes pairs, but the verifier is character edit distance, not shingle Jaccard — the metric of record when documents differ by small in-place edits that shift every k-gram. Threshold edit_sim = 1 - lev/max(len) >= 0.8 tested in EXACT integer arithmetic (5*lev <= max(len) — no division, no float in the predicate); per-lang candidate/verified counts and exact distance/length masses, with one final ratio both engines compute identically from the same two BIGINTs. 100 TB shape: the DP runs only on O(near-dup) candidate pairs from capped buckets, never corpus x corpus, AND it is BANDED — the threshold form of levenshtein with threshold = floor(mx/5), exactly the acceptance bound, costs O(mx/5 * len) per pair instead of O(len^2) while provably preserving the verified set (rejected pairs return -1 and fail the integer guard; the oracle runs the unbanded form, so the hash gate is the equivalence proof). The pair exchange carries ids — text joins in by id. Fixture texts are ASCII, where Spark's code-unit DP and DuckDB's byte DP agree by construction",
       (s, d) => {
         val (_, cands) = nearDupCandidates(s, d)
         val txt = documents(s, d).select(col("doc_id"), col("lang"), col("text"),
           length(col("text")).as("len"))
+        // Banded DP: levenshtein's threshold form costs O(threshold * len)
+        // per pair instead of O(len^2). threshold = floor(mx/5) is EXACTLY
+        // the acceptance bound (5*lev <= mx <=> lev <= floor(mx/5)), so the
+        // verified set and every verified distance are unchanged; a rejected
+        // pair returns -1 and fails the lev >= 0 guard. The oracle runs the
+        // unbanded form — the hash gate proves the equivalence.
         val v = cands
           .join(txt.as("a"), col("id_a") === col("a.doc_id"))
           .join(txt.as("b"), col("id_b") === col("b.doc_id"))
           .select(col("a.lang").as("lang"),
-            levenshtein(col("a.text"), col("b.text")).cast("long").as("lev"),
+            expr("levenshtein(a.text, b.text, CAST(FLOOR(greatest(a.len, b.len) / 5) AS INT))")
+              .cast("long").as("lev"),
             greatest(col("a.len"), col("b.len")).cast("long").as("mx"))
         v.groupBy("lang")
           .agg(
             count(lit(1)).as("candidates"),
-            sum(when(expr("5 * lev <= mx"), 1L).otherwise(0L)).cast("long").as("verified_pairs"),
-            sum(when(expr("5 * lev <= mx"), col("lev")).otherwise(0L)).cast("long").as("edit_mass"),
-            sum(when(expr("5 * lev <= mx"), col("mx")).otherwise(0L)).cast("long").as("len_mass"))
+            sum(when(expr("lev >= 0 AND 5 * lev <= mx"), 1L).otherwise(0L)).cast("long").as("verified_pairs"),
+            sum(when(expr("lev >= 0 AND 5 * lev <= mx"), col("lev")).otherwise(0L)).cast("long").as("edit_mass"),
+            sum(when(expr("lev >= 0 AND 5 * lev <= mx"), col("mx")).otherwise(0L)).cast("long").as("len_mass"))
           .select(col("lang"), col("candidates"), col("verified_pairs"),
             col("edit_mass"), col("len_mass"),
             when(col("len_mass") > 0,
@@ -1191,35 +1235,18 @@ object ExtensionQueries {
           .selectExpr("qid", "rank", "id AS vec_id", "score AS cos")
           .orderBy("qid", "rank")
       },
-      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-             |  sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), (acc, x) -> acc + x)) AS nrm
-             |  FROM embeddings),
-             |sig AS (SELECT vec_id, v, nrm,
-             |""".stripMargin +
-        (0 until 4).map(b =>
-          "  concat(" + (b * 4 until b * 4 + 4).map(i =>
-            s"(CASE WHEN v[${i + 1}] >= 0 THEN '1' ELSE '0' END)").mkString(", ") + s") AS band$b").mkString(",\n") +
-        """
-          |  FROM e),
-          |bands AS (
-          |  SELECT vec_id, 0 AS band, band0 AS bkey FROM sig
-          |  UNION ALL SELECT vec_id, 1, band1 FROM sig
-          |  UNION ALL SELECT vec_id, 2, band2 FROM sig
-          |  UNION ALL SELECT vec_id, 3, band3 FROM sig),
-          |capped AS (
-          |  SELECT band, bkey FROM bands GROUP BY band, bkey HAVING COUNT(*) <= 1000),
-          |cands AS (
-          |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS vec_id FROM bands q
-          |  JOIN capped cp ON q.band = cp.band AND q.bkey = cp.bkey
-          |  JOIN bands c ON q.band = c.band AND q.bkey = c.bkey AND c.vec_id <> q.vec_id),
-          |scored AS (
-          |  SELECT qid, c.vec_id AS vec_id,
-          |    list_reduce(list_transform(list_zip(qe.v, ce.v), p -> p[1] * p[2]), (acc, x) -> acc + x) / (qe.nrm * ce.nrm) AS cos,
-          |    row_number() OVER (PARTITION BY qid ORDER BY
-          |      list_reduce(list_transform(list_zip(qe.v, ce.v), p -> p[1] * p[2]), (acc, x) -> acc + x) / (qe.nrm * ce.nrm) DESC,
-          |      c.vec_id) AS rank
-          |  FROM cands c JOIN e qe ON c.qid = qe.vec_id JOIN e ce ON c.vec_id = ce.vec_id)
-          |SELECT qid, rank, vec_id, cos FROM scored WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)
+      Some(knnGraphOracleSql(perBand = 4))
+    ),
+    Q(
+      "n8_knn_graph_wide",
+      "The kNN graph at PRODUCTION band width — n7's plan with 8-bit bands (bits=32, 256 buckets/band) instead of 4-bit (16 buckets/band). SCALE.md measured n7's fixed 4-bit key space going quadratic-until-cap (shuffle exp 2.2-2.3 across two decades); this row oracle-gates the mitigation itself: same capped bucket self-join, same SHUFFLE_HASH id-keyed payload joins, same k-bounded TopK re-rank, but the key space scales the expected bucket width down ~16x, so candidate volume — and the graph's recall — trade along the banding curve a deployment tunes (bits ~ log2(n*bands/targetWidth)*bands holds per-node candidates constant, O(n) pair volume at any n). Both parameterizations share one Scala-generated oracle (perBand is the only knob), so the parity is structural",
+      (s, d) => {
+        val prepared = graft.ext.Similarity.prepare(embeddings(s, d), "vec_id", "embedding")
+        graft.ext.Similarity.knnGraph(prepared, k = 3, bits = 32, bands = 4, maxBucket = 1000)
+          .selectExpr("qid", "rank", "id AS vec_id", "score AS cos")
+          .orderBy("qid", "rank")
+      },
+      Some(knnGraphOracleSql(perBand = 8))
     ),
     Q(
       "pq_adc_topk",

@@ -194,12 +194,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("sha2"), s"hash exchange key expected:\n${plan.take(3000)}")
   }
 
-  test("n7: the kNN graph never broadcasts the corpus query side, no Window") {
+  test("n7/n8: the kNN graph never broadcasts the corpus query side, no Window") {
     // knnGraph is lshTopK with the query broadcast dropped: both the bucket
     // self-join and the (qid -> query vector) join must shuffle — a
     // BroadcastHashJoin keyed on qid would ship the whole corpus's vectors
-    // to every task. Re-rank stays the k-bounded TopK aggregator.
-    val df = Registry.byName("n7_knn_graph").fn(spark, sf)
+    // to every task. Re-rank stays the k-bounded TopK aggregator. The wide
+    // n8 parameterization is the same plan with a longer band key.
+    for (name <- Seq("n7_knn_graph", "n8_knn_graph_wide")) {
+    val df = Registry.byName(name).fn(spark, sf)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"no Window allowed:\n${plan.take(3000)}")
@@ -209,6 +211,7 @@ class PlanAuditSpec extends SparkSpec {
       s"the query-vector join must not broadcast the corpus:\n${plan.take(3000)}")
     assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
       s"TopK Aggregator expected in the re-rank:\n${plan.take(3000)}")
+    }
   }
 
   test("d14: edit verify runs on joined-by-id candidates — no Window, integer predicate") {
