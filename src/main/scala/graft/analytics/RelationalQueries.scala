@@ -850,6 +850,61 @@ object RelationalQueries {
              |FROM m WHERE event_type = 'error' AND prior_click IS NOT NULL
              |GROUP BY user_id ORDER BY user_id""".stripMargin)
     ),
+    Q(
+      "w5_funnel",
+      "Windowed strict funnel (view -> click -> signup -> purchase, each step within 24h of the previous — the windowFunnel semantics of large event pipelines): per user, each step's earliest timestamp strictly after the previous step's and inside its deadline. Not a Window expression and not a per-user sequence scan: each step is one filtered co-partitioned join + min-ts aggregation, so per-user state is ONE timestamp per step and the events table shuffles on user_id once (the step frames reuse the partitioning; SHUFFLE_HASH pinned — a step frame has user cardinality and must never broadcast). Deadline arithmetic is exact microsecond timestamp comparison on both engines; the 4-row summary computes conversion ratios from exact BIGINT counts; capability beyond the reference",
+      (s, d) => {
+        val ev = events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+        def next(prev: org.apache.spark.sql.DataFrame, typ: String) =
+          ev.where(col("event_type") === typ)
+            .join(prev.select(col("user_id"), col("t").as("pt")).hint("SHUFFLE_HASH"),
+              Seq("user_id"))
+            .where(col("ts") > col("pt") && col("ts") <= expr("pt + INTERVAL 24 HOURS"))
+            .groupBy("user_id").agg(min("ts").as("t"))
+        val s1 = ev.where(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("t"))
+        val s2 = next(s1, "click")
+        val s3 = next(s2, "signup")
+        val s4 = next(s3, "purchase")
+        val counts = Seq(("1_view", s1), ("2_click", s2), ("3_signup", s3), ("4_purchase", s4))
+          .map { case (nm, df) =>
+            df.agg(count(lit(1)).cast("long").as("users")).select(lit(nm).as("step"), col("users"))
+          }
+          .reduce(_ unionByName _)
+          .withColumn("idx", expr("CAST(substring(step, 1, 1) AS INT)"))
+        val first = counts.where(col("idx") === 1).select(col("users").as("u1"))
+        val prevC = counts.select((col("idx") + 1).as("idx"), col("users").as("uprev"))
+        counts
+          .join(broadcast(first))
+          .join(broadcast(prevC), Seq("idx"), "left")
+          .select(col("step"), col("users"),
+            when(col("u1") > 0, col("users").cast("double") / col("u1").cast("double"))
+              .otherwise(lit(0.0)).as("pct_of_first"),
+            when(col("uprev") > 0, col("users").cast("double") / col("uprev").cast("double"))
+              .otherwise(lit(1.0)).as("pct_of_prev"))
+          .orderBy("step")
+      },
+      Some("""WITH s1 AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY user_id),
+             |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 ON e.user_id = s1.user_id
+             |  WHERE e.event_type = 'click' AND e.ts > s1.t AND e.ts <= s1.t + INTERVAL 24 HOUR GROUP BY e.user_id),
+             |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 ON e.user_id = s2.user_id
+             |  WHERE e.event_type = 'signup' AND e.ts > s2.t AND e.ts <= s2.t + INTERVAL 24 HOUR GROUP BY e.user_id),
+             |s4 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s3 ON e.user_id = s3.user_id
+             |  WHERE e.event_type = 'purchase' AND e.ts > s3.t AND e.ts <= s3.t + INTERVAL 24 HOUR GROUP BY e.user_id),
+             |c AS (
+             |  SELECT 1 AS idx, '1_view' AS step, COUNT(*) AS users FROM s1
+             |  UNION ALL SELECT 2, '2_click', COUNT(*) FROM s2
+             |  UNION ALL SELECT 3, '3_signup', COUNT(*) FROM s3
+             |  UNION ALL SELECT 4, '4_purchase', COUNT(*) FROM s4)
+             |SELECT c.step AS step, CAST(c.users AS BIGINT) AS users,
+             |  CASE WHEN (SELECT users FROM c c1 WHERE c1.idx = 1) > 0
+             |    THEN CAST(c.users AS DOUBLE) / (SELECT users FROM c c1 WHERE c1.idx = 1)
+             |    ELSE 0.0 END AS pct_of_first,
+             |  CASE WHEN p.users IS NOT NULL AND p.users > 0
+             |    THEN CAST(c.users AS DOUBLE) / p.users ELSE 1.0 END AS pct_of_prev
+             |FROM c LEFT JOIN c p ON p.idx = c.idx - 1
+             |ORDER BY step""".stripMargin)
+    ),
     // ----------------------------------------------------- streaming (batch analog)
     Q(
       "st1_tumbling_window",

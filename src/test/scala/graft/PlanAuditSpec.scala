@@ -255,6 +255,19 @@ class PlanAuditSpec extends SparkSpec {
       s"pair sampling must stay an equi-join:\n${plan.take(3000)}")
   }
 
+  test("w5: the funnel is chained co-partitioned joins — no Window, no sequence scan") {
+    // Per-user state is one min-ts per step; the step frames (user
+    // cardinality) must shuffle, not broadcast, and there is no Window or
+    // per-user collect anywhere. The 4-row summary legs may broadcast.
+    val df = Registry.byName("w5_funnel").fn(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"no Window allowed:\n${plan.take(3000)}")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"step joins must shuffle on user_id:\n${plan.take(3000)}")
+    assert(plan.contains("partial_min"), s"map-side min combine expected:\n${plan.take(3000)}")
+  }
+
   test("d11: the bloom probe filters the corpus grams BELOW the verify join") {
     // The whole point of the bloom path: non-matching grams die scan-side,
     // so the exchange feeding the verify join carries O(hits), not
