@@ -252,6 +252,16 @@ object ExtensionQueries {
     }
   }
 
+  /** The 8 projected-coordinate expressions of [[e4Signs]], rendered for
+    * either dialect via `term` (Spark `element_at(q, i+1)` / DuckDB
+    * `q[i+1]`) — e4 and x2 share one generator, so parity is structural.
+    */
+  private def jlYExprs(term: Int => String): Seq[String] =
+    e4Signs.toSeq.map(row =>
+      "CAST((0" + row.zipWithIndex.collect { case (sg, i) if sg != 0 =>
+        (if (sg > 0) " + " else " - ") + term(i)
+      }.mkString + ") AS BIGINT)")
+
   private lazy val pqOracleSql: String = {
     val lists = (0 until pqM).map { j =>
       "  [" + (0 until pqK).map(c => pqDistExpr(j, c)).mkString(",\n   ") + s"] AS l$j"
@@ -1398,10 +1408,7 @@ object ExtensionQueries {
       "e4_random_projection",
       "Johnson-Lindenstrauss random projection 64 -> 8 dims (Achlioptas sparse sign matrix, the database-friendly JL construction: entries in {-1,0,+1} with P(+-1)=1/6, so E[s^2]=1/3 and Achlioptas' sqrt(3) factor becomes the exact RATIONAL 3 on squared distances — no irrational scale ever touches the integers) with the distortion audit that decides whether the cheap projection can stand in for the full embedding downstream (coarse ANN blocking, dedup prefilters). Determinism recipe: inputs quantize to exact integers (floor(x*1e4)), the seeded sign matrix is a CONSTANT generated once and inlined into BOTH legs, projected coords / squared distances are exact BIGINT arithmetic, the unbiased estimate of d2 is 3*p2/k, the within-50%-distortion JL test is the exact integer predicate |3*p2 - 8*d2| <= 4*d2, and the one final ratio is a single double division over the same exact sums. Pair sample is adjacent vec_ids — an O(n) equi-join, never pairs x pairs. 100 TB shape: projection is scan-side codegen'd column arithmetic (8 running sums per row), the audit join shuffles on the id key (SHUFFLE_HASH pinned: at corpus scale neither side broadcasts), per-label state is four sums",
       (s, d) => {
-        val yExprs = e4Signs.map(row =>
-          "CAST((0" + row.zipWithIndex.collect { case (sg, i) if sg != 0 =>
-            (if (sg > 0) " + " else " - ") + s"element_at(q, ${i + 1})"
-          }.mkString + ") AS BIGINT)")
+        val yExprs = jlYExprs(i => s"element_at(q, ${i + 1})")
         val q = embeddings(s, d)
           .selectExpr("vec_id", "label",
             "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS q")
@@ -1426,10 +1433,7 @@ object ExtensionQueries {
           .orderBy("label")
       },
       Some {
-        val yExprs = e4Signs.map(row =>
-          "CAST((0" + row.zipWithIndex.collect { case (sg, i) if sg != 0 =>
-            (if (sg > 0) " + " else " - ") + s"q[${i + 1}]"
-          }.mkString + ") AS BIGINT)")
+        val yExprs = jlYExprs(i => s"q[${i + 1}]")
         s"""WITH e AS (
            |  SELECT vec_id, label,
            |    list_transform(CAST(embedding AS DOUBLE[]),
@@ -2047,6 +2051,93 @@ object ExtensionQueries {
              |SELECT split, lang, COUNT(*) AS docs, CAST(SUM(ntok) AS BIGINT) AS tokens,
              |  CAST(SUM(n_chunks) AS BIGINT) AS chunks
              |FROM fin GROUP BY split, lang ORDER BY split, lang""".stripMargin)
+    ),
+    Q(
+      "x2_embedding_prep_pipeline",
+      "The embedding-side corpus-prep DAG as ONE query — x1's sibling for the vector lane: coarse cell assignment (d9's fixed centroids, f32 contract) -> within-cell SemDeDup dominance drop (cosine>=0.35, earlier-id wins) -> JL projection of the SURVIVORS (e4's seeded sign matrix over exact floor(x*1e4) integers) -> per-cell accounting: members, survivors, exact projected second-moment mass (DECIMAL-summed BIGINT), one final double mean. Stage order is the production order — dedup shrinks the corpus BEFORE the projection and index-build stages pay for it. One embedding scan feeds assignment, both dominance sides, and the projection (localCheckpoint lineage cut); pair generation stays cell-blocked; projection is scan-side integer add/subtract",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val e = embeddings(s, d)
+          .selectExpr(
+            "vec_id",
+            "slice(embedding, 1, 16) AS v",
+            "CAST(embedding AS ARRAY<DOUBLE>) AS fv",
+            "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS q")
+          .selectExpr("vec_id", "v", "fv", "q", "sqrt(array_dot(fv, fv)) AS nrm")
+        val dists = e.selectExpr(
+          Seq("vec_id", "fv", "q", "nrm") ++
+            (0 until sdK).map(c => s"(${sdDistExpr(c, oneBased = false, sparkF32)}) AS sd_$c"): _*)
+        val assigned = dists
+          .withColumn("m", expr((0 until sdK).map(c => s"sd_$c").mkString("least(", ", ", ")")))
+          .withColumn("cluster", expr(
+            "CAST(CASE " + (0 until sdK).map(c => s"WHEN sd_$c = m THEN $c").mkString(" ") + " END AS INT)"))
+          .select("vec_id", "cluster", "fv", "nrm", "q")
+          .localCheckpoint(eager = false) // feeds both dominance sides + rollup + projection
+        val dropped = assigned.as("a")
+          .join(assigned.as("b"), expr(
+            "a.cluster = b.cluster AND b.vec_id < a.vec_id AND " +
+              "array_dot(a.fv, b.fv) / (a.nrm * b.nrm) >= 0.35"),
+            "left_semi")
+          .select("vec_id").withColumn("isdrop", lit(1))
+        val yExprs = jlYExprs(i => s"element_at(q, ${i + 1})")
+        val mass = (0 until 8).map(j => s"y$j * y$j").mkString(" + ")
+        val surv = assigned.join(dropped, Seq("vec_id"), "left")
+          .where(col("isdrop").isNull)
+          .selectExpr(Seq("cluster") ++ yExprs.zipWithIndex.map { case (ex, j) => s"$ex AS y$j" }: _*)
+          .selectExpr("cluster", s"CAST(($mass) AS DECIMAL(38, 0)) AS pm")
+          .groupBy("cluster")
+          .agg(count(lit(1)).cast("long").as("survivors"), sum(col("pm")).as("pmsum"))
+        assigned.groupBy("cluster").agg(count(lit(1)).as("members"))
+          .join(broadcast(surv), Seq("cluster"), "left")
+          .select(col("cluster"), col("members"),
+            coalesce(col("survivors"), lit(0L)).as("survivors"),
+            coalesce(col("pmsum"), lit(0).cast("decimal(38,0)")).cast("long").as("proj_mass"),
+            when(coalesce(col("survivors"), lit(0L)) > 0,
+              col("pmsum").cast("double") / col("survivors").cast("double"))
+              .otherwise(lit(0.0)).as("mean_proj_mass"))
+          .orderBy("cluster")
+      },
+      Some({
+        val lists = (0 until sdK)
+          .map(c => s"    (${sdDistExpr(c, oneBased = true, f => s"CAST('${java.lang.Float.toString(f)}' AS REAL)")}) AS sd_$c")
+          .mkString(",\n")
+        val leastE = (0 until sdK).map(c => s"sd_$c").mkString("least(", ", ", ")")
+        val caseE = "CAST(CASE " + (0 until sdK).map(c => s"WHEN sd_$c = m THEN $c").mkString(" ") + " END AS INTEGER)"
+        val yExprs = jlYExprs(i => s"q[${i + 1}]")
+        val ySel = yExprs.zipWithIndex.map { case (ex, j) => s"$ex AS y$j" }.mkString(",\n    ")
+        val mass = (0 until 8).map(j => s"y$j * y$j").mkString(" + ")
+        s"""WITH e AS (SELECT vec_id, embedding[1:$sdDim] AS v, CAST(embedding AS DOUBLE[]) AS fv,
+           |  list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(FLOOR(x * 10000.0) AS BIGINT)) AS q,
+           |  sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), (acc, x) -> acc + x)) AS nrm
+           |  FROM embeddings),
+           |dl AS (SELECT vec_id, fv, q, nrm,
+           |$lists
+           |  FROM e),
+           |withm AS (SELECT *, $leastE AS m FROM dl),
+           |asg AS (SELECT vec_id, fv, q, nrm, $caseE AS cluster FROM withm),
+           |dropped AS (
+           |  SELECT DISTINCT a.vec_id AS vec_id FROM asg a JOIN asg b
+           |  ON a.cluster = b.cluster AND b.vec_id < a.vec_id AND
+           |    list_reduce(list_transform(list_zip(a.fv, b.fv), p -> p[1] * p[2]), (acc, x) -> acc + x)
+           |    / (a.nrm * b.nrm) >= 0.35),
+           |kept AS (
+           |  SELECT asg.cluster, asg.q FROM asg LEFT JOIN dropped d USING (vec_id)
+           |  WHERE d.vec_id IS NULL),
+           |proj AS (SELECT cluster,
+           |    $ySel
+           |  FROM kept),
+           |pm AS (SELECT cluster, $mass AS pm FROM proj),
+           |sv AS (SELECT cluster, COUNT(*) AS survivors, SUM(pm) AS pmsum FROM pm GROUP BY cluster),
+           |mem AS (SELECT cluster, COUNT(*) AS members FROM asg GROUP BY cluster)
+           |SELECT mem.cluster AS cluster, CAST(mem.members AS BIGINT) AS members,
+           |  CAST(COALESCE(sv.survivors, 0) AS BIGINT) AS survivors,
+           |  CAST(COALESCE(sv.pmsum, 0) AS BIGINT) AS proj_mass,
+           |  CASE WHEN COALESCE(sv.survivors, 0) > 0
+           |    THEN CAST(sv.pmsum AS DOUBLE) / CAST(sv.survivors AS DOUBLE)
+           |    ELSE 0.0 END AS mean_proj_mass
+           |FROM mem LEFT JOIN sv ON mem.cluster = sv.cluster
+           |ORDER BY cluster""".stripMargin
+      })
     ),
     Q(
       "p13_hash_split",

@@ -289,6 +289,27 @@ class ExtensionQueriesSpec extends SparkSpec {
     }
   }
 
+  test("x2 agrees with d9 on per-cell membership and survivor counts") {
+    // x2 re-derives d9's assignment + dominance stages before projecting;
+    // the rollups must match exactly (members == members, survivors == kept).
+    val d9 = Registry.byName("d9_semdedup").fn(spark, sf).collect()
+      .map(r => r.getAs[Int]("cluster") ->
+        ((r.getAs[Long]("members"), r.getAs[Long]("kept")))).toMap
+    val x2 = Registry.byName("x2_embedding_prep_pipeline").fn(spark, sf).collect()
+      .map(r => r.getAs[Int]("cluster") ->
+        ((r.getAs[Long]("members"), r.getAs[Long]("survivors")))).toMap
+    assert(x2 == d9, "x2's dedup stage must be exactly d9's")
+    // every surviving row contributes non-negative projected mass; a cell
+    // with survivors and zero mass would mean the projection collapsed
+    val rows = Registry.byName("x2_embedding_prep_pipeline").fn(spark, sf).collect()
+    rows.foreach { r =>
+      val pm = r.getAs[Long]("proj_mass")
+      assert(pm >= 0, s"$r: negative mass impossible")
+      if (r.getAs[Long]("survivors") > 0)
+        assert(pm > 0, s"$r: survivors with zero projected mass")
+    }
+  }
+
   test("e4_random_projection: the JL estimate is unbiased enough on the fixture") {
     val rows = Registry.byName("e4_random_projection").fn(spark, sf).collect()
     assert(rows.nonEmpty)

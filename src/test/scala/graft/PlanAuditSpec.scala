@@ -268,6 +268,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial_min"), s"map-side min combine expected:\n${plan.take(3000)}")
   }
 
+  test("x2: the embedding-prep DAG is one scan, cell-blocked pairs, no Window") {
+    // The dominance join must stay blocked on the cell key (no cartesian),
+    // the projection is scan-side arithmetic (no extra shuffle below the
+    // final rollup joins), and there is no Window anywhere.
+    val df = Registry.byName("x2_embedding_prep_pipeline").fn(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"no Window allowed:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"dominance pairs must stay cell-blocked:\n${plan.take(3000)}")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"map-side combine expected in the rollup:\n${plan.take(3000)}")
+  }
+
   test("d11: the bloom probe filters the corpus grams BELOW the verify join") {
     // The whole point of the bloom path: non-matching grams die scan-side,
     // so the exchange feeding the verify join carries O(hits), not
