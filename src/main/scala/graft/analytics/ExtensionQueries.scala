@@ -1945,6 +1945,62 @@ object ExtensionQueries {
              |ORDER BY lang, rank""".stripMargin)
     ),
     Q(
+      "t16_ngram_novelty",
+      "Per-document n-gram novelty vs a reference set (docs id<50 stand in for the previous corpus release / training set): the fraction of each doc's distinct 5-grams already present in the reference — the graded memorization audit (Carlini-style verbatim-carryover detection) beside d7's boolean any-13-gram contamination flag and d10's corpus-internal dup mass. Inverted posting shape end to end: distinct reference grams -> SHUFFLE_HASH posting join -> per-doc seen counts, all exact integers; a doc is flagged memorized at >= 1/2 overlap via 2*seen >= tot (no division). Per lang: docs, gram/seen masses, memorized docs, one final mean-novelty double both engines compute from the same two BIGINTs. 100 TB shape: the reference set is release-sized (the d11 Bloom prefilter is the drop-in when it outgrows a broadcast); per-doc state is two integers, never a gram list",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val sh = documents(s, d)
+          .selectExpr("doc_id", "lang", graft.ext.MinHash.splitExpr)
+          .selectExpr("doc_id", "lang", "shinglen(t, 5) AS g5")
+          .localCheckpoint(eager = false) // feeds reference build + postings + doc base
+        val ref = sh.where(col("doc_id") < 50)
+          .selectExpr("explode(g5) AS gram").distinct()
+        val seen = sh.where(col("doc_id") >= 50)
+          .selectExpr("doc_id", "explode(g5) AS gram")
+          .join(ref.hint("SHUFFLE_HASH"), Seq("gram"))
+          .groupBy("doc_id").agg(count(lit(1)).as("seen"))
+        sh.where(col("doc_id") >= 50)
+          .selectExpr("doc_id", "lang", "CAST(size(g5) AS BIGINT) AS tot")
+          .join(seen, Seq("doc_id"), "left")
+          .withColumn("seen", coalesce(col("seen"), lit(0L)))
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("docs"),
+            sum(col("tot")).as("grams"),
+            sum(col("seen")).cast("long").as("seen_grams"),
+            sum(when(expr("tot > 0 AND 2 * seen >= tot"), 1).otherwise(0))
+              .cast("long").as("memorized_docs"))
+          .select(col("lang"), col("docs"), col("grams"), col("seen_grams"),
+            col("memorized_docs"),
+            when(col("grams") > 0,
+              lit(1.0) - col("seen_grams").cast("double") / col("grams").cast("double"))
+              .otherwise(lit(1.0)).as("mean_novelty"))
+          .orderBy("lang")
+      },
+      Some("""WITH sp AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS t FROM documents),
+             |g AS (SELECT doc_id, lang,
+             |  CASE WHEN len(t) < 5 THEN CAST([] AS VARCHAR[])
+             |  ELSE list_distinct([array_to_string(t[i:i+4], ' ')
+             |    for i in generate_series(1, len(t) - 4)]) END AS g5
+             |  FROM sp),
+             |ref AS (SELECT DISTINCT gram
+             |  FROM (SELECT unnest(g5) AS gram FROM g WHERE doc_id < 50)),
+             |post AS (SELECT doc_id, unnest(g5) AS gram FROM g WHERE doc_id >= 50),
+             |sn AS (
+             |  SELECT doc_id, COUNT(*) AS seen
+             |  FROM post JOIN ref USING (gram) GROUP BY doc_id),
+             |b AS (
+             |  SELECT g.doc_id, g.lang, len(g5) AS tot, COALESCE(sn.seen, 0) AS seen
+             |  FROM g LEFT JOIN sn ON g.doc_id = sn.doc_id WHERE g.doc_id >= 50)
+             |SELECT lang, COUNT(*) AS docs, CAST(SUM(tot) AS BIGINT) AS grams,
+             |  CAST(SUM(seen) AS BIGINT) AS seen_grams,
+             |  CAST(SUM(CASE WHEN tot > 0 AND 2 * seen >= tot THEN 1 ELSE 0 END) AS BIGINT) AS memorized_docs,
+             |  CASE WHEN SUM(tot) > 0
+             |    THEN 1.0 - CAST(SUM(seen) AS DOUBLE) / CAST(SUM(tot) AS DOUBLE)
+             |    ELSE 1.0 END AS mean_novelty
+             |FROM b GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
+    Q(
       "p15_temperature_mix",
       "Temperature-weighted language mixture (UniMax/mT5-style, alpha=0.5): per-lang quota = floor(T * sqrt(share)) up-weights low-resource langs vs proportional sampling, membership by deterministic md5 rank within lang (p14's coordination-free recipe). The quota rule is one division + one sqrt per lang on exact integer counts — no cross-lang double SUM whose accumulation order could diverge between engines. Selection is bounded-state threshold sampling (ScaleOps.quotaSampleByGroup): the quota-th smallest md5 rank per lang comes from a k-bounded BottomK aggregation and is broadcast as a filter — the majority language is never total-sorted through one reducer. Per lang: corpus docs, quota, sampled docs, sampled token mass",
       (s, d) => {
