@@ -226,6 +226,59 @@ object Incremental {
       .start()
   }
 
+  /** Streaming decontamination — the d11 pipeline run per micro-batch over
+    * landed documents: a document is a stateless fact (it lives in exactly
+    * one batch), so unlike dedup/heavy-hitters NO cross-batch state store is
+    * needed — the whole check is the Bloom-prefiltered gram probe (pure
+    * codegen'd column arithmetic, built ONCE from the benchmark set at
+    * stream start) plus the exact verify join against the static benchmark
+    * gram table. A Bloom has no false negatives, so the flagged set equals
+    * the exact inverted-join decontamination of each batch. Flagged
+    * (doc_id, lang) rows land batchId-keyed overwrite — the
+    * [[streamingVectorIndex]] replay-idempotence recipe: a retried batch
+    * overwrites its own directory, never duplicates.
+    */
+  def streamingDecontaminate(
+      spark: SparkSession,
+      docsPath: String,
+      benchGrams: DataFrame,
+      outPath: String,
+      checkpoint: String,
+      fpp: Double = 0.01,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    graft.functions.GraftFunctions.register(spark)
+    val bench = benchGrams.select(col("gram").cast("string").as("gram")).distinct()
+      .localCheckpoint() // eager: every micro-batch verify-joins it
+    val p = graft.ext.Bloom.params(bench.count(), fpp)
+    val bloom = graft.ext.Bloom.build(bench, "gram", p)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("lang", StringType),
+      StructField("text", StringType)))
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 16)
+      .json(docsPath)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val sh = batch
+            .selectExpr("doc_id", "lang", graft.ext.MinHash.splitExpr)
+            .selectExpr("doc_id", "lang", "shinglen(t, 13) AS g13")
+          val pre = sh.selectExpr("doc_id", "lang", "explode(g13) AS gram")
+            .where(graft.ext.Bloom.mightContain(col("gram"), bloom, p.k))
+          pre.join(bench, Seq("gram"))
+            .select("doc_id", "lang").distinct()
+            .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Open-session state carried between micro-batches by
     * [[streamingSessions]].
     */

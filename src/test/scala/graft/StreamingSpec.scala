@@ -291,6 +291,57 @@ class StreamingSpec extends SparkSpec {
         s""""consolidated_cells":${cellDirs.size},"match":true}\n""")
   }
 
+  test("streamingDecontaminate: waves flag exactly the exact-join contaminated set, replay-safe") {
+    val docsDir = tmpDir("sdc-docs")
+    val out = tmpDir("sdc-out") + "/flags"
+    val chk = tmpDir("sdc-chk")
+    val sf = "/root/testdata/sf0.001"
+    graft.functions.GraftFunctions.register(spark)
+    val sh = graft.analytics.Tables.documents(spark, sf)
+      .selectExpr("doc_id", "lang", "text", graft.ext.MinHash.splitExpr)
+      .selectExpr("doc_id", "lang", "text", "shinglen(t, 13) AS g13")
+      .localCheckpoint()
+    val bench = sh.where(col("doc_id") < 50).selectExpr("explode(g13) AS gram").distinct()
+    val corpus = sh.where(col("doc_id") >= 50)
+
+    // wave the corpus by id and land each as one JSON file
+    def land(name: String, dfj: org.apache.spark.sql.DataFrame): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$docsDir/$name"),
+        dfj.selectExpr("doc_id", "lang", "text").toJSON.collect().mkString("", "\n", "\n"))
+    land("w1.json", corpus.where(col("doc_id") < 300))
+    graft.streaming.Incremental
+      .streamingDecontaminate(spark, docsDir, bench, out, chk)
+      .awaitTermination(180000)
+    land("w2.json", corpus.where(col("doc_id") >= 300))
+    graft.streaming.Incremental
+      .streamingDecontaminate(spark, docsDir, bench, out, chk)
+      .awaitTermination(180000)
+
+    val streamed = spark.read.parquet(out).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    // the Bloom path has no false negatives and the verify join kills false
+    // positives, so the union of waves must equal the EXACT inverted join
+    val expected = corpus.selectExpr("doc_id", "explode(g13) AS gram")
+      .join(bench, Seq("gram")).select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed == expected, s"streamed=${streamed.size} expected=${expected.size}")
+    assert(expected.nonEmpty, "fixture shares 13-grams across the id<50 boundary")
+
+    // replay idempotence: draining again with no new files changes nothing
+    val before = spark.read.parquet(out).count()
+    graft.streaming.Incremental
+      .streamingDecontaminate(spark, docsDir, bench, out, chk)
+      .awaitTermination(180000)
+    assert(spark.read.parquet(out).count() == before, "an empty drain must be a no-op")
+
+    val artifact = java.nio.file.Paths.get("target/streaming_decontam_parity.json")
+    java.nio.file.Files.createDirectories(artifact.getParent)
+    java.nio.file.Files.writeString(artifact,
+      s"""{"pin":"streamingDecontaminate union-of-waves == exact inverted join",""" +
+        s""""docs":${corpus.count()},"flagged":${streamed.size},"waves":2,"match":true}\n""")
+  }
+
   test("streamingHeavyHitters: MG state folds across micro-batches == batch sketch") {
     val dir = tmpDir("hh-in")
     val chk = tmpDir("hh-chk")
