@@ -1259,6 +1259,39 @@ object ExtensionQueries {
       Some(knnGraphOracleSql(perBand = 8))
     ),
     Q(
+      "n9_ann_hamming",
+      "Binary-quantization ANN: the signs of all 64 dims pack into two BIGINT words (16 bytes/vector — 16x smaller than the f32 array; Similarity.signWords), and top-5 neighbors per query rank by exact Hamming distance bit_count(w XOR qw), ties by vec_id — the cheapest member of the ANN family and the standard first-pass filter of binary-quantized vector serving (survivors re-rank on full vectors via n1's path). Distances are exact small integers, so both engines agree bitwise with no float anywhere. 100 TB shape: signature build and distance are scan-side integer codegen over the 16-byte signature table (the full vectors never load), queries broadcast, and ranking funnels through the k-bounded TopK aggregator — k rows per query per partition cross the exchange, no Window",
+      (s, d) => {
+        val prepared = graft.ext.Similarity.prepare(embeddings(s, d), "vec_id", "embedding")
+        graft.ext.Similarity
+          .hammingTopK(prepared, prepared.where(col("id") < 10), k = 5)
+          .selectExpr("qid", "rank", "id AS vec_id", "hamming")
+          .orderBy("qid", "rank")
+      },
+      Some {
+        // Word layout mirrors Similarity.signWords bit for bit: bit (i - 32w)
+        // of word w = sign of dim i (literal powers of two, no dialect bit
+        // shifts). xor() is DuckDB's BIGINT bitwise xor (Spark: `^`).
+        val wordExprs = (0 until 2).map { w =>
+          "(" + (w * 32 until (w + 1) * 32).map(i =>
+            s"(CASE WHEN v[${i + 1}] >= 0 THEN CAST(${1L << (i - w * 32)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+            .mkString(" + ") + s") AS w$w"
+        }.mkString(",\n  ")
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |w AS (SELECT vec_id,
+           |  $wordExprs
+           |  FROM e),
+           |q AS (SELECT vec_id AS qid, w0 AS qw0, w1 AS qw1 FROM w WHERE vec_id < 10),
+           |scored AS (
+           |  SELECT qid, vec_id,
+           |    CAST(bit_count(xor(w0, qw0)) + bit_count(xor(w1, qw1)) AS BIGINT) AS hamming,
+           |    row_number() OVER (PARTITION BY qid ORDER BY
+           |      bit_count(xor(w0, qw0)) + bit_count(xor(w1, qw1)), vec_id) AS rank
+           |  FROM w JOIN q ON vec_id <> qid)
+           |SELECT qid, rank, vec_id, hamming FROM scored WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+      }
+    ),
+    Q(
       "pq_adc_topk",
       "Product-quantization ANN: per-block argmin encode to m=4 codes over the leading 16 dims, then ADC top-5 (per-query centroid-distance LUT, negated approx L2). The codebook is a SEEDED CONSTANT (not trained): the oracle is one static SQL string across scale factors, so the model must be data-independent — k-means training is pinned by PqSpec; this row gates the distributed legs (encode + ADC search) bitwise, f32 arithmetic mirrored on both sides",
       (s, d) => {

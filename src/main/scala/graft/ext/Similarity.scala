@@ -172,6 +172,51 @@ object Similarity {
       s"stack($bands, ${(0 until bands).map(b => s"$b, band$b").mkString(", ")}) AS (band, bkey)")
   }
 
+  /** Binary (sign-bit) quantization: pack the sign of each of the first
+    * `dims` dimensions into 32-bit words carried as BIGINT columns
+    * `w0..w{nw-1}` (bit b of word w = sign of dim 32w+b). 64 dims compress to
+    * 16 bytes/vector — 16x smaller than the f32 array — and the whole
+    * signature build is scan-side integer codegen (a sum of distinct
+    * powers-of-two literals, no lambda, no shuffle). The storage/serving
+    * format of binary-quantized vector search.
+    * Output: (id, w0, w1, ...).
+    */
+  def signWords(prepared: DataFrame, dims: Int = 64): DataFrame = {
+    val nw = (dims + 31) / 32
+    val wordExprs = (0 until nw).map { w =>
+      val terms = (w * 32 until math.min(dims, (w + 1) * 32)).map { i =>
+        s"(CASE WHEN element_at(v, ${i + 1}) >= 0 THEN CAST(${1L << (i - w * 32)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }
+      s"(${terms.mkString(" + ")}) AS w$w"
+    }
+    prepared.selectExpr(Seq("id") ++ wordExprs: _*)
+  }
+
+  /** Hamming-distance top-k over [[signWords]] signatures: the binary-
+    * quantization ANN path (the cheapest of the family). Distance is
+    * `sum_w bit_count(w ^ qw)` — pure integer column arithmetic that stays
+    * in whole-stage codegen; queries broadcast; ranking funnels through the
+    * k-bounded [[TopK]] Aggregator (score = -hamming, ties by id asc), so
+    * per-query state is k rows per partition regardless of corpus size.
+    * 100 TB shape: one scan over 16-byte signatures (not 256-byte vectors),
+    * no shuffle except the k-bounded rank exchange; typically the prefilter
+    * whose survivors re-rank through [[bruteForceTopK]] on the full vectors.
+    * Output: (qid, rank, id, hamming), hamming ascending.
+    */
+  def hammingTopK(prepared: DataFrame, queries: DataFrame, k: Int,
+      dims: Int = 64): DataFrame = {
+    val nw = (dims + 31) / 32
+    val corpus = signWords(prepared, dims)
+    val q = signWords(queries, dims).select(
+      col("id").as("qid") +: (0 until nw).map(w => col(s"w$w").as(s"qw$w")): _*)
+    val hamExpr = (0 until nw).map(w => s"bit_count(w$w ^ qw$w)").mkString(" + ")
+    val scored = corpus
+      .join(broadcast(q), expr("id <> qid"))
+      .selectExpr("qid", "id", s"CAST(-($hamExpr) AS DOUBLE) AS score")
+    topKByQuery(scored, k)
+      .selectExpr("qid", "rank", "id", "CAST(-score AS BIGINT) AS hamming")
+  }
+
   /** Count of k-means fits, incremented by [[ivfIndex]] — the observable that
     * lets SimilaritySpec pin "probing a prebuilt index never retrains" (and a
     * cheap production metric for index-build amortization).

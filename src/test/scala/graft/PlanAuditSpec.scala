@@ -92,6 +92,19 @@ class PlanAuditSpec extends SparkSpec {
       s"TopK Aggregator expected in the re-rank:\n$plan")
   }
 
+  test("n9: Hamming ANN is codegen'd integer arithmetic, broadcast queries, no Window") {
+    val df = Registry.byName("n9_ann_hamming").fn(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window re-rank would buffer per-query state:\n${plan.take(3000)}")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"query side must broadcast (corpus never shuffles for the distance):\n${plan.take(3000)}")
+    // the signature build must stay native column arithmetic — an
+    // interpreted lambda would take the 16-bytes/vector scan out of codegen
+    assert(!plan.toLowerCase.contains("lambdafunction"),
+      s"interpreted lambda found in the signature plan:\n${plan.take(3000)}")
+  }
+
   test("t13: the filter funnel reads the corpus exactly once") {
     // all four per-doc statistics derive from one posting pass — a second
     // documents scan (the join-back shape) would double corpus IO at 100 TB

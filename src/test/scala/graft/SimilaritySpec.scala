@@ -422,4 +422,30 @@ class SimilaritySpec extends SparkSpec {
     val out = Similarity.bruteForceTopK(prepared, queries, k = 100).collect()
     assert(out.length == 19) // whole corpus minus the query itself
   }
+
+  test("signWords/hammingTopK: packed bit_count(xor) distance equals the per-dim sign mismatch count") {
+    // Mixed-sign fixture (the one-hot corpus above is all-nonnegative, which
+    // would make every signature identical): 30 random +-1-ish vectors.
+    val rnd = new scala.util.Random(41)
+    val mixed = (0L until 30L)
+      .map(i => (i, Seq.fill(16)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "embedding")
+    val prep = Similarity.prepare(mixed, "vec_id", "embedding")
+    val out = Similarity
+      .hammingTopK(prep, prep.where(col("id") === 0), k = 29, dims = 16)
+      .collect()
+    val raw = prep.select("id", "v").collect()
+      .map(r => r.getAs[Long]("id") -> r.getSeq[Double](1)).toMap
+    val qv = raw(0L)
+    val byId = out.map(r => r.getAs[Long]("id") -> r.getAs[Long]("hamming")).toMap
+    assert(byId.size == 29)
+    for ((id, v) <- raw if id != 0L) {
+      val direct = (0 until 16).count(i => (v(i) >= 0) != (qv(i) >= 0))
+      assert(byId(id) == direct, s"id $id: packed ${byId(id)} != direct $direct")
+    }
+    // ranks walk (hamming asc, id asc) exactly
+    val ranked = out.sortBy(_.getAs[Long]("rank"))
+      .map(r => (r.getAs[Long]("hamming"), r.getAs[Long]("id"))).toSeq
+    assert(ranked == ranked.sorted, s"rank order must be (hamming, id): $ranked")
+  }
 }
