@@ -18,16 +18,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = t(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame     = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame     = t(s, d, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects. Read it as raw nanos (`nanosAsLong`) and truncate to
-    * microseconds — exactly what DuckDB's TIMESTAMP_NS->TIMESTAMP cast does,
-    * so oracle values agree.
+  /** `events.ts` has shipped as both parquet TIMESTAMP(NANOS) (early fixture
+    * generations; Spark's vectorized reader rejects it, so we read raw nanos
+    * via `nanosAsLong` and truncate to micros — DuckDB's TIMESTAMP_NS cast)
+    * and plain TIMESTAMP(MICROS) (current generation; reads as NTZ). Branch
+    * on the scanned type so both layouts land on the same session-local
+    * TimestampType column and oracle values agree either way.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events").withColumn(
-      "ts",
-      org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = t(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   /** The fixture parquet files are single-row-group (unsplittable), so a scan
     * is one task no matter the cluster size. The document/embedding operators
