@@ -1488,6 +1488,106 @@ object ExtensionQueries {
            |FROM pr GROUP BY label ORDER BY label""".stripMargin
       }
     ),
+    Q(
+      "e5_pca_power",
+      "Top principal component of the leading-8-dim embedding covariance by power iteration — the whitening/rotation pass that turns e3's co-moment matrix into an actual direction (PCA-guided PQ rotations, SemDeDup axes, variance-explained corpus diagnostics). Three-legged determinism: (1) the distributed leg is e3's exact-integer co-moment aggregation (floor(x*1e4) quantization, DECIMAL sums — addition-order-free); (2) the eigensolve is 400 fixed power-iteration steps over the 8x8 matrix as BOUNDED DRIVER STATE (d(d+1)/2 = 36 collected sums), every double op correctly rounded and identically ordered in both engines — Scala reduceLeft chains mirror DuckDB list_reduce left-assoc chains, so v_k is BIT-identical at every step (convergence not required for parity; at 400 steps the Rayleigh quotient matches numpy eigh to machine precision on the fixture); (3) the projection leg is scan-side codegen'd column arithmetic (8 multiply-adds/row with the eigenvector inlined as round-trip double literals), per-row scores floor-quantized to BIGINT so cross-row sums are exact again. 100 TB shape: two scans + one 36-row exchange; driver state is 8x8; per-label agg state is three sums. Fixed iteration count, no tolerance test — a convergence check would make plan shape data-dependent",
+      (s, d) => {
+        val q = embeddings(s, d)
+          .selectExpr("label",
+            "transform(slice(embedding, 1, 8), x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS qv")
+          .localCheckpoint(eager = false) // feeds co-moments, count, projection
+        // Exact co-moment collect: 36 + 8 + 1 rows of driver state (bounded).
+        val pairStructs = (for (i <- 0 until 8; j <- i until 8) yield
+          s"struct($i AS i, $j AS j, CAST(element_at(qv, ${i + 1}) AS DECIMAL(20, 0)) * CAST(element_at(qv, ${j + 1}) AS DECIMAL(20, 0)) AS p)")
+          .mkString(", ")
+        val spp = q.selectExpr(s"inline(array($pairStructs))")
+          .groupBy("i", "j").agg(sum(col("p")).as("s")).collect()
+          .map(r => (r.getInt(0), r.getInt(1)) -> r.getDecimal(2).doubleValue()).toMap
+        val mom = q.selectExpr("posexplode(qv)")
+          .selectExpr("pos AS i", "CAST(col AS DECIMAL(38, 0)) AS v")
+          .groupBy("i").agg(sum(col("v")).as("s")).collect()
+          .map(r => r.getInt(0) -> r.getDecimal(1).doubleValue()).toMap
+        val n = q.count().toDouble
+        // cov_ij = (n*Spp - Si*Sj)/n^2 /1e8 — e3's expression, driver-side.
+        val c = Array.ofDim[Double](8, 8)
+        for (i <- 0 until 8; j <- i until 8) {
+          val cd = (n * spp((i, j)) - mom(i) * mom(j)) / (n * n) / 100000000.0
+          c(i)(j) = cd; c(j)(i) = cd
+        }
+        // Power iteration: every sum is a reduceLeft chain == DuckDB's
+        // list_reduce left-assoc fold, so both engines walk identical doubles.
+        var v = Array.fill(8)(1.0)
+        def matvec(u: Array[Double]): Array[Double] =
+          Array.tabulate(8)(i => (0 until 8).map(t => c(i)(t) * u(t)).reduceLeft(_ + _))
+        for (_ <- 0 until 400) {
+          val w = matvec(v)
+          val nrm = math.sqrt(w.map(y => y * y).reduceLeft(_ + _))
+          v = w.map(_ / nrm)
+        }
+        val wf = matvec(v)
+        val eig = (0 until 8).map(i => v(i) * wf(i)).reduceLeft(_ + _)
+        val tr = (0 until 8).map(i => c(i)(i)).reduceLeft(_ + _)
+        def dlit(x: Double) = s"CAST('${java.lang.Double.toString(x)}' AS DOUBLE)"
+        val scoreExpr =
+          (0 until 8).map(t => s"element_at(qv, ${t + 1}) * ${dlit(v(t))}").mkString(" + ")
+        q.selectExpr("label", s"CAST(FLOOR($scoreExpr) AS BIGINT) AS sq")
+          .groupBy("label")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("sq").cast("decimal(38,0)")).cast("long").as("sum_q"))
+          .select(col("label"), col("n"), col("sum_q"),
+            round(col("sum_q").cast("double") / col("n").cast("double") / lit(10000.0), 6)
+              .as("mean_pc1"),
+            expr(s"round(${dlit(eig)}, 9)").as("eigval"),
+            expr(s"round(${dlit(eig / tr)}, 9)").as("var_explained"))
+          .orderBy("label")
+      },
+      Some {
+        val pairs = (for (i <- 0 until 8; j <- i until 8) yield s"($i, $j)").mkString(", ")
+        val trace = (0 until 8).map(i => s"mat[${i + 1}][${i + 1}]").mkString(" + ")
+        s"""WITH RECURSIVE
+           |e AS (SELECT label,
+           |  list_transform(CAST(embedding AS DOUBLE[])[1:8],
+           |    x -> CAST(FLOOR(x * 10000.0) AS BIGINT)) AS qv
+           |  FROM embeddings),
+           |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM e),
+           |spp AS (SELECT p.i AS i, p.j AS j, CAST(SUM(qv[p.i + 1] * qv[p.j + 1]) AS DOUBLE) AS sppd
+           |  FROM e, (VALUES $pairs) p(i, j) GROUP BY p.i, p.j),
+           |m AS (SELECT g.i AS i, CAST(SUM(qv[g.i + 1]) AS DOUBLE) AS s
+           |  FROM e, generate_series(0, 7) g(i) GROUP BY g.i),
+           |cv AS (SELECT spp.i AS i, spp.j AS j,
+           |    (nn.n * sppd - mi.s * mj.s) / (nn.n * nn.n) / 100000000.0 AS c
+           |  FROM spp JOIN m mi ON spp.i = mi.i JOIN m mj ON spp.j = mj.i CROSS JOIN nn),
+           |cf AS (SELECT i, j, c FROM cv UNION ALL SELECT j AS i, i AS j, c FROM cv WHERE i <> j),
+           |crow AS (SELECT i, list(c ORDER BY j) AS row FROM cf GROUP BY i),
+           |cm AS (SELECT list(row ORDER BY i) AS mat FROM crow),
+           |pit AS (
+           |  SELECT 0 AS step, CAST([1, 1, 1, 1, 1, 1, 1, 1] AS DOUBLE[]) AS v
+           |  UNION ALL
+           |  SELECT step + 1,
+           |    list_transform(w, x -> x / sqrt(list_reduce(list_transform(w, y -> y * y), (a, b) -> a + b)))
+           |  FROM (SELECT step,
+           |      list_transform(mat, row ->
+           |        list_reduce(list_transform(list_zip(row, v), p -> p[1] * p[2]), (a, b) -> a + b)) AS w
+           |    FROM pit, cm WHERE step < 400)),
+           |vf AS (SELECT v FROM pit WHERE step = 400),
+           |ew AS (SELECT
+           |    list_reduce(list_transform(list_zip(v,
+           |      list_transform(mat, row ->
+           |        list_reduce(list_transform(list_zip(row, v), p -> p[1] * p[2]), (a, b) -> a + b))),
+           |      p -> p[1] * p[2]), (a, b) -> a + b) AS eig,
+           |    $trace AS tr
+           |  FROM cm, vf),
+           |proj AS (SELECT label,
+           |    CAST(FLOOR(list_reduce(list_transform(list_zip(qv, v), p -> p[1] * p[2]), (a, b) -> a + b)) AS BIGINT) AS sq
+           |  FROM e, vf)
+           |SELECT label, COUNT(*) AS n, CAST(SUM(sq) AS BIGINT) AS sum_q,
+           |  round(CAST(SUM(sq) AS DOUBLE) / COUNT(*) / 10000.0, 6) AS mean_pc1,
+           |  round(eig, 9) AS eigval, round(eig / tr, 9) AS var_explained
+           |FROM proj CROSS JOIN ew
+           |GROUP BY label, eig, tr ORDER BY label""".stripMargin
+      }
+    ),
     // ------------------------------------------------------------- text ops
     Q(
       "t1_text_langid",

@@ -329,4 +329,30 @@ class ExtensionQueriesSpec extends SparkSpec {
     assert(withinTotal * 2 > pairsTotal,
       s"JL band hit rate too low: $withinTotal of $pairsTotal")
   }
+
+  test("e5_pca_power: power iteration lands on a dominant direction") {
+    val rows = Registry.byName("e5_pca_power").fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val eig = rows.head.getAs[Double]("eigval")
+    val ve = rows.head.getAs[Double]("var_explained")
+    rows.foreach { r =>
+      // eigval / var_explained are global constants of the decomposition
+      assert(r.getAs[Double]("eigval") == eig && r.getAs[Double]("var_explained") == ve)
+      val n = r.getAs[Long]("n")
+      assert(n > 0)
+      // mean_pc1 is definitionally sum_q / n / 1e4 (round 6)
+      val mean = BigDecimal(r.getAs[Long]("sum_q").toDouble / n.toDouble / 10000.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(mean - r.getAs[Double]("mean_pc1")) < 2e-6, s"$r: mean mismatch")
+    }
+    // the top eigenvalue of an 8-dim covariance is >= trace/8, so the
+    // explained share must beat the isotropic floor 1/8 (strictly, unless
+    // the spectrum is exactly flat — impossible for sampled data) and a
+    // positive-semidefinite trace keeps both positive
+    assert(eig > 0, s"top eigenvalue must be positive, got $eig")
+    assert(ve > 0.125 && ve <= 1.0, s"explained share off the PCA scale: $ve")
+    assert(rows.map(_.getAs[Long]("n")).sum ==
+      graft.analytics.Tables.embeddings(spark, sf).count(),
+      "projection leg must cover every vector exactly once")
+  }
 }
