@@ -2437,6 +2437,58 @@ object ExtensionQueries {
              |WHERE rn <= LEAST(c_s, 20)
              |GROUP BY r.source ORDER BY source""".stripMargin)
     ),
+    Q(
+      "p18_priority_sample",
+      "Weighted sampling without replacement via priority sampling " +
+        "(Duffield-Lund-Thorup): per doc, priority = w / u with w = n_chars " +
+        "(token-mass-proportional — long docs sample in) and u a content-" +
+        "stable uniform from the first 4 md5 nibbles of the text; keep the " +
+        "top-8 priorities per lang. The estimator family behind subset-sum " +
+        "sketches, and the deterministic weighted analog of p12: membership " +
+        "is a pure function of content, so workers/re-runs agree with zero " +
+        "coordination. Transcendental-free on purpose — priority is ONE " +
+        "exact integer product and ONE correctly-rounded IEEE division, so " +
+        "Spark and DuckDB produce bit-identical doubles (an exp/ln-based " +
+        "Efraimidis-Spirakis key could drift a ulp between libms). Selection " +
+        "is the k-bounded TopK Aggregator per lang — partial aggregation " +
+        "ships <= 8 candidates per partition, never a per-lang sort",
+      (s, d) => {
+        import s.implicits._
+        val h =
+          "((instr('0123456789abcdef', substring(md5(text), 1, 1)) - 1) * 4096 + " +
+            "(instr('0123456789abcdef', substring(md5(text), 2, 1)) - 1) * 256 + " +
+            "(instr('0123456789abcdef', substring(md5(text), 3, 1)) - 1) * 16 + " +
+            "instr('0123456789abcdef', substring(md5(text), 4, 1)) - 1)"
+        val scored = documents(s, d)
+          .selectExpr("lang", "doc_id",
+            s"CAST(n_chars AS DOUBLE) * 65536.0 / (1.0 + CAST($h AS DOUBLE)) AS priority")
+          .as[(String, Long, Double)]
+        val topk = new graft.ext.Similarity.TopK(8).toColumn
+        scored
+          .groupByKey(_._1)
+          .mapValues { case (_, id, p) => graft.ext.Similarity.Scored(p, id) }
+          .agg(topk.name("topk"))
+          .toDF("lang", "topk")
+          .selectExpr("lang", "posexplode(topk) AS (pos, hit)")
+          .selectExpr("lang", "CAST(pos + 1 AS BIGINT) AS rank",
+            "hit.id AS doc_id", "hit.score AS priority")
+          .orderBy("lang", "rank")
+      },
+      Some("""WITH p AS (
+             |  SELECT lang, doc_id,
+             |    CAST(n_chars AS DOUBLE) * 65536.0 / (1.0 + CAST(
+             |      (instr('0123456789abcdef', substring(md5(text), 1, 1)) - 1) * 4096 +
+             |      (instr('0123456789abcdef', substring(md5(text), 2, 1)) - 1) * 256 +
+             |      (instr('0123456789abcdef', substring(md5(text), 3, 1)) - 1) * 16 +
+             |      instr('0123456789abcdef', substring(md5(text), 4, 1)) - 1 AS DOUBLE)) AS priority
+             |  FROM documents),
+             |r AS (
+             |  SELECT lang, doc_id, priority,
+             |    row_number() OVER (PARTITION BY lang ORDER BY priority DESC, doc_id) AS rank
+             |  FROM p)
+             |SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, priority
+             |FROM r WHERE rank <= 8 ORDER BY lang, rank""".stripMargin)
+    ),
     // -------------------------------------------------------- multimodal ops
     Q(
       "m1_multimodal_meta",

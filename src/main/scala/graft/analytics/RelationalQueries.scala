@@ -917,6 +917,145 @@ object RelationalQueries {
       Some("""SELECT date_trunc('hour', ts) AS win, event_type, COUNT(*) AS n,
              |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY win, event_type""".stripMargin)
+    ),
+    // ----------------------------------------------- round-7: interval / skew joins
+    Q(
+      "j6_interval_join",
+      "Bucketed interval (range) join: per-user-per-day activity windows " +
+        "[min ts, max ts] probed by every OTHER user's events; count of " +
+        "foreign events inside each user's windows. Spark has no native " +
+        "range-join operator — a raw `ts BETWEEN s AND e` predicate plans as " +
+        "BroadcastNestedLoopJoin (O(n*m) compares, the classic 100 TB " +
+        "killer). The scale shape: quantize time into fixed 1h buckets, " +
+        "explode each interval to the buckets it spans (replication = " +
+        "len/bucket + 1, bounded because the windows are intraday), tag each " +
+        "probe event with its single bucket, equi-join on the bucket key " +
+        "(shuffles, partial-agg-friendly) and refine with the exact BETWEEN " +
+        "predicate. An event's bucket is unique, so no pair dedup is needed. " +
+        "Plan-pinned BNLJ-free (PlanAuditSpec)",
+      (s, d) => {
+        val ev = events(s, d).select(col("user_id").as("ev_user"), col("ts"))
+        val iv = events(s, d)
+          .groupBy(col("user_id").as("iv_user"), date_trunc("day", col("ts")).as("day"))
+          .agg(min("ts").as("s_ts"), max("ts").as("e_ts"))
+          .withColumn("bkt", explode(sequence(
+            expr("unix_micros(s_ts) div 3600000000"),
+            expr("unix_micros(e_ts) div 3600000000"))))
+        ev.withColumn("bkt", expr("unix_micros(ts) div 3600000000"))
+          .join(iv, Seq("bkt"))
+          .where(col("ts") >= col("s_ts") && col("ts") <= col("e_ts") &&
+            col("ev_user") =!= col("iv_user"))
+          .groupBy(col("iv_user").as("user_id"))
+          .agg(count(lit(1)).as("n_overlap"))
+          .orderBy("user_id")
+      },
+      Some("""WITH iv AS (
+             |  SELECT user_id AS iv_user, date_trunc('day', ts) AS day,
+             |         MIN(ts) AS s_ts, MAX(ts) AS e_ts
+             |  FROM events GROUP BY 1, 2)
+             |SELECT iv.iv_user AS user_id, COUNT(*) AS n_overlap
+             |FROM iv JOIN events ev
+             |  ON ev.ts BETWEEN iv.s_ts AND iv.e_ts AND ev.user_id <> iv.iv_user
+             |GROUP BY 1 ORDER BY user_id""".stripMargin)
+    ),
+    Q(
+      "j7_salted_join",
+      "Skew-salted fact-to-dim join (ScaleOps.saltedJoin): the large side " +
+        "gets a seeded uniform salt in [0,8), the small side replicates once " +
+        "per salt value, and the join key widens to (suppkey, salt) — one " +
+        "pathological hot key now spreads over 8 reducers instead of " +
+        "stalling one. Results are salt-assignment-independent (the small " +
+        "side is present under every salt), which is exactly what the plain " +
+        "unsalted oracle join proves. AQE skew-join handles moderate skew; " +
+        "salting is the explicit guard for the single-key blowup AQE splits " +
+        "can't reach",
+      (s, d) => {
+        val li = lineitem(s, d).select(col("l_suppkey").as("suppkey"), col("l_quantity"))
+        val sup = supplier(s, d).select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+        graft.ops.ScaleOps.saltedJoin(li, sup, "suppkey", 8)
+          .groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy("s_nationkey")
+      },
+      Some("""SELECT s_nationkey, COUNT(*) AS n,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)
+    ),
+    Q(
+      "w6_event_gaps",
+      "Inter-event gap statistics per user: lag() over (user, ts) then " +
+        "exact-integer microsecond gap aggregates. The window partitions on " +
+        "user_id — event streams shard naturally per key, so window state is " +
+        "one user's day, never the corpus (the only window discipline this " +
+        "engine allows). Gap sums stay in BIGINT microseconds end to end — " +
+        "no float drift across engines",
+      (s, d) =>
+        events(s, d)
+          .selectExpr("user_id", "ts",
+            "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts")
+          .where(col("prev_ts").isNotNull)
+          .groupBy("user_id")
+          .agg(
+            count(lit(1)).as("n_gaps"),
+            sum(expr("unix_micros(ts) - unix_micros(prev_ts)")).as("total_gap_us"),
+            max(expr("unix_micros(ts) - unix_micros(prev_ts)")).as("max_gap_us"))
+          .orderBy("user_id"),
+      Some("""WITH g AS (
+             |  SELECT user_id, ts,
+             |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             |  FROM events)
+             |SELECT user_id, COUNT(*) AS n_gaps,
+             |  CAST(SUM(epoch_us(ts) - epoch_us(prev_ts)) AS BIGINT) AS total_gap_us,
+             |  CAST(MAX(epoch_us(ts) - epoch_us(prev_ts)) AS BIGINT) AS max_gap_us
+             |FROM g WHERE prev_ts IS NOT NULL
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)
+    ),
+    Q(
+      "a19_column_profile",
+      "Single-pass column profiler over the documents table: per column, " +
+        "non-null count, exact distinct count, min/max (stringified) — the " +
+        "schema-drift / data-quality report every ingest runs before " +
+        "training. One scan; the multi-column COUNT(DISTINCT) plans as one " +
+        "Expand (x5 fan-out of pruned columns, each distinct partial-" +
+        "aggregates before its exchange) rather than five scans of a 100 TB " +
+        "table. min/max compare on native types and stringify only the " +
+        "five final values",
+      (s, d) => {
+        val doc = t(s, d, "documents")
+        val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+        val aggs = cols.flatMap { c =>
+          Seq(
+            count(col(c)).as(s"${c}_nn"),
+            countDistinct(col(c)).as(s"${c}_nd"),
+            min(col(c)).cast("string").as(s"${c}_min"),
+            max(col(c)).cast("string").as(s"${c}_max"))
+        }
+        val stack = cols
+          .map(c => s"'$c', ${c}_nn, ${c}_nd, ${c}_min, ${c}_max")
+          .mkString(s"stack(${cols.size}, ", ", ", ")")
+        doc.agg(aggs.head, aggs.tail: _*)
+          .selectExpr(s"$stack AS (column_name, n_nonnull, n_distinct, min_val, max_val)")
+          .orderBy("column_name")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT 'doc_id' AS column_name, COUNT(doc_id) AS n_nonnull,
+             |    COUNT(DISTINCT doc_id) AS n_distinct,
+             |    CAST(MIN(doc_id) AS VARCHAR) AS min_val, CAST(MAX(doc_id) AS VARCHAR) AS max_val
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT 'text', COUNT(text), COUNT(DISTINCT text),
+             |    CAST(MIN(text) AS VARCHAR), CAST(MAX(text) AS VARCHAR) FROM documents
+             |  UNION ALL
+             |  SELECT 'lang', COUNT(lang), COUNT(DISTINCT lang),
+             |    CAST(MIN(lang) AS VARCHAR), CAST(MAX(lang) AS VARCHAR) FROM documents
+             |  UNION ALL
+             |  SELECT 'source', COUNT(source), COUNT(DISTINCT source),
+             |    CAST(MIN(source) AS VARCHAR), CAST(MAX(source) AS VARCHAR) FROM documents
+             |  UNION ALL
+             |  SELECT 'n_chars', COUNT(n_chars), COUNT(DISTINCT n_chars),
+             |    CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR) FROM documents
+             |) ORDER BY column_name""".stripMargin)
     )
   )
 }

@@ -355,4 +355,100 @@ class ExtensionQueriesSpec extends SparkSpec {
       graft.analytics.Tables.embeddings(spark, sf).count(),
       "projection leg must cover every vector exactly once")
   }
+
+  test("j6_interval_join: the bucketed plan returns exactly the naive inequality join") {
+    import org.apache.spark.sql.functions._
+    val got = Registry.byName("j6_interval_join").fn(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_overlap")).toMap
+    val ev = graft.analytics.Tables.events(spark, sf)
+    val iv = ev
+      .groupBy(col("user_id").as("iv_user"), date_trunc("day", col("ts")).as("day"))
+      .agg(min("ts").as("s_ts"), max("ts").as("e_ts"))
+    // the reference semantics, paid as an O(n*m) nested-loop join — fixture-only
+    val naive = ev.select(col("user_id").as("ev_user"), col("ts"))
+      .join(iv, col("ts") >= col("s_ts") && col("ts") <= col("e_ts") &&
+        col("ev_user") =!= col("iv_user"))
+      .groupBy("iv_user").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[Long]("iv_user") -> r.getAs[Long]("n")).toMap
+    assert(got == naive, s"bucketed != naive: ${got.size} vs ${naive.size} users")
+    assert(got.nonEmpty, "fixture users overlap in time; join must not be empty")
+  }
+
+  test("p18_priority_sample equals full-sort-and-take per lang") {
+    val got = Registry.byName("p18_priority_sample").fn(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("rank"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("priority")))
+    val h =
+      "((instr('0123456789abcdef', substring(md5(text), 1, 1)) - 1) * 4096 + " +
+        "(instr('0123456789abcdef', substring(md5(text), 2, 1)) - 1) * 256 + " +
+        "(instr('0123456789abcdef', substring(md5(text), 3, 1)) - 1) * 16 + " +
+        "instr('0123456789abcdef', substring(md5(text), 4, 1)) - 1)"
+    val expected = graft.analytics.Tables.documents(spark, sf)
+      .selectExpr("lang", "doc_id",
+        s"CAST(n_chars AS DOUBLE) * 65536.0 / (1.0 + CAST($h AS DOUBLE)) AS priority")
+      .collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"), r.getAs[Double]("priority")))
+      .groupBy(_._1).toSeq
+      .flatMap { case (lang, docs) =>
+        docs.toSeq.sortBy(t => (-t._3, t._2)).take(8).zipWithIndex.map {
+          case ((_, id, p), i) => (lang, (i + 1).toLong, id, p)
+        }
+      }.toSet
+    assert(got.toSet == expected, "TopK aggregation must equal sort-and-take")
+    assert(got.nonEmpty)
+  }
+
+  test("w6_event_gaps: per-user gap sums telescope to last-minus-first") {
+    import org.apache.spark.sql.functions._
+    val got = Registry.byName("w6_event_gaps").fn(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_gaps"), r.getAs[Long]("total_gap_us"), r.getAs[Long]("max_gap_us")))
+      .toMap
+    val spans = graft.analytics.Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("span_us"))
+      .collect()
+      .map(r => r.getAs[Long]("user_id") -> (r.getAs[Long]("n"), r.getAs[Long]("span_us")))
+      .toMap
+    got.foreach { case (u, (nGaps, total, mx)) =>
+      val (n, span) = spans(u)
+      assert(nGaps == n - 1, s"user $u: ${nGaps} gaps from $n events")
+      // consecutive gaps over (ts, event_id) order telescope exactly
+      assert(total == span, s"user $u: gap sum $total != span $span")
+      assert(mx >= 0 && mx <= total, s"user $u: max gap out of range")
+    }
+    assert(got.keySet == spans.filter(_._2._1 >= 2).keySet,
+      "every user with >= 2 events has a gap row")
+  }
+
+  test("a19_column_profile: profile invariants on the documents table") {
+    val rows = Registry.byName("a19_column_profile").fn(spark, sf).collect()
+      .map(r => r.getAs[String]("column_name") ->
+        (r.getAs[Long]("n_nonnull"), r.getAs[Long]("n_distinct"),
+          r.getAs[String]("min_val"), r.getAs[String]("max_val"))).toMap
+    assert(rows.keySet ==
+      Set("doc_id", "text", "lang", "source", "n_chars"))
+    val total = graft.analytics.Tables.documents(spark, sf).count()
+    val (idNn, idNd, idMin, idMax) = rows("doc_id")
+    assert(idNn == total && idNd == total, "doc_id is a complete unique key")
+    assert(idMin.toLong <= idMax.toLong)
+    rows.foreach { case (c, (nn, nd, _, _)) =>
+      assert(nn <= total && nd <= nn, s"$c: impossible profile counts")
+    }
+    val (_, langNd, _, _) = rows("lang")
+    assert(langNd >= 2 && langNd <= 10, "fixture has a handful of langs")
+  }
+
+  test("j7_salted_join matches the unsalted plan's totals") {
+    import org.apache.spark.sql.functions._
+    val got = Registry.byName("j7_salted_join").fn(spark, sf).collect()
+      .map(r => r.getAs[Int]("s_nationkey") -> r.getAs[Long]("n")).toMap
+    val li = graft.analytics.Tables.lineitem(spark, sf)
+    val sup = graft.analytics.Tables.supplier(spark, sf)
+    val plain = li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .groupBy("s_nationkey").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[Int]("s_nationkey") -> r.getAs[Long]("n")).toMap
+    assert(got == plain, "salting must not change join results")
+  }
 }

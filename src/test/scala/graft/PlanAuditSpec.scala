@@ -319,4 +319,35 @@ class PlanAuditSpec extends SparkSpec {
         s"bloom probe must sit on the scan side, found a join beneath it: $below")
     }
   }
+
+  test("j6: the interval join runs as a bucket equi-join — never BNLJ or cartesian") {
+    // A raw `ts BETWEEN s AND e` join has no equi-predicate and plans as
+    // BroadcastNestedLoopJoin (O(n*m) compares). The bucketed rewrite must
+    // give Catalyst an equi-key so the join shuffles and the BETWEEN runs
+    // as a post-join filter.
+    val df = Registry.byName("j6_interval_join").fn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"interval join degenerated to BNLJ:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"interval join degenerated to a cartesian product:\n${plan.take(3000)}")
+  }
+
+  test("p18: priority sampling is the k-bounded TopK Aggregator, no Window") {
+    val df = Registry.byName("p18_priority_sample").fn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"priority sampling must not plan a per-lang window sort:\n${plan.take(3000)}")
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"typed TopK aggregation expected:\n${plan.take(3000)}")
+  }
+
+  test("a19: the column profile is one scan feeding an Expand, not five scans") {
+    val df = Registry.byName("a19_column_profile").fn(spark, sf)
+    assert(scans(df).size == 1,
+      s"profile must read the table once, saw ${scans(df).size} scans")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"),
+      s"multi-column COUNT(DISTINCT) should plan as one Expand:\n${plan.take(3000)}")
+  }
 }
