@@ -753,4 +753,50 @@ object ScaleOps {
     fs.delete(bak, true)
     (before.size.toLong, parquetFiles(root).size.toLong)
   }
+
+  // ------------------------------------------------------------------------
+  // Incremental distinct counting: persistable, mergeable HLL sketches.
+  //
+  // Spark's `approx_count_distinct` answers "distinct within THIS job"; a
+  // 100 TB ingest needs "distinct users/urls/docs across all runs so far"
+  // without re-scanning history. The Spark-native answer is the
+  // Datasketches HLL surface (`hll_sketch_agg` / `hll_union_agg` /
+  // `hll_sketch_estimate`): each run reduces to one tiny binary sketch per
+  // group (<= ~2^lgK bytes), sketches land in a parquet store, and the
+  // union across runs is associative/commutative/idempotent-ish (re-adding
+  // a value never inflates the count) — the same fold-across-batches
+  // discipline as the Misra-Gries store, for cardinality instead of
+  // frequency. In the small-cardinality regime the Datasketches coupon
+  // path makes the estimate EXACT, which is what lets `a20_sketch_distinct`
+  // gate against a DuckDB COUNT(DISTINCT) oracle (the t15 exact-regime
+  // discipline).
+  // ------------------------------------------------------------------------
+
+  /** Append one run's per-group HLL sketches to `dir` (one row per group:
+    * group string, sketch binary, run tag). Input shuffles only the partial
+    * sketches — partial aggregation reduces each partition to one sketch
+    * per group before the exchange.
+    */
+  def writeDistinctSketches(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      dir: String,
+      runId: String,
+      lgK: Int = 12): Unit =
+    df.selectExpr(s"CAST($groupCol AS STRING) AS g", valueCol)
+      .groupBy("g")
+      .agg(expr(s"hll_sketch_agg($valueCol, $lgK)").as("sketch"))
+      .withColumn("run_id", lit(runId))
+      .coalesce(1)
+      .write.mode("append").parquet(dir)
+
+  /** Fold every run's sketches in `dir` to one estimate per group. Cost is
+    * O(runs x groups) sketch rows, independent of the data ever ingested.
+    */
+  def estimateDistinct(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+      .groupBy("g")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sketch, true))").as("n_distinct"))
+      .orderBy("g")
 }

@@ -400,6 +400,34 @@ object Incremental {
       .toDF()
   }
 
+  /** Stream-stream event-time interval join — the streaming sibling of the
+    * batch `j6_interval_join`: each error event joins the SAME user's clicks
+    * from the preceding `windowMinutes`. Spark's stream-stream join buffers
+    * both sides in state; the two watermarks PLUS the time-bound join
+    * condition are what make that state finite — the engine derives "a click
+    * older than (error watermark - window) can never match again" and
+    * expires it. Without the interval bound the click buffer would grow
+    * forever; this is the canonical shape for joining two unbounded streams.
+    * Inner-join matches emit as soon as both rows arrive (no watermark
+    * delay); the watermark only gates state cleanup.
+    */
+  def streamingClickErrorJoin(
+      clicks: DataFrame,
+      errors: DataFrame,
+      windowMinutes: Int = 10): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", s"$windowMinutes minutes")
+    val e = errors
+      .select(col("user_id").as("e_user"), col("ts").as("error_ts"))
+      .withWatermark("error_ts", s"$windowMinutes minutes")
+    c.join(e, expr(
+        s"""c_user = e_user AND
+           |error_ts >= click_ts AND
+           |error_ts <= click_ts + INTERVAL $windowMinutes MINUTES""".stripMargin))
+      .select(col("c_user").as("user_id"), col("click_ts"), col("error_ts"))
+  }
+
   /** ST7 — scheduled periodic ingestion: the reference's external cron
     * scheduler (pipeline_scheduler.py:42-103 cron -> job publish) collapses
     * into Structured Streaming's own trigger scheduler. The SAME pipeline as

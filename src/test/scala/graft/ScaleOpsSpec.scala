@@ -347,4 +347,30 @@ class ScaleOpsSpec extends SparkSpec {
     }
     assert(spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq == before)
   }
+
+  test("distinct-sketch store: union across runs == one-shot == exact (coupon regime)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("hll") + "/sketches"
+    // two overlapping ingest waves: values 0..599 and 400..999 over 3 groups
+    val wave1 = (0 until 600).map(i => (s"g${i % 3}", i.toLong)).toDF("grp", "v")
+    val wave2 = (400 until 1000).map(i => (s"g${i % 3}", i.toLong)).toDF("grp", "v")
+    graft.ops.ScaleOps.writeDistinctSketches(wave1, "grp", "v", dir, runId = "r1")
+    graft.ops.ScaleOps.writeDistinctSketches(wave2, "grp", "v", dir, runId = "r2")
+    val est = graft.ops.ScaleOps.estimateDistinct(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = wave1.union(wave2).distinct()
+      .groupBy("grp").agg(countDistinct("v").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // ~333 distinct per group is far inside the lgK=12 coupon regime:
+    // the estimate is exact, and re-ingesting the 400..599 overlap in the
+    // second wave must not inflate it (sketch union is idempotent per value)
+    assert(est == exact, s"sketch store diverged: $est vs $exact")
+    // one-shot sketch over the unioned data agrees with the folded store
+    val oneShot = wave1.union(wave2)
+      .groupBy("grp")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(v, 12))").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(oneShot == est, "fold-across-runs must equal the one-shot sketch")
+  }
 }

@@ -611,4 +611,56 @@ class StreamingSpec extends SparkSpec {
     val click = rows.find(_.getString(1) == "click").get
     assert(click.getLong(2) == 2 && click.getDouble(3) == 3.0)
   }
+
+  test("streamingClickErrorJoin: stream-stream interval join == batch inequality join") {
+    val dir = tmpDir("stream-ssj")
+    // user 1: click 10:00 -> errors 10:05 (in window) and 10:20 (outside);
+    // user 2: click 10:10 -> error 10:12 (in window); user 3: error with no
+    // click; cross-user pairs must never match.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/ev.json"),
+      """{"ts":"2024-01-01T10:00:00","user_id":1,"event_type":"click"}
+        |{"ts":"2024-01-01T10:05:00","user_id":1,"event_type":"error"}
+        |{"ts":"2024-01-01T10:20:00","user_id":1,"event_type":"error"}
+        |{"ts":"2024-01-01T10:10:00","user_id":2,"event_type":"click"}
+        |{"ts":"2024-01-01T10:12:00","user_id":2,"event_type":"error"}
+        |{"ts":"2024-01-01T10:03:00","user_id":3,"event_type":"error"}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("ts", StringType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType)))
+    def src = spark.readStream.schema(schema).json(dir)
+      .withColumn("ts", to_timestamp(col("ts")))
+    val joined = Incremental.streamingClickErrorJoin(
+      src.where(col("event_type") === "click"),
+      src.where(col("event_type") === "error"))
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("ssj")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("ssj").collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("click_ts"), r.getAs[java.sql.Timestamp]("error_ts")))
+      .toSet
+    // batch reference: the same inequality join on the static frame
+    val batch = spark.read.schema(schema).json(dir)
+      .withColumn("ts", to_timestamp(col("ts")))
+    val c = batch.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val e = batch.where(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("error_ts"))
+    val want = c.join(e, expr(
+        """c_user = e_user AND error_ts >= click_ts AND
+          |error_ts <= click_ts + INTERVAL 10 MINUTES""".stripMargin))
+      .collect()
+      .map(r => (r.getAs[Long]("c_user"),
+        r.getAs[java.sql.Timestamp]("click_ts"), r.getAs[java.sql.Timestamp]("error_ts")))
+      .toSet
+    assert(want.map(_._1) == Set(1L, 2L), "fixture sanity: users 1 and 2 match")
+    assert(got == want, s"stream-stream join diverged: $got vs $want")
+  }
 }
