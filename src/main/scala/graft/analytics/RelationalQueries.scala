@@ -1012,6 +1012,55 @@ object RelationalQueries {
              |GROUP BY user_id ORDER BY user_id""".stripMargin)
     ),
     Q(
+      "g1_cooccurrence_pagerank",
+      "Graph centrality over an entity co-occurrence graph " +
+        "(GraphOps.pageRankInt): users who share an active minute become " +
+        "edges; 3 damped PageRank iterations rank influence — the " +
+        "curation primitive behind crawl prioritization, spam scoring and " +
+        "kNN-graph cluster importance. EXACT integer arithmetic end to " +
+        "end (micro-unit ranks, per-edge contribution = pr div degree, " +
+        "damped update in integer ops): any engine and any partitioning " +
+        "produces bit-identical ranks, where double-summed PageRank " +
+        "drifts ulp-by-ulp under reassociation. Each iteration is one " +
+        "shuffle (contribution join co-partitions on src, receive side " +
+        "partial-aggregates on dst); iterations are a bounded driver " +
+        "loop with per-round lineage cuts — the Pregel shape",
+      (s, d) => {
+        val hu = events(s, d)
+          .select(date_trunc("minute", col("ts")).as("h"), col("user_id").as("u"))
+          .distinct()
+        val e = hu.as("a")
+          .join(hu.as("b"), col("a.h") === col("b.h") && col("a.u") =!= col("b.u"))
+          .select(col("a.u").as("src"), col("b.u").as("dst"))
+          .distinct()
+        graft.ops.GraphOps.pageRankInt(e, iterations = 3)
+          .select(col("u").as("user_id"), col("pr"))
+          .orderBy(desc("pr"), col("user_id"))
+          .limit(10)
+      },
+      Some("""WITH hu AS (SELECT DISTINCT date_trunc('minute', ts) AS h, user_id AS u FROM events),
+             |e AS (SELECT DISTINCT a.u AS src, b.u AS dst
+             |      FROM hu a JOIN hu b ON a.h = b.h AND a.u <> b.u),
+             |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+             |r0 AS (SELECT src AS u, CAST(1000000 AS BIGINT) AS pr FROM deg),
+             |c1 AS (SELECT e.dst AS dst, SUM(r0.pr // deg.d) AS contrib
+             |       FROM e JOIN deg USING (src) JOIN r0 ON e.src = r0.u GROUP BY e.dst),
+             |r1 AS (SELECT deg.src AS u,
+             |       CAST(150000 + (85 * COALESCE(c1.contrib, 0)) // 100 AS BIGINT) AS pr
+             |       FROM deg LEFT JOIN c1 ON deg.src = c1.dst),
+             |c2 AS (SELECT e.dst AS dst, SUM(r1.pr // deg.d) AS contrib
+             |       FROM e JOIN deg USING (src) JOIN r1 ON e.src = r1.u GROUP BY e.dst),
+             |r2 AS (SELECT deg.src AS u,
+             |       CAST(150000 + (85 * COALESCE(c2.contrib, 0)) // 100 AS BIGINT) AS pr
+             |       FROM deg LEFT JOIN c2 ON deg.src = c2.dst),
+             |c3 AS (SELECT e.dst AS dst, SUM(r2.pr // deg.d) AS contrib
+             |       FROM e JOIN deg USING (src) JOIN r2 ON e.src = r2.u GROUP BY e.dst),
+             |r3 AS (SELECT deg.src AS u,
+             |       CAST(150000 + (85 * COALESCE(c3.contrib, 0)) // 100 AS BIGINT) AS pr
+             |       FROM deg LEFT JOIN c3 ON deg.src = c3.dst)
+             |SELECT u AS user_id, pr FROM r3 ORDER BY pr DESC, u LIMIT 10""".stripMargin)
+    ),
+    Q(
       "a20_sketch_distinct",
       "Approximate distinct via the Datasketches HLL surface " +
         "(hll_sketch_agg -> hll_sketch_estimate): distinct active DAYS per " +

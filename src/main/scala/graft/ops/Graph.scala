@@ -126,6 +126,64 @@ object GraphOps {
     labels
   }
 
+  /** Bounded-iteration PageRank in EXACT integer arithmetic — graph
+    * centrality for corpus curation (crawl prioritization, spam/user
+    * influence scoring, kNN-graph cluster importance) with cross-engine
+    * determinism: ranks live in integer micro-units (1.0 == 1,000,000), a
+    * vertex's per-edge contribution is `pr div out_degree` (integer
+    * division), and the damped update is
+    * `(100-dampingPct)*10^4 + (dampingPct * sum(contrib)) div 100` — every
+    * step is an order-independent integer op, so any engine (and any
+    * partitioning) produces bit-identical ranks, where a double-summed
+    * PageRank diverges ulp-by-ulp under reassociation.
+    *
+    * `edges` is a DIRECTED (src, dst) edge list (pass both directions for
+    * an undirected graph); parallel edges should be pre-deduped — each
+    * (src, dst) row carries one contribution per iteration. Only vertices
+    * with at least one out-edge hold rank (isolated vertices have nothing
+    * to propagate and receive the base term trivially; callers wanting
+    * them in the output can union them in at the damping floor).
+    *
+    * Scale shape: each iteration is ONE shuffle — contributions equi-join
+    * rank onto the edge list's src (both sides hash-partition on src), the
+    * receive side partial-aggregates `sum(contrib)` on dst before its
+    * exchange. Iterations are a bounded driver loop (the Pregel shape);
+    * lineage is cut per round like [[connectedComponents]].
+    */
+  def pageRankInt(
+      edges: DataFrame,
+      iterations: Int,
+      dampingPct: Int = 85): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(dampingPct >= 0 && dampingPct <= 100, "dampingPct in [0,100]")
+    val base = (100L - dampingPct) * 10000L
+    // materialize the edge list once: every iteration (and the degree pass)
+    // re-reads it, and edge DERIVATION is often the expensive part (a
+    // co-occurrence self-join, an LSH candidate pipeline) — without the cut,
+    // each of the `iterations` plans would recompute it from scratch
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("__d"))
+    val verts = deg.select(col("src").as("u"))
+    var r = verts.withColumn("pr", lit(1000000L))
+    for (i <- 1 to iterations) {
+      val contrib = e
+        .join(deg, "src")
+        .join(r.withColumnRenamed("u", "__ru"), e("src") === col("__ru"))
+        .select(col("dst"), expr("pr div __d").as("__c"))
+        .groupBy("dst")
+        .agg(sum(col("__c")).as("__contrib"))
+      // left join over the full vertex set: a pure-source vertex (no
+      // in-edges) receives nothing but keeps the damping floor and keeps
+      // contributing next round
+      r = verts
+        .join(contrib, verts("u") === contrib("dst"), "left")
+        .select(col("u"),
+          expr(s"${base}L + ($dampingPct * coalesce(__contrib, 0L)) div 100").as("pr"))
+      if (i < iterations) r = r.localCheckpoint(true)
+    }
+    r
+  }
+
   /** Small-graph path: classic union-find with path compression over the
     * collected edge list, labels normalized to the per-component minimum —
     * byte-identical output to the distributed loop.

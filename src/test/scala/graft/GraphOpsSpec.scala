@@ -76,4 +76,29 @@ class GraphOpsSpec extends SparkSpec {
     assert(r1 == r2)
     assert(r1.forall(_._2 == 1L), "all connected through 1 via 9~1, 1~2, 3~2")
   }
+
+  test("pageRankInt: symmetric ring is uniform; star centre dominates; bitwise repartition-stable") {
+    def ranks(edges: org.apache.spark.sql.DataFrame) =
+      GraphOps.pageRankInt(edges, iterations = 3).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // undirected 6-ring: perfect symmetry => identical ranks everywhere
+    val ring = (0 until 6).flatMap(i =>
+      Seq((i.toLong, ((i + 1) % 6).toLong), (((i + 1) % 6).toLong, i.toLong)))
+      .toDF("src", "dst")
+    val ringRanks = ranks(ring)
+    assert(ringRanks.values.toSet.size == 1, s"ring must be uniform: $ringRanks")
+    // undirected star 0-{1..5}: centre collects 5 full contributions
+    val star = (1 to 5).flatMap(i => Seq((0L, i.toLong), (i.toLong, 0L))).toDF("src", "dst")
+    val starRanks = ranks(star)
+    assert((1 to 5).forall(i => starRanks(0L) > starRanks(i.toLong)),
+      s"star centre must outrank leaves: $starRanks")
+    assert((1 to 5).map(i => starRanks(i.toLong)).toSet.size == 1, "leaves symmetric")
+    // pure-source vertex (directed edge into a cycle) keeps the damping floor
+    val directed = Seq((9L, 0L), (0L, 1L), (1L, 0L)).toDF("src", "dst")
+    val dr = ranks(directed)
+    assert(dr(9L) == 150000L, s"no in-edges => base rank only: $dr")
+    assert(dr(0L) > dr(1L), "0 receives from both 9 and 1")
+    // exact integer arithmetic => bitwise equality under any partitioning
+    assert(ranks(ring.repartition(7)) == ringRanks, "repartition must not change ranks")
+  }
 }
