@@ -1012,6 +1012,68 @@ object RelationalQueries {
              |GROUP BY user_id ORDER BY user_id""".stripMargin)
     ),
     Q(
+      "w7_retention_cohorts",
+      "Cohort retention: users cohorted by first-activity day; per cohort, " +
+        "size and the users still active exactly 1 and 7 days later — the " +
+        "product-analytics table behind every retention curve. Shape: one " +
+        "distinct (user, day) projection (partial-agg-friendly), the " +
+        "per-user cohort roll-up joins back on user_id (co-partitioned, " +
+        "the cohort side is user-cardinality, not event-cardinality), and " +
+        "the day-offset tests are exact timestamp arithmetic — integer " +
+        "counts end to end",
+      (s, d) => {
+        val a = events(s, d)
+          .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+          .distinct()
+        val f = a.groupBy("user_id").agg(min("day").as("c"))
+        a.join(f, "user_id")
+          .groupBy(col("c").as("cohort_day"))
+          .agg(
+            countDistinct("user_id").as("cohort_size"),
+            countDistinct(expr(
+              "CASE WHEN day = c + INTERVAL 1 DAY THEN user_id END")).as("d1_retained"),
+            countDistinct(expr(
+              "CASE WHEN day = c + INTERVAL 7 DAY THEN user_id END")).as("d7_retained"))
+          .orderBy("cohort_day")
+      },
+      Some("""WITH a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+             |f AS (SELECT user_id, MIN(day) AS c FROM a GROUP BY user_id)
+             |SELECT f.c AS cohort_day, COUNT(DISTINCT a.user_id) AS cohort_size,
+             |  COUNT(DISTINCT CASE WHEN a.day = f.c + INTERVAL 1 DAY THEN a.user_id END) AS d1_retained,
+             |  COUNT(DISTINCT CASE WHEN a.day = f.c + INTERVAL 7 DAY THEN a.user_id END) AS d7_retained
+             |FROM a JOIN f USING (user_id)
+             |GROUP BY f.c ORDER BY cohort_day""".stripMargin)
+    ),
+    Q(
+      "f21_transition_matrix",
+      "Event-type transition matrix (first-order Markov counts): per user, " +
+        "consecutive event pairs in event-time order; global (prev, curr) " +
+        "counts plus the per-prev transition probability from exact " +
+        "BIGINTs. The lag window partitions on user_id — naturally-sharded " +
+        "tiny partitions, the engine's only allowed window shape (w6's " +
+        "discipline). The funnel/journey diagnostic beside w5's strict " +
+        "funnel",
+      (s, d) =>
+        events(s, d)
+          .selectExpr("user_id", "event_type",
+            "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type")
+          .where(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type").as("curr_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("p",
+            expr("CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE)"))
+          .orderBy("prev_type", "curr_type"),
+      Some("""WITH g AS (
+             |  SELECT user_id, event_type,
+             |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+             |  FROM events),
+             |c AS (SELECT prev_type, event_type AS curr_type, COUNT(*) AS n
+             |      FROM g WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+             |SELECT prev_type, curr_type, n,
+             |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+             |FROM c ORDER BY prev_type, curr_type""".stripMargin)
+    ),
+    Q(
       "g1_cooccurrence_pagerank",
       "Graph centrality over an entity co-occurrence graph " +
         "(GraphOps.pageRankInt): users who share an active minute become " +
