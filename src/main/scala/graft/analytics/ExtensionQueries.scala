@@ -1292,6 +1292,92 @@ object ExtensionQueries {
       }
     ),
     Q(
+      "n10_mips",
+      "Maximum inner-product search (the retrieval objective of " +
+        "recommendation and dense-retrieval serving, where score = <q, v> " +
+        "UNNORMALIZED — high-norm items legitimately outrank near ones, so " +
+        "cosine ANN is the WRONG primitive): exact top-5 by inner product " +
+        "per query, broadcast queries x one corpus scan, k-bounded TopK " +
+        "re-rank. Scores are array_dot's fixed-order left fold — bitwise " +
+        "identical to DuckDB's list_reduce, no reassociation. The sub-" +
+        "linear path at 100 TB is the standard norm-augmentation " +
+        "reduction (append sqrt(M^2 - |v|^2) to items, 0 to queries; MIPS " +
+        "ordering becomes cosine ordering) feeding this library's " +
+        "lshTopK/ivfTopK — the exact pass here is both the baseline and " +
+        "the re-rank tail of that path",
+      (s, d) => {
+        val prepared = graft.ext.Similarity.prepare(embeddings(s, d), "vec_id", "embedding")
+        val q = prepared.where(col("id") < 10)
+          .select(col("id").as("qid"), col("v").as("qv"))
+        val scored = prepared.join(broadcast(q), expr("id <> qid"))
+          .selectExpr("qid", "id", "array_dot(qv, v) AS score")
+        graft.ext.Similarity.topKByQuery(scored, 5)
+          .selectExpr("qid", "rank", "id AS vec_id", "score AS ip")
+          .orderBy("qid", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+             |scored AS (
+             |  SELECT qid, vec_id,
+             |    list_reduce(list_transform(list_zip(qv, v), p -> p[1] * p[2]), (acc, x) -> acc + x) AS ip,
+             |    row_number() OVER (PARTITION BY qid ORDER BY
+             |      list_reduce(list_transform(list_zip(qv, v), p -> p[1] * p[2]), (acc, x) -> acc + x) DESC,
+             |      vec_id) AS rank
+             |  FROM e JOIN q ON vec_id <> qid)
+             |SELECT qid, rank, vec_id, ip FROM scored WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)
+    ),
+    Q(
+      "n11_lsh_planner",
+      "LSH band-width planner — the measurement that PICKS the knob n7/n8 " +
+        "bracket: for 4-bit and 8-bit sign bands (n7's and n8's exact key " +
+        "construction), the bucket-occupancy profile and the projected " +
+        "candidate-pair volume sum(c*(c-1)/2) over band buckets. This is " +
+        "the deployment rule bits ~ log2(n*bands/width) made runnable: one " +
+        "cheap scan-side aggregation FORECASTS the self-join a kNN graph " +
+        "would pay at each width, so the operator chooses bands from a " +
+        "profile instead of discovering saturation in a 100 TB shuffle. " +
+        "Exact integer arithmetic throughout (counts, integer-div pair " +
+        "formula)",
+      (s, d) => {
+        val prepared = graft.ext.Similarity.prepare(embeddings(s, d), "vec_id", "embedding")
+        def stats(bits: Int) =
+          graft.ext.Similarity.signBands(prepared, bits, bands = 4)
+            .groupBy("band", "bkey").agg(count(lit(1)).as("c"))
+            .agg(
+              count(lit(1)).as("buckets"),
+              max("c").as("max_bucket"),
+              sum(expr("(c * (c - 1)) div 2")).cast("long").as("cand_pairs"))
+            .select(lit(bits / 4).as("band_bits"), col("buckets"),
+              col("max_bucket"), col("cand_pairs"))
+        stats(16).unionByName(stats(32)).orderBy("band_bits")
+      },
+      Some {
+        def leg(bits: Int): String = {
+          val perBand = bits / 4
+          val bandExprs = (0 until 4).map { b =>
+            "concat(" + (b * perBand until (b + 1) * perBand).map(i =>
+              s"(CASE WHEN v[${i + 1}] >= 0 THEN '1' ELSE '0' END)").mkString(", ") +
+              s") AS band$b"
+          }.mkString(",\n    ")
+          s"""sig$perBand AS (SELECT vec_id,
+             |    $bandExprs
+             |  FROM e),
+             |b$perBand AS (
+             |  SELECT 0 AS band, band0 AS bkey FROM sig$perBand
+             |  UNION ALL SELECT 1, band1 FROM sig$perBand
+             |  UNION ALL SELECT 2, band2 FROM sig$perBand
+             |  UNION ALL SELECT 3, band3 FROM sig$perBand),
+             |s$perBand AS (SELECT band, bkey, COUNT(*) AS c FROM b$perBand GROUP BY 1, 2),
+             |a$perBand AS (SELECT $perBand AS band_bits, COUNT(*) AS buckets, MAX(c) AS max_bucket,
+             |  CAST(SUM((c * (c - 1)) // 2) AS BIGINT) AS cand_pairs FROM s$perBand)""".stripMargin
+        }
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |${leg(16)},
+           |${leg(32)}
+           |SELECT * FROM a4 UNION ALL SELECT * FROM a8 ORDER BY band_bits""".stripMargin
+      }
+    ),
+    Q(
       "pq_adc_topk",
       "Product-quantization ANN: per-block argmin encode to m=4 codes over the leading 16 dims, then ADC top-5 (per-query centroid-distance LUT, negated approx L2). The codebook is a SEEDED CONSTANT (not trained): the oracle is one static SQL string across scale factors, so the model must be data-independent — k-means training is pinned by PqSpec; this row gates the distributed legs (encode + ADC search) bitwise, f32 arithmetic mirrored on both sides",
       (s, d) => {

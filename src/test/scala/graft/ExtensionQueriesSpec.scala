@@ -440,6 +440,31 @@ class ExtensionQueriesSpec extends SparkSpec {
     assert(langNd >= 2 && langNd <= 10, "fixture has a handful of langs")
   }
 
+  test("n11_lsh_planner: forecast algebra and the wider-bands-shrink-volume law") {
+    val rows = Registry.byName("n11_lsh_planner").fn(spark, sf).collect()
+      .map(r => r.getAs[Int]("band_bits") ->
+        (r.getAs[Long]("buckets"), r.getAs[Long]("max_bucket"), r.getAs[Long]("cand_pairs")))
+      .toMap
+    assert(rows.keySet == Set(4, 8))
+    val (b4, m4, p4) = rows(4)
+    val (b8, m8, p8) = rows(8)
+    // key space: 4 bands of w bits hold at most 4 * 2^w occupied buckets
+    assert(b4 <= 4L * 16 && b8 <= 4L * 256, s"impossible bucket counts: $rows")
+    // the n7/n8 law the planner exists to forecast: wider bands cannot
+    // increase candidate volume or hot-bucket width on the same corpus
+    // (each w-bit bucket partitions into 2^(w'-w) at width w' > w)
+    assert(p8 <= p4, s"8-bit bands must not forecast more pairs: $rows")
+    assert(m8 <= m4, s"8-bit hot bucket cannot exceed the 4-bit one: $rows")
+    // every vector lands in exactly 4 buckets, so sum of bucket sizes =
+    // 4n and pairs >= the perfectly-uniform floor
+    val n = graft.analytics.Tables.embeddings(spark, sf).count()
+    def floorPairs(width: Long, buckets: Long) = {
+      val q = (4 * n) / buckets; val r = (4 * n) % buckets
+      r * (q + 1) * q / 2 + (buckets - r) * q * (q - 1) / 2
+    }
+    assert(p4 >= floorPairs(16, b4), "pair mass below the uniform floor is impossible")
+  }
+
   test("j7_salted_join matches the unsalted plan's totals") {
     import org.apache.spark.sql.functions._
     val got = Registry.byName("j7_salted_join").fn(spark, sf).collect()
