@@ -2220,6 +2220,42 @@ object ExtensionQueries {
              |FROM b GROUP BY lang ORDER BY lang""".stripMargin)
     ),
     Q(
+      "t17_vocab_growth",
+      "Vocabulary growth profile (the Heaps'-law audit): every distinct " +
+        "token is attributed to the doc_id decile where it FIRST appears; " +
+        "per decile, new-token count and running vocabulary size. One " +
+        "posting pass -> partial-aggregating min(doc_id) per token -> " +
+        "10-row decile rollup (the running sum windows over TEN rows, not " +
+        "the corpus). The curve says whether a corpus is still " +
+        "contributing vocabulary or re-treading it — the cheap health " +
+        "check before spending tokenizer/training budget on another dump; " +
+        "decile boundaries come from max(doc_id)+1 so the same static " +
+        "oracle holds at every SF",
+      (s, d) => {
+        val firsts = documents(s, d)
+          .selectExpr("doc_id", s"explode($tokExpr) AS tok")
+          .groupBy("tok").agg(min("doc_id").as("first_doc"))
+        val n = documents(s, d).agg(expr("max(doc_id) + 1").as("n"))
+        firsts.crossJoin(broadcast(n))
+          .selectExpr("CAST(first_doc * 10 div n AS INT) AS decile")
+          .groupBy("decile").agg(count(lit(1)).as("new_tokens"))
+          .selectExpr("decile", "new_tokens",
+            "CAST(SUM(new_tokens) OVER (ORDER BY decile) AS BIGINT) AS vocab_size")
+          .orderBy("decile")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+             |  FROM documents),
+             |f AS (SELECT tok, MIN(doc_id) AS first_doc FROM t GROUP BY tok),
+             |m AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+             |d AS (
+             |  SELECT CAST(first_doc * 10 // n AS INT) AS decile, COUNT(*) AS new_tokens
+             |  FROM f, m GROUP BY 1)
+             |SELECT decile, new_tokens,
+             |  CAST(SUM(new_tokens) OVER (ORDER BY decile) AS BIGINT) AS vocab_size
+             |FROM d ORDER BY decile""".stripMargin)
+    ),
+    Q(
       "p15_temperature_mix",
       "Temperature-weighted language mixture (UniMax/mT5-style, alpha=0.5): per-lang quota = floor(T * sqrt(share)) up-weights low-resource langs vs proportional sampling, membership by deterministic md5 rank within lang (p14's coordination-free recipe). The quota rule is one division + one sqrt per lang on exact integer counts — no cross-lang double SUM whose accumulation order could diverge between engines. Selection is bounded-state threshold sampling (ScaleOps.quotaSampleByGroup): the quota-th smallest md5 rank per lang comes from a k-bounded BottomK aggregation and is broadcast as a filter — the majority language is never total-sorted through one reducer. Per lang: corpus docs, quota, sampled docs, sampled token mass",
       (s, d) => {

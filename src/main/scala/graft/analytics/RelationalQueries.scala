@@ -1012,6 +1012,79 @@ object RelationalQueries {
              |GROUP BY user_id ORDER BY user_id""".stripMargin)
     ),
     Q(
+      "f22_zorder_index",
+      "Morton (Z-order) key construction over (user_id, minute-of-window) " +
+        "— the two-axis data-layout primitive behind lakehouse file " +
+        "pruning (ScaleOps.zOrderColumn / zOrdered): sorting by one column " +
+        "leaves the other axis full-width per file; interleaving the bits " +
+        "bounds BOTH axes per z-range, so parquet min/max stats prune on " +
+        "either predicate. This row gates the 16-bit interleave bitwise " +
+        "over every event (bucket histogram + per-bucket z extents, exact " +
+        "integers end to end); the layout win itself is ScaleOpsSpec-" +
+        "pinned (z-layout bbox mass vs single-column sort)",
+      (s, d) => {
+        val mi = "(unix_micros(ts) div 60000000 - 28401120)" // minutes since 2024-01-01 UTC
+        val z = (0 until 16).map(i =>
+          s"(shiftleft(shiftright(user_id, $i) & 1, ${2 * i}) + " +
+            s"shiftleft(shiftright($mi, $i) & 1, ${2 * i + 1}))")
+          .mkString("(", " + ", ")")
+        events(s, d)
+          .selectExpr(s"$z AS z")
+          .groupBy(expr("z div 4194304").as("z_bucket"))
+          .agg(count(lit(1)).as("n"), min("z").as("z_min"), max("z").as("z_max"))
+          .orderBy("z_bucket")
+      },
+      Some {
+        val mi = "(epoch_us(ts) // 60000000 - 28401120)"
+        val z = (0 until 16).map(i =>
+          s"((((user_id >> $i) & 1) << ${2 * i}) + ((($mi >> $i) & 1) << ${2 * i + 1}))")
+          .mkString("(", " + ", ")")
+        s"""WITH zt AS (SELECT $z AS z FROM events)
+           |SELECT z // 4194304 AS z_bucket, COUNT(*) AS n,
+           |  MIN(z) AS z_min, MAX(z) AS z_max
+           |FROM zt GROUP BY 1 ORDER BY z_bucket""".stripMargin
+      }
+    ),
+    Q(
+      "w8_time_weighted_avg",
+      "Time-weighted average (TWAP semantics) of `value` per user: each " +
+        "observation holds until the next event, so weight = microseconds " +
+        "to the next event (lead over the per-user event-time order — " +
+        "naturally-sharded tiny window partitions). Exactness recipe: the " +
+        "2-decimal value casts to DECIMAL, DECIMAL x BIGINT microseconds " +
+        "stays exact, the weighted mass rescales to an integer " +
+        "(cents x us), and the only float op is ONE final division of two " +
+        "exactly-representable doubles — bit-identical across engines",
+      (s, d) =>
+        events(s, d)
+          .selectExpr("user_id", "value", "ts",
+            "lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts")
+          .where(col("next_ts").isNotNull)
+          .groupBy("user_id")
+          .agg(
+            sum(expr("CAST(value AS DECIMAL(18,2)) * " +
+              "(unix_micros(next_ts) - unix_micros(ts))")).as("wsum"),
+            sum(expr("unix_micros(next_ts) - unix_micros(ts)")).as("span_us"))
+          .selectExpr("user_id",
+            "CAST(wsum * 100 AS BIGINT) AS wsum_centius",
+            "span_us",
+            "CAST(CAST(wsum * 100 AS BIGINT) AS DOUBLE) / " +
+              "(100.0 * CAST(span_us AS DOUBLE)) AS twa")
+          .orderBy("user_id"),
+      Some("""WITH g AS (
+             |  SELECT user_id, value, ts,
+             |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+             |  FROM events),
+             |a AS (
+             |  SELECT user_id,
+             |    SUM(CAST(value AS DECIMAL(18,2)) * (epoch_us(next_ts) - epoch_us(ts))) AS wsum,
+             |    CAST(SUM(epoch_us(next_ts) - epoch_us(ts)) AS BIGINT) AS span_us
+             |  FROM g WHERE next_ts IS NOT NULL GROUP BY user_id)
+             |SELECT user_id, CAST(wsum * 100 AS BIGINT) AS wsum_centius, span_us,
+             |  CAST(CAST(wsum * 100 AS BIGINT) AS DOUBLE) / (100.0 * CAST(span_us AS DOUBLE)) AS twa
+             |FROM a ORDER BY user_id""".stripMargin)
+    ),
+    Q(
       "w7_retention_cohorts",
       "Cohort retention: users cohorted by first-activity day; per cohort, " +
         "size and the users still active exactly 1 and 7 days later — the " +

@@ -799,4 +799,40 @@ object ScaleOps {
       .groupBy("g")
       .agg(expr("hll_sketch_estimate(hll_union_agg(sketch, true))").as("n_distinct"))
       .orderBy("g")
+
+  // ------------------------------------------------------------------------
+  // Z-order (Morton) data layout: multi-dimensional clustering for min/max
+  // file pruning. Sorting 100 TB by ONE column makes that column's file
+  // min/max ranges narrow and every other column's ranges full-width —
+  // predicates on the second dimension prune nothing. Interleaving the bits
+  // of two dimensions into one sort key bounds BOTH dimensions per file
+  // (each file covers a z-curve segment ~ a small rectangle), which is how
+  // lakehouse tables serve selective queries on two axes from one layout.
+  // ------------------------------------------------------------------------
+
+  /** Bit-interleaved Morton key of two non-negative integer expressions
+    * (`x` occupies even bits, `y` odd). Pure integer shift/mask column
+    * arithmetic — codegen'd, deterministic, mirrored exactly by the SQL
+    * `((x >> i) & 1) << 2i` form on any engine.
+    */
+  def zOrderColumn(x: String, y: String, bits: Int = 16): org.apache.spark.sql.Column = {
+    require(bits >= 1 && bits <= 31, "bits in [1, 31]")
+    expr((0 until bits).map(i =>
+      s"(shiftleft(shiftright($x, $i) & 1, ${2 * i}) + " +
+        s"shiftleft(shiftright($y, $i) & 1, ${2 * i + 1}))")
+      .mkString("(", " + ", ")"))
+  }
+
+  /** Lay `df` out in Z-order on `(x, y)`: range-partition then sort by the
+    * Morton key, so each output partition/file covers a bounded rectangle
+    * of BOTH dimensions (ScaleOpsSpec pins the clustering win vs a
+    * single-column sort). Write the result with any sink; parquet min/max
+    * stats then prune on either axis.
+    */
+  def zOrdered(df: DataFrame, x: String, y: String,
+      bits: Int = 16, partitions: Int = 32): DataFrame =
+    df.withColumn("__z", zOrderColumn(x, y, bits))
+      .repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
 }

@@ -373,4 +373,37 @@ class ScaleOpsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(oneShot == est, "fold-across-runs must equal the one-shot sketch")
   }
+
+  test("zOrdered: both axes cluster per partition; a single-column sort leaves one full-width") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // full 64x64 grid, shuffled arrival order
+    val pts = scala.util.Random.shuffle(
+      (for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong)).toList)
+      .toDF("x", "y")
+    // the Morton key is a bijection on the grid
+    val zDistinct = pts.select(ScaleOps.zOrderColumn("x", "y", 16).as("z"))
+      .distinct().count()
+    assert(zDistinct == 64L * 64, "interleave must be injective on the grid")
+    // min/max pruning simulation: how many partitions must a point
+    // predicate on EACH axis open? (This is what parquet row-group stats
+    // do with the layout.)
+    def touched(df: org.apache.spark.sql.DataFrame, xa: Long, yb: Long): (Long, Long) = {
+      val bounds = df.withColumn("p", spark_partition_id())
+        .groupBy("p")
+        .agg(min("x").as("x0"), max("x").as("x1"), min("y").as("y0"), max("y").as("y1"))
+        .collect()
+      (bounds.count(r => r.getAs[Long]("x0") <= xa && xa <= r.getAs[Long]("x1")).toLong,
+        bounds.count(r => r.getAs[Long]("y0") <= yb && yb <= r.getAs[Long]("y1")).toLong)
+    }
+    val (zx, zy) = touched(ScaleOps.zOrdered(pts, "x", "y", partitions = 16), 37, 11)
+    val (xx, xy) = touched(
+      pts.repartitionByRange(16, col("x")).sortWithinPartitions("x"), 37, 11)
+    // x-sort answers x-predicates from ~1 partition but y-predicates need
+    // ALL 16 (every strip spans y fully). The z-layout bounds BOTH axes:
+    // its worst axis opens ~sqrt(16) partitions, not 16.
+    assert(xy == 16, s"sanity: x-sorted layout must leave y unpruned, got $xy")
+    assert(math.max(zx, zy) < math.max(xx, xy) / 2,
+      s"z-layout worst-axis fan-in must beat single-column sort: z=($zx,$zy) x=($xx,$xy)")
+  }
 }
