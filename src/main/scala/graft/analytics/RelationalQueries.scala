@@ -1012,6 +1012,44 @@ object RelationalQueries {
              |GROUP BY user_id ORDER BY user_id""".stripMargin)
     ),
     Q(
+      "j8_skew_planner",
+      "Join-skew planner — the measurement that decides j7's salting and " +
+        "the broadcast/shuffle choice BEFORE paying the join (n11's " +
+        "philosophy applied to joins): per join key, both sides' row " +
+        "counts and the exact output contribution c_l * c_s; top-5 keys " +
+        "by contribution with each key's share of the total join. Cost is " +
+        "O(distinct keys) — two partial-aggregating counts and a " +
+        "key-cardinality join — against the O(output) cost of discovering " +
+        "skew by running the join. A key with share >> 1/reducers is the " +
+        "salting trigger; total_pairs vs the small side's row count is " +
+        "the broadcast-vs-shuffle input. Exact integers + one final " +
+        "division",
+      (s, d) => {
+        val lc = lineitem(s, d)
+          .groupBy(col("l_suppkey").as("suppkey")).agg(count(lit(1)).as("c_l"))
+        val sc = supplier(s, d)
+          .groupBy(col("s_suppkey").as("suppkey")).agg(count(lit(1)).as("c_s"))
+        val per = lc.join(sc, "suppkey")
+          .selectExpr("suppkey", "c_l", "c_s", "c_l * c_s AS pairs")
+        val tot = per.agg(
+          sum("pairs").cast("long").as("total_pairs"), count(lit(1)).as("join_keys"))
+        per.crossJoin(broadcast(tot))
+          .selectExpr("suppkey", "c_l AS fact_rows", "pairs",
+            "CAST(pairs AS DOUBLE) / CAST(total_pairs AS DOUBLE) AS join_share",
+            "total_pairs", "join_keys")
+          .orderBy(desc("pairs"), col("suppkey"))
+          .limit(5)
+      },
+      Some("""WITH lc AS (SELECT l_suppkey AS suppkey, COUNT(*) AS c_l FROM lineitem GROUP BY 1),
+             |sc AS (SELECT s_suppkey AS suppkey, COUNT(*) AS c_s FROM supplier GROUP BY 1),
+             |per AS (SELECT suppkey, c_l, c_s, c_l * c_s AS pairs FROM lc JOIN sc USING (suppkey)),
+             |tot AS (SELECT CAST(SUM(pairs) AS BIGINT) AS total_pairs, COUNT(*) AS join_keys FROM per)
+             |SELECT suppkey, c_l AS fact_rows, pairs,
+             |  CAST(pairs AS DOUBLE) / CAST(total_pairs AS DOUBLE) AS join_share,
+             |  total_pairs, join_keys
+             |FROM per, tot ORDER BY pairs DESC, suppkey LIMIT 5""".stripMargin)
+    ),
+    Q(
       "f22_zorder_index",
       "Morton (Z-order) key construction over (user_id, minute-of-window) " +
         "— the two-axis data-layout primitive behind lakehouse file " +
