@@ -1012,6 +1012,64 @@ object RelationalQueries {
              |GROUP BY user_id ORDER BY user_id""".stripMargin)
     ),
     Q(
+      "w9_ohlc",
+      "OHLC (open/high/low/close) candles per hour — the canonical " +
+        "time-series downsample: open and close are bounded argmin/argmax " +
+        "aggregations over a (ts, event_id, value) struct (w1's " +
+        "discipline — ONE row per window per partition crosses the " +
+        "exchange, never a per-window sort), high/low/n are plain " +
+        "min/max/count. The (ts, event_id) prefix is unique, so the " +
+        "trailing value never decides a comparison and both engines pick " +
+        "identical rows",
+      (s, d) =>
+        events(s, d)
+          .groupBy(date_trunc("hour", col("ts")).as("win"))
+          .agg(
+            min(struct(col("ts"), col("event_id"), col("value"))).as("o"),
+            max(struct(col("ts"), col("event_id"), col("value"))).as("c"),
+            max("value").as("high"),
+            min("value").as("low"),
+            count(lit(1)).as("n"))
+          .selectExpr("win", "o.value AS open", "high", "low", "c.value AS close", "n")
+          .orderBy("win"),
+      Some("""WITH w AS (SELECT date_trunc('hour', ts) AS win, ts, event_id, value FROM events),
+             |r AS (SELECT *,
+             |  row_number() OVER (PARTITION BY win ORDER BY ts, event_id) AS rf,
+             |  row_number() OVER (PARTITION BY win ORDER BY ts DESC, event_id DESC) AS rl
+             |  FROM w)
+             |SELECT win, MAX(CASE WHEN rf = 1 THEN value END) AS open,
+             |  MAX(value) AS high, MIN(value) AS low,
+             |  MAX(CASE WHEN rl = 1 THEN value END) AS close, COUNT(*) AS n
+             |FROM r GROUP BY win ORDER BY win""".stripMargin)
+    ),
+    Q(
+      "a21_mode_by_group",
+      "Deterministic mode (most frequent value) per group: modal source " +
+        "per lang via two partial-aggregating passes — (lang, source) " +
+        "counts, then argmax by min(struct(-count, source)) so ties break " +
+        "to the lexicographically smallest source IDENTICALLY on both " +
+        "engines (a bare mode() is tie-nondeterministic, useless for a " +
+        "hash gate and for reproducible categorical imputation, which is " +
+        "what this op feeds)",
+      (s, d) => {
+        val c = t(s, d, "documents")
+          .groupBy("lang", "source").agg(count(lit(1)).as("c"))
+        c.groupBy("lang")
+          .agg(
+            min(struct((col("c") * -1).as("negc"), col("source").as("src"))).as("m"),
+            sum("c").cast("long").as("docs"))
+          .selectExpr("lang", "m.src AS mode_source",
+            "CAST(-m.negc AS BIGINT) AS mode_count", "docs")
+          .orderBy("lang")
+      },
+      Some("""WITH c AS (SELECT lang, source, COUNT(*) AS c FROM documents GROUP BY 1, 2),
+             |r AS (SELECT lang, source, c,
+             |  row_number() OVER (PARTITION BY lang ORDER BY c DESC, source) AS rn FROM c),
+             |t AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS docs FROM c GROUP BY lang)
+             |SELECT r.lang AS lang, source AS mode_source, CAST(c AS BIGINT) AS mode_count, docs
+             |FROM r JOIN t USING (lang) WHERE rn = 1 ORDER BY lang""".stripMargin)
+    ),
+    Q(
       "j8_skew_planner",
       "Join-skew planner — the measurement that decides j7's salting and " +
         "the broadcast/shuffle choice BEFORE paying the join (n11's " +

@@ -342,6 +342,18 @@ class PlanAuditSpec extends SparkSpec {
       s"typed TopK aggregation expected:\n${plan.take(3000)}")
   }
 
+  test("w9/a21: OHLC and mode are partial-aggregating argmin/argmax, never a window sort") {
+    Seq("w9_ohlc", "a21_mode_by_group").foreach { name =>
+      val df = Registry.byName(name).fn(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        s"$name must not plan a per-group window sort:\n${plan.take(2000)}")
+      assert(plan.contains("partial_min") || plan.contains("partial_max") ||
+        plan.contains("partial_count"),
+        s"$name: map-side combine expected:\n${plan.take(2000)}")
+    }
+  }
+
   test("a19: the column profile is one scan feeding an Expand, not five scans") {
     val df = Registry.byName("a19_column_profile").fn(spark, sf)
     assert(scans(df).size == 1,
