@@ -489,6 +489,51 @@ object ExtensionQueries {
               |GROUP BY a.lang ORDER BY lang""".stripMargin)
     ),
     Q(
+      "d16_minhash_calibration",
+      "MinHash estimator calibration — n5's philosophy applied to d2: over " +
+        "the SAME capped-LSH candidate pairs the dedup pipeline verifies, " +
+        "compare the 8-component minhash Jaccard ESTIMATE (matching " +
+        "components / 8) against the exact shingle Jaccard, per lang. " +
+        "Reported in exact integers with a common-denominator error mass " +
+        "(sum |m*u - 8*i| over pairs, alongside sum u) so both engines " +
+        "agree bitwise with no per-pair float division anywhere. This is " +
+        "how the 8-hash setting gets audited before trusting it at " +
+        "corpus scale: estimator bias visible per lang, candidate " +
+        "generation identical to production (same signatures, same bands, " +
+        "same bucket cap)",
+      (s, d) => {
+        val (docs, cands) = nearDupCandidates(s, d)
+        val t = docs.select(
+          Seq(col("doc_id"), col("lang"), col("sh")) ++ (0 until 8).map(i => col(s"h$i")): _*)
+        val m = (0 until 8).map(i => s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        cands
+          .join(t.as("a"), col("id_a") === col("a.doc_id"))
+          .join(t.as("b"), col("id_b") === col("b.doc_id"))
+          .selectExpr("a.lang AS lang", s"($m) AS m",
+            "size(array_intersect(a.sh, b.sh)) AS i",
+            "size(a.sh) + size(b.sh) - size(array_intersect(a.sh, b.sh)) AS u")
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("pairs"),
+            sum("m").cast("long").as("est_match_sum"),
+            sum(expr("abs(m * u - 8 * i)")).cast("long").as("err_weighted_num"),
+            sum("u").cast("long").as("union_sum"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH $nearDupCtes,
+              |p AS (
+              |  SELECT a.lang AS lang,
+              |    (${(0 until 8).map(i => s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)").mkString(" + ")}) AS m,
+              |    len(list_intersect(a.sh, b.sh)) AS i,
+              |    len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS u
+              |  FROM cands JOIN sigs a ON id_a = a.doc_id JOIN sigs b ON id_b = b.doc_id)
+              |SELECT lang, COUNT(*) AS pairs, CAST(SUM(m) AS BIGINT) AS est_match_sum,
+              |  CAST(SUM(ABS(m * u - 8 * i)) AS BIGINT) AS err_weighted_num,
+              |  CAST(SUM(u) AS BIGINT) AS union_sum
+              |FROM p GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
+    Q(
       "d6_dedup_cluster",
       "Dedup clustering: verified near-dup pairs -> connected components (distributed min-label propagation, GraphOps) -> duplicate families per lang: member docs, family count, redundant docs (members - families = what keep-one-per-family drops). The step that turns pairwise dedup output into canonical-keep decisions; transitive links (a~b~c) merge into one family even when (a,c) was never a pair",
       (s, d) => {

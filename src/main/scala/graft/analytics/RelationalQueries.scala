@@ -1012,6 +1012,30 @@ object RelationalQueries {
              |GROUP BY user_id ORDER BY user_id""".stripMargin)
     ),
     Q(
+      "o8_keyset_pagination",
+      "Keyset (seek) pagination: the page after cursor (l_orderkey=1000, " +
+        "l_linenumber=3) via the expanded sargable predicate " +
+        "key1 > a OR (key1 = a AND key2 > b) + top-50 by the unique " +
+        "composite key. OFFSET pagination scans and discards every earlier " +
+        "row on every page (page N costs O(N) — the classic deep-paging " +
+        "killer); the keyset form pushes the first-column bound into the " +
+        "parquet scan and plans as TakeOrderedAndProject, so every page " +
+        "costs the same",
+      (s, d) =>
+        // (l_orderkey, l_linenumber) is non-unique in the fixture (w3's
+        // finding) — the page ORDER appends w3's tiebreak columns so the
+        // cursor's page is a deterministic total order on both engines.
+        lineitem(s, d)
+          .where(expr(
+            "l_orderkey > 1000 OR (l_orderkey = 1000 AND l_linenumber > 3)"))
+          .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice")
+          .limit(50)
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice"),
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice FROM lineitem
+             |WHERE l_orderkey > 1000 OR (l_orderkey = 1000 AND l_linenumber > 3)
+             |ORDER BY l_orderkey, l_linenumber, l_partkey, l_extendedprice LIMIT 50""".stripMargin)
+    ),
+    Q(
       "w9_ohlc",
       "OHLC (open/high/low/close) candles per hour — the canonical " +
         "time-series downsample: open and close are bounded argmin/argmax " +

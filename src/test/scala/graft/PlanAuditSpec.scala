@@ -354,6 +354,16 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("o8: the keyset predicate pushes to the scan and the page is a top-k heap") {
+    val df = Registry.byName("o8_keyset_pagination").fn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"page must plan as a top-k heap, not a global sort:\n${plan.take(2000)}")
+    val pushed = scans(df).head.metadata("PushedFilters")
+    assert(pushed.contains("l_orderkey"),
+      s"the cursor bound must reach the parquet scan: $pushed")
+  }
+
   test("a19: the column profile is one scan feeding an Expand, not five scans") {
     val df = Registry.byName("a19_column_profile").fn(spark, sf)
     assert(scans(df).size == 1,
