@@ -1391,6 +1391,223 @@ object RelationalQueries {
              |  SELECT 'n_chars', COUNT(n_chars), COUNT(DISTINCT n_chars),
              |    CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR) FROM documents
              |) ORDER BY column_name""".stripMargin)
+    ),
+    Q(
+      "w10_scd2_intervals",
+      "SCD2 interval construction (gaps-and-islands): collapse each user's " +
+        "consecutive runs of equal event_type into validity intervals " +
+        "[valid_from, valid_to) — the slowly-changing-dimension build every " +
+        "warehouse maintains from a change stream. Run boundaries via " +
+        "lag-compare + running sum (windows partition per user: naturally " +
+        "sharded, tiny state); valid_to is the NEXT island's open (lead " +
+        "over the per-user island sequence). Summary per event_type: " +
+        "intervals, closed intervals, total closed duration in exact BIGINT " +
+        "microseconds — bitwise on both engines",
+      (s, d) => {
+        val ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val islands = events(s, d)
+          .select("user_id", "event_id", "event_type", "ts")
+          .withColumn("chg",
+            when(lag("event_type", 1).over(ord).isNull ||
+              lag("event_type", 1).over(ord) =!= col("event_type"), 1).otherwise(0))
+          .withColumn("island",
+            sum("chg").over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "island")
+          .agg(min("event_type").as("event_type"), min("ts").as("valid_from"))
+        val iord = Window.partitionBy("user_id").orderBy("island")
+        islands
+          .withColumn("valid_to", lead("valid_from", 1).over(iord))
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n_intervals"),
+            count(col("valid_to")).as("closed_intervals"),
+            sum(when(col("valid_to").isNotNull,
+              expr("unix_micros(valid_to) - unix_micros(valid_from)")).otherwise(0L))
+              .cast("long").as("total_dur_us"))
+          .orderBy("event_type")
+      },
+      Some("""WITH o AS (
+             |  SELECT user_id, event_id, event_type, ts,
+             |    CASE WHEN lag(event_type) OVER w IS NULL
+             |         OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |i AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS island FROM o),
+             |iv AS (SELECT user_id, island, MIN(event_type) AS event_type, MIN(ts) AS valid_from
+             |       FROM i GROUP BY 1, 2),
+             |v AS (SELECT *, lead(valid_from) OVER (PARTITION BY user_id ORDER BY island) AS valid_to FROM iv)
+             |SELECT event_type, COUNT(*) AS n_intervals, COUNT(valid_to) AS closed_intervals,
+             |  CAST(SUM(CASE WHEN valid_to IS NOT NULL
+             |    THEN epoch_us(valid_to) - epoch_us(valid_from) ELSE 0 END) AS BIGINT) AS total_dur_us
+             |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+    Q(
+      "w11_resample_ffill",
+      "Time-grid resample + forward fill: each user's event stream becomes " +
+        "an hourly grid (sequence + explode between per-user hour bounds); " +
+        "empty slots carry the user's last event forward " +
+        "(last(_, ignoreNulls) over the per-user slot order — the Spark " +
+        "ffill idiom; per-user partitions are naturally sharded and the " +
+        "grid is bounded by the time span, not the event count). The " +
+        "carried value is the last EVENT ID (integer), so the per-slot " +
+        "roll-up — points, fresh, carried, sum of carried ids — is exact " +
+        "on both engines; a float ffill would be the same plan",
+      (s, d) => {
+        val ev = events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"))
+          .withColumn("slot", date_trunc("hour", col("ts")))
+        val lastPer = ev.groupBy("user_id", "slot")
+          .agg(max(struct(col("ts"), col("event_id"))).as("m"), count(lit(1)).as("n_ev"))
+          .select(col("user_id"), col("slot"), col("m.event_id").as("last_ev"), col("n_ev"))
+        val grid = ev.groupBy("user_id")
+          .agg(date_trunc("hour", min("ts")).as("lo"), date_trunc("hour", max("ts")).as("hi"))
+          .select(col("user_id"), explode(expr("sequence(lo, hi, interval 1 hour)")).as("slot"))
+        val ford = Window.partitionBy("user_id").orderBy("slot")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(lastPer, Seq("user_id", "slot"), "left")
+          .withColumn("carried_ev", last("last_ev", ignoreNulls = true).over(ford))
+          .groupBy("slot")
+          .agg(
+            count(lit(1)).as("n_points"),
+            sum(when(col("n_ev").isNotNull, 1).otherwise(0)).cast("long").as("n_fresh"),
+            sum(when(col("n_ev").isNull, 1).otherwise(0)).cast("long").as("n_carried"),
+            sum("carried_ev").cast("long").as("sum_last_event_id"))
+          .orderBy("slot")
+      },
+      Some("""WITH ev AS (SELECT user_id, ts, event_id, date_trunc('hour', ts) AS slot FROM events),
+             |l AS (SELECT user_id, slot, event_id,
+             |    row_number() OVER (PARTITION BY user_id, slot ORDER BY ts DESC, event_id DESC) AS rn,
+             |    COUNT(*) OVER (PARTITION BY user_id, slot) AS n_ev
+             |  FROM ev),
+             |lastper AS (SELECT user_id, slot, event_id AS last_ev, n_ev FROM l WHERE rn = 1),
+             |b AS (SELECT user_id, date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+             |      FROM events GROUP BY 1),
+             |grid AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS slot FROM b),
+             |f AS (SELECT g.user_id AS user_id, g.slot AS slot, lp.n_ev AS n_ev,
+             |    last_value(lp.last_ev IGNORE NULLS) OVER (
+             |      PARTITION BY g.user_id ORDER BY g.slot) AS carried_ev
+             |  FROM grid g LEFT JOIN lastper lp ON g.user_id = lp.user_id AND g.slot = lp.slot)
+             |SELECT slot, COUNT(*) AS n_points,
+             |  CAST(SUM(CASE WHEN n_ev IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_fresh,
+             |  CAST(SUM(CASE WHEN n_ev IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_carried,
+             |  CAST(SUM(carried_ev) AS BIGINT) AS sum_last_event_id
+             |FROM f GROUP BY slot ORDER BY slot""".stripMargin)
+    ),
+    Q(
+      "u3_snapshot_diff",
+      "Snapshot diff (CDC audit): two table versions compared by row HASH, " +
+        "not by row — each side projects (key, md5(payload)) so only a key " +
+        "plus 32 hash chars cross the exchange, never the wide row (the " +
+        "100 TB shape for 'what changed between runs'). Full outer join on " +
+        "the key classifies added / removed / changed / unchanged; counts " +
+        "and key mass are exact integers. Versions are derived " +
+        "deterministically from the fixture (modulo carve-outs + an " +
+        "upper() mutation) so both engines diff identical snapshots",
+      (s, d) => {
+        val base = events(s, d).select(col("event_id"), col("event_type"), col("props"))
+        val old = base.where(expr("event_id % 10 <> 0"))
+          .select(col("event_id"), md5(concat_ws("|", col("event_type"), col("props"))).as("h_old"))
+        val neu = base.where(expr("event_id % 7 <> 0"))
+          .withColumn("event_type",
+            when(expr("event_id % 5 = 0"), upper(col("event_type"))).otherwise(col("event_type")))
+          .select(col("event_id"), md5(concat_ws("|", col("event_type"), col("props"))).as("h_new"))
+        old.join(neu, Seq("event_id"), "full_outer")
+          .withColumn("status",
+            when(col("h_old").isNull, "added")
+              .when(col("h_new").isNull, "removed")
+              .when(col("h_old") =!= col("h_new"), "changed")
+              .otherwise("unchanged"))
+          .groupBy("status")
+          .agg(count(lit(1)).as("n_rows"), sum("event_id").cast("long").as("key_mass"))
+          .orderBy("status")
+      },
+      Some("""WITH old AS (
+             |  SELECT event_id, md5(concat_ws('|', event_type, props)) AS h_old
+             |  FROM events WHERE event_id % 10 <> 0),
+             |neu AS (
+             |  SELECT event_id, md5(concat_ws('|',
+             |    CASE WHEN event_id % 5 = 0 THEN upper(event_type) ELSE event_type END,
+             |    props)) AS h_new
+             |  FROM events WHERE event_id % 7 <> 0),
+             |j AS (SELECT COALESCE(old.event_id, neu.event_id) AS event_id, h_old, h_new
+             |      FROM old FULL OUTER JOIN neu ON old.event_id = neu.event_id)
+             |SELECT CASE WHEN h_old IS NULL THEN 'added'
+             |            WHEN h_new IS NULL THEN 'removed'
+             |            WHEN h_old <> h_new THEN 'changed'
+             |            ELSE 'unchanged' END AS status,
+             |  COUNT(*) AS n_rows, CAST(SUM(event_id) AS BIGINT) AS key_mass
+             |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+    Q(
+      "a22_mad_outliers",
+      "Robust outlier detection via median absolute deviation: per " +
+        "event_type, median(value) and MAD = median(|value - median|), " +
+        "flag rows beyond 3 MAD — the quantile-robust sibling of p9's " +
+        "IQR filter (a mean/stddev z-score is one corrupted batch away " +
+        "from useless; the median pair is not). BOTH medians run through " +
+        "ScaleOps.exactQuantileByGroup's histogram-refinement descent — " +
+        "O(bins) executor state, never a buffer-everything percentile — " +
+        "and interpolation, subtraction and the 3x comparison are " +
+        "identical IEEE ops on both engines",
+      (s, d) => {
+        val ev = events(s, d).select(col("event_type"), col("value"))
+        val med = graft.ops.ScaleOps.exactQuantileByGroup(ev, "event_type", "value", 0.5)
+        def perGroup(m: Map[String, Double]) = m.toSeq.sortBy(_._1).tail
+          .foldLeft(when(col("event_type") === m.toSeq.sortBy(_._1).head._1,
+            lit(m.toSeq.sortBy(_._1).head._2))) {
+            case (acc, (k, v)) => acc.when(col("event_type") === k, lit(v))
+          }
+        val dev = ev.withColumn("dev", abs(col("value") - perGroup(med)))
+        val mad = graft.ops.ScaleOps.exactQuantileByGroup(dev, "event_type", "dev", 0.5)
+        dev
+          .withColumn("med", perGroup(med))
+          .withColumn("mad", perGroup(mad))
+          .groupBy("event_type")
+          .agg(
+            min("med").as("med"), min("mad").as("mad"),
+            count(lit(1)).as("n"),
+            sum(when(col("dev") > lit(3.0) * col("mad"), 1).otherwise(0))
+              .cast("long").as("outliers"))
+          .orderBy("event_type")
+      },
+      Some("""WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1),
+             |d AS (SELECT e.event_type AS event_type, value, med, ABS(value - med) AS dev
+             |      FROM events e JOIN m USING (event_type)),
+             |md AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY 1)
+             |SELECT d.event_type AS event_type, MIN(med) AS med, MIN(mad) AS mad, COUNT(*) AS n,
+             |  CAST(SUM(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END) AS BIGINT) AS outliers
+             |FROM d JOIN md USING (event_type)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+    Q(
+      "j9_bloom_semi_join",
+      "Bloom-pushdown semi-join: the d11 discipline applied to a " +
+        "relational join — the selective side (high-value orders) builds a " +
+        "Bloom filter with a distributed bit-OR aggregate, the fact scan " +
+        "probes it with pure codegen'd column arithmetic BELOW the join, " +
+        "and only survivors (hits + ~1% fpp trickle) reach the exact semi " +
+        "join that removes false positives. No false negatives, so the " +
+        "result is bitwise the plain semi-join (same oracle). The regime " +
+        "is a build side too big to broadcast: the probe prunes the fact " +
+        "stream at the scan instead of shuffling all of it to the join",
+      (s, d) => {
+        val sel = orders(s, d)
+          .where(col("o_totalprice") > 480000)
+          .select(col("o_orderkey"))
+        val p = graft.ext.Bloom.params(sel.count(), 0.01)
+        val bloom = graft.ext.Bloom.build(sel, "o_orderkey", p)
+        lineitem(s, d)
+          .where(graft.ext.Bloom.mightContain(col("l_orderkey"), bloom, p.k))
+          .join(sel.hint("SHUFFLE_HASH"),
+            col("l_orderkey") === col("o_orderkey"), "left_semi")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem
+             |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 480000)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
 }

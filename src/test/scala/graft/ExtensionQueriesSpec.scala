@@ -476,4 +476,82 @@ class ExtensionQueriesSpec extends SparkSpec {
       .collect().map(r => r.getAs[Int]("s_nationkey") -> r.getAs[Long]("n")).toMap
     assert(got == plain, "salting must not change join results")
   }
+
+  test("w10_scd2_intervals: exactly one open interval per user") {
+    import org.apache.spark.sql.functions._
+    val rows = Registry.byName("w10_scd2_intervals").fn(spark, sf).collect()
+    assert(rows.nonEmpty, "fixture events must form intervals")
+    val users = graft.analytics.Tables.events(spark, sf)
+      .select(countDistinct("user_id")).head.getLong(0)
+    val open = rows.map(r => r.getAs[Long]("n_intervals") - r.getAs[Long]("closed_intervals")).sum
+    assert(open == users,
+      s"every user's final island is the one open interval: open=$open users=$users")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("total_dur_us") >= 0L, s"negative duration: $r")
+      assert(r.getAs[Long]("closed_intervals") <= r.getAs[Long]("n_intervals"), s"$r")
+    }
+  }
+
+  test("w11_resample_ffill: slot accounting and fresh mass match the raw stream") {
+    import org.apache.spark.sql.functions._
+    val rows = Registry.byName("w11_resample_ffill").fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_fresh") + r.getAs[Long]("n_carried") == r.getAs[Long]("n_points"),
+        s"fresh+carried must partition the grid: $r")
+    }
+    // total fresh slots == distinct (user, hour) pairs that actually have events
+    val freshTotal = rows.map(_.getAs[Long]("n_fresh")).sum
+    val expect = graft.analytics.Tables.events(spark, sf)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("slot"))
+      .distinct().count()
+    assert(freshTotal == expect, s"fresh=$freshTotal distinct user-hours=$expect")
+  }
+
+  test("u3_snapshot_diff: statuses partition both snapshots") {
+    import org.apache.spark.sql.functions._
+    val m = Registry.byName("u3_snapshot_diff").fn(spark, sf).collect()
+      .map(r => r.getAs[String]("status") -> r.getAs[Long]("n_rows")).toMap
+    val ev = graft.analytics.Tables.events(spark, sf)
+    val nOld = ev.where(expr("event_id % 10 <> 0")).count()
+    val nNew = ev.where(expr("event_id % 7 <> 0")).count()
+    def g(k: String) = m.getOrElse(k, 0L)
+    assert(g("added") + g("changed") + g("unchanged") == nNew,
+      s"new-side partition broken: $m vs $nNew")
+    assert(g("removed") + g("changed") + g("unchanged") == nOld,
+      s"old-side partition broken: $m vs $nOld")
+    assert(g("added") > 0 && g("removed") > 0 && g("changed") > 0,
+      s"the carve-outs must produce every status: $m")
+  }
+
+  test("j9_bloom_semi_join equals the plain semi join (bloom adds no false negatives)") {
+    import org.apache.spark.sql.functions._
+    val got = Registry.byName("j9_bloom_semi_join").fn(spark, sf).collect()
+      .map(r => (r.getAs[String]("l_returnflag"), r.getAs[Long]("n"), r.getAs[Double]("sum_qty")))
+    val li = graft.analytics.Tables.lineitem(spark, sf)
+    val sel = graft.analytics.Tables.orders(spark, sf)
+      .where(col("o_totalprice") > 480000).select("o_orderkey")
+    val plain = li.join(sel, li("l_orderkey") === sel("o_orderkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_qty"))
+      .orderBy("l_returnflag").collect()
+      .map(r => (r.getAs[String]("l_returnflag"), r.getAs[Long]("n"), r.getAs[Double]("sum_qty")))
+    assert(got.sameElements(plain), s"bloom path diverged:\n${got.toSeq}\n${plain.toSeq}")
+  }
+
+  test("a22_mad_outliers: descent medians are bitwise the sort-based percentile") {
+    import org.apache.spark.sql.functions._
+    val rows = Registry.byName("a22_mad_outliers").fn(spark, sf).collect()
+    val exact = graft.analytics.Tables.events(spark, sf)
+      .groupBy("event_type").agg(expr("percentile(value, 0.5)").as("med"))
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Double]("med")).toMap
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      assert(r.getAs[Double]("med") == exact(et),
+        s"$et: descent median ${r.getAs[Double]("med")} != percentile ${exact(et)}")
+      assert(r.getAs[Double]("mad") >= 0.0 && r.getAs[Long]("outliers") <= r.getAs[Long]("n"), s"$r")
+    }
+  }
 }

@@ -372,4 +372,60 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("Expand"),
       s"multi-column COUNT(DISTINCT) should plan as one Expand:\n${plan.take(3000)}")
   }
+
+  test("j9: the bloom probe prunes the fact scan BELOW the semi join") {
+    // Same discipline as the d11 pin, applied to the relational join: the
+    // probe Filter (shiftright/element_at over the literal word array) must
+    // sit on the scan side — a join beneath it would mean it post-filters
+    // join output instead of pruning join input.
+    import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = Registry.byName("j9_bloom_semi_join").fn(spark, sf)
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: walk(a.executedPlan)
+      case other => p +: (other.children ++ other.subqueries).flatMap(walk)
+    }
+    val nodes = walk(df.queryExecution.executedPlan)
+    val probes = nodes.collect {
+      case f: FilterExec if f.condition.toString.contains("shiftright") => f
+    }
+    assert(probes.nonEmpty, "bloom probe Filter not found in the executed plan")
+    probes.foreach { f =>
+      val below = walk(f).map(_.nodeName.toLowerCase)
+      assert(!below.exists(_.contains("join")),
+        s"bloom probe must prune the scan, found a join beneath it: $below")
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"exact verify must be a semi join:\n${plan.take(2000)}")
+  }
+
+  test("u3: the snapshot diff shuffles (key, hash) projections, never the wide row") {
+    val df = Registry.byName("u3_snapshot_diff").fn(spark, sf)
+    // Both scans must read only the three columns the hash consumes —
+    // a diff that drags value/ts/user_id through the exchange is reading
+    // the wide row it promised to avoid.
+    scans(df).foreach { sc =>
+      val rs = sc.metadata("ReadSchema")
+      assert(!rs.contains("value") && !rs.contains("user_id") && !rs.contains("ts:"),
+        s"diff must project before the join, ReadSchema carries extra columns: $rs")
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("FullOuter"), s"full outer classify expected:\n${plan.take(2000)}")
+  }
+
+  test("w11: the resample grid joins on equi-keys — never BNLJ or cartesian") {
+    val df = Registry.byName("w11_resample_ffill").fn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"grid-to-events must stay an equi-join:\n${plan.take(3000)}")
+    assert(plan.contains("Generate"),
+      s"the hour grid should come from a sequence/explode Generate:\n${plan.take(3000)}")
+  }
+
+  test("a22: MAD runs through the quantile descent — no Percentile buffer in the plan") {
+    val df = Registry.byName("a22_mad_outliers").fn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Percentile"),
+      s"median/MAD must use ScaleOps' O(bins) descent, not percentile():\n${plan.take(3000)}")
+  }
 }
