@@ -2704,6 +2704,137 @@ object ExtensionQueries {
              |SELECT lang, COUNT(*) AS frames, COUNT(DISTINCT doc_id) AS sampled_docs,
              |  CAST(MAX(frame_ms) AS BIGINT) AS last_frame_ms
              |FROM f GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
+    Q(
+      "d17_prefix_filter_join",
+      "Prefix-filtered exact similarity join (the AllPairs/PPJoin " +
+        "discipline): for Jaccard >= 0.8 a pair MUST share a shingle " +
+        "inside each side's first n - ceil(0.8n) + 1 shingles under a " +
+        "common total order — so order every doc's shingles by global " +
+        "document frequency ascending (rarest first) and post only that " +
+        "~20% prefix. Candidate pairs then come from a prefix-posting " +
+        "equi-join (rare shingles -> tiny buckets) and an exact " +
+        "array_intersect verify keeps the result BITWISE equal to d4's " +
+        "full posting join (same oracle). At 100 TB this is the knob that " +
+        "beats even the inverted-join form: posting volume drops 5x and " +
+        "collision pairs collapse because frequent shingles never post. " +
+        "Per-doc prefix ranking is a window over one doc's shingle set — " +
+        "bounded by doc length, naturally sharded",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        graft.functions.GraftFunctions.register(s)
+        val sh = documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .localCheckpoint(eager = false)
+          .selectExpr("doc_id", "lang", "source", graft.ext.MinHash.splitExpr)
+          .selectExpr("doc_id", "lang", "source", s"(${graft.ext.MinHash.shingleExpr}) AS sh")
+          .localCheckpoint(eager = false)
+        val post = sh.selectExpr(
+          "doc_id", "lang", "source", "size(sh) AS n", "explode(sh) AS shingle")
+        val dfreq = post.groupBy("shingle").agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+        val prefix = post
+          .join(dfreq.hint("SHUFFLE_HASH"), Seq("shingle"))
+          .withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= expr("n - CAST(ceil(0.8 * n) AS INT) + 1"))
+        val cands = prefix.as("a")
+          .join(prefix.as("b").hint("SHUFFLE_HASH"), expr(
+            "a.lang = b.lang AND a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"), col("a.lang").as("lang"))
+          .distinct()
+        val full = sh.select(col("doc_id"), col("sh"))
+        cands
+          .join(full.as("fa"), col("id_a") === col("fa.doc_id"))
+          .join(full.as("fb"), col("id_b") === col("fb.doc_id"))
+          .withColumn("inter", expr("size(array_intersect(fa.sh, fb.sh))"))
+          .where(expr("inter * 1.0 / (size(fa.sh) + size(fb.sh) - inter) >= 0.8"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("pairs"))
+          .orderBy("lang")
+      },
+      // Bitwise d4: the prefix filter is candidate-complete at this
+      // threshold and the verify join is exact, so the oracle is d4's.
+      Some(s"""WITH sp AS (SELECT doc_id, lang, source, text,
+              |  string_split(lower(text), ' ') AS t FROM documents),
+              |d AS (SELECT doc_id, lang, source, ($shingleSql) AS sh FROM sp)
+              |SELECT a.lang AS lang, COUNT(*) AS pairs FROM d a
+              |JOIN d b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+              |WHERE length(list_intersect(a.sh, b.sh)) * 1.0 /
+              |      (length(a.sh) + length(b.sh) - length(list_intersect(a.sh, b.sh))) >= 0.8
+              |GROUP BY a.lang ORDER BY lang""".stripMargin)
+    ),
+    Q(
+      "t18_index_term_lookup",
+      "Inverted-index term lookup: the serving-side query a search index " +
+        "answers — for the corpus's 5 highest-df terms, the top-3 " +
+        "documents by term frequency. Postings are (term, doc_id, tf) " +
+        "partial aggregates; term selection is a TakeOrderedAndProject " +
+        "heap (never a global sort) and the per-term ranking runs through " +
+        "the k-bounded TopK aggregator (t12's discipline — at most k " +
+        "rows per term per partition cross the exchange, no posting-list " +
+        "window). TextPipeline.writeInvertedIndex persists the same " +
+        "postings hash-bucketed by term so a production lookup prunes to " +
+        "one bucket directory (spec-pinned); this query gates the ranking " +
+        "semantics that layout serves",
+      (s, d) => {
+        val tf = documents(s, d)
+          .selectExpr("doc_id", "explode(split(lower(text), ' ')) AS term")
+          .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+        val topTerms = tf.groupBy("term").agg(count(lit(1)).as("df"))
+          .orderBy(desc("df"), col("term")).limit(5)
+        val hits = tf.join(broadcast(topTerms), Seq("term"))
+        graft.ext.Similarity
+          .topKByTerm(hits.selectExpr("term AS key", "doc_id AS id", "CAST(tf AS DOUBLE) AS score"), 3)
+          .join(broadcast(topTerms), col("key") === col("term"))
+          .selectExpr("term", "df", "rank", "id AS doc_id", "CAST(score AS BIGINT) AS tf")
+          .orderBy("term", "rank")
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+             |tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+             |tt AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1 ORDER BY df DESC, term LIMIT 5),
+             |h AS (SELECT tf.term AS term, df, doc_id, tf,
+             |    row_number() OVER (PARTITION BY tf.term ORDER BY tf DESC, doc_id) AS rank
+             |  FROM tf JOIN tt ON tf.term = tt.term)
+             |SELECT term, CAST(df AS BIGINT) AS df, CAST(rank AS BIGINT) AS rank, doc_id,
+             |  CAST(tf AS BIGINT) AS tf
+             |FROM h WHERE rank <= 3 ORDER BY term, rank""".stripMargin)
+    ),
+    Q(
+      "a23_ols_by_group",
+      "Grouped ordinary-least-squares fit: per lang, slope/intercept of " +
+        "whitespace-token count regressed on n_chars — the " +
+        "chars-per-token calibration a tokenizer-budget planner runs per " +
+        "language. Both coefficients are ratios of EXACT integer " +
+        "co-moments (x and y are integers; sums accumulate in " +
+        "DECIMAL(38,0) / HUGEINT — addition-order-independent), with ONE " +
+        "final double division per coefficient, identical IEEE on both " +
+        "engines (a12's discipline; round(9) guards the conversion ulp " +
+        "at SFs where the co-moments pass 2^53). One scan, one " +
+        "partial-aggregating groupBy — state is 5 sums per lang",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        documents(s, d)
+          .selectExpr("lang", "n_chars AS x", "size(split(text, ' ')) AS y")
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("x").cast(dec)).as("sx"),
+            sum(col("y").cast(dec)).as("sy"),
+            sum((col("x") * col("x")).cast(dec)).as("sxx"),
+            sum((col("x") * col("y")).cast(dec)).as("sxy"))
+          .selectExpr("lang", "n",
+            "round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 9) AS slope",
+            "round(CAST(sy * sxx - sx * sxy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 9) AS intercept")
+          .orderBy("lang")
+      },
+      Some("""WITH b AS (SELECT lang, n_chars AS x, len(string_split(text, ' ')) AS y FROM documents),
+             |a AS (SELECT lang, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             |        SUM(x * x) AS sxx, SUM(x * y) AS sxy
+             |      FROM b GROUP BY 1)
+             |SELECT lang, n,
+             |  round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 9) AS slope,
+             |  round(CAST(sy * sxx - sx * sxy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 9) AS intercept
+             |FROM a ORDER BY lang""".stripMargin)
     )
   )
 }

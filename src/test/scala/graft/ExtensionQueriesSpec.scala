@@ -541,6 +541,42 @@ class ExtensionQueriesSpec extends SparkSpec {
     assert(got.sameElements(plain), s"bloom path diverged:\n${got.toSeq}\n${plain.toSeq}")
   }
 
+  test("d17_prefix_filter_join equals d4's full posting join and posts less") {
+    import org.apache.spark.sql.functions._
+    val got = Registry.byName("d17_prefix_filter_join").fn(spark, sf).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("pairs")).toMap
+    val full = Registry.byName("d4_dedup_ngram_jaccard").fn(spark, sf).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("pairs")).toMap
+    assert(got == full, s"prefix filter must be candidate-complete: $got vs $full")
+    // the point of the rewrite: the prefix posts a strict fraction of shingles
+    graft.functions.GraftFunctions.register(spark)
+    val sh = graft.analytics.Tables.documents(spark, sf)
+      .selectExpr("doc_id", graft.ext.MinHash.splitExpr)
+      .selectExpr("doc_id", s"(${graft.ext.MinHash.shingleExpr}) AS sh")
+      .selectExpr("size(sh) AS n")
+    val Array(fullPost, prefixPost) = sh
+      .agg(sum("n").cast("long"), sum(expr("n - CAST(ceil(0.8 * n) AS INT) + 1")).cast("long"))
+      .head.toSeq.map(_.asInstanceOf[Long]).toArray
+    assert(prefixPost * 3 < fullPost,
+      s"prefix must post <1/3 of the shingle volume: $prefixPost vs $fullPost")
+  }
+
+  test("a23_ols_by_group matches Spark's regr_slope/regr_intercept to 1e-9") {
+    import org.apache.spark.sql.functions._
+    val got = Registry.byName("a23_ols_by_group").fn(spark, sf).collect()
+      .map(r => r.getAs[String]("lang") -> (r.getAs[Double]("slope"), r.getAs[Double]("intercept"))).toMap
+    val ref = graft.analytics.Tables.documents(spark, sf)
+      .selectExpr("lang", "CAST(n_chars AS DOUBLE) AS x", "CAST(size(split(text, ' ')) AS DOUBLE) AS y")
+      .groupBy("lang")
+      .agg(expr("regr_slope(y, x)").as("s"), expr("regr_intercept(y, x)").as("i"))
+      .collect().map(r => r.getAs[String]("lang") -> (r.getAs[Double]("s"), r.getAs[Double]("i"))).toMap
+    got.foreach { case (lang, (s0, i0)) =>
+      val (s1, i1) = ref(lang)
+      assert(math.abs(s0 - s1) <= 1e-9 * math.max(1.0, math.abs(s1)), s"$lang slope $s0 vs $s1")
+      assert(math.abs(i0 - i1) <= 1e-9 * math.max(1.0, math.abs(i1)), s"$lang intercept $i0 vs $i1")
+    }
+  }
+
   test("a22_mad_outliers: descent medians are bitwise the sort-based percentile") {
     import org.apache.spark.sql.functions._
     val rows = Registry.byName("a22_mad_outliers").fn(spark, sf).collect()
