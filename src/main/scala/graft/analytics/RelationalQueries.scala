@@ -1608,6 +1608,29 @@ object RelationalQueries {
              |FROM lineitem
              |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 480000)
              |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+    Q(
+      "w13_sliding_window",
+      "Sliding (hopping) windows — 1-hour windows every 15 minutes, each " +
+        "event in exactly 4 — via Spark's native window(ts, slide) " +
+        "generator, the SAME operator Structured Streaming runs " +
+        "incrementally with a watermark (st1's tumbling case " +
+        "generalized). The expansion is a Generate (no self-join, no " +
+        "range probe) followed by a partial-aggregating groupBy on the " +
+        "window start; the oracle reproduces the epoch-aligned window " +
+        "set with exact integer microsecond arithmetic",
+      (s, d) =>
+        events(s, d)
+          .select(window(col("ts"), "1 hour", "15 minutes").as("w"), col("user_id"))
+          .groupBy(col("w.start").as("win_start"))
+          .agg(count(lit(1)).as("n_events"), countDistinct("user_id").as("users"))
+          .orderBy("win_start"),
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+             |w AS (SELECT user_id, (t // 900000000 - j) * 900000000 AS start_us
+             |      FROM e, (SELECT unnest([0, 1, 2, 3]) AS j) AS s)
+             |SELECT make_timestamp(start_us) AS win_start, COUNT(*) AS n_events,
+             |  COUNT(DISTINCT user_id) AS users
+             |FROM w GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
 }

@@ -141,6 +141,39 @@ object Multimodal {
       Array.tabulate(dim)(i => if (counts(i) == 0) 0.0f else (sums(i) / counts(i)).toFloat)
     }
 
+    /** 64-bit average hash (aHash): bilinear-downsample to 8x8 luminance,
+      * threshold each cell against the mean — bit i set iff cell i is
+      * brighter than average. The standard cheap perceptual fingerprint:
+      * stable under resizing/re-encoding/small noise, so near-duplicate
+      * images land within a few bits of Hamming distance. Deterministic
+      * (fixed interpolation, raster bit order).
+      */
+    def aHash64(img: java.awt.image.BufferedImage): Long = {
+      val small = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = small.createGraphics()
+      try {
+        g.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, 8, 8, null)
+      } finally g.dispose()
+      val luma = new Array[Double](64)
+      var i = 0
+      while (i < 64) {
+        val rgb = small.getRGB(i % 8, i / 8)
+        luma(i) = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+        i += 1
+      }
+      val mean = luma.sum / 64.0
+      var bits = 0L
+      i = 0
+      while (i < 64) {
+        if (luma(i) > mean) bits |= (1L << i)
+        i += 1
+      }
+      bits
+    }
+
     /** Real resample (area-smooth) + PNG re-encode. */
     def resize(img: java.awt.image.BufferedImage, w: Int, h: Int): Array[Byte] = {
       val scaled = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -511,5 +544,52 @@ object Multimodal {
           Row(id, outBytes, Row(outMime, w, h, dur))
         }
       }(RowEncoder.encoderFor(StructType(mediaSchema.fields.toSeq)))
+  }
+
+  private val hashSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("ahash", LongType)))
+
+  /** Perceptual hashes for every decodable image row ([[ImageCodec.aHash64]];
+    * undecodable/null payloads drop — a hash of garbage is noise, not
+    * signal). One scan, one 8-byte output per image: the projection that
+    * turns a petabyte image corpus into a joinable fingerprint table.
+    */
+  def imageHashes(media: DataFrame): DataFrame =
+    media.select("media_id", "content").mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        ImageCodec.read(bytes).map(img => Row(r.getLong(0), ImageCodec.aHash64(img)))
+      }
+    }(RowEncoder.encoderFor(hashSchema))
+
+  /** Near-duplicate image pairs by aHash Hamming distance, banded — the n9
+    * binary-ANN discipline on the image leg: the 64-bit hash splits into 4
+    * disjoint 16-bit bands; a pair within Hamming distance <= 3 differs in
+    * at most 3 bands, so BY PIGEONHOLE it collides on at least one — the
+    * band equi-join is candidate-COMPLETE for `maxHamming` <= 3 and
+    * O(collisions), never all-pairs. Exact `bit_count(xor)` verify; the cap
+    * guards a degenerate corpus (all-black thumbnails) from a quadratic
+    * bucket, same contract as [[Similarity.capBuckets]].
+    */
+  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 10000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"banding is candidate-complete only for maxHamming <= 3, got $maxHamming")
+    val banded = Similarity.capBuckets(
+      hashes.selectExpr("media_id", "ahash",
+        "explode(array(0, 1, 2, 3)) AS band")
+        .selectExpr("media_id", "ahash", "band",
+          "(ahash >> (band * 16)) & 65535 AS bkey"),
+      Seq("band", "bkey"), maxBucket)
+    banded.as("a")
+      .join(banded.as("b").hint("SHUFFLE_HASH"), expr(
+        "a.band = b.band AND a.bkey = b.bkey AND a.media_id < b.media_id"))
+      .select(
+        col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        expr("bit_count(a.ahash ^ b.ahash)").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+      .orderBy("id_a", "id_b")
   }
 }

@@ -290,4 +290,53 @@ class MultimodalSpec extends SparkSpec {
     nonPcm(20) = 3 // audioFormat = IEEE float: not parsed, not crashed
     assert(Multimodal.AudioCodec.read(nonPcm).isEmpty, "non-PCM format falls to the stub")
   }
+
+  test("aHash image dedup: re-encodes and resizes collide, distinct images do not") {
+    def gradient(w: Int, h: Int, invert: Boolean): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        // high-contrast half-planes so bilinear resampling can't flip bits
+        val v0 = if (x * h + y * w < w * h) 230 else 20
+        val v = if (invert) 250 - v0 else v0
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    def enc(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, out), s"JDK must write $fmt")
+      out.toByteArray
+    }
+    val base = gradient(32, 32, invert = false)
+    val rows = Seq(
+      1L -> enc(base, "png"),
+      2L -> enc(base, "bmp"),                         // same pixels, other container
+      3L -> enc(gradient(64, 64, invert = false), "png"), // resized -> near-dup
+      4L -> enc(gradient(32, 32, invert = true), "png"),  // inverted -> far
+      5L -> "not an image".getBytes)                  // undecodable -> dropped
+    val media = Multimodal.asMedia(rows.toDF("id", "payload"), "id", "payload")
+    val hashes = Multimodal.imageHashes(media)
+    val h = hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h.keySet == Set(1L, 2L, 3L, 4L), s"only decodable images hash: ${h.keySet}")
+    assert(h(1L) == h(2L), "container re-encode must not change the aHash")
+    assert(java.lang.Long.bitCount(h(1L) ^ h(4L)) > 3,
+      s"inversion must be far in Hamming space: ${java.lang.Long.bitCount(h(1L) ^ h(4L))} bits")
+
+    val pairs = Multimodal.imageNearDupPairs(hashes, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"exact pixel dup must pair: $pairs")
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)),
+      s"the resize must land within 3 bits of its source: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"the inverted image must not pair with anything: $pairs")
+
+    // banded completeness cross-check: banding finds exactly the pairs a
+    // brute-force all-pairs Hamming scan finds at this threshold
+    val ids = h.keys.toSeq.sorted
+    val brute = (for {
+      i <- ids; j <- ids if i < j
+      if java.lang.Long.bitCount(h(i) ^ h(j)) <= 3
+    } yield (i, j)).toSet
+    assert(pairs == brute, s"banding must be candidate-complete: $pairs vs $brute")
+  }
 }
