@@ -2835,6 +2835,86 @@ object ExtensionQueries {
              |  round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 9) AS slope,
              |  round(CAST(sy * sxx - sx * sxy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 9) AS intercept
              |FROM a ORDER BY lang""".stripMargin)
+    ),
+    Q(
+      "a24_weighted_median",
+      "Token-weighted median document length per lang — each document " +
+        "counts by its token mass, not once (the size statistic that " +
+        "matters when the unit of training is the token): the smallest " +
+        "n_chars v with 2 * tokens(docs <= v) >= total tokens, via " +
+        "ScaleOps.weightedMedianByGroup's histogram-refinement descent " +
+        "(buckets sum WEIGHTS, O(bins) executor state, integer crossing " +
+        "test — no q*W float threshold anywhere, so both engines agree " +
+        "bitwise at any scale)",
+      (s, d) => {
+        val med = graft.ops.ScaleOps.weightedMedianByGroup(
+          documents(s, d).selectExpr("lang", "n_chars", "size(split(text, ' ')) AS w"),
+          "lang", "n_chars", "w")
+        s.createDataFrame(med.toSeq.sortBy(_._1))
+          .toDF("lang", "wmed_chars")
+          .orderBy("lang")
+      },
+      Some("""WITH c AS (SELECT lang, CAST(n_chars AS DOUBLE) AS v,
+             |    len(string_split(text, ' ')) AS w FROM documents),
+             |s AS (SELECT lang, v, SUM(w) OVER (PARTITION BY lang ORDER BY v) AS cum,
+             |      SUM(w) OVER (PARTITION BY lang) AS tot FROM c)
+             |SELECT lang, MIN(v) AS wmed_chars FROM s WHERE 2 * cum >= tot
+             |GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
+    Q(
+      "n12_rrf_fusion",
+      "Hybrid-retrieval rank fusion (RRF): cosine ANN (n1's exact plan) " +
+        "and unnormalized MIPS (n10's) each rank a top-20 pool per query; " +
+        "reciprocal-rank fusion scores 1/(60+rank) sum across the lists " +
+        "(items in one list keep their single term) and the fused top-5 " +
+        "re-ranks through the k-bounded TopK aggregator. The modern " +
+        "serving-side combiner for lexical+dense search, expressed as two " +
+        "rankings + one full-outer equi-join on (qid, id) — integer ranks, " +
+        "two identical IEEE divisions and one addition per item, ties by " +
+        "id: bitwise on both engines",
+      (s, d) => {
+        val prepared = graft.ext.Similarity.prepare(embeddings(s, d), "vec_id", "embedding")
+        val qs = prepared.where(col("id") < 10)
+        val cosR = graft.ext.Similarity.bruteForceTopK(prepared, qs, k = 20)
+          .select(col("qid"), col("id"), col("rank").as("rc"))
+        val q2 = qs.select(col("id").as("qid"), col("v").as("qv"))
+        val ipR = graft.ext.Similarity.topKByQuery(
+          prepared.join(broadcast(q2), expr("id <> qid"))
+            .selectExpr("qid", "id", "array_dot(qv, v) AS score"), 20)
+          .select(col("qid"), col("id"), col("rank").as("ri"))
+        val fused = cosR.join(ipR, Seq("qid", "id"), "full_outer")
+          .withColumn("rrf",
+            coalesce(lit(1.0) / (lit(60) + col("rc")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("ri")), lit(0.0)))
+        graft.ext.Similarity.topKByQuery(
+          fused.selectExpr("qid", "id", "rrf AS score"), 5)
+          .selectExpr("qid", "rank", "id AS vec_id", "score AS rrf")
+          .orderBy("qid", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             |  sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), (acc, x) -> acc + x)) AS nrm
+             |  FROM embeddings),
+             |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM e WHERE vec_id < 10),
+             |cos AS (
+             |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY
+             |      list_reduce(list_transform(list_zip(qv, v), p -> p[1] * p[2]), (acc, x) -> acc + x) / (qnrm * nrm) DESC,
+             |      vec_id) AS rc
+             |  FROM e JOIN q ON vec_id <> qid),
+             |ip AS (
+             |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY
+             |      list_reduce(list_transform(list_zip(qv, v), p -> p[1] * p[2]), (acc, x) -> acc + x) DESC,
+             |      vec_id) AS ri
+             |  FROM e JOIN q ON vec_id <> qid),
+             |f AS (
+             |  SELECT COALESCE(cos.qid, ip.qid) AS qid, COALESCE(cos.vec_id, ip.vec_id) AS vec_id,
+             |    COALESCE(CAST(1.0 AS DOUBLE) / (60 + rc), 0) + COALESCE(CAST(1.0 AS DOUBLE) / (60 + ri), 0) AS rrf
+             |  FROM (SELECT * FROM cos WHERE rc <= 20) cos
+             |  FULL OUTER JOIN (SELECT * FROM ip WHERE ri <= 20) ip
+             |    ON cos.qid = ip.qid AND cos.vec_id = ip.vec_id),
+             |r AS (SELECT qid, vec_id, rrf,
+             |    row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, vec_id) AS rank FROM f)
+             |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, rrf
+             |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)
     )
   )
 }

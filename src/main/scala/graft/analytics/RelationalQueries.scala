@@ -1631,6 +1631,48 @@ object RelationalQueries {
              |SELECT make_timestamp(start_us) AS win_start, COUNT(*) AS n_events,
              |  COUNT(DISTINCT user_id) AS users
              |FROM w GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+    Q(
+      "w14_rank_functions",
+      "SQL rank functions (ntile / percent_rank / cume_dist) per group — " +
+        "WITHOUT a whole-group-in-one-task window: exact global row " +
+        "numbers come from ScaleOps.groupedGlobalRowNumber (range-" +
+        "partition on (group, order), per-partition counts broadcast back " +
+        "as offsets, partition-LOCAL row_number — every window partition " +
+        "in the plan is one bounded range slice, the distributed-ranking " +
+        "idiom), and the three rank functions are then plain arithmetic " +
+        "over rn and the group count: pr = (rn-1)/(n-1), cd = rn/n, " +
+        "big-tiles-first NTILE by integer division. The order key is " +
+        "unique (price, orderkey, linenumber), so every value is " +
+        "deterministic and the divisions are identical IEEE on both " +
+        "engines. Summarized per (group, tile)",
+      (s, d) => {
+        val rn = graft.ops.ScaleOps.groupedGlobalRowNumber(
+          lineitem(s, d).select("l_linestatus", "l_extendedprice", "l_orderkey", "l_linenumber"),
+          Seq("l_linestatus"), Seq("l_extendedprice", "l_orderkey", "l_linenumber"))
+        val cnt = rn.groupBy("l_linestatus").agg(count(lit(1)).as("n"))
+        rn.join(broadcast(cnt), Seq("l_linestatus"))
+          .withColumn("tile", expr(
+            """CASE WHEN rn <= (n DIV 4 + 1) * (n % 4)
+              |     THEN (rn - 1) DIV (n DIV 4 + 1) + 1
+              |     ELSE n % 4 + (rn - (n DIV 4 + 1) * (n % 4) - 1) DIV (n DIV 4) + 1
+              |END""".stripMargin))
+          .withColumn("pr", expr("CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE)"))
+          .withColumn("cd", expr("CAST(rn AS DOUBLE) / CAST(n AS DOUBLE)"))
+          .groupBy(col("l_linestatus"), col("tile").cast("long").as("tile"))
+          .agg(count(lit(1)).as("n"),
+            min("pr").as("min_pr"), max("pr").as("max_pr"),
+            min("cd").as("min_cd"), max("cd").as("max_cd"))
+          .orderBy("l_linestatus", "tile")
+      },
+      Some("""WITH r AS (SELECT l_linestatus, ntile(4) OVER w AS tile,
+             |    percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+             |  FROM lineitem
+             |  WINDOW w AS (PARTITION BY l_linestatus
+             |               ORDER BY l_extendedprice, l_orderkey, l_linenumber))
+             |SELECT l_linestatus, CAST(tile AS BIGINT) AS tile, COUNT(*) AS n,
+             |  MIN(pr) AS min_pr, MAX(pr) AS max_pr, MIN(cd) AS min_cd, MAX(cd) AS max_cd
+             |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     )
   )
 }

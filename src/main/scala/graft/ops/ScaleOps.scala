@@ -243,6 +243,149 @@ object ScaleOps {
         .where(col("g").isNotNull),
       _ => q, bins, collectThreshold)
 
+  /** Exact LOWER WEIGHTED MEDIAN per group: the smallest value v with
+    * 2 * (weight of rows <= v) >= (total group weight) — e.g. the
+    * token-weighted median document length, where each document counts by
+    * its token mass, not once. The test is pure integer arithmetic on
+    * exact BIGINT weight sums (no q*W float threshold), so both engines
+    * agree bitwise at any scale.
+    *
+    * Same histogram-refinement discipline as [[exactQuantileByGroup]]:
+    * each pass bins the candidate range and sums WEIGHTS per bucket
+    * (O(bins) executor state), the driver walks buckets to the one where
+    * the cumulative weight crosses ceil(W/2), and a range whose ROW count
+    * fits `collectThreshold` finishes with one bounded sorted fetch.
+    * Rows with null/NaN values or non-positive weights are dropped.
+    */
+  def weightedMedianByGroup(df: DataFrame, groupCol: String, valueCol: String,
+      weightCol: String, bins: Int = 1024,
+      collectThreshold: Long = 65536): Map[String, Double] = {
+    require(bins >= 2, "need at least 2 bins")
+    val pairs = df
+      .select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("v"), col(weightCol).cast("long").as("w"))
+      .where(col("g").isNotNull && col("v").isNotNull && !isnan(col("v")) && col("w") > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // per-group: target T = ceil(W/2); state [lo, hi] with baseW = weight
+      // strictly below lo and rows = row count inside the range
+      final case class WR(target: Long, baseW: Long, lo: Double, hi: Double, rows: Long)
+      var states = Map.empty[String, WR]
+      var resolved = Map.empty[String, Double]
+      pairs.groupBy("g")
+        .agg(sum("w").as("tw"), count(lit(1)).as("n"), min("v").as("mn"), max("v").as("mx"))
+        .collect()
+        .foreach { r =>
+          val g = r.getString(0)
+          val t = (r.getLong(1) + 1L) / 2L
+          val mn = r.getDouble(3); val mx = r.getDouble(4)
+          if (mn == mx) resolved += g -> mn
+          else states += g -> WR(t, 0L, mn, mx, r.getLong(2))
+        }
+
+      var passes = 0
+      val maxPasses = 64
+      while (states.nonEmpty) {
+        val (small, big) =
+          states.partition { case (_, st) => st.rows <= collectThreshold || passes >= maxPasses }
+        small.foreach { case (g, st) =>
+          val rows = pairs
+            .where(col("g") === g && col("v") >= st.lo && col("v") <= st.hi)
+            .orderBy("v").select("v", "w").collect()
+          var cum = st.baseW
+          var i = 0
+          while (cum + rows(i).getLong(1) < st.target) { cum += rows(i).getLong(1); i += 1 }
+          resolved += g -> rows(i).getDouble(0)
+        }
+        states = big
+        if (states.nonEmpty) {
+          passes += 1
+          val keys = states.keys.toSeq.sorted
+          val loE = perGroup(keys.map(k => k -> states(k).lo))
+          val hiE = perGroup(keys.map(k => k -> states(k).hi))
+          // same hardened bucket arithmetic as the unweighted engine
+          val frac = (col("v") / bins - loE / bins) / (hiE / bins - loE / bins)
+          val scaled = least(lit((bins - 1).toDouble),
+            greatest(lit(1.0), floor(nanvl(frac, lit(0.0)) * bins)))
+          val idx = when(col("v") === loE, lit(0.0)).otherwise(scaled).cast("int")
+          val byG = pairs
+            .where(col("g").isin(keys: _*) && col("v") >= loE && col("v") <= hiE)
+            .groupBy(col("g"), idx.as("b"))
+            .agg(sum("w").as("bw"), count(lit(1)).as("c"), min("v").as("mn"), max("v").as("mx"))
+            .collect()
+            .groupBy(_.getString(0))
+          var next = Map.empty[String, WR]
+          states.foreach { case (g, st) =>
+            val bs = byG(g)
+              .map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+              .sortBy(_._1)
+            var cum = st.baseW
+            var i = 0
+            while (cum + bs(i)._2 < st.target) { cum += bs(i)._2; i += 1 }
+            val (_, _, c1, mn1, mx1) = bs(i)
+            if (mn1 == mx1) resolved += g -> mn1
+            else next += g -> WR(st.target, cum, mn1, mx1, c1)
+          }
+          states = next
+        }
+      }
+      resolved
+    } finally pairs.unpersist(blocking = false)
+  }
+
+  /** Exact global row numbers per group WITHOUT a corpus-global window
+    * partition: range-partition on (group, order) so the total order is
+    * contiguous across Spark partitions, count rows per (partition, group),
+    * broadcast the per-partition offsets back, and add each row's
+    * PARTITION-LOCAL row_number — every window partition in the plan is one
+    * bounded range slice, never a whole group in one task. This is the
+    * distributed-ranking idiom behind rank functions at 100 TB
+    * (percent_rank/cume_dist/ntile are then plain arithmetic over `rn` and
+    * the group count — see w14).
+    *
+    * `orderCols` must totally order rows within a group (no peers) for the
+    * result to be deterministic. Output: input columns + `rn` (1-based
+    * within each group, in `orderCols` order).
+    */
+  def groupedGlobalRowNumber(df: DataFrame, groupCols: Seq[String],
+      orderCols: Seq[String], partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (partitions > 0) partitions else spark.sessionState.conf.numShufflePartitions
+    val all = (groupCols ++ orderCols).map(col)
+    val rp = df.repartitionByRange(n, all: _*)
+      .sortWithinPartitions(all: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(eager = false) // pin partition ids across the two uses
+    // per-(pid, group) counts -> per-(pid, group) starting offset; small:
+    // O(partitions x groups) rows on the driver, broadcast back
+    val counts = rp.groupBy((col("__pid") +: groupCols.map(col)): _*)
+      .agg(count(lit(1)).as("__c"))
+      .collect()
+    val key = (r: org.apache.spark.sql.Row) => groupCols.indices.map(i => r.get(i + 1)).toSeq
+    val offsets = counts
+      .groupBy(key).values.toSeq
+      .flatMap { rows =>
+        val sorted = rows.sortBy(_.getInt(0))
+        var cum = 0L
+        sorted.map { r =>
+          val off = cum
+          cum += r.getLong(groupCols.size + 1)
+          org.apache.spark.sql.Row.fromSeq(r.toSeq.init :+ off)
+        }
+      }
+    val offSchema = org.apache.spark.sql.types.StructType(
+      counts.headOption.map(_.schema.fields.init).getOrElse(Array.empty) :+
+        org.apache.spark.sql.types.StructField("__off", org.apache.spark.sql.types.LongType))
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsets, 1), offSchema)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy((col("__pid") +: groupCols.map(col)): _*)
+      .orderBy(orderCols.map(col): _*)
+    rp.join(broadcast(offDf), ("__pid" +: groupCols).toSeq)
+      .withColumn("rn", col("__off") + row_number().over(w))
+      .drop("__pid", "__off")
+  }
+
   /** Chained `when` mapping each group key to a per-group double constant —
     * how every group carries its own [lo, hi] through one shared pass.
     */

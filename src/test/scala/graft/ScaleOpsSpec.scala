@@ -407,6 +407,53 @@ class ScaleOpsSpec extends SparkSpec {
       s"z-layout worst-axis fan-in must beat single-column sort: z=($zx,$zy) x=($xx,$xy)")
   }
 
+  test("weightedMedianByGroup: descent == window recomputation, forced multi-pass") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 4000).map { i =>
+      val g = s"g${i % 3}"
+      (g, rnd.nextInt(1000).toDouble, 1L + rnd.nextInt(50))
+    }.toDF("g", "v", "w")
+    // tiny collectThreshold forces the histogram passes to actually refine
+    val got = ScaleOps.weightedMedianByGroup(df, "g", "v", "w",
+      bins = 8, collectThreshold = 16)
+    val want = df
+      .selectExpr("g", "v", "SUM(w) OVER (PARTITION BY g ORDER BY v) AS cum",
+        "SUM(w) OVER (PARTITION BY g) AS tot")
+      .where(col("cum") * 2 >= col("tot"))
+      .groupBy("g").agg(min("v").as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == want, s"$got vs $want")
+    // unit weights degrade to the lower (unweighted) median
+    val gotUnit = ScaleOps.weightedMedianByGroup(
+      df.withColumn("w", lit(1L)), "g", "v", "w", bins = 8, collectThreshold = 16)
+    val wantUnit = df
+      .selectExpr("g", "v", "COUNT(*) OVER (PARTITION BY g ORDER BY v, 1) AS r",
+        "COUNT(*) OVER (PARTITION BY g) AS n")
+      .where(col("r") * 2 >= col("n"))
+      .groupBy("g").agg(min("v").as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(gotUnit == wantUnit, s"unit weights must be the lower median: $gotUnit vs $wantUnit")
+  }
+
+  test("groupedGlobalRowNumber == window row_number, with bounded window partitions") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 5000).map(i => (s"s${i % 2}", rnd.nextInt(100000), i.toLong))
+      .toDF("g", "k", "id")
+    val got = ScaleOps.groupedGlobalRowNumber(df, Seq("g"), Seq("k", "id"), partitions = 8)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g").orderBy("k", "id")
+    val want = df.withColumn("rn", row_number().over(w).cast("long"))
+    assert(got.select("g", "k", "id", "rn").except(want.select("g", "k", "id", "rn")).isEmpty,
+      "range-partitioned ranking must equal the window row_number")
+    assert(want.select("g", "k", "id", "rn").except(got.select("g", "k", "id", "rn")).isEmpty)
+    // the plan's window partitions by the physical range slice, never the
+    // bare group — that's the whole point (no whole-group-in-one-task sort)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("__pid"),
+      s"local window must partition by the range slice id:\n${plan.take(2000)}")
+  }
+
   test("deleteKeys removes exactly the matched rows, survivors untouched") {
     import spark.implicits._
     val dir = tmpDir("delkeys") + "/t"
