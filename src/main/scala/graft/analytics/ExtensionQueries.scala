@@ -2915,6 +2915,84 @@ object ExtensionQueries {
              |    row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, vec_id) AS rank FROM f)
              |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, rrf
              |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)
+    ),
+    Q(
+      "e7_centroid_similarity",
+      "Class-prototype similarity audit: pairwise cosine between per-label " +
+        "centroid embeddings (leading 8 dims) — the confusability matrix a " +
+        "curator reads before trusting labels as dedup blocks or " +
+        "classifier targets. Cosine is scale-invariant, so centroids never " +
+        "need the division: cos(mean_a, mean_b) = cos(sum_a, sum_b), and " +
+        "the per-(label, dim) SUM vectors are exact integers (e3's " +
+        "floor(x*1e4) quantization, DECIMAL accumulation). One scan -> " +
+        "per-label 8-integer state; the pairwise stage is labels x labels " +
+        "over a 10-row aggregate (broadcast, trivially bounded); the only " +
+        "floating point is one sqrt+division over exact sums, identical " +
+        "IEEE both engines, round(9)",
+      (s, d) => {
+        val q = embeddings(s, d)
+          .selectExpr("label",
+            "posexplode(transform(slice(embedding, 1, 8), x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)))")
+          .selectExpr("label", "pos AS dim", "CAST(col AS DECIMAL(38, 0)) AS qc")
+          .groupBy("label", "dim").agg(sum("qc").as("sd"))
+          .localCheckpoint(eager = false) // 80 rows: feeds pairs + norms
+        val nrm = q.groupBy("label")
+          .agg(sum(col("sd") * col("sd")).as("ssq"))
+        q.as("a")
+          .join(q.as("b"), col("a.dim") === col("b.dim") && col("a.label") < col("b.label"))
+          .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+          .agg(sum(col("a.sd") * col("b.sd")).as("dot"))
+          .join(broadcast(nrm.selectExpr("label AS label_a", "ssq AS na")), Seq("label_a"))
+          .join(broadcast(nrm.selectExpr("label AS label_b", "ssq AS nb")), Seq("label_b"))
+          .selectExpr("label_a", "label_b",
+            "round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 9) AS cos")
+          .orderBy("label_a", "label_b")
+      },
+      Some("""WITH e AS (
+             |  SELECT label, list_transform(CAST(embedding AS DOUBLE[])[1:8],
+             |    x -> CAST(FLOOR(x * 10000.0) AS BIGINT)) AS qv
+             |  FROM embeddings),
+             |s AS (SELECT label, g.d AS dim, SUM(qv[g.d + 1]) AS sd
+             |      FROM e, generate_series(0, 7) g(d) GROUP BY 1, 2),
+             |n AS (SELECT label, SUM(sd * sd) AS ssq FROM s GROUP BY 1),
+             |p AS (SELECT a.label AS label_a, b.label AS label_b, SUM(a.sd * b.sd) AS dot
+             |      FROM s a JOIN s b ON a.dim = b.dim AND a.label < b.label GROUP BY 1, 2)
+             |SELECT label_a, label_b,
+             |  round(CAST(dot AS DOUBLE) / (sqrt(CAST(na.ssq AS DOUBLE)) * sqrt(CAST(nb.ssq AS DOUBLE))), 9) AS cos
+             |FROM p JOIN n na ON p.label_a = na.label JOIN n nb ON p.label_b = nb.label
+             |ORDER BY label_a, label_b""".stripMargin)
+    ),
+    Q(
+      "o9_dense_rank_ties",
+      "Ranking WITH ties (rank vs dense_rank coverage): top quantity " +
+        "values per linestatus where ties share a rank — computed over the " +
+        "VALUE-COUNT aggregate, not the raw rows (l_quantity has ~50 " +
+        "distinct values: the window input is the bounded distinct domain, " +
+        "so the per-group sort state is 50 rows regardless of corpus " +
+        "size — rank functions over raw 100 TB rows would be w14's " +
+        "range-partition job instead). dense_rank by count desc with " +
+        "value-asc tiebreak in BOTH engines makes every rank " +
+        "deterministic; keep dense ranks 1..3 (ties can return > 3 rows)",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val vc = lineitem(s, d)
+          .groupBy("l_linestatus", "l_quantity").agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy("l_linestatus").orderBy(desc("cnt"), col("l_quantity"))
+        vc
+          .withColumn("rnk", rank().over(w).cast("long"))
+          .withColumn("drnk", dense_rank().over(w).cast("long"))
+          .where(col("drnk") <= 3)
+          .select("l_linestatus", "drnk", "rnk", "l_quantity", "cnt")
+          .orderBy("l_linestatus", "drnk", "l_quantity")
+      },
+      Some("""WITH vc AS (SELECT l_linestatus, l_quantity, COUNT(*) AS cnt
+             |  FROM lineitem GROUP BY 1, 2),
+             |r AS (SELECT l_linestatus, l_quantity, cnt,
+             |    rank() OVER w AS rnk, dense_rank() OVER w AS drnk
+             |  FROM vc WINDOW w AS (PARTITION BY l_linestatus ORDER BY cnt DESC, l_quantity))
+             |SELECT l_linestatus, CAST(drnk AS BIGINT) AS drnk, CAST(rnk AS BIGINT) AS rnk,
+             |  l_quantity, cnt
+             |FROM r WHERE drnk <= 3 ORDER BY l_linestatus, drnk, l_quantity""".stripMargin)
     )
   )
 }

@@ -1000,6 +1000,43 @@ object ScaleOps {
       .orderBy("g")
 
   // ------------------------------------------------------------------------
+  // Incremental aggregate maintenance: the EXACT-statistics sibling of the
+  // HLL store above. count/sum are algebraic — a run's contribution reduces
+  // to one (count, decimal sum) row per group, and folding rows across runs
+  // is exact and order-independent (DECIMAL addition). So a dashboard's
+  // per-group totals over everything-ingested-so-far cost O(runs x groups)
+  // state rows to maintain and read, never a re-scan of history — the
+  // materialized-view-maintenance discipline without a warehouse.
+  // ------------------------------------------------------------------------
+
+  /** Append one run's per-group algebraic state (count, exact DECIMAL(38,6)
+    * sum of `valueCol`) to `dir`. Partial aggregation reduces each partition
+    * to one row per group before the exchange; the store grows by
+    * (groups) rows per run.
+    */
+  def writeAggState(df: DataFrame, groupCol: String, valueCol: String,
+      dir: String, runId: String): Unit =
+    df.selectExpr(s"CAST($groupCol AS STRING) AS g",
+      s"CAST($valueCol AS DECIMAL(30, 6)) AS v")
+      .groupBy("g")
+      .agg(count(col("v")).as("cnt"), sum(col("v")).cast(org.apache.spark.sql.types.DecimalType(38, 6)).as("sm"))
+      .withColumn("run_id", lit(runId))
+      .coalesce(1)
+      .write.mode("append").parquet(dir)
+
+  /** Fold every run's states in `dir` to exact running totals per group:
+    * (g, cnt, sum, avg). count/sum fold losslessly; avg is the one final
+    * division over exact components.
+    */
+  def readAggState(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+      .groupBy("g")
+      .agg(sum("cnt").cast("long").as("cnt"),
+        sum("sm").cast(org.apache.spark.sql.types.DecimalType(38, 6)).as("sm"))
+      .withColumn("avg", col("sm").cast("double") / col("cnt").cast("double"))
+      .orderBy("g")
+
+  // ------------------------------------------------------------------------
   // Z-order (Morton) data layout: multi-dimensional clustering for min/max
   // file pruning. Sorting 100 TB by ONE column makes that column's file
   // min/max ranges narrow and every other column's ranges full-width —

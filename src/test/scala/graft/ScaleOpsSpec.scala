@@ -407,6 +407,30 @@ class ScaleOpsSpec extends SparkSpec {
       s"z-layout worst-axis fan-in must beat single-column sort: z=($zx,$zy) x=($xx,$xy)")
   }
 
+  test("aggState store: fold across runs == one-shot recompute, exactly") {
+    import spark.implicits._
+    val dir = tmpDir("aggstate") + "/s"
+    val rnd = new scala.util.Random(3)
+    val rows = (1 to 2000).map(i => (i, s"g${i % 5}", rnd.nextDouble() * 100))
+    val df = rows.toDF("i", "g", "v")
+    // ingest in three uneven waves
+    ScaleOps.writeAggState(df.where(col("i") <= 700), "g", "v", dir, "run1")
+    ScaleOps.writeAggState(df.where(col("i") > 700 && col("i") <= 1500), "g", "v", dir, "run2")
+    ScaleOps.writeAggState(df.where(col("i") > 1500), "g", "v", dir, "run3")
+    val got = ScaleOps.readAggState(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2), r.getDouble(3)))
+    val want = df.selectExpr("g", "CAST(v AS DECIMAL(30, 6)) AS v")
+      .groupBy("g")
+      .agg(count("v").as("cnt"),
+        sum("v").cast(org.apache.spark.sql.types.DecimalType(38, 6)).as("sm"))
+      .withColumn("avg", col("sm").cast("double") / col("cnt").cast("double"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2), r.getDouble(3)))
+    assert(got.sameElements(want),
+      s"folded store must equal the one-shot totals:\n${got.toSeq}\n${want.toSeq}")
+    assert(got.map(_._2).sum == 2000L, "every wave row accounted")
+  }
+
   test("weightedMedianByGroup: descent == window recomputation, forced multi-pass") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
