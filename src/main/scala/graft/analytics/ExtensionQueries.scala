@@ -2993,6 +2993,53 @@ object ExtensionQueries {
              |SELECT l_linestatus, CAST(drnk AS BIGINT) AS drnk, CAST(rnk AS BIGINT) AS rnk,
              |  l_quantity, cnt
              |FROM r WHERE drnk <= 3 ORDER BY l_linestatus, drnk, l_quantity""".stripMargin)
+    ),
+    Q(
+      "t19_collocations",
+      "Collocation (phrase) mining by lift: adjacent-token bigrams with " +
+        "support >= 5 ranked by P(ab)/(P(a)P(b)) — PMI's argument without " +
+        "the log, so the score is ONE arithmetic expression over exact " +
+        "integer counts (n_ab, n_a, n_b, token total N, bigram total B), " +
+        "evaluated by the identical left-to-right IEEE sequence on both " +
+        "engines, round(6). The phrase-detection pass a tokenizer-" +
+        "vocabulary builder runs before merging multi-word units. Bigrams " +
+        "explode scan-side (a generator over the token array — no " +
+        "shuffle), counts partial-aggregate, the two unigram joins hit a " +
+        "vocabulary-sized table, top-20 is a TakeOrderedAndProject heap",
+      (s, d) => {
+        val toks = documents(s, d)
+          .selectExpr("split(lower(text), ' ') AS t")
+          .localCheckpoint(eager = false) // feeds bigrams + unigrams + totals
+        val bg = toks.selectExpr(
+          "explode(transform(sequence(1, size(t) - 1), i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))) AS z")
+          .selectExpr("z.w1 AS w1", "z.w2 AS w2")
+          .groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+          .where(col("n_ab") >= 5)
+        val uni = toks.selectExpr("explode(t) AS w")
+          .groupBy("w").agg(count(lit(1)).as("n_w"))
+          .localCheckpoint(eager = false)
+        val totals = toks
+          .agg(sum(expr("size(t)")).as("N"), sum(expr("size(t) - 1")).as("B"))
+        bg
+          .join(uni.selectExpr("w AS w1", "n_w AS n_a"), Seq("w1"))
+          .join(uni.selectExpr("w AS w2", "n_w AS n_b"), Seq("w2"))
+          .join(broadcast(totals))
+          .selectExpr("w1", "w2", "n_ab",
+            "round(CAST(n_ab AS DOUBLE) * N * N / (CAST(B AS DOUBLE) * n_a * n_b), 6) AS lift")
+          .orderBy(desc("lift"), col("w1"), col("w2"))
+          .limit(20)
+      },
+      Some("""WITH tk AS (SELECT string_split(lower(text), ' ') AS t FROM documents),
+             |bg AS (SELECT t[i] AS w1, t[i + 1] AS w2
+             |       FROM tk, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) s),
+             |bc AS (SELECT w1, w2, COUNT(*) AS n_ab FROM bg GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+             |uni AS (SELECT u.w AS w, COUNT(*) AS n_w
+             |        FROM (SELECT unnest(t) AS w FROM tk) u GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(len(t)) AS BIGINT) AS N, CAST(SUM(len(t) - 1) AS BIGINT) AS B FROM tk)
+             |SELECT w1, w2, n_ab,
+             |  round(CAST(n_ab AS DOUBLE) * N * N / (CAST(B AS DOUBLE) * na.n_w * nb.n_w), 6) AS lift
+             |FROM bc JOIN uni na ON bc.w1 = na.w JOIN uni nb ON bc.w2 = nb.w CROSS JOIN tot
+             |ORDER BY lift DESC, w1, w2 LIMIT 20""".stripMargin)
     )
   )
 }

@@ -1673,6 +1673,42 @@ object RelationalQueries {
              |SELECT l_linestatus, CAST(tile AS BIGINT) AS tile, COUNT(*) AS n,
              |  MIN(pr) AS min_pr, MAX(pr) AS max_pr, MIN(cd) AS min_cd, MAX(cd) AS max_cd
              |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+    Q(
+      "g2_triangle_count",
+      "Exact triangle count of the minute-level user co-occurrence graph " +
+        "(g1's edge derivation) via GraphOps.triangleCount — the " +
+        "clustering-coefficient numerator that separates community " +
+        "structure from star-shaped spam in a curation graph. Compact-" +
+        "forward: edges orient from the lower-(degree, id) endpoint, " +
+        "wedges come from a self-join on the oriented source (out-degree " +
+        "bounded ~sqrt(2m) by the orientation, so hub vertices can't " +
+        "explode the join), a semi-join closes them; every count is an " +
+        "exact integer. The oracle's naive 3-way join is the fixture-" +
+        "scale check of the same number",
+      (s, d) => {
+        val hu = events(s, d)
+          .select(date_trunc("minute", col("ts")).as("m"), col("user_id").as("u"))
+          .distinct()
+        val e = hu.as("x")
+          .join(hu.as("y"), col("x.m") === col("y.m") && col("x.u") < col("y.u"))
+          .select(col("x.u").as("a"), col("y.u").as("b"))
+          .distinct()
+          .localCheckpoint(eager = true) // feeds vertex count, edge count, triangles
+        val tri = graft.ops.GraphOps.triangleCount(e)
+        val verts = e.selectExpr("a AS v").union(e.selectExpr("b AS v")).distinct().count()
+        val edges = e.count()
+        s.createDataFrame(Seq((verts, edges, tri)))
+          .toDF("vertices", "edges", "triangles")
+      },
+      Some("""WITH hu AS (SELECT DISTINCT date_trunc('minute', ts) AS m, user_id AS u FROM events),
+             |e AS (SELECT DISTINCT x.u AS a, y.u AS b FROM hu x JOIN hu y ON x.m = y.m AND x.u < y.u),
+             |v AS (SELECT COUNT(DISTINCT u) AS nv FROM (SELECT a AS u FROM e UNION ALL SELECT b AS u FROM e)),
+             |t AS (SELECT COUNT(*) AS tri FROM e e1
+             |      JOIN e e2 ON e2.a = e1.a AND e1.b < e2.b
+             |      JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
+             |SELECT (SELECT nv FROM v) AS vertices, (SELECT COUNT(*) FROM e) AS edges,
+             |       (SELECT tri FROM t) AS triangles""".stripMargin)
     )
   )
 }

@@ -184,6 +184,41 @@ object GraphOps {
     r
   }
 
+  /** Exact triangle count by degree-ordered edge orientation (the
+    * compact-forward algorithm): orient every undirected edge from its
+    * lower-(degree, id) endpoint to the higher, enumerate wedges as a
+    * self-join of oriented edges on their source, and close each wedge
+    * with a semi-join against the oriented edge list. The orientation
+    * bounds every vertex's OUT-degree by ~sqrt(2m), so the wedge join —
+    * the step a naive 3-way join lets explode on hub vertices — generates
+    * O(m^1.5) candidates worst-case instead of sum(deg^2): the shape that
+    * survives a power-law 100 TB graph. Each triangle is counted exactly
+    * once (its vertices have a unique orientation order); all joins are
+    * equi-joins on vertex keys.
+    *
+    * `und`: canonical undirected edges `(a, b)` with `a < b`, deduped.
+    * Returns the exact triangle count.
+    */
+  def triangleCount(und: DataFrame): Long = {
+    val e = und.select(col("a"), col("b")).localCheckpoint(true)
+    val deg = e.selectExpr("a AS v").union(e.selectExpr("b AS v"))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val o = e
+      .join(deg.selectExpr("v AS a", "d AS da"), "a")
+      .join(deg.selectExpr("v AS b", "d AS db"), "b")
+      .selectExpr(
+        "CASE WHEN struct(da, a) < struct(db, b) THEN a ELSE b END AS src",
+        "CASE WHEN struct(da, a) < struct(db, b) THEN b ELSE a END AS dst",
+        "CASE WHEN struct(da, a) < struct(db, b) THEN db ELSE da END AS dd")
+      .localCheckpoint(true) // read three times: two wedge sides + closure
+    o.as("x")
+      .join(o.as("y").hint("SHUFFLE_HASH"),
+        expr("x.src = y.src AND struct(x.dd, x.dst) < struct(y.dd, y.dst)"))
+      .select(col("x.dst").as("src"), col("y.dst").as("dst"))
+      .join(o.select("src", "dst"), Seq("src", "dst"), "left_semi")
+      .count()
+  }
+
   /** Small-graph path: classic union-find with path compression over the
     * collected edge list, labels normalized to the per-component minimum —
     * byte-identical output to the distributed loop.

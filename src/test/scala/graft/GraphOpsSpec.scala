@@ -101,4 +101,32 @@ class GraphOpsSpec extends SparkSpec {
     // exact integer arithmetic => bitwise equality under any partitioning
     assert(ranks(ring.repartition(7)) == ringRanks, "repartition must not change ranks")
   }
+
+  test("triangleCount: closed forms and a skewed random graph vs brute force") {
+    def cnt(edges: Seq[(Long, Long)]): Long =
+      GraphOps.triangleCount(edges.toDF("a", "b"))
+    // K4: C(4,3) = 4 triangles; a 5-ring and a star have none; two
+    // triangles sharing an edge count 2
+    val k4 = for (i <- 0L to 3L; j <- i + 1 to 3L) yield (i, j)
+    assert(cnt(k4) == 4, "K4 has 4 triangles")
+    assert(cnt(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (0L, 4L))) == 0, "ring")
+    assert(cnt((1L to 6L).map(i => (0L, i))) == 0, "star")
+    assert(cnt(Seq((0L, 1L), (0L, 2L), (1L, 2L), (1L, 3L), (2L, 3L))) == 2, "shared edge")
+    // hub-skewed random graph: vertex 0 connects to everyone (the case the
+    // degree orientation exists for); compare against brute-force closure
+    val rnd = new scala.util.Random(5)
+    val hub = (1L to 30L).map(i => (0L, i))
+    val rest = (for (_ <- 1 to 120) yield {
+      val x = 1L + rnd.nextInt(30); val y = 1L + rnd.nextInt(30)
+      if (x < y) Some((x, y)) else if (y < x) Some((y, x)) else None
+    }).flatten.distinct
+    val edges = (hub ++ rest).distinct
+    val set = edges.toSet
+    val ids = (0L to 30L).toSeq
+    val brute = (for {
+      x <- ids; y <- ids if x < y; z <- ids if y < z
+      if set((x, y)) && set((y, z)) && set((x, z))
+    } yield 1).size.toLong
+    assert(cnt(edges) == brute, s"skewed graph: ${cnt(edges)} vs brute $brute")
+  }
 }
