@@ -1709,6 +1709,109 @@ object RelationalQueries {
              |      JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
              |SELECT (SELECT nv FROM v) AS vertices, (SELECT COUNT(*) FROM e) AS edges,
              |       (SELECT tri FROM t) AS triangles""".stripMargin)
+    ),
+    Q(
+      "u4_intersect_except",
+      "Set-operation coverage (INTERSECT / EXCEPT): purchaser-vs-viewer " +
+        "user audiences — both operators plan as co-partitioned " +
+        "distinct-joins on the key projection (semi for INTERSECT, anti " +
+        "for EXCEPT): only user ids cross the exchange. Output counts the " +
+        "three audience segments exactly",
+      (s, d) => {
+        val ev = events(s, d)
+        def users(t: String) =
+          ev.where(col("event_type") === t).select("user_id").distinct()
+        val both = users("view").intersect(users("purchase")).count()
+        val viewOnly = users("view").except(users("purchase")).count()
+        val buyOnly = users("purchase").except(users("view")).count()
+        s.createDataFrame(Seq(
+          ("both", both), ("buy_only", buyOnly), ("view_only", viewOnly)))
+          .toDF("segment", "n_users")
+          .orderBy("segment")
+      },
+      Some("""WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+             |p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+             |SELECT 'both' AS segment, (SELECT COUNT(*) FROM (SELECT * FROM v INTERSECT SELECT * FROM p)) AS n_users
+             |UNION ALL
+             |SELECT 'buy_only', (SELECT COUNT(*) FROM (SELECT * FROM p EXCEPT SELECT * FROM v))
+             |UNION ALL
+             |SELECT 'view_only', (SELECT COUNT(*) FROM (SELECT * FROM v EXCEPT SELECT * FROM p))
+             |ORDER BY segment""".stripMargin)
+    ),
+    Q(
+      "q3_shipping_priority",
+      "TPC-H Q3 shape (the multi-join OLAP classic): segment-filtered " +
+        "customers ⋈ date-bounded orders ⋈ shipped-later lineitems, " +
+        "revenue = sum(extprice * (1 - discount)) per order — top-10 by " +
+        "revenue. The join tree is what Catalyst's planning exists for: " +
+        "the customer filter broadcasts (dimension side), orders⋈lineitem " +
+        "shuffles once on orderkey, and all three single-table predicates " +
+        "push to their scans. Revenue terms are exact DECIMAL products " +
+        "(price 12,2 x (1 - discount 4,2)) summed order-independently; " +
+        "top-10 is a TakeOrderedAndProject heap with a rowkey tiebreak",
+      (s, d) => {
+        val cut = "1998-07-01"
+        val c = customer(s, d).where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        val o = orders(s, d).where(col("o_orderdate") < lit(cut))
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+        val l = lineitem(s, d).where(col("l_shipdate") > lit(cut))
+          .selectExpr("l_orderkey",
+            "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS rev")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+          .agg(sum("rev").cast("double").as("revenue"))
+          .orderBy(desc("revenue"), col("l_orderkey"))
+          .limit(10)
+          .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+      },
+      Some("""SELECT l_orderkey,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+             |  o_orderdate, o_orderpriority
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1998-07-01'
+             |  AND l_shipdate > TIMESTAMP '1998-07-01'
+             |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+             |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)
+    ),
+    Q(
+      "q5_local_supplier_volume",
+      "TPC-H Q5 shape (six-table star join): revenue by supplier nation " +
+        "for orders in one year where the customer and supplier share a " +
+        "nation — region ⋈ nation ⋈ supplier and customer are all " +
+        "broadcast dimensions, lineitem⋈orders is the one fact-fact " +
+        "shuffle, and the c_nationkey = s_nationkey co-location predicate " +
+        "applies after the joins. Exact DECIMAL revenue, total ORDER BY",
+      (s, d) => {
+        val n = nation(s, d).select("n_nationkey", "n_name")
+        val sup = supplier(s, d).select("s_suppkey", "s_nationkey")
+        val c = customer(s, d).select("c_custkey", "c_nationkey")
+        val o = orders(s, d)
+          .where(col("o_orderdate") >= lit("1997-01-01") && col("o_orderdate") < lit("1998-01-01"))
+          .select("o_orderkey", "o_custkey")
+        val l = lineitem(s, d).selectExpr("l_orderkey", "l_suppkey",
+          "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS rev")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .where(col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(sum("rev").cast("double").as("revenue"))
+          .orderBy(desc("revenue"), col("n_name"))
+      },
+      Some("""SELECT n_name,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+             |  AND c_nationkey = s_nationkey
+             |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)
     )
   )
 }

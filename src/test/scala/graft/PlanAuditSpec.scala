@@ -422,6 +422,24 @@ class PlanAuditSpec extends SparkSpec {
       s"the hour grid should come from a sequence/explode Generate:\n${plan.take(3000)}")
   }
 
+  test("q3/q5: dimension sides broadcast, single-table predicates reach their scans") {
+    for (name <- Seq("q3_shipping_priority", "q5_local_supplier_volume")) {
+      val df = Registry.byName(name).fn(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name: dimension joins must broadcast:\n${plan.take(2000)}")
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name: no unkeyed join allowed:\n${plan.take(2000)}")
+      val pushed = scans(df).map(_.metadata("PushedFilters")).mkString("; ")
+      assert(pushed.contains("o_orderdate"),
+        s"$name: the date predicate must reach the orders scan: $pushed")
+    }
+    // q3's lineitem scan must also push the shipdate bound
+    val q3 = Registry.byName("q3_shipping_priority").fn(spark, sf)
+    assert(scans(q3).exists(_.metadata("PushedFilters").contains("l_shipdate")),
+      scans(q3).map(_.metadata("PushedFilters")).mkString("; "))
+  }
+
   test("a22: MAD runs through the quantile descent — no Percentile buffer in the plan") {
     val df = Registry.byName("a22_mad_outliers").fn(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
