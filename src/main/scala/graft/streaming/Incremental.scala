@@ -448,4 +448,60 @@ object Incremental {
       people: Option[DataFrame] = None): StreamingQuery =
     streamingGold(spark, bronzePath, goldPath, checkpoint, corrId,
       vehicles, people, Trigger.ProcessingTime(interval))
+
+  /** Streaming materialized-aggregate maintenance — the stream leg of
+    * [[graft.ops.ScaleOps.writeAggState]]: each micro-batch reduces to one
+    * (group, count, exact DECIMAL sum) row per group appended to the state
+    * store; [[graft.ops.ScaleOps.readAggState]] folds all batches to exact
+    * running totals at read time. The run tag is keyed to the micro-batch
+    * id, so a crash-replayed batch OVERWRITES its own contribution
+    * (idempotent under foreachBatch's at-least-once contract) instead of
+    * double-counting: exactly-once totals without a transactional sink.
+    */
+  def streamingAggState(
+      spark: SparkSession,
+      inputPath: String,
+      schema: StructType,
+      groupCol: String,
+      valueCol: String,
+      storePath: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 16)
+      .json(inputPath)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          import org.apache.spark.sql.functions._
+          // same row shape as ScaleOps.writeAggState, but idempotent:
+          // partitioned by run_id and overwritten per batch id
+          batch.selectExpr(s"CAST($groupCol AS STRING) AS g",
+            s"CAST($valueCol AS DECIMAL(30, 6)) AS v")
+            .groupBy("g")
+            .agg(count(col("v")).as("cnt"),
+              sum(col("v")).cast(org.apache.spark.sql.types.DecimalType(38, 6)).as("sm"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(s"$storePath/run_id=batch_$batchId") // run_id derives from the dir
+        }
+        ()
+      }
+      .start()
+
+  /** Fold a [[streamingAggState]] store (per-batch directories) to exact
+    * totals — same read contract as `ScaleOps.readAggState`, layout-aware.
+    */
+  def readStreamingAggState(spark: SparkSession, storePath: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(storePath)
+      .groupBy("g")
+      .agg(sum("cnt").cast("long").as("cnt"),
+        sum("sm").cast(org.apache.spark.sql.types.DecimalType(38, 6)).as("sm"))
+      .withColumn("avg", col("sm").cast("double") / col("cnt").cast("double"))
+      .orderBy("g")
+  }
 }

@@ -663,4 +663,43 @@ class StreamingSpec extends SparkSpec {
     assert(want.map(_._1) == Set(1L, 2L), "fixture sanity: users 1 and 2 match")
     assert(got == want, s"stream-stream join diverged: $got vs $want")
   }
+
+  test("streamingAggState: per-batch folds == batch totals exactly, replay-safe") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = tmpDir("aggstream-in")
+    val store = tmpDir("aggstream-store") + "/s"
+    val chk = tmpDir("aggstream-chk")
+    val schema = StructType(Seq(
+      StructField("g", StringType), StructField("v", DoubleType)))
+    def land(name: String, rows: Seq[(String, Double)]): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/$name.json"),
+        rows.map { case (g, v) => s"""{"g":"$g","v":$v}""" }.mkString("", "\n", "\n"))
+    val wave1 = Seq(("a", 1.25), ("a", 2.5), ("b", 10.0))
+    val wave2 = Seq(("a", 4.0), ("c", 0.125), ("b", -3.5))
+    land("w1", wave1)
+    land("w2", wave2)
+
+    val q = Incremental.streamingAggState(spark, dir, schema, "g", "v", store, chk)
+    q.awaitTermination(120000)
+
+    def totals(rows: Seq[(String, Double)]) = rows.groupBy(_._1).map { case (g, rs) =>
+      (g, rs.size.toLong, BigDecimal(rs.map(r => BigDecimal(r._2)).sum.toString))
+    }.toSeq.sortBy(_._1)
+    def got() = Incremental.readStreamingAggState(spark, store).collect()
+      .map(r => (r.getString(0), r.getLong(1), BigDecimal(r.getDecimal(2)))).toSeq
+    assert(got() == totals(wave1 ++ wave2).map(t => (t._1, t._2, t._3.setScale(6))),
+      s"${got()} vs ${totals(wave1 ++ wave2)}")
+
+    // a third wave lands; a fresh AvailableNow drain folds it in without
+    // touching the earlier batch directories
+    val wave3 = Seq(("c", 7.0), ("a", 0.5))
+    land("w3", wave3)
+    val q2 = Incremental.streamingAggState(spark, dir, schema, "g", "v", store, chk)
+    q2.awaitTermination(120000)
+    val all = wave1 ++ wave2 ++ wave3
+    assert(got() == totals(all).map(t => (t._1, t._2, t._3.setScale(6))),
+      s"after wave 3: ${got()} vs ${totals(all)}")
+  }
 }
