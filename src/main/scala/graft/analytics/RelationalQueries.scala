@@ -1812,6 +1812,91 @@ object RelationalQueries {
              |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
              |  AND c_nationkey = s_nationkey
              |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)
+    ),
+    Q(
+      "w15_max_concurrency",
+      "Peak concurrency by sweep-line: each event opens a 5-minute " +
+        "presence [ts, ts+5m) clipped at midnight; +1/-1 boundary events " +
+        "sorted per DAY with the half-open tiebreak (-1 before +1 at the " +
+        "same instant, then event_id) and a running sum whose max is the " +
+        "day's peak simultaneous users — the capacity-planning query " +
+        "every serving system runs. The sweep window partitions per day " +
+        "(naturally sharded, bounded by a day's events); all arithmetic " +
+        "is exact integer microseconds and counters",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = events(s, d).select(col("ts"), col("event_id"))
+          .withColumn("endc", least(
+            col("ts") + expr("INTERVAL 5 MINUTES"),
+            date_trunc("day", col("ts")) + expr("INTERVAL 24 HOURS")))
+        val marks = ev.select(col("ts").as("t"), lit(1).as("delta"), col("event_id"))
+          .unionByName(ev.select(col("endc").as("t"), lit(-1).as("delta"), col("event_id")))
+          // a close at the exact midnight clip belongs to the day it CLOSES
+          // (shift only -1 marks; an open at midnight stays on its own day)
+          .withColumn("day", date_trunc("day",
+            when(col("delta") === -1, col("t") - expr("INTERVAL 1 MICROSECOND"))
+              .otherwise(col("t"))))
+        val w = Window.partitionBy("day").orderBy("t", "delta", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        marks
+          .withColumn("conc", sum("delta").over(w))
+          .groupBy("day")
+          .agg(max("conc").cast("long").as("max_concurrent"),
+            (count(lit(1)) / 2).cast("long").as("n_events"))
+          .orderBy("day")
+      },
+      // the -1 mark at an exact midnight clip belongs to the day it CLOSES
+      // (hence the 1-microsecond shift before date_trunc on both engines)
+      Some("""WITH ev AS (SELECT ts, event_id,
+             |    least(ts + INTERVAL 5 MINUTE, date_trunc('day', ts) + INTERVAL 24 HOUR) AS endc
+             |  FROM events),
+             |marks AS (
+             |  SELECT ts AS t, 1 AS delta, event_id FROM ev
+             |  UNION ALL
+             |  SELECT endc AS t, -1 AS delta, event_id FROM ev),
+             |m2 AS (SELECT *, date_trunc('day',
+             |    CASE WHEN delta = -1 THEN t - INTERVAL 1 MICROSECOND ELSE t END) AS day FROM marks),
+             |sw AS (SELECT day, SUM(delta) OVER (
+             |    PARTITION BY day ORDER BY t, delta, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc FROM m2)
+             |SELECT day, CAST(MAX(conc) AS BIGINT) AS max_concurrent,
+             |  CAST(COUNT(*) / 2 AS BIGINT) AS n_events
+             |FROM sw GROUP BY day ORDER BY day""".stripMargin)
+    ),
+    Q(
+      "f24_date_spine",
+      "Calendar date spine: a generated day dimension from the order-date " +
+        "bounds (sequence + explode — no calendar table to maintain) " +
+        "left-joined to per-day order counts, so days WITHOUT orders " +
+        "exist as zero rows — the gap-visible form every time-series " +
+        "report needs (a bare GROUP BY silently drops empty days). " +
+        "Rolled up per month: days, active days, gap days, exact order " +
+        "total. The spine is bounded by the time span, never the fact " +
+        "row count",
+      (s, d) => {
+        val o = orders(s, d).select(date_trunc("day", col("o_orderdate")).as("day"))
+        val perDay = o.groupBy("day").agg(count(lit(1)).as("n"))
+        val spine = o.agg(min("day").as("lo"), max("day").as("hi"))
+          .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+        spine.join(perDay, Seq("day"), "left")
+          .groupBy(date_trunc("month", col("day")).as("month"))
+          .agg(
+            count(lit(1)).as("days"),
+            sum(when(col("n").isNotNull, 1).otherwise(0)).cast("long").as("active_days"),
+            sum(when(col("n").isNull, 1).otherwise(0)).cast("long").as("gap_days"),
+            sum(coalesce(col("n"), lit(0L))).cast("long").as("orders"))
+          .orderBy("month")
+      },
+      Some("""WITH o AS (SELECT date_trunc('day', o_orderdate) AS day FROM orders),
+             |pd AS (SELECT day, COUNT(*) AS n FROM o GROUP BY 1),
+             |b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM o),
+             |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b)
+             |SELECT date_trunc('month', spine.day) AS month, COUNT(*) AS days,
+             |  CAST(SUM(CASE WHEN n IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS active_days,
+             |  CAST(SUM(CASE WHEN n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS gap_days,
+             |  CAST(SUM(COALESCE(n, 0)) AS BIGINT) AS orders
+             |FROM spine LEFT JOIN pd ON spine.day = pd.day
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
 }
