@@ -15,6 +15,12 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // let AQE convert a sort-merge join back to the faster shuffled-hash
+      // form when post-shuffle stats prove the per-partition build fits --
+      // the corpus-scale joins hint("merge") for spill-safety and rely on
+      // this for the small-scale fast path (forced SHUFFLE_HASH OOMs at the
+      // 100x decade: SCALE.md session-8 notes)
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -622,7 +622,7 @@ object ExtensionQueries {
         // task) but partitions perfectly on the fine-grained shingle key —
         // shuffle both sides once, build small per-partition hash maps.
         t.as("a")
-          .join(t.as("b").hint("SHUFFLE_HASH"), expr(
+          .join(t.as("b").hint("merge"), expr(
             "a.lang = b.lang AND a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id"))
           .groupBy(
             col("a.lang").as("lang"), col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
@@ -809,7 +809,7 @@ object ExtensionQueries {
           .localCheckpoint(eager = false) // feeds postings AND the per-doc base
         val post = sh.selectExpr("doc_id", "explode(g5) AS gram")
         val dfreq = post.groupBy("gram").agg(count(lit(1)).as("df"))
-        val perDoc = post.join(dfreq.hint("SHUFFLE_HASH"), Seq("gram"))
+        val perDoc = post.join(dfreq.hint("merge"), Seq("gram"))
           .groupBy("doc_id")
           .agg(sum(when(col("df") >= 2, 1).otherwise(0)).cast("long").as("dup"))
         sh.selectExpr("doc_id", "lang", "CAST(size(g5) AS BIGINT) AS tot")
@@ -859,7 +859,7 @@ object ExtensionQueries {
         val dupGrams = post.select("gram", "doc_id").distinct()
           .groupBy("gram").agg(count(lit(1)).as("df"))
           .where(col("df") >= 2).select("gram")
-        val dupStarts = post.join(dupGrams.hint("SHUFFLE_HASH"), Seq("gram"))
+        val dupStarts = post.join(dupGrams.hint("merge"), Seq("gram"))
           .groupBy("doc_id")
           .agg(sort_array(collect_list(col("start"))).as("starts"))
         base.join(dupStarts, Seq("doc_id"), "left")
@@ -914,7 +914,7 @@ object ExtensionQueries {
             "sha2(concat_ws(' ', seg), 256) AS h", "CAST(size(seg) AS BIGINT) AS ntoks")
         val winners = segs.groupBy("h")
           .agg(min(struct(col("doc_id"), col("idx"))).as("w"))
-        segs.join(winners.hint("SHUFFLE_HASH"), Seq("h"))
+        segs.join(winners.hint("merge"), Seq("h"))
           .withColumn("dup",
             col("doc_id") =!= col("w.doc_id") || col("idx") =!= col("w.idx"))
           .groupBy("lang")
@@ -1000,7 +1000,7 @@ object ExtensionQueries {
         val counts = grams.groupBy("source").agg(count(lit(1)).as("n"))
         val pairs = grams.select(col("source").as("source_a"), col("gram"))
           .join(grams.select(col("source").as("source_b"), col("gram"))
-            .hint("SHUFFLE_HASH"), Seq("gram"))
+            .hint("merge"), Seq("gram"))
           .where(col("source_a") < col("source_b"))
           .groupBy("source_a", "source_b")
           .agg(count(lit(1)).cast("long").as("shared_grams"))
@@ -1579,7 +1579,7 @@ object ExtensionQueries {
           .selectExpr("vec_id", "label", "q", s"array(${yExprs.mkString(", ")}) AS y")
           .localCheckpoint(eager = false) // feeds both sides of the pair join
         val pr = q.as("a")
-          .join(q.as("b").hint("SHUFFLE_HASH"), expr("b.vec_id = a.vec_id + 1"))
+          .join(q.as("b").hint("merge"), expr("b.vec_id = a.vec_id + 1"))
           .selectExpr("a.label AS label",
             "aggregate(zip_with(a.q, b.q, (x, z) -> (x - z) * (x - z)), 0L, (acc, x) -> acc + x) AS d2",
             "aggregate(zip_with(a.y, b.y, (x, z) -> (x - z) * (x - z)), 0L, (acc, x) -> acc + x) AS p2")
@@ -2221,7 +2221,7 @@ object ExtensionQueries {
           .selectExpr("explode(g5) AS gram").distinct()
         val seen = sh.where(col("doc_id") >= 50)
           .selectExpr("doc_id", "explode(g5) AS gram")
-          .join(ref.hint("SHUFFLE_HASH"), Seq("gram"))
+          .join(ref.hint("merge"), Seq("gram"))
           .groupBy("doc_id").agg(count(lit(1)).as("seen"))
         sh.where(col("doc_id") >= 50)
           .selectExpr("doc_id", "lang", "CAST(size(g5) AS BIGINT) AS tot")
@@ -2734,11 +2734,11 @@ object ExtensionQueries {
         val dfreq = post.groupBy("shingle").agg(count(lit(1)).as("df"))
         val w = Window.partitionBy("doc_id").orderBy("df", "shingle")
         val prefix = post
-          .join(dfreq.hint("SHUFFLE_HASH"), Seq("shingle"))
+          .join(dfreq.hint("merge"), Seq("shingle"))
           .withColumn("rnk", row_number().over(w))
           .where(col("rnk") <= expr("n - CAST(ceil(0.8 * n) AS INT) + 1"))
         val cands = prefix.as("a")
-          .join(prefix.as("b").hint("SHUFFLE_HASH"), expr(
+          .join(prefix.as("b").hint("merge"), expr(
             "a.lang = b.lang AND a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id"))
           .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"), col("a.lang").as("lang"))
           .distinct()
@@ -3040,6 +3040,40 @@ object ExtensionQueries {
              |  round(CAST(n_ab AS DOUBLE) * N * N / (CAST(B AS DOUBLE) * na.n_w * nb.n_w), 6) AS lift
              |FROM bc JOIN uni na ON bc.w1 = na.w JOIN uni nb ON bc.w2 = nb.w CROSS JOIN tot
              |ORDER BY lift DESC, w1, w2 LIMIT 20""".stripMargin)
+    ),
+    Q(
+      "e8_embedding_audit",
+      "Embedding-table health audit: per label — vector count, dimension " +
+        "consistency (a ragged table breaks every downstream kernel), " +
+        "zero/degenerate-norm vectors, and the norm range. The pre-flight " +
+        "check an ANN/dedup deployment runs before trusting a new " +
+        "embedding dump. One scan; norms are array_dot's fixed-order fold " +
+        "(bitwise both engines, as the whole n-family relies on), " +
+        "round(6) on the two reported extremes",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        embeddings(s, d)
+          .selectExpr("label", "size(embedding) AS dim",
+            "sqrt(array_dot(cast(embedding AS array<double>), cast(embedding AS array<double>))) AS nrm")
+          .groupBy("label")
+          .agg(
+            count(lit(1)).as("n"),
+            countDistinct("dim").as("n_dims"),
+            min("dim").as("dim"),
+            sum(when(col("nrm") === 0.0, 1).otherwise(0)).cast("long").as("zero_vectors"),
+            sum(when(col("nrm") < 0.5, 1).otherwise(0)).cast("long").as("degenerate"),
+            round(min("nrm"), 6).as("min_nrm"),
+            round(max("nrm"), 6).as("max_nrm"))
+          .orderBy("label")
+      },
+      Some("""WITH e AS (SELECT label, len(embedding) AS dim,
+             |    sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), (acc, x) -> acc + x)) AS nrm
+             |  FROM embeddings)
+             |SELECT label, COUNT(*) AS n, COUNT(DISTINCT dim) AS n_dims, MIN(dim) AS dim,
+             |  CAST(SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_vectors,
+             |  CAST(SUM(CASE WHEN nrm < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS degenerate,
+             |  round(MIN(nrm), 6) AS min_nrm, round(MAX(nrm), 6) AS max_nrm
+             |FROM e GROUP BY label ORDER BY label""".stripMargin)
     )
   )
 }

@@ -857,7 +857,7 @@ object RelationalQueries {
         val ev = events(s, d).select(col("user_id"), col("event_type"), col("ts"))
         def next(prev: org.apache.spark.sql.DataFrame, typ: String) =
           ev.where(col("event_type") === typ)
-            .join(prev.select(col("user_id"), col("t").as("pt")).hint("SHUFFLE_HASH"),
+            .join(prev.select(col("user_id"), col("t").as("pt")).hint("merge"),
               Seq("user_id"))
             .where(col("ts") > col("pt") && col("ts") <= expr("pt + INTERVAL 24 HOURS"))
             .groupBy("user_id").agg(min("ts").as("t"))
@@ -1597,7 +1597,7 @@ object RelationalQueries {
         val bloom = graft.ext.Bloom.build(sel, "o_orderkey", p)
         lineitem(s, d)
           .where(graft.ext.Bloom.mightContain(col("l_orderkey"), bloom, p.k))
-          .join(sel.hint("SHUFFLE_HASH"),
+          .join(sel.hint("merge"),
             col("l_orderkey") === col("o_orderkey"), "left_semi")
           .groupBy("l_returnflag")
           .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
@@ -1897,6 +1897,81 @@ object RelationalQueries {
              |  CAST(SUM(COALESCE(n, 0)) AS BIGINT) AS orders
              |FROM spine LEFT JOIN pd ON spine.day = pd.day
              |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+    Q(
+      "w16_active_users",
+      "Rolling engagement (DAU / WAU / MAU): exact distinct users per day, " +
+        "per trailing 7 days and per trailing 30 days — WITHOUT a range " +
+        "self-join or a distinct-over-window: the (day, user) distinct " +
+        "projection explodes each activity day into the trailing windows " +
+        "it serves (7 resp. 30 generator rows), then one distinct+count " +
+        "per target day. Work is O(active-pairs x window), state is a hash " +
+        "aggregate — the shape that survives when users x days is huge " +
+        "and a COUNT(DISTINCT) OVER (RANGE 30 DAYS) would buffer windows. " +
+        "Reported weekly (day % 7 == 0 sample) to keep the gate compact",
+      (s, d) => {
+        val du = events(s, d)
+          .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+          .distinct()
+          .localCheckpoint(eager = false) // feeds DAU + two window explosions
+        val dau = du.groupBy("day").agg(countDistinct("user_id").as("dau"))
+        def rolling(win: Int, name: String) = du
+          .select(explode(expr(s"sequence(day, day + interval ${win - 1} days, interval 1 day)"))
+            .as("tday"), col("user_id"))
+          .distinct()
+          .groupBy("tday").agg(count(lit(1)).as(name))
+        dau
+          .join(rolling(7, "wau"), col("day") === col("tday"))
+          .drop("tday")
+          .join(rolling(30, "mau"), col("day") === col("tday"))
+          .drop("tday")
+          .where(expr("dayofmonth(day) % 7 = 1"))
+          .orderBy("day")
+      },
+      Some("""WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+             |dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM du GROUP BY 1),
+             |w AS (SELECT tday, COUNT(*) AS wau FROM (
+             |    SELECT DISTINCT unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS tday, user_id
+             |    FROM du) GROUP BY 1),
+             |m AS (SELECT tday, COUNT(*) AS mau FROM (
+             |    SELECT DISTINCT unnest(generate_series(day, day + INTERVAL 29 DAY, INTERVAL 1 DAY)) AS tday, user_id
+             |    FROM du) GROUP BY 1)
+             |SELECT day, dau, wau, mau
+             |FROM dau JOIN w ON day = w.tday JOIN m ON day = m.tday
+             |WHERE dayofmonth(day) % 7 = 1
+             |ORDER BY day""".stripMargin)
+    ),
+    Q(
+      "w17_longest_streak",
+      "Longest consecutive-day activity streak per user, rolled up as a " +
+        "streak-length histogram — the engagement metric retention teams " +
+        "track. Gaps-and-islands on the (user, distinct day) projection " +
+        "via the anchor trick: day - rn days is constant exactly along a " +
+        "consecutive run (no lag/compare chain needed), so streaks fall " +
+        "out of one per-user window + two hash aggregates. Windows " +
+        "partition per user over DISTINCT DAYS (tiny, bounded by the " +
+        "calendar); every value is an exact integer",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val du = events(s, d)
+          .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+          .distinct()
+        val w = Window.partitionBy("user_id").orderBy("day")
+        val streaks = du
+          .withColumn("anchor", expr("day - make_interval(0, 0, 0, row_number() OVER (PARTITION BY user_id ORDER BY day), 0, 0, 0)"))
+          .groupBy("user_id", "anchor").agg(count(lit(1)).as("len"))
+        streaks
+          .groupBy("user_id").agg(max("len").as("longest"))
+          .groupBy("longest").agg(count(lit(1)).as("n_users"))
+          .orderBy("longest")
+      },
+      Some("""WITH du AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+             |a AS (SELECT user_id, day,
+             |    day - to_days(CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER)) AS anchor
+             |  FROM du),
+             |s AS (SELECT user_id, anchor, COUNT(*) AS len FROM a GROUP BY 1, 2),
+             |l AS (SELECT user_id, MAX(len) AS longest FROM s GROUP BY 1)
+             |SELECT longest, COUNT(*) AS n_users FROM l GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
 }

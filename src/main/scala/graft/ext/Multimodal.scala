@@ -583,7 +583,7 @@ object Multimodal {
           "(ahash >> (band * 16)) & 65535 AS bkey"),
       Seq("band", "bkey"), maxBucket)
     banded.as("a")
-      .join(banded.as("b").hint("SHUFFLE_HASH"), expr(
+      .join(banded.as("b").hint("merge"), expr(
         "a.band = b.band AND a.bkey = b.bkey AND a.media_id < b.media_id"))
       .select(
         col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),

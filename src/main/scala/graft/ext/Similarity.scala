@@ -532,8 +532,8 @@ object Similarity {
     // broadcast the "query" side, which is exactly the plan that cannot
     // exist at corpus scale (this function's reason to exist).
     val scored = cands
-      .join(t.hint("SHUFFLE_HASH"), Seq("id"))
-      .join(q.hint("SHUFFLE_HASH"), Seq("qid"))
+      .join(t.hint("merge"), Seq("id"))
+      .join(q.hint("merge"), Seq("qid"))
       .selectExpr("qid", "id", "array_dot(qv, v) / (qnrm * nrm) AS score")
     topKByQuery(scored, k)
   }

@@ -212,7 +212,7 @@ object GraphOps {
         "CASE WHEN struct(da, a) < struct(db, b) THEN db ELSE da END AS dd")
       .localCheckpoint(true) // read three times: two wedge sides + closure
     o.as("x")
-      .join(o.as("y").hint("SHUFFLE_HASH"),
+      .join(o.as("y").hint("merge"),
         expr("x.src = y.src AND struct(x.dd, x.dst) < struct(y.dd, y.dst)"))
       .select(col("x.dst").as("src"), col("y.dst").as("dst"))
       .join(o.select("src", "dst"), Seq("src", "dst"), "left_semi")

@@ -163,13 +163,16 @@ class PlanAuditSpec extends SparkSpec {
       s"raw text must not be the exchange key:\n${plan.take(3000)}")
   }
 
-  test("d10: the posting-frequency join is shuffle-hash, not a broadcast of the posting table") {
+  test("d10: the posting-frequency join shuffles, not a broadcast of the posting table") {
     // Broadcasting the gram->df relation would build and ship a corpus-sized
     // hash map to every task; the fine-grained gram key partitions perfectly.
+    // Since the session-8 100x-decade OOM finding, corpus-scale joins hint
+    // "merge" (spillable) and AQE converts back to shuffled-hash when the
+    // per-partition build fits — the pin accepts either SHUFFLE form.
     val df = Registry.byName("d10_dup_ngram_mass").fn(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("ShuffledHashJoin"),
-      s"gram-frequency join must be shuffle-hash:\n${plan.take(3000)}")
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      s"gram-frequency join must shuffle (hash or merge), never broadcast:\n${plan.take(3000)}")
   }
 
   test("t15: the frequency sketch partial-aggregates before the exchange, no Window") {
@@ -187,8 +190,8 @@ class PlanAuditSpec extends SparkSpec {
     // broadcast of the corpus-sized posting table would both be 100 TB bugs.
     val df = Registry.byName("d12_dup_span_removal").fn(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("ShuffledHashJoin"),
-      s"gram posting join must be shuffle-hash:\n${plan.take(3000)}")
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      s"gram posting join must shuffle (hash or merge), never broadcast:\n${plan.take(3000)}")
     assert(!plan.contains("Window"), s"no Window allowed:\n${plan.take(3000)}")
   }
 
@@ -202,8 +205,8 @@ class PlanAuditSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"no Window allowed:\n${plan.take(3000)}")
     assert(plan.contains("partial_"), s"map-side combine expected:\n${plan.take(3000)}")
-    assert(plan.contains("ShuffledHashJoin"),
-      s"winner join must be shuffle-hash:\n${plan.take(3000)}")
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      s"winner join must shuffle (hash or merge), never broadcast:\n${plan.take(3000)}")
     assert(plan.contains("sha2"), s"hash exchange key expected:\n${plan.take(3000)}")
   }
 
@@ -218,7 +221,7 @@ class PlanAuditSpec extends SparkSpec {
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"no Window allowed:\n${plan.take(3000)}")
-    assert(plan.contains("ShuffledHashJoin"),
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
       s"payload joins must shuffle on id keys, not broadcast:\n${plan.take(3000)}")
     assert(!plan.matches("(?s).*BroadcastHashJoin \\[qid.*"),
       s"the query-vector join must not broadcast the corpus:\n${plan.take(3000)}")
@@ -247,8 +250,8 @@ class PlanAuditSpec extends SparkSpec {
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"no Window allowed:\n${plan.take(3000)}")
-    assert(plan.contains("ShuffledHashJoin"),
-      s"gram self-join must be shuffle-hash:\n${plan.take(3000)}")
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      s"gram self-join must shuffle (hash or merge), never broadcast:\n${plan.take(3000)}")
     assert(!plan.matches("(?s).*BroadcastHashJoin \\[gram.*"),
       s"the gram posting table must never broadcast:\n${plan.take(3000)}")
   }
@@ -262,7 +265,7 @@ class PlanAuditSpec extends SparkSpec {
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"no Window allowed:\n${plan.take(3000)}")
-    assert(plan.contains("ShuffledHashJoin"),
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
       s"pair join must shuffle on the id key:\n${plan.take(3000)}")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"pair sampling must stay an equi-join:\n${plan.take(3000)}")
@@ -276,7 +279,7 @@ class PlanAuditSpec extends SparkSpec {
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"no Window allowed:\n${plan.take(3000)}")
-    assert(plan.contains("ShuffledHashJoin"),
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
       s"step joins must shuffle on user_id:\n${plan.take(3000)}")
     assert(plan.contains("partial_min"), s"map-side min combine expected:\n${plan.take(3000)}")
   }

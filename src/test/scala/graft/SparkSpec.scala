@@ -14,6 +14,9 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
+    // mirror Bench/Verify: AQE may convert merge-hinted joins to shuffled
+    // hash when the local map fits (plan pins accept either shuffle form)
+    .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
     .getOrCreate()
 
   def tmpDir(prefix: String): String =
