@@ -3053,7 +3053,7 @@ object ExtensionQueries {
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
         embeddings(s, d)
-          .selectExpr("label", "size(embedding) AS dim",
+          .selectExpr("label", "CAST(size(embedding) AS BIGINT) AS dim",
             "sqrt(array_dot(cast(embedding AS array<double>), cast(embedding AS array<double>))) AS nrm")
           .groupBy("label")
           .agg(
