@@ -3074,6 +3074,46 @@ object ExtensionQueries {
              |  CAST(SUM(CASE WHEN nrm < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS degenerate,
              |  round(MIN(nrm), 6) AS min_nrm, round(MAX(nrm), 6) AS max_nrm
              |FROM e GROUP BY label ORDER BY label""".stripMargin)
+    ),
+    Q(
+      "n13_filtered_ann",
+      "Filtered vector search (the vector-DB serving primitive: nearest " +
+        "neighbors SATISFYING a metadata predicate — here same-label): the " +
+        "label constraint applies INSIDE the candidate join, before any " +
+        "scoring or ranking state, so the k-bounded TopK re-rank only ever " +
+        "sees admissible vectors (post-filtering a plain top-k instead " +
+        "under-fills results whenever the filter is selective — the " +
+        "classic filtered-ANN bug). Broadcast queries x one corpus scan; " +
+        "at 100 TB the same predicate pushes into an IVF probe's cell " +
+        "scan (partition pruning), this exact plan is its re-rank tail",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val e = embeddings(s, d)
+          .selectExpr("vec_id", "label", "cast(embedding AS array<double>) AS v")
+          .selectExpr("vec_id", "label", "v", "sqrt(array_dot(v, v)) AS nrm")
+        val q = e.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+            col("v").as("qv"), col("nrm").as("qnrm"))
+        val scored = e.join(broadcast(q),
+          expr("vec_id <> qid AND label = qlabel"))
+          .selectExpr("qid", "vec_id AS id", "array_dot(qv, v) / (qnrm * nrm) AS score")
+        graft.ext.Similarity.topKByQuery(scored, 3)
+          .selectExpr("qid", "rank", "id AS vec_id", "score AS cos")
+          .orderBy("qid", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             |  sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), (acc, x) -> acc + x)) AS nrm
+             |  FROM embeddings),
+             |q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv, nrm AS qnrm FROM e WHERE vec_id < 10),
+             |scored AS (
+             |  SELECT qid, vec_id,
+             |    list_reduce(list_transform(list_zip(qv, v), p -> p[1] * p[2]), (acc, x) -> acc + x) / (qnrm * nrm) AS cos,
+             |    row_number() OVER (PARTITION BY qid ORDER BY
+             |      list_reduce(list_transform(list_zip(qv, v), p -> p[1] * p[2]), (acc, x) -> acc + x) / (qnrm * nrm) DESC,
+             |      vec_id) AS rank
+             |  FROM e JOIN q ON vec_id <> qid AND label = qlabel)
+             |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, cos
+             |FROM scored WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)
     )
   )
 }

@@ -1972,6 +1972,86 @@ object RelationalQueries {
              |s AS (SELECT user_id, anchor, COUNT(*) AS len FROM a GROUP BY 1, 2),
              |l AS (SELECT user_id, MAX(len) AS longest FROM s GROUP BY 1)
              |SELECT longest, COUNT(*) AS n_users FROM l GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+    Q(
+      "st3_session_window_native",
+      "Gap-based sessions via Spark's NATIVE session_window operator — the " +
+        "same expression runs incrementally under Structured Streaming " +
+        "with a watermark (st2's custom islands build, as the engine " +
+        "primitive): 30-minute-gap sessions per user, rolled up to " +
+        "per-user session count, event total and exact in-session span " +
+        "(window.end carries the trailing gap by definition — subtracted " +
+        "back out in exact microseconds). Session merging is a hash " +
+        "aggregation over (user, window), never a corpus-global sort",
+      (s, d) =>
+        events(s, d)
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+          .agg(count(lit(1)).as("n_events"))
+          .groupBy("user_id")
+          .agg(
+            count(lit(1)).as("n_sessions"),
+            sum("n_events").cast("long").as("total_events"),
+            sum(expr("unix_micros(w.end) - 1800000000 - unix_micros(w.start)"))
+              .cast("long").as("total_span_us"))
+          .orderBy("user_id"),
+      Some("""WITH o AS (SELECT user_id, ts,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |s AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sess FROM o),
+             |g AS (SELECT user_id, sess, COUNT(*) AS n_events,
+             |      epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS span_us
+             |      FROM s GROUP BY 1, 2)
+             |SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n_events) AS BIGINT) AS total_events,
+             |  CAST(SUM(span_us) AS BIGINT) AS total_span_us
+             |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin)
+    ),
+    Q(
+      "a25_seasonal_anomaly",
+      "Seasonal-baseline anomaly detection: hour-of-week traffic profile " +
+        "from the first three weeks, the fourth week judged against it — " +
+        "spike iff this_week * baseline_weeks > 2 * baseline_total (and " +
+        "the mirrored drop test), so the 2x threshold is an EXACT integer " +
+        "cross-multiplication: no float ratio ever decides a flag and " +
+        "both engines agree bitwise. The on-call 'is tonight weird' " +
+        "check, shaped as two hash aggregations over a bounded (dow, " +
+        "hour) domain; the one reported ratio is a single rounded " +
+        "division over exact counts",
+      (s, d) => {
+        val ev = events(s, d).select(col("ts"))
+          .join(broadcast(events(s, d).agg(date_trunc("day", min("ts")).as("d0"))))
+          .select(
+            floor(expr("(unix_micros(ts) - unix_micros(d0)) / (7 * 86400000000)")).as("week"),
+            dayofweek(col("ts")).cast("long").as("dow"), hour(col("ts")).as("hr"))
+        val cells = ev.groupBy("week", "dow", "hr").agg(count(lit(1)).as("c"))
+        val base = cells.where(col("week") < 3)
+          .groupBy("dow", "hr").agg(sum("c").as("sb"), count(lit(1)).as("nb"))
+        cells.where(col("week") === 3)
+          .join(base, Seq("dow", "hr"))
+          .withColumn("spike", (col("c") * col("nb") > col("sb") * 2).cast("int"))
+          .withColumn("drop", (col("c") * col("nb") * 2 < col("sb")).cast("int"))
+          .groupBy("dow")
+          .agg(
+            count(lit(1)).as("cells"),
+            sum("spike").cast("long").as("spikes"),
+            sum("drop").cast("long").as("drops"),
+            round(max(expr("CAST(c * nb AS DOUBLE) / CAST(sb AS DOUBLE)")), 6).as("max_ratio"))
+          .orderBy("dow")
+      },
+      Some("""WITH d0 AS (SELECT date_trunc('day', MIN(ts)) AS d0 FROM events),
+             |e AS (SELECT CAST(floor((epoch_us(ts) - epoch_us(d0)) / (7 * 86400000000)) AS BIGINT) AS week,
+             |      dayofweek(ts) + 1 AS dow, hour(ts) AS hr
+             |      FROM events CROSS JOIN d0),
+             |cells AS (SELECT week, dow, hr, COUNT(*) AS c FROM e GROUP BY 1, 2, 3),
+             |base AS (SELECT dow, hr, SUM(c) AS sb, COUNT(*) AS nb
+             |         FROM cells WHERE week < 3 GROUP BY 1, 2)
+             |SELECT cells.dow AS dow, COUNT(*) AS cells,
+             |  CAST(SUM(CASE WHEN c * nb > sb * 2 THEN 1 ELSE 0 END) AS BIGINT) AS spikes,
+             |  CAST(SUM(CASE WHEN c * nb * 2 < sb THEN 1 ELSE 0 END) AS BIGINT) AS drops,
+             |  round(MAX(CAST(c * nb AS DOUBLE) / CAST(sb AS DOUBLE)), 6) AS max_ratio
+             |FROM cells JOIN base ON cells.dow = base.dow AND cells.hr = base.hr
+             |WHERE week = 3
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
 }
