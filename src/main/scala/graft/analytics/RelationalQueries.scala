@@ -2052,6 +2052,51 @@ object RelationalQueries {
              |FROM cells JOIN base ON cells.dow = base.dow AND cells.hr = base.hr
              |WHERE week = 3
              |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+    Q(
+      "sql1_sql_api",
+      "SQL-string surface: the same engine through spark.sql over temp " +
+        "views — CTEs, a dimension join, decimal-exact money aggregation, " +
+        "HAVING and ORDER BY in one statement, planed by the SAME Catalyst " +
+        "pipeline as the DataFrame queries (this is the dashboard-SQL " +
+        "entry point the reference's users actually write; " +
+        "streamlit_frontend.py runs ~30 such statements against DuckDB). " +
+        "Priority-segmented order revenue per nation for one year, " +
+        "nations kept above a floor",
+      (s, d) => {
+        customer(s, d).createOrReplaceTempView("v_customer")
+        orders(s, d).createOrReplaceTempView("v_orders")
+        nation(s, d).createOrReplaceTempView("v_nation")
+        s.sql("""
+          WITH o AS (
+            SELECT o_custkey,
+                   CASE WHEN o_orderpriority < '3' THEN 'urgent' ELSE 'normal' END AS prio,
+                   CAST(o_totalprice AS DECIMAL(18,2)) AS price
+            FROM v_orders
+            WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1998-01-01')
+          SELECT n_name, prio, COUNT(*) AS n_orders,
+                 CAST(SUM(price) AS DOUBLE) AS revenue
+          FROM o
+          JOIN v_customer ON o_custkey = c_custkey
+          JOIN v_nation ON c_nationkey = n_nationkey
+          GROUP BY n_name, prio
+          HAVING COUNT(*) >= 10
+          ORDER BY n_name, prio""")
+      },
+      Some("""WITH o AS (
+             |  SELECT o_custkey,
+             |         CASE WHEN o_orderpriority < '3' THEN 'urgent' ELSE 'normal' END AS prio,
+             |         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+             |  FROM orders
+             |  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')
+             |SELECT n_name, prio, COUNT(*) AS n_orders,
+             |       CAST(SUM(price) AS DOUBLE) AS revenue
+             |FROM o
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name, prio
+             |HAVING COUNT(*) >= 10
+             |ORDER BY n_name, prio""".stripMargin)
     )
   )
 }

@@ -98,4 +98,26 @@ class PipelineSpec extends SparkSpec {
     val c2 = u.where(org.apache.spark.sql.functions.col("crash_record_id") === "c2").collect()(0)
     assert(c2.isNullAt(c2.fieldIndex("crash_type")))
   }
+
+  test("ORC roundtrip: schema, values and predicate pushdown survive the columnar sibling") {
+    // Parquet is the house format; ORC is the other columnar ANSI-lakehouse
+    // format Spark ships natively — a Gold export target some downstreams
+    // demand. The roundtrip must be value-exact (timestamps included) and
+    // the scan must still push predicates.
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir("orc") + "/t"
+    val src = graft.analytics.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    src.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema == src.schema, "ORC must preserve the schema exactly")
+    assert(back.count() == src.count())
+    val a = src.orderBy("l_orderkey", "l_linenumber").collect().map(_.toString)
+    val b = back.orderBy("l_orderkey", "l_linenumber").collect().map(_.toString)
+    assert(a.sameElements(b), "ORC roundtrip must be value-exact")
+    val q = back.where(col("l_orderkey") === 1L)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,1)]"),
+      s"ORC scan must push the predicate:\n${plan.take(1500)}")
+  }
 }
