@@ -81,5 +81,13 @@ object GraftFunctions {
       "shinglen", exprs => ShingleN(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash32", exprs => Simhash32(exprs(0)), "built-in")
+    // SQL-callable k-bounded top-k: the TopK Aggregator (UD4 family)
+    // exposed to the spark.sql surface as `topk5_scored(score, id)` — a
+    // SQL-string user gets the same bounded-state ranking the DataFrame
+    // paths use, instead of reinventing a rank window
+    spark.udf.register("topk5_scored",
+      org.apache.spark.sql.functions.udaf(
+        new graft.ext.Similarity.TopK(5),
+        org.apache.spark.sql.Encoders.product[graft.ext.Similarity.Scored]))
   }
 }

@@ -448,4 +448,21 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getAs[Long]("hamming"), r.getAs[Long]("id"))).toSeq
     assert(ranked == ranked.sorted, s"rank order must be (hamming, id): $ranked")
   }
+
+  test("topk5_scored: the TopK Aggregator is SQL-callable and matches topKByQuery") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(13)
+    val rows = for (q <- 1L to 4L; i <- 1L to 40L) yield (q, i, rnd.nextDouble())
+    val df = rows.toDF("qid", "id", "score")
+    df.createOrReplaceTempView("v_scored")
+    val sqlTop = spark.sql(
+      """SELECT qid, posexplode(topk5_scored(score, id)) AS (pos, hit) FROM v_scored GROUP BY qid""")
+      .selectExpr("qid", "CAST(pos + 1 AS BIGINT) AS rank", "hit.id AS id", "hit.score AS score")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted
+    val apiTop = graft.ext.Similarity.topKByQuery(df, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted
+    assert(sqlTop.sameElements(apiTop),
+      s"SQL-registered UDAF must equal the typed path:\n${sqlTop.toSeq}\n${apiTop.toSeq}")
+  }
 }
