@@ -3010,8 +3010,11 @@ object ExtensionQueries {
         val toks = documents(s, d)
           .selectExpr("split(lower(text), ' ') AS t")
           .localCheckpoint(eager = false) // feeds bigrams + unigrams + totals
+        // guard: sequence(1, 0) is DESCENDING in Spark ([1, 0] -> element_at
+        // index 0 throws under ANSI), so a single-token doc must emit an
+        // empty bigram array, matching DuckDB's empty generate_series(1, 0)
         val bg = toks.selectExpr(
-          "explode(transform(sequence(1, size(t) - 1), i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))) AS z")
+          "explode(CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t) - 1), i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2)) ELSE array() END) AS z")
           .selectExpr("z.w1 AS w1", "z.w2 AS w2")
           .groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
           .where(col("n_ab") >= 5)
