@@ -3117,6 +3117,60 @@ object ExtensionQueries {
              |  FROM e JOIN q ON vec_id <> qid AND label = qlabel)
              |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, cos
              |FROM scored WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)
+    ),
+    Q(
+      "n14_knn_classify",
+      "k-NN classification (weak labeling / label-propagation audit): " +
+        "every vec_id < 50 gets a predicted label by majority vote of its " +
+        "5 exact nearest neighbors (vote ties break to the SMALLEST " +
+        "label — a bare mode over neighbors is tie-nondeterministic, " +
+        "a21's lesson); per true label: queries, correct predictions, one " +
+        "rounded accuracy division. The quality gate a curator runs on " +
+        "embedding labels before trusting them as dedup blocks. Neighbor " +
+        "selection is n1's k-bounded kernel; voting is " +
+        "min(struct(-votes, label)) — two hash aggregations, no Window",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val prepared = graft.ext.Similarity.prepare(embeddings(s, d), "vec_id", "embedding")
+        val labels = embeddings(s, d).select(col("vec_id"), col("label"))
+        val qs = prepared.where(col("id") < 50)
+        val nn = graft.ext.Similarity.bruteForceTopK(prepared, qs, k = 5)
+        val votes = nn
+          .join(labels.withColumnRenamed("vec_id", "id"), Seq("id"))
+          .groupBy(col("qid"), col("label").as("nlabel"))
+          .agg(count(lit(1)).as("v"))
+        val pred = votes.groupBy("qid")
+          .agg(min(struct((col("v") * -1).as("negv"), col("nlabel").as("l"))).as("m"))
+          .selectExpr("qid", "m.l AS pred")
+        pred
+          .join(labels.withColumnRenamed("vec_id", "qid"), Seq("qid"))
+          .groupBy(col("label").as("true_label"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when(col("pred") === col("label"), 1).otherwise(0)).cast("long").as("correct"))
+          .withColumn("accuracy",
+            round(col("correct").cast("double") / col("n").cast("double"), 6))
+          .orderBy("true_label")
+      },
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             |  sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), (acc, x) -> acc + x)) AS nrm
+             |  FROM embeddings),
+             |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM e WHERE vec_id < 50),
+             |nn AS (
+             |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY
+             |      list_reduce(list_transform(list_zip(qv, v), p -> p[1] * p[2]), (acc, x) -> acc + x) / (qnrm * nrm) DESC,
+             |      vec_id) AS rank
+             |  FROM e JOIN q ON vec_id <> qid),
+             |votes AS (SELECT qid, e.label AS nlabel, COUNT(*) AS v
+             |  FROM nn JOIN e ON nn.vec_id = e.vec_id WHERE rank <= 5 GROUP BY 1, 2),
+             |pred AS (SELECT qid, nlabel AS pred FROM (
+             |    SELECT qid, nlabel, row_number() OVER (PARTITION BY qid ORDER BY v DESC, nlabel) AS rn
+             |    FROM votes) WHERE rn = 1)
+             |SELECT e.label AS true_label, COUNT(*) AS n,
+             |  CAST(SUM(CASE WHEN pred = e.label THEN 1 ELSE 0 END) AS BIGINT) AS correct,
+             |  round(CAST(SUM(CASE WHEN pred = e.label THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS accuracy
+             |FROM pred JOIN e ON pred.qid = e.vec_id
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
 }

@@ -2097,6 +2097,55 @@ object RelationalQueries {
              |GROUP BY n_name, prio
              |HAVING COUNT(*) >= 10
              |ORDER BY n_name, prio""".stripMargin)
+    ),
+    Q(
+      "w18_moving_average",
+      "Trailing 7-day moving aggregates over the calendar spine (f24's " +
+        "gap-visible day dimension, so quiet days weigh in as zeros " +
+        "instead of silently shrinking the window): daily order count, " +
+        "7-day sum, 7-day average and day-over-day percent change. The " +
+        "window's INPUT is the bounded day domain — one row per day " +
+        "regardless of corpus size — which is what makes a running " +
+        "window admissible at 100 TB (the fact rows never enter it; they " +
+        "partial-aggregate to the spine first). Divisions are exact-" +
+        "integer ratios, round(6); monthly 1st-of-month sample keeps the " +
+        "gate compact",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val o = orders(s, d).select(date_trunc("day", col("o_orderdate")).as("day"))
+        val perDay = o.groupBy("day").agg(count(lit(1)).as("n"))
+        val spine = o.agg(min("day").as("lo"), max("day").as("hi"))
+          .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+        val daily = spine.join(perDay, Seq("day"), "left")
+          .select(col("day"), coalesce(col("n"), lit(0L)).as("n"))
+        val w7 = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+        val w1 = Window.orderBy("day")
+        daily
+          .withColumn("sum7", sum("n").over(w7).cast("long"))
+          .withColumn("avg7", round(col("sum7").cast("double") / lit(7.0), 6))
+          .withColumn("prev", lag("n", 1).over(w1))
+          .withColumn("pct_change",
+            when(col("prev").isNotNull && col("prev") =!= 0,
+              round((col("n") - col("prev")).cast("double") / col("prev").cast("double"), 6)))
+          .where(dayofmonth(col("day")) === 1)
+          .select("day", "n", "sum7", "avg7", "pct_change")
+          .orderBy("day")
+      },
+      Some("""WITH o AS (SELECT date_trunc('day', o_orderdate) AS day FROM orders),
+             |pd AS (SELECT day, COUNT(*) AS n FROM o GROUP BY 1),
+             |b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM o),
+             |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b),
+             |daily AS (SELECT spine.day AS day, COALESCE(n, 0) AS n
+             |          FROM spine LEFT JOIN pd ON spine.day = pd.day),
+             |m AS (SELECT day, n,
+             |    CAST(SUM(n) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS sum7,
+             |    lag(n) OVER (ORDER BY day) AS prev
+             |  FROM daily)
+             |SELECT day, CAST(n AS BIGINT) AS n, sum7,
+             |  round(CAST(sum7 AS DOUBLE) / 7.0, 6) AS avg7,
+             |  CASE WHEN prev IS NOT NULL AND prev <> 0
+             |       THEN round(CAST(n - prev AS DOUBLE) / CAST(prev AS DOUBLE), 6) END AS pct_change
+             |FROM m WHERE dayofmonth(day) = 1 ORDER BY day""".stripMargin)
     )
   )
 }
