@@ -2146,6 +2146,61 @@ object RelationalQueries {
              |  CASE WHEN prev IS NOT NULL AND prev <> 0
              |       THEN round(CAST(n - prev AS DOUBLE) / CAST(prev AS DOUBLE), 6) END AS pct_change
              |FROM m WHERE dayofmonth(day) = 1 ORDER BY day""".stripMargin)
+    ),
+    Q(
+      "sql2_decorrelated_subquery",
+      "Correlated subqueries through the SQL surface — the decorrelation " +
+        "path of the optimizer: a correlated scalar subquery (orders " +
+        "beating their own customer's average) and a correlated " +
+        "NOT EXISTS (customers with no 1997 order), both rewritten by " +
+        "Catalyst into aggregate-plus-join plans (no per-row re-execution " +
+        "anywhere — the plan is pinned join-shaped). DECIMAL-exact money " +
+        "comparisons; counts per segment",
+      (s, d) => {
+        customer(s, d).createOrReplaceTempView("v2_customer")
+        orders(s, d).createOrReplaceTempView("v2_orders")
+        s.sql("""
+          WITH dormant AS (
+            SELECT c_mktsegment, COUNT(*) AS dc
+            FROM v2_customer c2
+            WHERE NOT EXISTS (SELECT 1 FROM v2_orders o2
+                              WHERE o2.o_custkey = c2.c_custkey
+                                AND o2.o_orderdate >= '1997-01-01'
+                                AND o2.o_orderdate < '1998-01-01')
+            GROUP BY c_mktsegment),
+          big AS (
+            SELECT o1.o_custkey, c.c_mktsegment
+            FROM v2_orders o1 JOIN v2_customer c ON o1.o_custkey = c.c_custkey
+            WHERE CAST(o1.o_totalprice AS DECIMAL(18,2)) >
+                  (SELECT CAST(AVG(CAST(o3.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(24,8))
+                   FROM v2_orders o3 WHERE o3.o_custkey = o1.o_custkey))
+          SELECT b.c_mktsegment AS c_mktsegment, COUNT(*) AS big_orders,
+                 COUNT(DISTINCT o_custkey) AS active_customers,
+                 CAST(MIN(dc) AS BIGINT) AS dormant_customers
+          FROM big b JOIN dormant d ON b.c_mktsegment = d.c_mktsegment
+          GROUP BY b.c_mktsegment
+          ORDER BY c_mktsegment""")
+      },
+      Some("""WITH dormant AS (
+             |  SELECT c_mktsegment, COUNT(*) AS dc
+             |  FROM customer c2
+             |  WHERE NOT EXISTS (SELECT 1 FROM orders o2
+             |                    WHERE o2.o_custkey = c2.c_custkey
+             |                      AND o2.o_orderdate >= TIMESTAMP '1997-01-01'
+             |                      AND o2.o_orderdate < TIMESTAMP '1998-01-01')
+             |  GROUP BY c_mktsegment),
+             |big AS (
+             |  SELECT o1.o_custkey, c.c_mktsegment
+             |  FROM orders o1 JOIN customer c ON o1.o_custkey = c.c_custkey
+             |  WHERE CAST(o1.o_totalprice AS DECIMAL(18,2)) >
+             |        (SELECT CAST(AVG(CAST(o3.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(24,8))
+             |         FROM orders o3 WHERE o3.o_custkey = o1.o_custkey))
+             |SELECT b.c_mktsegment AS c_mktsegment, COUNT(*) AS big_orders,
+             |       COUNT(DISTINCT o_custkey) AS active_customers,
+             |       CAST(MIN(dc) AS BIGINT) AS dormant_customers
+             |FROM big b JOIN dormant d ON b.c_mktsegment = d.c_mktsegment
+             |GROUP BY b.c_mktsegment
+             |ORDER BY c_mktsegment""".stripMargin)
     )
   )
 }
