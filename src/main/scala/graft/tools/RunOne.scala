@@ -1,13 +1,21 @@
 package graft.tools
+
 import org.apache.spark.sql.SparkSession
+
+/** Run ONE registered query standalone with full driver logs — the triage
+  * tool for failures the batched Bench summarizes away (e.g. the 100x-decade
+  * SHJ OOM was isolated with this). Usage:
+  * `sbt "runMain graft.tools.RunOne <query_name> <sfDir>"`.
+  */
 object RunOne {
   def main(args: Array[String]): Unit = {
     val Array(name, dir) = args
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "8g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
