@@ -81,27 +81,71 @@ object ReplicaGen {
     }.reduce(_ unionByName _)
   }
 
+  /** `factor` content-disjoint EVENT-stream replicas — the scaling probe
+    * the w/g/u/st families lacked (documents/embeddings replicate above;
+    * events used to copy verbatim, freezing those families at sf0.1).
+    * Replica k offsets event ids and user ids (disjoint key spaces:
+    * per-user session/island/funnel structure preserved exactly, user
+    * cardinality scales with the corpus as real growth does) and shifts
+    * timestamps by k * (span + 1 day) — time-disjoint streams, so
+    * per-minute/hour/day cell occupancy stays REAL (a same-window overlay
+    * would densify every time cell `factor`-fold and quadratically inflate
+    * co-occurrence graphs — the measurement artifact g2's SCALE.md note
+    * describes, not engine behavior).
+    */
+  def replicateEvents(events: org.apache.spark.sql.DataFrame, factor: Int):
+      org.apache.spark.sql.DataFrame = {
+    require(factor >= 1, "factor must be >= 1")
+    val b = events.agg(
+      expr("unix_micros(max(ts)) - unix_micros(min(ts))").as("span"),
+      max("user_id").as("mu"), max("event_id").as("me")).head
+    val stepUs = b.getLong(0) + 86400000000L
+    val uOff = b.getLong(1) + 1L
+    val eOff = b.getLong(2) + 1L
+    (0 until factor).map { k =>
+      if (k == 0) events
+      else events
+        .withColumn("event_id", expr(s"event_id + ${k}L * $eOff"))
+        .withColumn("user_id", expr(s"user_id + ${k}L * $uOff"))
+        .withColumn("ts", expr(s"timestamp_micros(unix_micros(ts) + ${k}L * $stepUs)"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** ReplicaGen <sfDir> <outDir> <docFactor> <vecFactor> [eventFactor] —
+    * eventFactor defaults to 1 (verbatim copy, the historical behavior).
+    */
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir, fdS, fvS) = args
+    val (sfDir, outDir, fd, fv, fe) = args match {
+      case Array(a, b, c, d)    => (a, b, c.toInt, d.toInt, 1)
+      case Array(a, b, c, d, e) => (a, b, c.toInt, d.toInt, e.toInt)
+      case _ => sys.error("usage: ReplicaGen <sfDir> <outDir> <docFactor> <vecFactor> [eventFactor]")
+    }
     val spark = SparkSession.builder()
       .master("local[16]")
       .config("spark.sql.shuffle.partitions", 16)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    replicateDocs(spark.read.parquet(s"$sfDir/documents.parquet"), fdS.toInt)
+    replicateDocs(spark.read.parquet(s"$sfDir/documents.parquet"), fd)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
-    replicateEmbeddings(spark.read.parquet(s"$sfDir/embeddings.parquet"), fvS.toInt)
+    replicateEmbeddings(spark.read.parquet(s"$sfDir/embeddings.parquet"), fv)
       .repartition(8)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    if (fe > 1)
+      replicateEvents(
+        graft.analytics.Tables.events(spark, sfDir), fe)
+        .repartition(16)
+        .write.mode("overwrite").parquet(s"$outDir/events.parquet")
 
     val src = java.nio.file.Paths.get(sfDir)
     java.nio.file.Files.list(src).forEach { p =>
       val name = p.getFileName.toString
       if (name.endsWith(".parquet") &&
-          name != "documents.parquet" && name != "embeddings.parquet")
+          name != "documents.parquet" && name != "embeddings.parquet" &&
+          (fe <= 1 || name != "events.parquet"))
         java.nio.file.Files.copy(p,
           java.nio.file.Paths.get(s"$outDir/$name"),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
