@@ -78,4 +78,32 @@ class ReplicaGenSpec extends SparkSpec {
         s"vector $base band $band: replica band keys must be pairwise distinct")
     }
   }
+
+  test("replicateEvents: disjoint keys and time, per-user structure preserved exactly") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.analytics.Tables.events(spark, "/root/testdata/sf0.001")
+    val rep = graft.tools.ReplicaGen.replicateEvents(ev, 3)
+    assert(rep.count() == ev.count() * 3)
+    // key spaces disjoint
+    assert(rep.select("event_id").distinct().count() == rep.count())
+    assert(rep.select("user_id").distinct().count() ==
+      ev.select("user_id").distinct().count() * 3)
+    // time-disjoint: replica spans must not overlap (>= 1 day apart)
+    val b = ev.agg(max("user_id")).head.getLong(0) + 1
+    val byRep = rep.withColumn("rep", (col("user_id") / b).cast("int"))
+      .groupBy("rep").agg(min("ts").as("lo"), max("ts").as("hi"))
+      .orderBy("rep").collect()
+      .map(r => (r.getTimestamp(1).getTime, r.getTimestamp(2).getTime))
+    byRep.sliding(2).foreach { case Array((_, hi0), (lo1, _)) =>
+      assert(lo1 - hi0 >= 86400000L - 1, s"replica streams must be time-disjoint: $hi0 vs $lo1")
+    case _ => ()
+    }
+    // per-user event-count multiset identical per replica (structure intact)
+    val perUser = rep.withColumn("rep", (col("user_id") / b).cast("int"))
+      .groupBy("rep", "user_id").agg(count(lit(1)).as("n"))
+      .groupBy("rep").agg(sort_array(collect_list("n")).as("profile"))
+      .collect().map(_.getSeq[Long](1))
+    assert(perUser.forall(_ == perUser.head),
+      "every replica must carry the identical per-user activity profile")
+  }
 }
