@@ -443,6 +443,20 @@ class PlanAuditSpec extends SparkSpec {
       scans(q3).map(_.metadata("PushedFilters")).mkString("; "))
   }
 
+  test("sql2: correlated subqueries decorrelate to joins — no per-row re-execution") {
+    val df = Registry.byName("sql2_decorrelated_subquery").fn(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"),
+      s"NOT EXISTS must become an anti join:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"decorrelation must produce keyed joins:\n${plan.take(3000)}")
+    // the per-customer average must be a joined aggregate, not a scalar
+    // subquery re-evaluated per row
+    assert(plan.contains("avg(":String) || plan.contains("partial_avg"),
+      s"the correlated average must appear as an aggregate in the plan:\n${plan.take(3000)}")
+  }
+
   test("a22: MAD runs through the quantile descent — no Percentile buffer in the plan") {
     val df = Registry.byName("a22_mad_outliers").fn(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
