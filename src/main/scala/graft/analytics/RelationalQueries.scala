@@ -2201,6 +2201,60 @@ object RelationalQueries {
              |FROM big b JOIN dormant d ON b.c_mktsegment = d.c_mktsegment
              |GROUP BY b.c_mktsegment
              |ORDER BY c_mktsegment""".stripMargin)
+    ),
+    Q(
+      "q6_selective_scan_agg",
+      "TPC-H Q6 shape — the pure selective-scan aggregate that measures " +
+        "predicate pushdown and codegen more than anything else in the " +
+        "classic suite: three range predicates reach the parquet scan " +
+        "(PushedFilters), survivors stream through one whole-stage-" +
+        "codegen'd project+aggregate, no shuffle beyond the final " +
+        "single-row combine. Revenue = sum(extendedprice * discount) in " +
+        "exact DECIMAL products",
+      (s, d) =>
+        lineitem(s, d)
+          .where(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1998-01-01") &&
+            col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
+          .agg(
+            sum(expr("CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))"))
+              .cast("double").as("revenue"),
+            count(lit(1)).as("n_rows")),
+      Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+             |  COUNT(*) AS n_rows
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+             |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin)
+    ),
+    Q(
+      "q18_large_orders",
+      "TPC-H Q18 shape (HAVING-driven join-back): orders whose total " +
+        "quantity exceeds a threshold, joined back for customer context, " +
+        "top-10 by (quantity desc, orderkey). The heavy side is one " +
+        "partial-aggregating groupBy on the fact key; the HAVING filter " +
+        "collapses it to a tiny key set BEFORE the join-back touches " +
+        "orders/customer (semi-join pattern on aggregated keys) — the " +
+        "shape that keeps a 'whales report' from rescanning the fact " +
+        "table. Exact decimal totals; TakeOrderedAndProject top-10",
+      (s, d) => {
+        val big = lineitem(s, d)
+          .groupBy("l_orderkey")
+          .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("total_qty"))
+          .where(col("total_qty") > 250)
+        big
+          .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("o_orderkey"), col("o_orderdate"),
+            col("total_qty").cast("double").as("total_qty"))
+          .orderBy(desc("total_qty"), col("o_orderkey"))
+          .limit(10)
+      },
+      Some("""WITH big AS (
+             |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+             |  FROM lineitem GROUP BY 1 HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+             |SELECT c_name, o_orderkey, o_orderdate, CAST(total_qty AS DOUBLE) AS total_qty
+             |FROM big JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |ORDER BY total_qty DESC, o_orderkey LIMIT 10""".stripMargin)
     )
   )
 }
