@@ -20,6 +20,12 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // legacy NANOS parquet support belongs at session build, not inside a
+      // table loader: Tables.events handles both the nanos-as-long and the
+      // native MICROS fixture layouts, and a loader silently toggling a
+      // session-global legacy flag would be a trap for any other NANOS
+      // parquet read in the same session
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

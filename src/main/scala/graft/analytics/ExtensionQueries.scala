@@ -81,13 +81,66 @@ object ExtensionQueries {
     */
   private def verifiedNearDupPairs(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
-    val (docs, cands) = nearDupCandidates(s, d)
-    val t = docs.select(col("doc_id"), col("lang"), col("sh"))
-    cands
-      .join(t.as("a"), col("id_a") === col("a.doc_id"))
-      .join(t.as("b"), col("id_b") === col("b.doc_id"))
-      .where(expr(s"${graft.ext.MinHash.jaccardExpr("a.sh", "b.sh")} >= 0.8"))
-      .select(col("id_a"), col("id_b"), col("a.lang").as("lang"))
+    // Verify WITHOUT exchanging shingle arrays. The r7 form joined the full
+    // (doc_id, lang, sh) signature table onto the pairs twice; StageProbe at
+    // the 100x decade measured those two exchanges (plus pairs carrying a.sh
+    // into the second join) at ~860 MB of d2's 1118 MB total shuffle — the
+    // whole-corpus shingle payload crossed the wire even though only
+    // candidate docs are ever verified. Instead: semi-join the signature
+    // table down to candidate docs (the exchange carries bare ids; near-dup
+    // candidates are a small corpus fraction, so AQE broadcasts them),
+    // explode THOSE docs' shingles to postings, and count shared shingles
+    // per pair with a posting equi-join (d4's inverted shape, restricted to
+    // candidates — strictly smaller than d4). |a∩b| = the pair's posting
+    // match count because `sh` holds DISTINCT shingles, so the Jaccard
+    // predicate is bitwise the r7 array_intersect form; the left-semi
+    // against `cands` keeps exactly the banded candidates (a pair with
+    // J >= 0.8 always shares shingles, so no candidate is lost by posting
+    // first). Shuffle is O(candidate-doc postings), not O(corpus sh).
+    val (docs, cands0) = nearDupCandidates(s, d)
+    // EAGER checkpoint, three consumers (two candDoc legs + the final
+    // semi-join): the cut means the band self-join runs once, and eager
+    // materialization gives the planner CONCRETE stats — candDocs is then
+    // known-tiny at plan time, so the semi-join below broadcasts the id set
+    // instead of sort-merging (AQE can't rescue a lazy plan here: it
+    // submits both SMJ child stages concurrently, so the corpus-side
+    // exchange has already shipped by the time the small side's size is
+    // known — measured at the 100x decade as two 400 MB signature
+    // exchanges that the broadcast form never performs).
+    val cands = cands0.localCheckpoint(eager = true)
+    // The planner must see the id set as broadcastable AT INITIAL PLANNING
+    // (LogicalRDD carries no size stats, so without the hint the corpus
+    // side's exchange is planned, and AQE's later SMJ->BHJ conversion
+    // arrives after those bytes shipped). The count is a metadata-cheap job
+    // over the materialized checkpoint; above the bound (~64 MB of ids in a
+    // hash relation) fall back to the shuffled semi-join — at that dup rate
+    // the posting exchange below dominates anyway.
+    val nPairs = cands.count()
+    val candDocs = cands.select(col("id_a").as("doc_id"))
+      .union(cands.select(col("id_b").as("doc_id")))
+      .distinct()
+    val candKeys = if (2 * nPairs <= 8000000L) broadcast(candDocs) else candDocs
+    val candPost = docs
+      // slim BEFORE the semi-join: if this side ever does exchange, it must
+      // carry (doc_id, lang, sh), never the h0..h7 minhash columns
+      .select(col("doc_id"), col("lang"), col("sh"))
+      .join(candKeys, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"), size(col("sh")).as("n"),
+        explode(col("sh")).as("shingle"))
+    candPost.as("a")
+      .join(candPost.as("b"), expr("a.shingle = b.shingle AND a.doc_id < b.doc_id"))
+      // b.lang in the grouping keys is redundant for the result (the pair is
+      // keyed by ids) but keeps the two posting legs COLUMN-IDENTICAL —
+      // without it Catalyst prunes b's lang, the subtrees canonicalize
+      // differently, and the shingle exchange is built twice instead of
+      // planned once and reused (measured: two ~116 MB exchanges -> one)
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.lang").as("lang"), col("b.lang").as("lang_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .where(expr("inter * 1.0 / (na + nb - inter) >= 0.8"))
+      .join(cands, Seq("id_a", "id_b"), "left_semi")
+      .select(col("id_a"), col("id_b"), col("lang"))
   }
 
   /** The shared candidate stage of [[verifiedNearDupPairs]] and d14: MinHash
@@ -115,13 +168,21 @@ object ExtensionQueries {
     // materializes across all cores. The cheap text queries keep the plain
     // AQE-coalesced loader — this fan-out is only worth its task overhead
     // under heavy per-row work.
+    // EAGER: the signature table feeds multiple stages that AQE submits
+    // CONCURRENTLY (both band-join sides, the verify legs); with a lazy cut
+    // those stages race to materialize the checkpoint and each recomputes
+    // the md5/shingle projection from lineage until blocks land (measured
+    // at the 100x decade: one band side read the materialized blocks, the
+    // other re-ran the whole signature projection from the raw-text
+    // exchange — half the query's 400 CPU-seconds). Eager materializes
+    // once, before any consumer stage launches.
     val docs = graft.ext.MinHash
       .signatures(
         documents(s, d)
           .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .localCheckpoint(eager = false),
         Seq("doc_id", "lang"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
     // Bucket-size guard: one degenerate band key (a bucket holding a
     // large corpus fraction) would re-create the quadratic self-join the
     // banding exists to avoid — cap buckets before joining. 1000 is far
@@ -1719,6 +1780,150 @@ object ExtensionQueries {
            |GROUP BY label, eig, tr ORDER BY label""".stripMargin
       }
     ),
+    Q(
+      "e9_pca_deflate",
+      "Top-3 principal components by DEFLATED power iteration (e5 extended " +
+        "per the round-7 verdict's polish list): after each component " +
+        "converges, subtract its rank-1 term (C <- C - eig * v v^T) and " +
+        "iterate again on the residual — the classic sequential eigensolve, " +
+        "still entirely BOUNDED DRIVER STATE (the same 36+8+1 collected " +
+        "exact-integer co-moment sums; the 8x8 matrix and three 400-step " +
+        "loops never touch an executor). Per component: eigenvalue, " +
+        "variance fraction against the ORIGINAL trace, left-assoc " +
+        "cumulative fraction, and an exact BIGINT corpus projection sum " +
+        "(floor-quantized scores, DECIMAL accumulate) that pins each " +
+        "eigenvector bitwise against DuckDB's identical double-for-double " +
+        "recursive-CTE walk. 100 TB shape unchanged from e5: two scans + " +
+        "one 36-row exchange per corpus, k more driver-side 8x8 loops",
+      (s, d) => {
+        val q = embeddings(s, d)
+          .selectExpr(
+            "transform(slice(embedding, 1, 8), x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS qv")
+          .localCheckpoint(eager = false) // feeds co-moments, count, projection
+        val pairStructs = (for (i <- 0 until 8; j <- i until 8) yield
+          s"struct($i AS i, $j AS j, CAST(element_at(qv, ${i + 1}) AS DECIMAL(20, 0)) * CAST(element_at(qv, ${j + 1}) AS DECIMAL(20, 0)) AS p)")
+          .mkString(", ")
+        val spp = q.selectExpr(s"inline(array($pairStructs))")
+          .groupBy("i", "j").agg(sum(col("p")).as("s")).collect()
+          .map(r => (r.getInt(0), r.getInt(1)) -> r.getDecimal(2).doubleValue()).toMap
+        val mom = q.selectExpr("posexplode(qv)")
+          .selectExpr("pos AS i", "CAST(col AS DECIMAL(38, 0)) AS v")
+          .groupBy("i").agg(sum(col("v")).as("s")).collect()
+          .map(r => r.getInt(0) -> r.getDecimal(1).doubleValue()).toMap
+        val n = q.count().toDouble
+        val c = Array.ofDim[Double](8, 8)
+        for (i <- 0 until 8; j <- i until 8) {
+          val cd = (n * spp((i, j)) - mom(i) * mom(j)) / (n * n) / 100000000.0
+          c(i)(j) = cd; c(j)(i) = cd
+        }
+        val tr = (0 until 8).map(i => c(i)(i)).reduceLeft(_ + _) // ORIGINAL trace
+        def matvec(m: Array[Array[Double]], u: Array[Double]): Array[Double] =
+          Array.tabulate(8)(i => (0 until 8).map(t => m(i)(t) * u(t)).reduceLeft(_ + _))
+        // sequential deflation: every double op left-assoc, mirrored in SQL
+        var cur = c
+        val comps = (0 until 3).map { _ =>
+          var v = Array.fill(8)(1.0)
+          for (_ <- 0 until 400) {
+            val w = matvec(cur, v)
+            val nrm = math.sqrt(w.map(y => y * y).reduceLeft(_ + _))
+            v = w.map(_ / nrm)
+          }
+          val wf = matvec(cur, v)
+          val eig = (0 until 8).map(i => v(i) * wf(i)).reduceLeft(_ + _)
+          val m = cur
+          cur = Array.tabulate(8, 8)((i, j) => m(i)(j) - eig * v(i) * v(j))
+          (v, eig)
+        }
+        def dlit(x: Double) = s"CAST('${java.lang.Double.toString(x)}' AS DOUBLE)"
+        val scoreExprs = comps.zipWithIndex.map { case ((v, _), k) =>
+          s"CAST(FLOOR(${(0 until 8).map(t => s"element_at(qv, ${t + 1}) * ${dlit(v(t))}").mkString(" + ")}) AS BIGINT) AS sq$k"
+        }
+        val eigs = comps.map(_._2)
+        val cums = Seq(eigs(0), eigs(0) + eigs(1), (eigs(0) + eigs(1)) + eigs(2))
+        q.selectExpr(scoreExprs: _*)
+          .agg(
+            sum(col("sq0").cast("decimal(38,0)")).cast("long").as("s0"),
+            sum(col("sq1").cast("decimal(38,0)")).cast("long").as("s1"),
+            sum(col("sq2").cast("decimal(38,0)")).cast("long").as("s2"))
+          .selectExpr("stack(3, 0, s0, 1, s1, 2, s2) AS (comp, sum_q)")
+          .selectExpr(
+            "comp", "sum_q",
+            s"round(element_at(array(${eigs.map(dlit).mkString(", ")}), comp + 1), 9) AS eigval",
+            s"round(element_at(array(${eigs.map(e => dlit(e / tr)).mkString(", ")}), comp + 1), 9) AS var_explained",
+            s"round(element_at(array(${cums.map(e => dlit(e / tr)).mkString(", ")}), comp + 1), 9) AS cum_var")
+          .orderBy("comp")
+      },
+      Some {
+        val pairs = (for (i <- 0 until 8; j <- i until 8) yield s"($i, $j)").mkString(", ")
+        val trace = (0 until 8).map(i => s"mat[${i + 1}][${i + 1}]").mkString(" + ")
+        // MATERIALIZED everywhere a later recursive CTE consumes the result:
+        // DuckDB inlines plain CTEs into each recursive-step evaluation, so
+        // without it pit2 re-runs pit1's 400 steps per step (and pit3 400^2)
+        // — measured as a runaway oracle; materialization restores the
+        // sequential 3 x 400 walk the Spark driver loop performs.
+        def pitLeg(k: Int): String =
+          s"""pit$k AS (
+             |  SELECT 0 AS step, CAST([1, 1, 1, 1, 1, 1, 1, 1] AS DOUBLE[]) AS v
+             |  UNION ALL
+             |  SELECT step + 1,
+             |    list_transform(w, x -> x / sqrt(list_reduce(list_transform(w, y -> y * y), (a, b) -> a + b)))
+             |  FROM (SELECT step,
+             |      list_transform(mat, row ->
+             |        list_reduce(list_transform(list_zip(row, v), p -> p[1] * p[2]), (a, b) -> a + b)) AS w
+             |    FROM pit$k, cm$k WHERE step < 400)),
+             |v$k AS MATERIALIZED (SELECT v FROM pit$k WHERE step = 400),
+             |ew$k AS MATERIALIZED (SELECT
+             |    list_reduce(list_transform(list_zip(v,
+             |      list_transform(mat, row ->
+             |        list_reduce(list_transform(list_zip(row, v), p -> p[1] * p[2]), (a, b) -> a + b))),
+             |      p -> p[1] * p[2]), (a, b) -> a + b) AS eig
+             |  FROM cm$k, v$k)""".stripMargin
+        def deflate(k: Int): String =
+          s"""cm${k + 1} AS MATERIALIZED (SELECT list_transform(list_zip(mat, v), p ->
+             |    list_transform(list_zip(p[1], v), q -> q[1] - eig * p[2] * q[2])) AS mat
+             |  FROM cm$k, v$k, ew$k)""".stripMargin
+        def sumLeg(k: Int): String =
+          s"""(SELECT CAST(SUM(CAST(FLOOR(list_reduce(list_transform(list_zip(qv, v), p -> p[1] * p[2]), (a, b) -> a + b)) AS BIGINT)) AS BIGINT)
+             |   FROM e, v$k)""".stripMargin
+        s"""WITH RECURSIVE
+           |e AS (SELECT label,
+           |  list_transform(CAST(embedding AS DOUBLE[])[1:8],
+           |    x -> CAST(FLOOR(x * 10000.0) AS BIGINT)) AS qv
+           |  FROM embeddings),
+           |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM e),
+           |spp AS (SELECT p.i AS i, p.j AS j, CAST(SUM(qv[p.i + 1] * qv[p.j + 1]) AS DOUBLE) AS sppd
+           |  FROM e, (VALUES $pairs) p(i, j) GROUP BY p.i, p.j),
+           |m AS (SELECT g.i AS i, CAST(SUM(qv[g.i + 1]) AS DOUBLE) AS s
+           |  FROM e, generate_series(0, 7) g(i) GROUP BY g.i),
+           |cv AS (SELECT spp.i AS i, spp.j AS j,
+           |    (nn.n * sppd - mi.s * mj.s) / (nn.n * nn.n) / 100000000.0 AS c
+           |  FROM spp JOIN m mi ON spp.i = mi.i JOIN m mj ON spp.j = mj.i CROSS JOIN nn),
+           |cf AS (SELECT i, j, c FROM cv UNION ALL SELECT j AS i, i AS j, c FROM cv WHERE i <> j),
+           |crow AS (SELECT i, list(c ORDER BY j) AS row FROM cf GROUP BY i),
+           |cm1 AS MATERIALIZED (SELECT list(row ORDER BY i) AS mat FROM crow),
+           |${pitLeg(1)},
+           |${deflate(1)},
+           |${pitLeg(2)},
+           |${deflate(2)},
+           |${pitLeg(3)},
+           |tr AS (SELECT $trace AS t FROM cm1),
+           |res AS (
+           |  SELECT 0 AS comp, (SELECT eig FROM ew1) AS eig,
+           |    (SELECT eig FROM ew1) AS cum,
+           |    ${sumLeg(1)} AS sum_q
+           |  UNION ALL
+           |  SELECT 1, (SELECT eig FROM ew2),
+           |    (SELECT eig FROM ew1) + (SELECT eig FROM ew2),
+           |    ${sumLeg(2)}
+           |  UNION ALL
+           |  SELECT 2, (SELECT eig FROM ew3),
+           |    ((SELECT eig FROM ew1) + (SELECT eig FROM ew2)) + (SELECT eig FROM ew3),
+           |    ${sumLeg(3)})
+           |SELECT comp, sum_q, round(eig, 9) AS eigval,
+           |  round(eig / t, 9) AS var_explained, round(cum / t, 9) AS cum_var
+           |FROM res CROSS JOIN tr ORDER BY comp""".stripMargin
+      }
+    ),
     // ------------------------------------------------------------- text ops
     Q(
       "t1_text_langid",
@@ -2720,38 +2925,15 @@ object ExtensionQueries {
         "collision pairs collapse because frequent shingles never post. " +
         "Per-doc prefix ranking is a window over one doc's shingle set — " +
         "bounded by doc length, naturally sharded",
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        graft.functions.GraftFunctions.register(s)
-        val sh = documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-          .localCheckpoint(eager = false)
-          .selectExpr("doc_id", "lang", "source", graft.ext.MinHash.splitExpr)
-          .selectExpr("doc_id", "lang", "source", s"(${graft.ext.MinHash.shingleExpr}) AS sh")
-          .localCheckpoint(eager = false)
-        val post = sh.selectExpr(
-          "doc_id", "lang", "source", "size(sh) AS n", "explode(sh) AS shingle")
-        val dfreq = post.groupBy("shingle").agg(count(lit(1)).as("df"))
-        val w = Window.partitionBy("doc_id").orderBy("df", "shingle")
-        val prefix = post
-          .join(dfreq.hint("merge"), Seq("shingle"))
-          .withColumn("rnk", row_number().over(w))
-          .where(col("rnk") <= expr("n - CAST(ceil(0.8 * n) AS INT) + 1"))
-        val cands = prefix.as("a")
-          .join(prefix.as("b").hint("merge"), expr(
-            "a.lang = b.lang AND a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id"))
-          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"), col("a.lang").as("lang"))
-          .distinct()
-        val full = sh.select(col("doc_id"), col("sh"))
-        cands
-          .join(full.as("fa"), col("id_a") === col("fa.doc_id"))
-          .join(full.as("fb"), col("id_b") === col("fb.doc_id"))
-          .withColumn("inter", expr("size(array_intersect(fa.sh, fb.sh))"))
-          .where(expr("inter * 1.0 / (size(fa.sh) + size(fb.sh) - inter) >= 0.8"))
+      // The registration IS the library call: ext.Similarity.ngramJaccardPairs
+      // is the production n-gram dedup entry point (this oracle row gates it),
+      // with d4's full posting join kept as its exactness oracle.
+      (s, d) =>
+        graft.ext.Similarity
+          .ngramJaccardPairs(documents(s, d), 0.8, Seq("lang", "source"))
           .groupBy("lang")
           .agg(count(lit(1)).as("pairs"))
-          .orderBy("lang")
-      },
+          .orderBy("lang"),
       // Bitwise d4: the prefix filter is candidate-complete at this
       // threshold and the verify join is exact, so the oracle is d4's.
       Some(s"""WITH sp AS (SELECT doc_id, lang, source, text,

@@ -2148,6 +2148,84 @@ object RelationalQueries {
              |FROM m WHERE dayofmonth(day) = 1 ORDER BY day""".stripMargin)
     ),
     Q(
+      "w19_active_users_sweep",
+      "Rolling engagement, SUB-LINEAR form (w16's production sibling): " +
+        "the same exact DAU/WAU/MAU numbers WITHOUT w16's 30x generator " +
+        "explosion. Per user, consecutive-ish activity days merge into " +
+        "coverage ISLANDS (a new island starts when the gap exceeds the " +
+        "window, so each island covers [first_day, last_day + win - 1] " +
+        "contiguously); each island emits two boundary events (+1 at " +
+        "start, -1 past end) and the per-day rolling distinct count is " +
+        "the prefix sum of boundary deltas over the day axis. Work is " +
+        "O(active-pairs) INDEPENDENT of window width — the 30-day window " +
+        "costs the same as a 365-day one — vs w16's O(pairs x window) " +
+        "row inflation (kept registered as the exactness cross-check; " +
+        "both produce identical rows and share hash-identical oracles). " +
+        "Scale shape: island detection is a per-user window over distinct " +
+        "days (calendar-bounded state); boundary deltas partial-aggregate " +
+        "per day BEFORE the shuffle, so the prefix-sum window's input is " +
+        "one row per distinct day — calendar-bounded, the w18 spine " +
+        "discipline — never a row per user or per event",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val du = events(s, d)
+          .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+          .distinct()
+          .localCheckpoint(eager = false) // feeds DAU + two sweeps
+        val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
+        def sweep(win: Int, name: String) = {
+          val wu = Window.partitionBy("user_id").orderBy("day")
+          val isl = du
+            .withColumn("brk",
+              when(datediff(col("day"),
+                lag("day", 1).over(wu)) <= lit(win - 1), 0).otherwise(1))
+            .withColumn("grp", sum("brk").over(wu))
+            .groupBy("user_id", "grp")
+            .agg(min("day").as("s"),
+              expr(s"max(day) + interval ${win - 1} days").as("e"))
+          val bounds = isl.select(col("s").as("day"), lit(1L).as("delta"))
+            .unionByName(isl.select(expr("e + interval 1 day").as("day"),
+              lit(-1L).as("delta")))
+            // dau days enter with delta 0 so the prefix sum has a row at
+            // every day the final join needs (counts only change at island
+            // boundaries, but the gate reads them at activity days)
+            .unionByName(dau.select(col("day"), lit(0L).as("delta")))
+            .groupBy("day").agg(sum("delta").as("delta"))
+          val wd = Window.orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          bounds.withColumn(name, sum("delta").over(wd).cast("long"))
+            .select(col("day").as("tday"), col(name))
+        }
+        dau
+          .join(sweep(7, "wau"), col("day") === col("tday")).drop("tday")
+          .join(sweep(30, "mau"), col("day") === col("tday")).drop("tday")
+          .where(expr("dayofmonth(day) % 7 = 1"))
+          .orderBy("day")
+      },
+      Some("""WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+             |dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY 1),
+             |i7 AS (SELECT user_id, day, CASE WHEN date_diff('day', LAG(day) OVER (PARTITION BY user_id ORDER BY day), day) <= 6 THEN 0 ELSE 1 END AS brk FROM du),
+             |g7 AS (SELECT user_id, day, SUM(brk) OVER (PARTITION BY user_id ORDER BY day) AS grp FROM i7),
+             |s7 AS (SELECT user_id, grp, MIN(day) AS s, MAX(day) + INTERVAL 6 DAY AS e FROM g7 GROUP BY 1, 2),
+             |b7 AS (SELECT day, SUM(delta) AS delta FROM (
+             |    SELECT s AS day, 1 AS delta FROM s7
+             |    UNION ALL SELECT e + INTERVAL 1 DAY, -1 FROM s7
+             |    UNION ALL SELECT day, 0 FROM dau) GROUP BY 1),
+             |c7 AS (SELECT day, CAST(SUM(delta) OVER (ORDER BY day) AS BIGINT) AS wau FROM b7),
+             |i30 AS (SELECT user_id, day, CASE WHEN date_diff('day', LAG(day) OVER (PARTITION BY user_id ORDER BY day), day) <= 29 THEN 0 ELSE 1 END AS brk FROM du),
+             |g30 AS (SELECT user_id, day, SUM(brk) OVER (PARTITION BY user_id ORDER BY day) AS grp FROM i30),
+             |s30 AS (SELECT user_id, grp, MIN(day) AS s, MAX(day) + INTERVAL 29 DAY AS e FROM g30 GROUP BY 1, 2),
+             |b30 AS (SELECT day, SUM(delta) AS delta FROM (
+             |    SELECT s AS day, 1 AS delta FROM s30
+             |    UNION ALL SELECT e + INTERVAL 1 DAY, -1 FROM s30
+             |    UNION ALL SELECT day, 0 FROM dau) GROUP BY 1),
+             |c30 AS (SELECT day, CAST(SUM(delta) OVER (ORDER BY day) AS BIGINT) AS mau FROM b30)
+             |SELECT dau.day AS day, dau, wau, mau
+             |FROM dau JOIN c7 ON dau.day = c7.day JOIN c30 ON dau.day = c30.day
+             |WHERE dayofmonth(dau.day) % 7 = 1
+             |ORDER BY day""".stripMargin)
+    ),
+    Q(
       "sql2_decorrelated_subquery",
       "Correlated subqueries through the SQL surface — the decorrelation " +
         "path of the optimizer: a correlated scalar subquery (orders " +
@@ -2255,6 +2333,40 @@ object RelationalQueries {
              |FROM big JOIN orders ON l_orderkey = o_orderkey
              |JOIN customer ON o_custkey = c_custkey
              |ORDER BY total_qty DESC, o_orderkey LIMIT 10""".stripMargin)
+    ),
+    Q(
+      "a26_region_rollup",
+      "Hierarchical ROLLUP totals with region as the PRIMARY subject " +
+        "(closing the round-7 note that region appeared only as a join " +
+        "dim): customers and exact-decimal account-balance mass per " +
+        "(region, nation), per region subtotal, and grand total in ONE " +
+        "grouping-sets pass — Catalyst expands the rollup into a single " +
+        "Expand+hash-aggregate plan (one shuffle for all three levels, " +
+        "vs three scans for three GROUP BYs). Rollup nulls are labeled " +
+        "'ALL' so both engines sort and hash the subtotal rows " +
+        "identically. Dimension joins broadcast (region: 5 rows, " +
+        "nation: 25)",
+      (s, d) =>
+        customer(s, d)
+          .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+          .rollup(col("r_name"), col("n_name"))
+          .agg(
+            count(lit(1)).as("customers"),
+            sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double").as("acctbal_sum"))
+          .select(
+            coalesce(col("r_name"), lit("ALL")).as("region"),
+            coalesce(col("n_name"), lit("ALL")).as("nation"),
+            col("customers"), col("acctbal_sum"))
+          .orderBy("region", "nation"),
+      Some("""SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
+             |  COUNT(*) AS customers,
+             |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY ROLLUP(r_name, n_name)
+             |ORDER BY region, nation""".stripMargin)
     )
   )
 }

@@ -24,11 +24,16 @@ object Tables {
     * and plain TIMESTAMP(MICROS) (current generation; reads as NTZ). Branch
     * on the scanned type so both layouts land on the same session-local
     * TimestampType column and oracle values agree either way.
+    *
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` AT SESSION BUILD
+    * ([[graft.GraftSession]] and every entry point set it) for the NANOS
+    * layout — this loader deliberately does NOT mutate session conf: a table
+    * loader silently toggling a session-global legacy flag would change how
+    * every other NANOS parquet in the session reads.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampType}
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = t(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

@@ -537,4 +537,103 @@ object Similarity {
       .selectExpr("qid", "id", "array_dot(qv, v) / (qnrm * nrm) AS score")
     topKByQuery(scored, k)
   }
+
+  /** The n11 planner as a library DECISION (round-7 verdict item 5): forecast
+    * each candidate signature width's bucket-self-join pair volume
+    * `sum(c*(c-1)/2)` with one cheap aggregation per width, and return the
+    * NARROWEST width (= best recall: fewer bits per band -> more collisions)
+    * whose forecast fits `pairBudget`. Falls back to the widest width when
+    * nothing fits — the caller bounded the join; saturation is then a data
+    * fact, not a surprise discovered inside a 100 TB shuffle. Driver state:
+    * one long per width (the forecast), nothing else collects.
+    */
+  def planBandBits(prepared: DataFrame, widths: Seq[Int] = Seq(16, 32),
+      bands: Int = 4, pairBudget: Long = 1000000L): Int = {
+    require(widths.nonEmpty, "need at least one candidate width")
+    val forecasts = widths.sorted.map { bits =>
+      val r = signBands(prepared, bits, bands)
+        .groupBy("band", "bkey").agg(count(lit(1)).as("c"))
+        .agg(sum(expr("(c * (c - 1)) div 2")).cast("long").as("p"))
+        .head()
+      val pairs = if (r.isNullAt(0)) 0L else r.getLong(0) // empty corpus -> 0
+      (bits, pairs)
+    }
+    forecasts.find(_._2 <= pairBudget).map(_._1).getOrElse(widths.max)
+  }
+
+  /** [[knnGraph]] with the width chosen by [[planBandBits]] — the n7-vs-n8
+    * bracket automated. On a saturated corpus (n7's regime: heavy-tailed
+    * 4-bit buckets) the planner lands on the wider key; on a sparse corpus
+    * it keeps the narrow one for recall. `prepared` is read once per
+    * forecast width plus once per graph leg — callers looping over corpora
+    * should pass a checkpointed frame (the signature discipline of d2).
+    */
+  def knnGraphAuto(prepared: DataFrame, k: Int,
+      widths: Seq[Int] = Seq(16, 32), bands: Int = 4,
+      pairBudget: Long = 1000000L, maxBucket: Int = 1 << 20): DataFrame =
+    knnGraph(prepared, k, planBandBits(prepared, widths, bands, pairBudget),
+      bands, maxBucket)
+
+  /** PRODUCTION n-gram Jaccard dedup entry: verified near-dup pairs with
+    * shingle Jaccard >= `threshold` within `blockCols` blocks, via the
+    * prefix-filtered similarity join (the AllPairs/PPJoin discipline the
+    * registered `d17_prefix_filter_join` gates). `d4_dedup_ngram_jaccard`'s
+    * full posting join is this function's EXACTNESS ORACLE — bitwise the
+    * same pairs (both oracle rows share one DuckDB query) — but at the
+    * measured 100x decade the prefix plan crossed over (17.6 s vs d4's
+    * 25.9 s, SCALE.md): a pair with Jaccard >= t MUST share a shingle
+    * inside each side's first `n - ceil(t*n) + 1` shingles under a common
+    * total order (pigeonhole), so ordering each doc's shingles by global
+    * document frequency ascending (rarest first) and posting only that
+    * prefix cuts posting volume ~5x AND collapses collision pairs (the
+    * frequent shingles that dominate posting-join fan-out never post).
+    *
+    * Input needs `doc_id`, `text`, and `blockCols`. Output: one row per
+    * verified pair — `id_a`, `id_b` (id_a < id_b), the a-side `blockCols`,
+    * and the exact `jaccard`.
+    *
+    * 100 TB shape: df ranking is one aggregation over postings; the per-doc
+    * prefix rank is a window bounded by doc length; candidate generation is
+    * an equi-join on rare shingles (tiny buckets by construction); the
+    * exact verify joins shingle sets back BY ID only for candidate pairs.
+    * Joins hint spillable merge — never broadcast/hash-build a corpus side
+    * (the 100x decade's forced-SHJ OOM, SCALE.md).
+    */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8,
+      blockCols: Seq[String] = Seq("lang", "source")): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    val spark = docs.sparkSession
+    GraftFunctions.register(spark)
+    val keep = "doc_id" +: blockCols
+    val sh = docs
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .localCheckpoint(eager = false)
+      .selectExpr(keep :+ MinHash.splitExpr: _*)
+      .selectExpr(keep :+ s"(${MinHash.shingleExpr}) AS sh": _*)
+      .localCheckpoint(eager = false)
+    val post = sh.selectExpr(keep ++ Seq("size(sh) AS n", "explode(sh) AS shingle"): _*)
+    val dfreq = post.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    val prefix = post
+      .join(dfreq.hint("merge"), Seq("shingle"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= expr(s"n - CAST(ceil($threshold * n) AS INT) + 1"))
+    val blockEq = blockCols.map(c => s"a.$c = b.$c").mkString(" AND ")
+    val cands = prefix.as("a")
+      .join(prefix.as("b").hint("merge"), expr(
+        s"$blockEq AND a.shingle = b.shingle AND a.doc_id < b.doc_id"))
+      .select(col("a.doc_id").as("id_a") +: col("b.doc_id").as("id_b") +:
+        blockCols.map(c => col(s"a.$c").as(c)): _*)
+      .distinct()
+    val full = sh.select(col("doc_id"), col("sh"))
+    cands
+      .join(full.as("fa"), col("id_a") === col("fa.doc_id"))
+      .join(full.as("fb"), col("id_b") === col("fb.doc_id"))
+      .withColumn("inter", expr("size(array_intersect(fa.sh, fb.sh))"))
+      .where(expr(s"inter * 1.0 / (size(fa.sh) + size(fb.sh) - inter) >= $threshold"))
+      .select(col("id_a") +: col("id_b") +: blockCols.map(col) :+
+        expr("CAST(inter * 1.0 / (size(fa.sh) + size(fb.sh) - inter) AS DOUBLE)")
+          .as("jaccard"): _*)
+  }
 }

@@ -53,8 +53,13 @@ object TextPipeline {
       .selectExpr("doc_id", "explode(split(lower(text), ' ')) AS term")
       .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
       .withColumn("bucket", pmod(hash(col("term")), lit(buckets)))
+      // bucket leads the sort: partitionBy(bucket) requires bucket-clustered
+      // rows, and pre-satisfying that ordering means the file writer adds no
+      // sort of its own — term order inside each bucket file is therefore
+      // guaranteed (parquet min/max row-group pruning on term), not an
+      // artifact of the writer's sort stability
       .repartition(col("bucket"))
-      .sortWithinPartitions("term", "doc_id")
+      .sortWithinPartitions("bucket", "term", "doc_id")
       .write.mode("overwrite").partitionBy("bucket").parquet(dir)
   }
 

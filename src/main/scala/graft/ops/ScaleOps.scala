@@ -373,8 +373,14 @@ object ScaleOps {
           org.apache.spark.sql.Row.fromSeq(r.toSeq.init :+ off)
         }
       }
+    // schema from the INPUT's group-column types, not counts.head: on an
+    // empty input `counts` is empty and a head-derived schema would
+    // degenerate to just __off, failing the join with a missing-column
+    // AnalysisException instead of returning an empty frame
     val offSchema = org.apache.spark.sql.types.StructType(
-      counts.headOption.map(_.schema.fields.init).getOrElse(Array.empty) :+
+      org.apache.spark.sql.types.StructField("__pid",
+        org.apache.spark.sql.types.IntegerType) +:
+        groupCols.map(g => rp.schema(g)) :+
         org.apache.spark.sql.types.StructField("__off", org.apache.spark.sql.types.LongType))
     val offDf = spark.createDataFrame(
       spark.sparkContext.parallelize(offsets, 1), offSchema)

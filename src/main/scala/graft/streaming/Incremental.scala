@@ -495,13 +495,9 @@ object Incremental {
   /** Fold a [[streamingAggState]] store (per-batch directories) to exact
     * totals — same read contract as `ScaleOps.readAggState`, layout-aware.
     */
-  def readStreamingAggState(spark: SparkSession, storePath: String): DataFrame = {
-    import org.apache.spark.sql.functions._
-    spark.read.parquet(storePath)
-      .groupBy("g")
-      .agg(sum("cnt").cast("long").as("cnt"),
-        sum("sm").cast(org.apache.spark.sql.types.DecimalType(38, 6)).as("sm"))
-      .withColumn("avg", col("sm").cast("double") / col("cnt").cast("double"))
-      .orderBy("g")
-  }
+  def readStreamingAggState(spark: SparkSession, storePath: String): DataFrame =
+    // one copy of the fold contract: the per-batch directories here and
+    // ScaleOps' per-run directories share the (g, cnt, sm) row shape, so a
+    // future change to the decimal scale or avg derivation lands in both
+    graft.ops.ScaleOps.readAggState(spark, storePath)
 }

@@ -96,9 +96,14 @@ object ReplicaGen {
   def replicateEvents(events: org.apache.spark.sql.DataFrame, factor: Int):
       org.apache.spark.sql.DataFrame = {
     require(factor >= 1, "factor must be >= 1")
+    if (factor == 1) return events
     val b = events.agg(
       expr("unix_micros(max(ts)) - unix_micros(min(ts))").as("span"),
       max("user_id").as("mu"), max("event_id").as("me")).head
+    // an empty events table yields all-null aggregates; fail with a clear
+    // message instead of an opaque NPE from getLong below
+    require(!b.isNullAt(0),
+      "replicateEvents: input events table is empty — nothing to replicate")
     val stepUs = b.getLong(0) + 86400000000L
     val uOff = b.getLong(1) + 1L
     val eOff = b.getLong(2) + 1L

@@ -463,4 +463,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Percentile"),
       s"median/MAD must use ScaleOps' O(bins) descent, not percentile():\n${plan.take(3000)}")
   }
+
+  test("d2: verify broadcasts the candidate id set; shingle payloads never ride a doc_id exchange") {
+    // The round-8 rebuild's contract (SCALE.md session-9): the near-dup
+    // verify must (a) semi-join the signature table against a BROADCAST of
+    // candidate ids — planned at INITIAL planning, because AQE's late
+    // SMJ->BHJ conversion arrives after the corpus side's exchange has
+    // already shipped — and (b) exchange candidate POSTINGS (by shingle),
+    // never (doc_id, sh) signature rows. A shuffled join keyed on bare
+    // doc_id reappearing in this plan means whole-corpus shingle arrays
+    // are back on the wire at 100 TB scale.
+    val df = Registry.byName("d2_dedup_minhash_lsh").fn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"candidate-id filter must be a broadcast semi-join:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin [doc_id") && !plan.contains("ShuffledHashJoin [doc_id"),
+      s"no shuffled join may key on bare doc_id (signature-payload exchange):\n${plan.take(3000)}")
+    // at spec scale the posting join legitimately broadcasts; at corpus
+    // scale it exchanges keyed by shingle — either way the join key is the
+    // fine-grained posting term, never the signature row
+    assert(plan.contains("hashpartitioning(shingle") || plan.contains("Join [shingle"),
+      s"the verify join must key on postings (shingle):\n${plan.take(3000)}")
+  }
 }

@@ -106,4 +106,16 @@ class ReplicaGenSpec extends SparkSpec {
     assert(perUser.forall(_ == perUser.head),
       "every replica must carry the identical per-user activity profile")
   }
+
+  test("replicateEvents: factor 1 is identity; empty input fails loudly, not with an NPE") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.analytics.Tables.events(spark, "/root/testdata/sf0.001")
+    // factor 1 returns the input unchanged without running the span aggregate
+    assert(graft.tools.ReplicaGen.replicateEvents(ev, 1).count() == ev.count())
+    val empty = ev.where(lit(false))
+    val e = intercept[IllegalArgumentException] {
+      graft.tools.ReplicaGen.replicateEvents(empty, 2)
+    }
+    assert(e.getMessage.contains("empty"), s"message must name the cause: ${e.getMessage}")
+  }
 }

@@ -478,6 +478,14 @@ class ScaleOpsSpec extends SparkSpec {
       s"local window must partition by the range slice id:\n${plan.take(2000)}")
   }
 
+  test("groupedGlobalRowNumber on an empty input returns an empty frame, not an analysis error") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, Int, Long)].toDF("g", "k", "id")
+    val got = ScaleOps.groupedGlobalRowNumber(empty, Seq("g"), Seq("k", "id"), partitions = 4)
+    assert(got.columns.contains("rn"))
+    assert(got.count() == 0L)
+  }
+
   test("deleteKeys removes exactly the matched rows, survivors untouched") {
     import spark.implicits._
     val dir = tmpDir("delkeys") + "/t"

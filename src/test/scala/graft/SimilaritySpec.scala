@@ -465,4 +465,90 @@ class SimilaritySpec extends SparkSpec {
     assert(sqlTop.sameElements(apiTop),
       s"SQL-registered UDAF must equal the typed path:\n${sqlTop.toSeq}\n${apiTop.toSeq}")
   }
+
+  // deterministic pseudo-random sign vectors: 64 dims, sign j = bit j of an
+  // LCG step of i — the band-key population n11's saturation rule reasons about
+  private def signCorpus(n: Int) = {
+    val rows = (0L until n.toLong).map { i =>
+      val h = i * 1103515245L + 12345L
+      (i, Array.tabulate(64)(j => if (((h >> (j % 48)) & 1L) == 1L) 1.0f else -1.0f).toSeq)
+    }
+    Similarity.prepare(rows.toDF("vec_id", "embedding"), "vec_id", "embedding")
+  }
+
+  test("planBandBits: wide key on a saturated corpus, narrow on sparse, widest as fallback") {
+    // 300 vectors over 16 possible 4-bit band keys saturate (forecast ~11k
+    // pairs); 256-key 8-bit bands stay under a 2k budget -> planner widens.
+    assert(Similarity.planBandBits(signCorpus(300), Seq(16, 32), 4, 2000L) == 32)
+    // 30 vectors don't saturate 4-bit keys -> keep the narrow (recall) width.
+    assert(Similarity.planBandBits(signCorpus(30), Seq(16, 32), 4, 2000L) == 16)
+    // nothing fits a 1-pair budget -> widest width, a bounded join regardless.
+    assert(Similarity.planBandBits(signCorpus(300), Seq(16, 32), 4, 1L) == 32)
+    // empty corpus -> zero forecast everywhere -> narrowest width, no NPE.
+    assert(Similarity.planBandBits(signCorpus(0), Seq(16, 32), 4, 2000L) == 16)
+  }
+
+  test("knnGraphAuto equals knnGraph at the planned width") {
+    val corpus = signCorpus(60).localCheckpoint(false)
+    val bits = Similarity.planBandBits(corpus, Seq(16, 32), 4, 2000L)
+    val auto = Similarity.knnGraphAuto(corpus, k = 3, Seq(16, 32), 4, 2000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val manual = Similarity.knnGraph(corpus, k = 3, bits, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(auto.sameElements(manual))
+    assert(auto.nonEmpty)
+  }
+
+  // near-dup doc fixture: two planted >=0.8 pairs inside blocks, one
+  // cross-block near-identical pair (must NOT match), one unrelated doc
+  private lazy val dupDocs = Seq(
+    (1L, "en", "web", "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "en", "web", "the quick brown fox jumps over the lazy dog again and again tonight"),
+    (3L, "en", "news", "the quick brown fox jumps over the lazy dog again and again today"),
+    (4L, "de", "web", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (5L, "de", "web", "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+    (6L, "en", "web", "completely different text with no overlap whatsoever in content here")
+  ).toDF("doc_id", "lang", "source", "text")
+
+  /** Brute-force blocked Jaccard pairs (d4's oracle shape) computed in-test. */
+  private def brutePairs(threshold: Double): Set[(Long, Long)] = {
+    graft.functions.GraftFunctions.register(spark)
+    val sh = dupDocs
+      .selectExpr("doc_id", "lang", "source", graft.ext.MinHash.splitExpr)
+      .selectExpr("doc_id", "lang", "source", s"(${graft.ext.MinHash.shingleExpr}) AS sh")
+    sh.as("a").join(sh.as("b"), expr(
+        "a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id"))
+      .where(expr(s"${graft.ext.MinHash.jaccardExpr("a.sh", "b.sh")} >= $threshold"))
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("ngramJaccardPairs matches the full blocked pair join (d4's exactness oracle)") {
+    val got = Similarity.ngramJaccardPairs(dupDocs, 0.8)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = brutePairs(0.8)
+    assert(want.contains((1L, 2L)), "fixture must plant an en/web near-dup pair")
+    assert(got == want, s"prefix-filtered join must be bitwise the full join: $got vs $want")
+    assert(!got.exists { case (a, b) => a == 3L || b == 3L },
+      "cross-block near-identical doc must not pair (blocking semantics)")
+  }
+
+  test("ngramJaccardPairs prefix filter is candidate-complete at a looser threshold") {
+    val got = Similarity.ngramJaccardPairs(dupDocs, 0.5)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brutePairs(0.5))
+    assert(got.contains((4L, 5L)), "de/web pair clears the 0.5 threshold")
+  }
+
+  test("ngramJaccardPairs reports the exact jaccard and block columns") {
+    val rows = Similarity.ngramJaccardPairs(dupDocs, 0.5, Seq("lang", "source"))
+      .collect()
+    rows.foreach { r =>
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.5 && j <= 1.0)
+      assert(r.getAs[String]("lang") != null && r.getAs[String]("source") != null)
+    }
+  }
 }
