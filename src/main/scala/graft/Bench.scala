@@ -114,6 +114,15 @@ object Bench {
         try fn(spark, sfDir).count()
         catch { case e: Throwable => err = Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}") }
         times += (System.nanoTime() - t0) / 1e9
+        // Release the blocks this run pinned (localCheckpoint storage):
+        // every fn() call builds FRESH checkpoint RDDs, so without this a
+        // 3-repeat, 158-query sweep accumulates hundreds of dead signature
+        // checkpoints in the block manager — measured at sf0.1 in the 8g
+        // driver as broad >1.5x inflation of UNRELATED queries running
+        // after the dedup family (storage squeezing execution memory).
+        // A long-lived production session does the same between jobs.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         i += 1
       }
       val delta = listener.quiesce().diff(before)

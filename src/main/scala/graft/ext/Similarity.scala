@@ -600,24 +600,36 @@ object Similarity {
     * (the 100x decade's forced-SHJ OOM, SCALE.md).
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8,
-      blockCols: Seq[String] = Seq("lang", "source")): DataFrame = {
+      blockCols: Seq[String] = Seq("lang", "source"),
+      broadcastPairBound: Long = 4000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
     val spark = docs.sparkSession
     GraftFunctions.register(spark)
     val keep = "doc_id" +: blockCols
+    // EAGER cut (the d2 discipline, SCALE.md session-9): multiple consumer
+    // stages launch concurrently under AQE; a lazy checkpoint lets them race
+    // and re-run the shingle projection from lineage.
     val sh = docs
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .localCheckpoint(eager = false)
       .selectExpr(keep :+ MinHash.splitExpr: _*)
       .selectExpr(keep :+ s"(${MinHash.shingleExpr}) AS sh": _*)
-      .localCheckpoint(eager = false)
-    val post = sh.selectExpr(keep ++ Seq("size(sh) AS n", "explode(sh) AS shingle"): _*)
+      .localCheckpoint(eager = true)
+    // SLIM postings: the df join and the doc_id regroup are the two
+    // full-posting-volume exchanges of this plan — they carry (doc_id,
+    // shingle) only; per-doc metadata (block columns, set size) joins back
+    // by id onto the ~20% PREFIX, never riding the full stream.
+    val meta = sh.selectExpr(keep :+ "size(sh) AS n": _*)
+    val post = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val dfreq = post.groupBy("shingle").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy("df", "shingle")
     val prefix = post
       .join(dfreq.hint("merge"), Seq("shingle"))
       .withColumn("rnk", row_number().over(w))
+      // the window left rows partitioned by doc_id — the meta join needs no
+      // new exchange on this side, and meta itself is ids + tiny columns
+      .join(meta, Seq("doc_id"))
       .where(col("rnk") <= expr(s"n - CAST(ceil($threshold * n) AS INT) + 1"))
     val blockEq = blockCols.map(c => s"a.$c = b.$c").mkString(" AND ")
     val cands = prefix.as("a")
@@ -626,14 +638,37 @@ object Similarity {
       .select(col("a.doc_id").as("id_a") +: col("b.doc_id").as("id_b") +:
         blockCols.map(c => col(s"a.$c").as(c)): _*)
       .distinct()
-    val full = sh.select(col("doc_id"), col("sh"))
-    cands
-      .join(full.as("fa"), col("id_a") === col("fa.doc_id"))
-      .join(full.as("fb"), col("id_b") === col("fb.doc_id"))
-      .withColumn("inter", expr("size(array_intersect(fa.sh, fb.sh))"))
-      .where(expr(s"inter * 1.0 / (size(fa.sh) + size(fb.sh) - inter) >= $threshold"))
+      // eager: feeds the id legs AND the final join, and the materialized
+      // count below hands the planner a broadcast decision it can use at
+      // initial planning (AQE's SMJ->BHJ conversion lands too late)
+      .localCheckpoint(eager = true)
+    // Exact verify WITHOUT exchanging shingle arrays (d2's posting-count
+    // form): |a∩b| = shared-posting count over candidate docs only, because
+    // `sh` holds distinct shingles. Identical legs -> the candidate posting
+    // exchange is planned once and reused.
+    val nPairs = cands.count()
+    val candDocs = cands.select(col("id_a").as("doc_id"))
+      .union(cands.select(col("id_b").as("doc_id")))
+      .distinct()
+    val candKeys = if (nPairs <= broadcastPairBound) broadcast(candDocs) else candDocs
+    // block columns ride candPost so the verify join prunes CROSS-BLOCK
+    // shingle collisions at the join instead of counting pairs the final
+    // cands join would discard anyway (candidates are within-block by
+    // construction; this is pure early pruning, not a semantic change)
+    val candPost = sh
+      .select(col("doc_id") +: col("sh") +: blockCols.map(col): _*)
+      .join(candKeys, Seq("doc_id"), "left_semi")
+      .select(col("doc_id") +: size(col("sh")).as("n") +:
+        explode(col("sh")).as("shingle") +: blockCols.map(col): _*)
+    candPost.as("a")
+      .join(candPost.as("b"), expr(
+        s"$blockEq AND a.shingle = b.shingle AND a.doc_id < b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .where(expr(s"inter * 1.0 / (na + nb - inter) >= $threshold"))
+      .join(cands, Seq("id_a", "id_b"))
       .select(col("id_a") +: col("id_b") +: blockCols.map(col) :+
-        expr("CAST(inter * 1.0 / (size(fa.sh) + size(fb.sh) - inter) AS DOUBLE)")
-          .as("jaccard"): _*)
+        expr("CAST(inter * 1.0 / (na + nb - inter) AS DOUBLE)").as("jaccard"): _*)
   }
 }
