@@ -647,10 +647,12 @@ object Similarity {
     // `sh` holds distinct shingles. Identical legs -> the candidate posting
     // exchange is planned once and reused.
     val nPairs = cands.count()
+    val small = nPairs <= broadcastPairBound
     val candDocs = cands.select(col("id_a").as("doc_id"))
       .union(cands.select(col("id_b").as("doc_id")))
-      .distinct()
-    val candKeys = if (nPairs <= broadcastPairBound) broadcast(candDocs) else candDocs
+    // broadcast path skips the distinct (the hash relation dedups keys —
+    // two fewer stages on the critical path); the shuffled fallback keeps it
+    val candKeys = if (small) broadcast(candDocs) else candDocs.distinct()
     // block columns ride candPost so the verify join prunes CROSS-BLOCK
     // shingle collisions at the join instead of counting pairs the final
     // cands join would discard anyway (candidates are within-block by
@@ -667,7 +669,9 @@ object Similarity {
         col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("inter"))
       .where(expr(s"inter * 1.0 / (na + nb - inter) >= $threshold"))
-      .join(cands, Seq("id_a", "id_b"))
+      // pair set known-small when the id set broadcast — same decision makes
+      // the block-column join-back a broadcast probe instead of an SMJ
+      .join(if (small) broadcast(cands) else cands, Seq("id_a", "id_b"))
       .select(col("id_a") +: col("id_b") +: blockCols.map(col) :+
         expr("CAST(inter * 1.0 / (na + nb - inter) AS DOUBLE)").as("jaccard"): _*)
   }
