@@ -16,12 +16,14 @@ import org.apache.spark.sql.functions._
   *    joins only on band keys, and partition pruning keeps each probe to the
   *    4 band directories;
   *  - `shingles/` — (doc_id, sh) parquet: the shingle sets needed to verify
-  *    candidate pairs exactly (only candidates are ever read — column-pruned,
-  *    bucket-capped join, never a corpus scan).
+  *    candidate pairs exactly (only CANDIDATE old docs are ever read: the
+  *    probe semi-joins the store against a broadcast of candidate ids and
+  *    counts shared postings — the store's shingle arrays never ride an
+  *    exchange, the d2/d17 verify discipline of SCALE.md session-9).
   *
-  * Scale: probe cost is O(new-batch signatures + band collisions); the store
-  * grows by accepted docs only. The bucket cap bounds degenerate band keys
-  * exactly as in the batch path.
+  * Scale: probe cost is O(new-batch signatures + band collisions +
+  * candidate-doc postings); the store grows by accepted docs only. The
+  * bucket cap bounds degenerate band keys exactly as in the batch path.
   */
 object DedupStore {
 
@@ -201,16 +203,42 @@ object DedupStore {
     val newBands = MinHash.bands(sigs)
     val storeBands = Similarity.capBuckets(
       readStore(spark, path, "bands", bandSchema, Set("band")), Seq("band", "bkey"), maxBucket)
+    // EAGER + count: the materialized candidate count hands the planner a
+    // broadcast decision at initial planning (the d2 discipline, SCALE.md
+    // session-9) — candidates are bounded by batch size x bucket width, so
+    // the common case is a broadcast id probe into the store scan.
     val cands = newBands.as("n")
       .join(storeBands.as("o"), expr("n.band = o.band AND n.bkey = o.bkey"))
       .select(col("n.doc_id").as("id"), col("o.doc_id").as("old_id"))
       .distinct()
-    val storeShingles = readStore(spark, path, "shingles", shingleSchema)
-      .select(col("doc_id").as("old_id"), col("sh").as("osh"))
-    cands
-      .join(sigs.select(col("doc_id").as("id"), col("sh")), Seq("id"))
-      .join(storeShingles, Seq("old_id"))
-      .where(expr(s"${MinHash.jaccardExpr("sh", "osh")} >= $threshold"))
+      .localCheckpoint(eager = true)
+    val nCand = cands.count()
+    val small = nCand <= 4000000L
+    // Verify WITHOUT exchanging the store's shingle arrays: at scale the
+    // store side is the whole accepted-corpus history, and the r8-measured
+    // cost of joining signature payloads by id is exactly what the d2/d17
+    // rebuilds removed. Semi-join the store down to CANDIDATE old docs (ids
+    // only), explode those docs' shingles, and count shared postings per
+    // (new, old) pair — |a∩b| is exact because `sh` holds distinct shingles,
+    // so the Jaccard predicate is bitwise the array_intersect form.
+    val oldKeys = cands.select(col("old_id").as("doc_id"))
+    val newKeys = cands.select(col("id").as("doc_id"))
+    val oldPost = readStore(spark, path, "shingles", shingleSchema)
+      .join(if (small) broadcast(oldKeys) else oldKeys.distinct(),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("old_id"), size(col("sh")).as("no"),
+        explode(col("sh")).as("shingle"))
+    val newPost = sigs.select(col("doc_id"), col("sh"))
+      .join(if (small) broadcast(newKeys) else newKeys.distinct(),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("id"), size(col("sh")).as("n"),
+        explode(col("sh")).as("shingle"))
+    newPost
+      .join(oldPost, Seq("shingle"))
+      .groupBy("id", "old_id", "n", "no")
+      .agg(count(lit(1)).as("inter"))
+      .join(if (small) broadcast(cands) else cands, Seq("id", "old_id"), "left_semi")
+      .where(expr(s"inter * 1.0 / (n + no - inter) >= $threshold"))
       .groupBy(col("id").as("doc_id"))
       .agg(min("old_id").as("dup_of"))
   }

@@ -101,4 +101,27 @@ class DedupStoreSpec extends SparkSpec {
     val sigs = MinHash.signatures(Seq((9L, baseText)).toDF("doc_id", "text"), Seq("doc_id"))
     assert(DedupStore.probe(spark, sigs, tmpDir("dstore-none") + "/nope").count() == 0)
   }
+
+  test("probe verifies via candidate-bounded postings — store shingle arrays never join by id") {
+    // the store side is the whole accepted history at scale; its sh arrays
+    // must reach the verify as exploded postings of CANDIDATE docs behind a
+    // broadcast id semi-join, never as payload of an id-keyed shuffled join
+    // (the d2/d17 verify discipline)
+    val path = tmpDir("dstore-plan") + "/store"
+    val b1 = Seq((1L, baseText)).toDF("doc_id", "text")
+    DedupStore.ingestBatch(spark, b1, path)
+    val sig = MinHash.signatures(
+      Seq((7L, baseText + " tail")).toDF("doc_id", "text"), Seq("doc_id"))
+    val probe = DedupStore.probe(spark, sig, path)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"store filter must be a broadcast id semi-join:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin [old_id") && !plan.contains("ShuffledHashJoin [old_id"),
+      s"no shuffled join may key on old_id (store shingle payload exchange):\n${plan.take(3000)}")
+    assert(plan.contains("explode(sh"),
+      s"verify must run over exploded candidate postings:\n${plan.take(3000)}")
+    // and it still answers correctly
+    val m = probe.collect()
+    assert(m.length == 1 && m(0).getLong(0) == 7L && m(0).getLong(1) == 1L)
+  }
 }
