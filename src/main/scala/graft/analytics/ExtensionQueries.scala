@@ -723,6 +723,13 @@ object ExtensionQueries {
             .signBands(e.selectExpr("vec_id AS id", "v", "nrm"))
             .select("id", "band", "bkey"),
           Seq("band", "bkey"), maxBucket = 1000)
+        // NOTE: this registered query keeps the plain id-join verify on
+        // purpose — its fixed 16-bit signature is the documented SATURATION
+        // regime (SCALE.md), where candidates are a large corpus fraction
+        // and a candidate-id filter would cost without filtering. The
+        // production entry is Similarity.cosineNearDupPairs (width
+        // parameterized), which carries the d2/d17 candidate-bounded verify
+        // discipline behind its broadcast-size decision.
         val cands = bands.as("x")
           .join(bands.as("y"), expr("x.band = y.band AND x.bkey = y.bkey AND x.id < y.id"))
           .select(col("x.id").as("id_a"), col("y.id").as("id_b"))

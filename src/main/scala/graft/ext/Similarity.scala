@@ -452,19 +452,35 @@ object Similarity {
     * DuckDB oracle must stay one static SQL string across scale factors.
     */
   def cosineNearDupPairs(prepared: DataFrame, threshold: Double,
-      bits: Int = 16, bands: Int = 4, maxBucket: Int = 1 << 20): DataFrame = {
+      bits: Int = 16, bands: Int = 4, maxBucket: Int = 1 << 20,
+      broadcastPairBound: Long = 4000000L): DataFrame = {
     val spark = prepared.sparkSession
     GraftFunctions.register(spark)
     val banded = capBuckets(
       signBands(prepared, bits, bands).select("id", "band", "bkey"),
       Seq("band", "bkey"), maxBucket)
+    // eager + count: the d2/d17 verify discipline (SCALE.md session-9) —
+    // near-dup candidates are a small corpus fraction, so the verify should
+    // exchange CANDIDATE vectors only, with the id set broadcast decided at
+    // initial planning (AQE's late SMJ->BHJ conversion ships the corpus-side
+    // vector exchange first)
     val cands = banded.as("x")
       .join(banded.as("y"), expr("x.band = y.band AND x.bkey = y.bkey AND x.id < y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
+      .localCheckpoint(eager = true)
+    val small = cands.count() <= broadcastPairBound
+    val candIds = cands.select(col("id_a").as("id"))
+      .union(cands.select(col("id_b").as("id")))
+    // semi-filter ONLY on the broadcast path: above the bound the candidate
+    // set is saturation-regime (a large corpus fraction — d5's documented
+    // fixed-width collapse), where a shuffled semi-join filters little and
+    // just adds an exchange; the plain id joins are then the right plan
+    val cv0 = prepared.select(col("id"), col("v"), col("nrm"))
+    val cv = if (small) cv0.join(broadcast(candIds), Seq("id"), "left_semi") else cv0
     cands
-      .join(prepared.selectExpr("id AS id_a", "v AS va", "nrm AS na"), Seq("id_a"))
-      .join(prepared.selectExpr("id AS id_b", "v AS vb", "nrm AS nb"), Seq("id_b"))
+      .join(cv.selectExpr("id AS id_a", "v AS va", "nrm AS na"), Seq("id_a"))
+      .join(cv.selectExpr("id AS id_b", "v AS vb", "nrm AS nb"), Seq("id_b"))
       .withColumn("score", expr("array_dot(va, vb) / (na * nb)"))
       .where(col("score") >= threshold)
       .select("id_a", "id_b", "score")
