@@ -570,9 +570,18 @@ object ExtensionQueries {
         "generation identical to production (same signatures, same bands, " +
         "same bucket cap)",
       (s, d) => {
-        val (docs, cands) = nearDupCandidates(s, d)
-        val t = docs.select(
+        // candidate-bounded signature sides (the d2/d17 verify discipline):
+        // the estimator-vs-exact audit reads CANDIDATE docs' signatures, so
+        // only those should ever ride the pair-join exchanges
+        val (docs, cands0) = nearDupCandidates(s, d)
+        val cands = cands0.localCheckpoint(eager = true)
+        val small = cands.count() <= 4000000L
+        val candIds = cands.select(col("id_a").as("doc_id"))
+          .union(cands.select(col("id_b").as("doc_id")))
+        val t0 = docs.select(
           Seq(col("doc_id"), col("lang"), col("sh")) ++ (0 until 8).map(i => col(s"h$i")): _*)
+        val t =
+          if (small) t0.join(broadcast(candIds), Seq("doc_id"), "left_semi") else t0
         val m = (0 until 8).map(i => s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)")
           .mkString(" + ")
         cands
@@ -1018,9 +1027,20 @@ object ExtensionQueries {
       "d14_edit_dedup",
       "Edit-similarity near-dup verification (the NearDup metric of Lee et al. deployed over the d2 LSH candidates): the band join proposes pairs, but the verifier is character edit distance, not shingle Jaccard — the metric of record when documents differ by small in-place edits that shift every k-gram. Threshold edit_sim = 1 - lev/max(len) >= 0.8 tested in EXACT integer arithmetic (5*lev <= max(len) — no division, no float in the predicate); per-lang candidate/verified counts and exact distance/length masses, with one final ratio both engines compute identically from the same two BIGINTs. 100 TB shape: the DP runs only on O(near-dup) candidate pairs from capped buckets, never corpus x corpus, AND it is BANDED — the threshold form of levenshtein with threshold = floor(mx/5), exactly the acceptance bound, costs O(mx/5 * len) per pair instead of O(len^2) while provably preserving the verified set (rejected pairs return -1 and fail the integer guard; the oracle runs the unbanded form, so the hash gate is the equivalence proof). The pair exchange carries ids — text joins in by id. Fixture texts are ASCII, where Spark's code-unit DP and DuckDB's byte DP agree by construction",
       (s, d) => {
-        val (_, cands) = nearDupCandidates(s, d)
-        val txt = documents(s, d).select(col("doc_id"), col("lang"), col("text"),
+        // candidate-bounded text sides (the d2/d17 verify discipline): the
+        // DP join must exchange CANDIDATE documents' text, not the corpus —
+        // eager + count so the id-set broadcast is decided at initial
+        // planning; above the bound the plain joins remain (text then
+        // exchanges once per side, the r7 shape)
+        val (_, cands0) = nearDupCandidates(s, d)
+        val cands = cands0.localCheckpoint(eager = true)
+        val small = cands.count() <= 4000000L
+        val candIds = cands.select(col("id_a").as("doc_id"))
+          .union(cands.select(col("id_b").as("doc_id")))
+        val txt0 = documents(s, d).select(col("doc_id"), col("lang"), col("text"),
           length(col("text")).as("len"))
+        val txt =
+          if (small) txt0.join(broadcast(candIds), Seq("doc_id"), "left_semi") else txt0
         // Banded DP: levenshtein's threshold form costs O(threshold * len)
         // per pair instead of O(len^2). threshold = floor(mx/5) is EXACTLY
         // the acceptance bound (5*lev <= mx <=> lev <= floor(mx/5)), so the
