@@ -194,7 +194,8 @@ object DedupStore {
     * replays no-ops.
     */
   def probe(spark: SparkSession, sigs: DataFrame, path: String,
-      threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
+      threshold: Double = 0.8, maxBucket: Int = 1000,
+      broadcastCandBound: Long = 4000000L): DataFrame = {
     recover(spark, path)
     if (!exists(spark, s"$path/bands"))
       return sigs.sparkSession.emptyDataFrame
@@ -213,7 +214,7 @@ object DedupStore {
       .distinct()
       .localCheckpoint(eager = true)
     val nCand = cands.count()
-    val small = nCand <= 4000000L
+    val small = nCand <= broadcastCandBound
     // Verify WITHOUT exchanging the store's shingle arrays: at scale the
     // store side is the whole accepted-corpus history, and the r8-measured
     // cost of joining signature payloads by id is exactly what the d2/d17

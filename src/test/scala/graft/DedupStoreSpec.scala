@@ -123,5 +123,10 @@ class DedupStoreSpec extends SparkSpec {
     // and it still answers correctly
     val m = probe.collect()
     assert(m.length == 1 && m(0).getLong(0) == 7L && m(0).getLong(1) == 1L)
+    // the shuffled fallback (candidate count above the broadcast bound) must
+    // answer identically — forced with bound 0 so the at-scale branch is
+    // exercised, not just the broadcast fast path
+    val m2 = DedupStore.probe(spark, sig, path, broadcastCandBound = 0L).collect()
+    assert(m2.length == 1 && m2(0).getLong(0) == 7L && m2(0).getLong(1) == 1L)
   }
 }

@@ -258,4 +258,46 @@ class PropertiesSpec extends SparkSpec {
       assert(merged.length <= k && merged == merged.sorted, "buffer bounded and sorted")
     }
   }
+
+  test("property: ngramJaccardPairs == brute-force blocked Jaccard on random near-dup corpora") {
+    // Candidate-completeness of the prefix filter is a THEOREM only under a
+    // consistent global shingle order; this pins the implementation against
+    // corpora it never saw: random docs built from a small vocabulary (so
+    // shingle collisions are common), random mutations of a base doc (so
+    // near-dup pairs at assorted Jaccard levels exist), random threshold.
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val docGen = for {
+      base <- Gen.listOfN(14, Gen.oneOf(vocab))
+      nMut <- Gen.choose(0, 4)
+      idxs <- Gen.listOfN(nMut, Gen.choose(0, 13))
+      w <- Gen.oneOf(vocab)
+    } yield {
+      val arr = base.toArray
+      idxs.foreach(i => arr(i) = w)
+      arr.mkString(" ")
+    }
+    val corpusGen = for {
+      texts <- Gen.listOfN(8, docGen)
+      t <- Gen.oneOf(0.5, 0.7, 0.8)
+    } yield (texts, t)
+    forAllSeeded(corpusGen, n = 4) { case (texts, t) =>
+      graft.functions.GraftFunctions.register(spark)
+      val docs = texts.zipWithIndex
+        .map { case (txt, i) => (i.toLong, if (i % 2 == 0) "en" else "de", "web", txt) }
+        .toDF("doc_id", "lang", "source", "text")
+      val got = graft.ext.Similarity.ngramJaccardPairs(docs, t)
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sh = docs
+        .selectExpr("doc_id", "lang", "source", graft.ext.MinHash.splitExpr)
+        .selectExpr("doc_id", "lang", "source", s"(${graft.ext.MinHash.shingleExpr}) AS sh")
+      val want = sh.as("a").join(sh.as("b"), expr(
+          "a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id"))
+        .where(expr(s"${graft.ext.MinHash.jaccardExpr("a.sh", "b.sh")} >= $t"))
+        .select(col("a.doc_id"), col("b.doc_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want,
+        s"prefix-filtered join diverged at t=$t on ${texts.mkString(" | ")}: $got vs $want")
+    }
+  }
 }

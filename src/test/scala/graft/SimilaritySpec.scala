@@ -542,6 +542,27 @@ class SimilaritySpec extends SparkSpec {
     assert(got.contains((4L, 5L)), "de/web pair clears the 0.5 threshold")
   }
 
+  test("ngramJaccardPairs: the shuffled-fallback verify path equals the broadcast path") {
+    // the non-broadcast branch (candidate set above the bound) never runs on
+    // small fixtures by default — force it with bound 0 so a latent bug in
+    // the at-scale path cannot hide behind the broadcast fast path
+    def pairs(bound: Long) =
+      Similarity.ngramJaccardPairs(dupDocs, 0.5, Seq("lang", "source"), bound)
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(0L) == pairs(4000000L))
+    assert(pairs(0L) == brutePairs(0.5))
+  }
+
+  test("cosineNearDupPairs: the saturation fallback (no candidate filter) equals the broadcast path") {
+    val a = Similarity.cosineNearDupPairs(prepared, threshold = 0.9, broadcastPairBound = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Similarity.cosineNearDupPairs(prepared, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+    assert(a.contains((0L, 19L)), "planted near-dup pair must verify on both paths")
+  }
+
   test("ngramJaccardPairs reports the exact jaccard and block columns") {
     val rows = Similarity.ngramJaccardPairs(dupDocs, 0.5, Seq("lang", "source"))
       .collect()
