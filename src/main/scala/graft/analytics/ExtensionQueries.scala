@@ -75,6 +75,15 @@ object ExtensionQueries {
   private def simhashAssemble: String =
     "concat(" + (0 until 32).map(j => s"(CASE WHEN s$j >= 0 THEN '1' ELSE '0' END)").mkString(", ") + ") AS simhash"
 
+  /** The candidate-id broadcast bound used by the registered dedup verifies
+    * (d2/d6/d8 via [[verifiedNearDupPairs]], d14, d16) — overridable through
+    * session conf `graft.broadcastPairBound` so tests can force the shuffled
+    * fallback branch (registered query signatures are fixed by the driver
+    * contract, so a parameter can't carry it).
+    */
+  private def broadcastPairBound(s: org.apache.spark.sql.SparkSession): Long =
+    s.conf.get("graft.broadcastPairBound", "4000000").toLong
+
   /** Shared d2/d6 pipeline: 3-gram shingles -> 8 MinHash permutations (2 md5
     * digests, 4 slices each) -> 4-band LSH with bucket cap -> exact-Jaccard
     * >= 0.8 verified near-dup pairs (id_a < id_b, plus the left doc's lang).
@@ -116,7 +125,7 @@ object ExtensionQueries {
     // hash relation) fall back to the shuffled semi-join — at that dup rate
     // the posting exchange below dominates anyway.
     val nPairs = cands.count()
-    val small = 2 * nPairs <= 8000000L
+    val small = nPairs <= broadcastPairBound(s)
     val candDocs = cands.select(col("id_a").as("doc_id"))
       .union(cands.select(col("id_b").as("doc_id")))
     // broadcast path skips the distinct: the hash relation dedups keys, and
@@ -575,7 +584,7 @@ object ExtensionQueries {
         // only those should ever ride the pair-join exchanges
         val (docs, cands0) = nearDupCandidates(s, d)
         val cands = cands0.localCheckpoint(eager = true)
-        val small = cands.count() <= 4000000L
+        val small = cands.count() <= broadcastPairBound(s)
         val candIds = cands.select(col("id_a").as("doc_id"))
           .union(cands.select(col("id_b").as("doc_id")))
         val t0 = docs.select(
@@ -1034,7 +1043,7 @@ object ExtensionQueries {
         // exchanges once per side, the r7 shape)
         val (_, cands0) = nearDupCandidates(s, d)
         val cands = cands0.localCheckpoint(eager = true)
-        val small = cands.count() <= 4000000L
+        val small = cands.count() <= broadcastPairBound(s)
         val candIds = cands.select(col("id_a").as("doc_id"))
           .union(cands.select(col("id_b").as("doc_id")))
         val txt0 = documents(s, d).select(col("doc_id"), col("lang"), col("text"),

@@ -590,4 +590,21 @@ class ExtensionQueriesSpec extends SparkSpec {
       assert(r.getAs[Double]("mad") >= 0.0 && r.getAs[Long]("outliers") <= r.getAs[Long]("n"), s"$r")
     }
   }
+
+  test("dedup verifies: the shuffled-fallback branch answers identically (conf-forced)") {
+    // graft.broadcastPairBound=0 forces every registered dedup verify onto
+    // its above-bound branch (shuffled semi-joins / plain payload joins) —
+    // the path that only runs at corpus scale in production and would
+    // otherwise never execute under test
+    def run(q: String): Seq[Row] =
+      Registry.byName(q).fn(spark, sf).collect().toSeq
+    for (q <- Seq("d2_dedup_minhash_lsh", "d14_edit_dedup", "d16_minhash_calibration")) {
+      val fast = run(q)
+      spark.conf.set("graft.broadcastPairBound", "0")
+      try {
+        val slow = run(q)
+        assert(fast == slow, s"$q: fallback branch diverged:\n$fast\n$slow")
+      } finally spark.conf.unset("graft.broadcastPairBound")
+    }
+  }
 }
