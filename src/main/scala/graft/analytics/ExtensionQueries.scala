@@ -84,6 +84,35 @@ object ExtensionQueries {
   private def broadcastPairBound(s: org.apache.spark.sql.SparkSession): Long =
     s.conf.get("graft.broadcastPairBound", "4000000").toLong
 
+  /** e5/e9's shared DRIVER-SIDE covariance build over the leading 8
+    * quantized dims: exact-integer co-moment collect (36 + 8 + 1 rows of
+    * bounded driver state — DECIMAL sums, addition-order-free), then the e3
+    * covariance expression evaluated in doubles. The arithmetic ORDER here
+    * is part of both queries' oracle contracts (DuckDB mirrors it
+    * CTE-for-CTE), so any change must land in e5's and e9's SQL strings too.
+    * `q` needs a `qv` column of floor(x*1e4) BIGINTs.
+    */
+  private def covariance8(q: org.apache.spark.sql.DataFrame): Array[Array[Double]] = {
+    val pairStructs = (for (i <- 0 until 8; j <- i until 8) yield
+      s"struct($i AS i, $j AS j, CAST(element_at(qv, ${i + 1}) AS DECIMAL(20, 0)) * CAST(element_at(qv, ${j + 1}) AS DECIMAL(20, 0)) AS p)")
+      .mkString(", ")
+    val spp = q.selectExpr(s"inline(array($pairStructs))")
+      .groupBy("i", "j").agg(sum(col("p")).as("s")).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDecimal(2).doubleValue()).toMap
+    val mom = q.selectExpr("posexplode(qv)")
+      .selectExpr("pos AS i", "CAST(col AS DECIMAL(38, 0)) AS v")
+      .groupBy("i").agg(sum(col("v")).as("s")).collect()
+      .map(r => r.getInt(0) -> r.getDecimal(1).doubleValue()).toMap
+    val n = q.count().toDouble
+    // cov_ij = (n*Spp - Si*Sj)/n^2 /1e8 — e3's expression, driver-side.
+    val c = Array.ofDim[Double](8, 8)
+    for (i <- 0 until 8; j <- i until 8) {
+      val cd = (n * spp((i, j)) - mom(i) * mom(j)) / (n * n) / 100000000.0
+      c(i)(j) = cd; c(j)(i) = cd
+    }
+    c
+  }
+
   /** Shared d2/d6 pipeline: 3-gram shingles -> 8 MinHash permutations (2 md5
     * digests, 4 slices each) -> 4-band LSH with bucket cap -> exact-Jaccard
     * >= 0.8 verified near-dup pairs (id_a < id_b, plus the left doc's lang).
@@ -1731,24 +1760,7 @@ object ExtensionQueries {
           .selectExpr("label",
             "transform(slice(embedding, 1, 8), x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS qv")
           .localCheckpoint(eager = false) // feeds co-moments, count, projection
-        // Exact co-moment collect: 36 + 8 + 1 rows of driver state (bounded).
-        val pairStructs = (for (i <- 0 until 8; j <- i until 8) yield
-          s"struct($i AS i, $j AS j, CAST(element_at(qv, ${i + 1}) AS DECIMAL(20, 0)) * CAST(element_at(qv, ${j + 1}) AS DECIMAL(20, 0)) AS p)")
-          .mkString(", ")
-        val spp = q.selectExpr(s"inline(array($pairStructs))")
-          .groupBy("i", "j").agg(sum(col("p")).as("s")).collect()
-          .map(r => (r.getInt(0), r.getInt(1)) -> r.getDecimal(2).doubleValue()).toMap
-        val mom = q.selectExpr("posexplode(qv)")
-          .selectExpr("pos AS i", "CAST(col AS DECIMAL(38, 0)) AS v")
-          .groupBy("i").agg(sum(col("v")).as("s")).collect()
-          .map(r => r.getInt(0) -> r.getDecimal(1).doubleValue()).toMap
-        val n = q.count().toDouble
-        // cov_ij = (n*Spp - Si*Sj)/n^2 /1e8 — e3's expression, driver-side.
-        val c = Array.ofDim[Double](8, 8)
-        for (i <- 0 until 8; j <- i until 8) {
-          val cd = (n * spp((i, j)) - mom(i) * mom(j)) / (n * n) / 100000000.0
-          c(i)(j) = cd; c(j)(i) = cd
-        }
+        val c = covariance8(q)
         // Power iteration: every sum is a reduceLeft chain == DuckDB's
         // list_reduce left-assoc fold, so both engines walk identical doubles.
         var v = Array.fill(8)(1.0)
@@ -1843,22 +1855,7 @@ object ExtensionQueries {
           .selectExpr(
             "transform(slice(embedding, 1, 8), x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS qv")
           .localCheckpoint(eager = false) // feeds co-moments, count, projection
-        val pairStructs = (for (i <- 0 until 8; j <- i until 8) yield
-          s"struct($i AS i, $j AS j, CAST(element_at(qv, ${i + 1}) AS DECIMAL(20, 0)) * CAST(element_at(qv, ${j + 1}) AS DECIMAL(20, 0)) AS p)")
-          .mkString(", ")
-        val spp = q.selectExpr(s"inline(array($pairStructs))")
-          .groupBy("i", "j").agg(sum(col("p")).as("s")).collect()
-          .map(r => (r.getInt(0), r.getInt(1)) -> r.getDecimal(2).doubleValue()).toMap
-        val mom = q.selectExpr("posexplode(qv)")
-          .selectExpr("pos AS i", "CAST(col AS DECIMAL(38, 0)) AS v")
-          .groupBy("i").agg(sum(col("v")).as("s")).collect()
-          .map(r => r.getInt(0) -> r.getDecimal(1).doubleValue()).toMap
-        val n = q.count().toDouble
-        val c = Array.ofDim[Double](8, 8)
-        for (i <- 0 until 8; j <- i until 8) {
-          val cd = (n * spp((i, j)) - mom(i) * mom(j)) / (n * n) / 100000000.0
-          c(i)(j) = cd; c(j)(i) = cd
-        }
+        val c = covariance8(q)
         val tr = (0 until 8).map(i => c(i)(i)).reduceLeft(_ + _) // ORIGINAL trace
         def matvec(m: Array[Array[Double]], u: Array[Double]): Array[Double] =
           Array.tabulate(8)(i => (0 until 8).map(t => m(i)(t) * u(t)).reduceLeft(_ + _))

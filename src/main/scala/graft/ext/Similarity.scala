@@ -618,7 +618,6 @@ object Similarity {
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8,
       blockCols: Seq[String] = Seq("lang", "source"),
       broadcastPairBound: Long = 4000000L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
     val spark = docs.sparkSession
     GraftFunctions.register(spark)
@@ -639,14 +638,21 @@ object Similarity {
     val meta = sh.selectExpr(keep :+ "size(sh) AS n": _*)
     val post = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val dfreq = post.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    // Per-doc prefix via HASH AGGREGATION, not a rank window: collect each
+    // doc's (df, shingle) pairs (struct sort == the window's (df, shingle)
+    // order; buffer bounded by doc length), slice the AllPairs prefix, and
+    // explode it back. Same rows as row_number() <= prefix_len, but the
+    // doc_id exchange feeds a hash aggregate instead of a partition-wide
+    // sort — no sort-spill of the full df-annotated posting stream.
     val prefix = post
       .join(dfreq.hint("merge"), Seq("shingle"))
-      .withColumn("rnk", row_number().over(w))
-      // the window left rows partitioned by doc_id — the meta join needs no
-      // new exchange on this side, and meta itself is ids + tiny columns
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("ranked"))
       .join(meta, Seq("doc_id"))
-      .where(col("rnk") <= expr(s"n - CAST(ceil($threshold * n) AS INT) + 1"))
+      .select(col("doc_id") +: col("n") +: blockCols.map(col) :+
+        explode(expr(s"slice(ranked, 1, n - CAST(ceil($threshold * n) AS INT) + 1)")).as("r"): _*)
+      .select(col("doc_id") +: col("n") +: col("r.shingle").as("shingle") +:
+        blockCols.map(col): _*)
     val blockEq = blockCols.map(c => s"a.$c = b.$c").mkString(" AND ")
     val cands = prefix.as("a")
       .join(prefix.as("b").hint("merge"), expr(
