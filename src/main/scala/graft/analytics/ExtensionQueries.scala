@@ -113,135 +113,28 @@ object ExtensionQueries {
     c
   }
 
-  /** Shared d2/d6 pipeline: 3-gram shingles -> 8 MinHash permutations (2 md5
-    * digests, 4 slices each) -> 4-band LSH with bucket cap -> exact-Jaccard
-    * >= 0.8 verified near-dup pairs (id_a < id_b, plus the left doc's lang).
+  /** Shared d2/d6 pipeline, now THE library call: the registration gates
+    * [[graft.ext.Similarity.minHashNearDupPairs]] (shingles -> minhash ->
+    * capped LSH banding -> candidate-bounded posting-count verify; design
+    * notes and 100x measurements on the library method + SCALE.md
+    * session-9). Output: (id_a, id_b, lang).
     */
   private def verifiedNearDupPairs(
-      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
-    // Verify WITHOUT exchanging shingle arrays. The r7 form joined the full
-    // (doc_id, lang, sh) signature table onto the pairs twice; StageProbe at
-    // the 100x decade measured those two exchanges (plus pairs carrying a.sh
-    // into the second join) at ~860 MB of d2's 1118 MB total shuffle — the
-    // whole-corpus shingle payload crossed the wire even though only
-    // candidate docs are ever verified. Instead: semi-join the signature
-    // table down to candidate docs (the exchange carries bare ids; near-dup
-    // candidates are a small corpus fraction, so AQE broadcasts them),
-    // explode THOSE docs' shingles to postings, and count shared shingles
-    // per pair with a posting equi-join (d4's inverted shape, restricted to
-    // candidates — strictly smaller than d4). |a∩b| = the pair's posting
-    // match count because `sh` holds DISTINCT shingles, so the Jaccard
-    // predicate is bitwise the r7 array_intersect form; the left-semi
-    // against `cands` keeps exactly the banded candidates (a pair with
-    // J >= 0.8 always shares shingles, so no candidate is lost by posting
-    // first). Shuffle is O(candidate-doc postings), not O(corpus sh).
-    val (docs, cands0) = nearDupCandidates(s, d)
-    // EAGER checkpoint, three consumers (two candDoc legs + the final
-    // semi-join): the cut means the band self-join runs once, and eager
-    // materialization gives the planner CONCRETE stats — candDocs is then
-    // known-tiny at plan time, so the semi-join below broadcasts the id set
-    // instead of sort-merging (AQE can't rescue a lazy plan here: it
-    // submits both SMJ child stages concurrently, so the corpus-side
-    // exchange has already shipped by the time the small side's size is
-    // known — measured at the 100x decade as two 400 MB signature
-    // exchanges that the broadcast form never performs).
-    val cands = cands0.localCheckpoint(eager = true)
-    // The planner must see the id set as broadcastable AT INITIAL PLANNING
-    // (LogicalRDD carries no size stats, so without the hint the corpus
-    // side's exchange is planned, and AQE's later SMJ->BHJ conversion
-    // arrives after those bytes shipped). The count is a metadata-cheap job
-    // over the materialized checkpoint; above the bound (~64 MB of ids in a
-    // hash relation) fall back to the shuffled semi-join — at that dup rate
-    // the posting exchange below dominates anyway.
-    val nPairs = cands.count()
-    val small = nPairs <= broadcastPairBound(s)
-    val candDocs = cands.select(col("id_a").as("doc_id"))
-      .union(cands.select(col("id_b").as("doc_id")))
-    // broadcast path skips the distinct: the hash relation dedups keys, and
-    // dropping the exchange+aggs removes two stages from the critical path
-    // (measured ~1 s of pure stage latency at sf0.1); the shuffled fallback
-    // keeps it so the semi-join's build side stays minimal
-    val candKeys = if (small) broadcast(candDocs) else candDocs.distinct()
-    val candPost = docs
-      // slim BEFORE the semi-join: if this side ever does exchange, it must
-      // carry (doc_id, lang, sh), never the h0..h7 minhash columns
-      .select(col("doc_id"), col("lang"), col("sh"))
-      .join(candKeys, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("lang"), size(col("sh")).as("n"),
-        explode(col("sh")).as("shingle"))
-    candPost.as("a")
-      .join(candPost.as("b"), expr("a.shingle = b.shingle AND a.doc_id < b.doc_id"))
-      // b.lang in the grouping keys is redundant for the result (the pair is
-      // keyed by ids) but keeps the two posting legs COLUMN-IDENTICAL —
-      // without it Catalyst prunes b's lang, the subtrees canonicalize
-      // differently, and the shingle exchange is built twice instead of
-      // planned once and reused (measured: two ~116 MB exchanges -> one)
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.lang").as("lang"), col("b.lang").as("lang_b"),
-        col("a.n").as("na"), col("b.n").as("nb"))
-      .agg(count(lit(1)).as("inter"))
-      .where(expr("inter * 1.0 / (na + nb - inter) >= 0.8"))
-      // the pair set is known-small exactly when the id set broadcast —
-      // reuse the decision so the final semi is a broadcast probe, not an
-      // SMJ with two exchanges and sorts
-      .join(if (small) broadcast(cands) else cands, Seq("id_a", "id_b"), "left_semi")
-      .select(col("id_a"), col("id_b"), col("lang"))
-  }
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    graft.ext.Similarity.minHashNearDupPairs(
+      documents(s, d), 0.8, Seq("lang"), maxBucket = 1000, broadcastPairBound(s))
 
-  /** The shared candidate stage of [[verifiedNearDupPairs]] and d14: MinHash
-    * signatures + capped 4-band LSH bucket self-join. Returns (signature
-    * table, distinct (id_a < id_b) candidate pairs) — the verifier (shingle
-    * Jaccard for d2/d6, character edit similarity for d14) is the caller's.
+  /** The shared candidate stage of [[verifiedNearDupPairs]] and d14/d16 —
+    * delegates to [[graft.ext.Similarity.minHashCandidates]] (signature
+    * checkpointing rationale and the bucket-cap guard documented there).
+    * Returns (signature table, distinct (id_a < id_b) candidate pairs);
+    * the verifier (shingle Jaccard for d2/d6, character edit similarity
+    * for d14, component-match calibration for d16) is the caller's.
     */
   private def nearDupCandidates(
       s: org.apache.spark.sql.SparkSession, d: String)
-      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    // Materialize the signature table once: this subplan feeds four
-    // consumers (two band-join sides, two verify-join sides) and without
-    // a lineage cut Spark recomputes the md5 minhashes for each (observed:
-    // 16 copies of the projection in the executed plan — a repartition
-    // doesn't help because the optimizer collapses it below the
-    // projection). localCheckpoint is the production-LSH move anyway:
-    // signatures are computed once per corpus and reused.
-    // Two lineage cuts, not one, with an EXPLICIT partition count between:
-    // a keyed repartition alone is AQE-coalescible, and this table is small
-    // in bytes but heavy in per-row CPU — AQE merges the shuffle back to a
-    // couple of partitions by size, serializing the md5/shingle projection
-    // onto them (bench metrics: ~3s of d2's task time in one task). A
-    // user-count repartition is exempt from coalescing, and checkpointing
-    // the raw docs pins it as a real boundary so the signature projection
-    // materializes across all cores. The cheap text queries keep the plain
-    // AQE-coalesced loader — this fan-out is only worth its task overhead
-    // under heavy per-row work.
-    // EAGER: the signature table feeds multiple stages that AQE submits
-    // CONCURRENTLY (both band-join sides, the verify legs); with a lazy cut
-    // those stages race to materialize the checkpoint and each recomputes
-    // the md5/shingle projection from lineage until blocks land (measured
-    // at the 100x decade: one band side read the materialized blocks, the
-    // other re-ran the whole signature projection from the raw-text
-    // exchange — half the query's 400 CPU-seconds). Eager materializes
-    // once, before any consumer stage launches.
-    val docs = graft.ext.MinHash
-      .signatures(
-        documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-          .localCheckpoint(eager = false),
-        Seq("doc_id", "lang"))
-      .localCheckpoint(eager = true)
-    // Bucket-size guard: one degenerate band key (a bucket holding a
-    // large corpus fraction) would re-create the quadratic self-join the
-    // banding exists to avoid — cap buckets before joining. 1000 is far
-    // above any honest near-dup cluster at this banding width (fixture
-    // buckets are near-singleton), so results are unchanged, but a
-    // word-soup-style collapse can no longer produce an O(n^2) task.
-    val bands = graft.ext.Similarity.capBuckets(
-      graft.ext.MinHash.bands(docs), Seq("band", "bkey"), maxBucket = 1000)
-    val cands = bands.as("x")
-      .join(bands.as("y"), expr("x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .distinct()
-    (docs, cands)
-  }
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+    graft.ext.Similarity.minHashCandidates(documents(s, d), Seq("lang"), maxBucket = 1000)
 
   /** The d2/d6 oracle's shared CTE chain, mirroring [[verifiedNearDupPairs]]. */
   private def nearDupCtes: String =

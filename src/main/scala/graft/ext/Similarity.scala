@@ -590,6 +590,89 @@ object Similarity {
     knnGraph(prepared, k, planBandBits(prepared, widths, bands, pairBudget),
       bands, maxBucket)
 
+  /** The MinHash-LSH candidate stage as a library call (the registered
+    * d2/d6/d8/d14/d16 queries route through this): 3-gram word shingles ->
+    * 8 minhashes ([[MinHash.signatures]]) -> capped 4-band bucket self-join.
+    * Returns (signature table carrying `doc_id`, `keep`, `sh`, `h0..h7`;
+    * distinct (id_a < id_b) candidate pairs). The signature table is an
+    * EAGER checkpoint: it feeds stages AQE submits concurrently, and a lazy
+    * cut lets them race and recompute the md5/shingle projection from
+    * lineage (measured at the 100x decade as half the query's CPU). Input
+    * needs `doc_id` and `text`; the fixed-count repartition spreads the
+    * CPU-heavy signature projection even when the source is one
+    * unsplittable file (AQE-coalesce-exempt — SCALE.md).
+    */
+  def minHashCandidates(docs: DataFrame, keep: Seq[String] = Seq("lang"),
+      maxBucket: Int = 1000): (DataFrame, DataFrame) = {
+    val spark = docs.sparkSession
+    val sigs = MinHash
+      .signatures(
+        docs
+          .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+          .localCheckpoint(eager = false),
+        "doc_id" +: keep)
+      .localCheckpoint(eager = true)
+    val bands = capBuckets(MinHash.bands(sigs), Seq("band", "bkey"), maxBucket)
+    val cands = bands.as("x")
+      .join(bands.as("y"), expr("x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    (sigs, cands)
+  }
+
+  /** PRODUCTION MinHash-LSH near-dup entry: verified pairs with exact
+    * shingle Jaccard >= `threshold` over [[minHashCandidates]]'s banded
+    * candidates. Output: `id_a`, `id_b` (id_a < id_b) plus the a-side
+    * `keep` columns.
+    *
+    * The verify NEVER exchanges shingle arrays (the round-8 rebuild,
+    * SCALE.md session-9): the signature table semi-joins down to candidate
+    * docs against a BROADCAST id set (decided from the materialized pair
+    * count — AQE's late SMJ->BHJ conversion arrives after the corpus-side
+    * exchange shipped), candidate docs' shingles explode to postings, and
+    * |a∩b| is the pair's shared-posting count (exact: `sh` holds distinct
+    * shingles), with a final semi against the banded pairs. Shuffle is
+    * O(candidate postings), not O(corpus sh); measured at the 100x decade
+    * as 2.3x lower shuffle and 2x lower wall than the payload-join form.
+    */
+  def minHashNearDupPairs(docs: DataFrame, threshold: Double = 0.8,
+      keep: Seq[String] = Seq("lang"), maxBucket: Int = 1000,
+      broadcastPairBound: Long = 4000000L): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    val (sigs, cands0) = minHashCandidates(docs, keep, maxBucket)
+    // eager + count: three consumers (two candDoc legs + the final semi),
+    // and the count hands the planner the broadcast decision at initial
+    // planning (LogicalRDD has no stats)
+    val cands = cands0.localCheckpoint(eager = true)
+    val small = cands.count() <= broadcastPairBound
+    val candDocs = cands.select(col("id_a").as("doc_id"))
+      .union(cands.select(col("id_b").as("doc_id")))
+    // broadcast path skips the distinct (the hash relation dedups keys —
+    // two fewer stages); the shuffled fallback keeps the build side minimal
+    val candKeys = if (small) broadcast(candDocs) else candDocs.distinct()
+    val aKeep = keep.map(c => col(s"a.$c").as(c))
+    val bKeep = keep.map(c => col(s"b.$c").as(s"${c}_b"))
+    val candPost = sigs
+      // slim BEFORE the semi-join: never carry h0..h7 into an exchange
+      .select(col("doc_id") +: col("sh") +: keep.map(col): _*)
+      .join(candKeys, Seq("doc_id"), "left_semi")
+      .select(col("doc_id") +: size(col("sh")).as("n") +:
+        explode(col("sh")).as("shingle") +: keep.map(col): _*)
+    candPost.as("a")
+      .join(candPost.as("b"), expr("a.shingle = b.shingle AND a.doc_id < b.doc_id"))
+      // b-side keep columns in the grouping keys are redundant for the
+      // result but keep the two posting legs COLUMN-IDENTICAL — otherwise
+      // Catalyst prunes them from b, the subtrees canonicalize differently,
+      // and the shingle exchange is built twice instead of reused
+      .groupBy(col("a.doc_id").as("id_a") +: col("b.doc_id").as("id_b") +:
+        col("a.n").as("na") +: col("b.n").as("nb") +: (aKeep ++ bKeep): _*)
+      .agg(count(lit(1)).as("inter"))
+      .where(expr(s"inter * 1.0 / (na + nb - inter) >= $threshold"))
+      // the pair set is known-small exactly when the id set broadcast
+      .join(if (small) broadcast(cands) else cands, Seq("id_a", "id_b"), "left_semi")
+      .select(col("id_a") +: col("id_b") +: keep.map(col): _*)
+  }
+
   /** PRODUCTION n-gram Jaccard dedup entry: verified near-dup pairs with
     * shingle Jaccard >= `threshold` within `blockCols` blocks, via the
     * prefix-filtered similarity join (the AllPairs/PPJoin discipline the

@@ -563,6 +563,29 @@ class SimilaritySpec extends SparkSpec {
     assert(a.contains((0L, 19L)), "planted near-dup pair must verify on both paths")
   }
 
+  test("minHashNearDupPairs finds exactly the >=0.8 pairs LSH can propose, both bound branches") {
+    // the candidates are banded (not exhaustive), but on this fixture every
+    // planted >=0.8 pair shares all four bands (near-identical docs), so the
+    // library call must return exactly the brute-force >=0.8 pair set —
+    // including the cross-block pair ngramJaccardPairs' blocking excludes
+    graft.functions.GraftFunctions.register(spark)
+    val sh = dupDocs
+      .selectExpr("doc_id", "lang", graft.ext.MinHash.splitExpr)
+      .selectExpr("doc_id", "lang", s"(${graft.ext.MinHash.shingleExpr}) AS sh")
+    val want = sh.as("a").join(sh.as("b"), expr("a.doc_id < b.doc_id"))
+      .where(expr(s"${graft.ext.MinHash.jaccardExpr("a.sh", "b.sh")} >= 0.8"))
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def got(bound: Long) =
+      Similarity.minHashNearDupPairs(dupDocs, 0.8, Seq("lang"), 1000, bound)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val fast = got(4000000L)
+    assert(fast.map(t => (t._1, t._2)).toSet == want, s"${fast.toSeq} vs $want")
+    assert(want.contains((1L, 3L)), "fixture plants a cross-block near-dup the LSH form must keep")
+    assert(fast.forall(_._3 != null), "a-side keep column must ride the output")
+    assert(got(0L).sorted.sameElements(fast.sorted), "shuffled fallback must answer identically")
+  }
+
   test("ngramJaccardPairs reports the exact jaccard and block columns") {
     val rows = Similarity.ngramJaccardPairs(dupDocs, 0.5, Seq("lang", "source"))
       .collect()
