@@ -110,6 +110,11 @@ object Bench {
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var i = 0
       while (i < repeats && err.isEmpty) {
+        // Snapshot what was pinned BEFORE the run so only the blocks THIS
+        // run created are released below — a blanket unpersist would also
+        // evict any future cross-query cached state (localCheckpoint RDDs
+        // are unrecoverable once unpersisted).
+        val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
         val t0 = System.nanoTime()
         try fn(spark, sfDir).count()
         catch { case e: Throwable => err = Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}") }
@@ -121,8 +126,10 @@ object Bench {
         // driver as broad >1.5x inflation of UNRELATED queries running
         // after the dedup family (storage squeezing execution memory).
         // A long-lived production session does the same between jobs.
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+        spark.sparkContext.getPersistentRDDs
+          .foreach { case (id, rdd) =>
+            if (!pinnedBefore.contains(id)) rdd.unpersist(blocking = false)
+          }
         i += 1
       }
       val delta = listener.quiesce().diff(before)
@@ -151,6 +158,14 @@ object Bench {
       "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ") + "\""
     }.mkString("{", ",", "}")
     val total = results.map(_._2.min).sum
+    // Calibration-normalized headline beside the raw wall (the round-8
+    // verdict's close-run hygiene item): ambient box contention inflates
+    // every query roughly uniformly (recorded history: 2.02-load close 75.0s
+    // vs 1.53-load re-run 66.1s, same code), so dividing the total by the
+    // measured load factor gives the quiet-box estimate round-over-round
+    // diffs should use. Never BELOW raw (load_factor < 1 means a run
+    // quieter than the recorded floor, not negative contention).
+    val totalNorm = total / math.max(1.0, loadFactor)
     // Contention-insensitive secondary headline: total executor CPU seconds
     // per run (task CPU is work the engine did regardless of how the
     // scheduler interleaved it with a noisy neighbor).
@@ -161,7 +176,7 @@ object Bench {
     results.foreach { case (k, _, err, _) =>
       err.foreach(e => System.err.println(s"BENCH FAILURE $k: $e"))
     }
-    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$runsJson,"walltime":${fmt(walltime)},"cpu_total":${fmt(cpuTotal)},"load_factor":${fmt(loadFactor)},"calibration":$calibJson,"metrics":$metricsJson,"errors":$errs,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_norm":${fmt(totalNorm)},"queries":$qs,"runs":$runsJson,"walltime":${fmt(walltime)},"cpu_total":${fmt(cpuTotal)},"load_factor":${fmt(loadFactor)},"calibration":$calibJson,"metrics":$metricsJson,"errors":$errs,"sf":"$sfDir"}"""
     // The round artifact is captured from the TAIL of sbt output (last ~2000
     // chars), so the full blob above would truncate mid-line and parse as
     // null (this lost the round-3 number). Persist the full result to a file
@@ -180,7 +195,7 @@ object Bench {
     // — the exact truncation this summary exists to avoid); messages live in
     // target/bench.json and on stderr
     val nErrs = results.count(_._3.isDefined)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"walltime":${fmt(walltime)},"cpu_total":${fmt(cpuTotal)},"load_factor":${fmt(loadFactor)},"n_errors":$nErrs,"sf":"$sfDir","detail":"target/bench.json"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_norm":${fmt(totalNorm)},"queries":$slowest,"n_queries":${results.size},"walltime":${fmt(walltime)},"cpu_total":${fmt(cpuTotal)},"load_factor":${fmt(loadFactor)},"n_errors":$nErrs,"sf":"$sfDir","detail":"target/bench.json"}""")
     if (results.exists(_._3.isDefined)) { spark.stop(); sys.exit(1) }
     spark.stop()
   }

@@ -35,6 +35,9 @@ object Verify {
       case None        => SparkEntry.queries
     }
     selected.foreach { case (name, fn) =>
+      // snapshot first: release only the blocks THIS query pinned (a blanket
+      // unpersist would evict any future cross-query cached state too)
+      val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -42,8 +45,10 @@ object Verify {
       }
       // drop the query's checkpoint/cache blocks — a 158-query dump would
       // otherwise hold every dead signature checkpoint in the block manager
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      spark.sparkContext.getPersistentRDDs
+        .foreach { case (id, rdd) =>
+          if (!pinnedBefore.contains(id)) rdd.unpersist(blocking = false)
+        }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -25,6 +25,9 @@ object PlanProbe {
       .appName("graft-plan-probe")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
+      // every entry-point session sets this (Tables.events relies on it for
+      // legacy NANOS-layout fixtures; see GraftSession)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     try {

@@ -10,8 +10,8 @@ import scala.collection.mutable
   * when a decade measurement shows a query's exchange growing superlinearly
   * (SCALE.md's d2/d6 ~34x/decade reading), this tool answers "WHICH exchange"
   * by listing every completed stage with its shuffle read/write, input bytes,
-  * task count and the planner's stage name (callsite), sorted by shuffle
-  * write. Usage: `sbt "runMain graft.tools.StageProbe <query_name> <sfDir>"`.
+  * task count and the planner's stage name (callsite), sorted by executor
+  * run time. Usage: `sbt "runMain graft.tools.StageProbe <query_name> <sfDir>"`.
   */
 object StageProbe {
   def main(args: Array[String]): Unit = {
