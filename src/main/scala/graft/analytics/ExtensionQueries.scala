@@ -84,6 +84,13 @@ object ExtensionQueries {
   private def broadcastPairBound(s: org.apache.spark.sql.SparkSession): Long =
     s.conf.get("graft.broadcastPairBound", "4000000").toLong
 
+  /** Pair-count ceiling for the candidate-bounded PAYLOAD verify tier
+    * ([[graft.ext.Similarity.minHashNearDupPairs]] round-9 rework); a conf
+    * knob so specs can force the posting-count tiers on registered queries.
+    */
+  private def payloadPairBound(s: org.apache.spark.sql.SparkSession): Long =
+    s.conf.get("graft.payloadPairBound", "262144").toLong
+
   /** e5/e9's shared DRIVER-SIDE covariance build over the leading 8
     * quantized dims: exact-integer co-moment collect (36 + 8 + 1 rows of
     * bounded driver state — DECIMAL sums, addition-order-free), then the e3
@@ -122,7 +129,8 @@ object ExtensionQueries {
   private def verifiedNearDupPairs(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
     graft.ext.Similarity.minHashNearDupPairs(
-      documents(s, d), 0.8, Seq("lang"), maxBucket = 1000, broadcastPairBound(s))
+      documents(s, d), 0.8, Seq("lang"), maxBucket = 1000,
+      broadcastPairBound(s), payloadPairBound(s))
 
   /** The shared candidate stage of [[verifiedNearDupPairs]] and d14/d16 —
     * delegates to [[graft.ext.Similarity.minHashCandidates]] (signature
@@ -505,7 +513,9 @@ object ExtensionQueries {
         // the estimator-vs-exact audit reads CANDIDATE docs' signatures, so
         // only those should ever ride the pair-join exchanges
         val (docs, cands0) = nearDupCandidates(s, d)
-        val cands = cands0.localCheckpoint(eager = true)
+        // lazy checkpoint + count = ONE action (round-9): the count both
+        // materializes the checkpoint and decides the id-set broadcast
+        val cands = cands0.localCheckpoint(eager = false)
         val small = cands.count() <= broadcastPairBound(s)
         val candIds = cands.select(col("id_a").as("doc_id"))
           .union(cands.select(col("id_b").as("doc_id")))
@@ -960,11 +970,12 @@ object ExtensionQueries {
       (s, d) => {
         // candidate-bounded text sides (the d2/d17 verify discipline): the
         // DP join must exchange CANDIDATE documents' text, not the corpus —
-        // eager + count so the id-set broadcast is decided at initial
-        // planning; above the bound the plain joins remain (text then
-        // exchanges once per side, the r7 shape)
+        // lazy checkpoint + count (one action, round-9) so the id-set
+        // broadcast is decided at initial planning; above the bound the
+        // plain joins remain (text then exchanges once per side, the r7
+        // shape)
         val (_, cands0) = nearDupCandidates(s, d)
-        val cands = cands0.localCheckpoint(eager = true)
+        val cands = cands0.localCheckpoint(eager = false)
         val small = cands.count() <= broadcastPairBound(s)
         val candIds = cands.select(col("id_a").as("doc_id"))
           .union(cands.select(col("id_b").as("doc_id")))
@@ -2863,7 +2874,8 @@ object ExtensionQueries {
       // with d4's full posting join kept as its exactness oracle.
       (s, d) =>
         graft.ext.Similarity
-          .ngramJaccardPairs(documents(s, d), 0.8, Seq("lang", "source"))
+          .ngramJaccardPairs(documents(s, d), 0.8, Seq("lang", "source"),
+            broadcastPairBound(s), payloadPairBound(s))
           .groupBy("lang")
           .agg(count(lit(1)).as("pairs"))
           .orderBy("lang"),

@@ -196,6 +196,10 @@ object DedupStore {
   def probe(spark: SparkSession, sigs: DataFrame, path: String,
       threshold: Double = 0.8, maxBucket: Int = 1000,
       broadcastCandBound: Long = 4000000L): DataFrame = {
+    // the posting-count verify drops zero-intersection pairs, which is only
+    // equivalent to the payload-join form for positive thresholds (the same
+    // guard minHashNearDupPairs/ngramJaccardPairs carry)
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
     recover(spark, path)
     if (!exists(spark, s"$path/bands"))
       return sigs.sparkSession.emptyDataFrame
@@ -204,7 +208,7 @@ object DedupStore {
     val newBands = MinHash.bands(sigs)
     val storeBands = Similarity.capBuckets(
       readStore(spark, path, "bands", bandSchema, Set("band")), Seq("band", "bkey"), maxBucket)
-    // EAGER + count: the materialized candidate count hands the planner a
+    // Checkpoint + count: the materialized candidate count hands the planner a
     // broadcast decision at initial planning (the d2 discipline, SCALE.md
     // session-9) — candidates are bounded by batch size x bucket width, so
     // the common case is a broadcast id probe into the store scan.
@@ -212,7 +216,9 @@ object DedupStore {
       .join(storeBands.as("o"), expr("n.band = o.band AND n.bkey = o.bkey"))
       .select(col("n.doc_id").as("id"), col("o.doc_id").as("old_id"))
       .distinct()
-      .localCheckpoint(eager = true)
+      // lazy + count = ONE action (round-9): the count materializes the
+      // checkpoint and returns the broadcast-decision cardinality
+      .localCheckpoint(eager = false)
     val nCand = cands.count()
     val small = nCand <= broadcastCandBound
     // Verify WITHOUT exchanging the store's shingle arrays: at scale the

@@ -625,52 +625,87 @@ object Similarity {
     * candidates. Output: `id_a`, `id_b` (id_a < id_b) plus the a-side
     * `keep` columns.
     *
-    * The verify NEVER exchanges shingle arrays (the round-8 rebuild,
-    * SCALE.md session-9): the signature table semi-joins down to candidate
-    * docs against a BROADCAST id set (decided from the materialized pair
-    * count — AQE's late SMJ->BHJ conversion arrives after the corpus-side
-    * exchange shipped), candidate docs' shingles explode to postings, and
-    * |a∩b| is the pair's shared-posting count (exact: `sh` holds distinct
-    * shingles), with a final semi against the banded pairs. Shuffle is
-    * O(candidate postings), not O(corpus sh); measured at the 100x decade
-    * as 2.3x lower shuffle and 2x lower wall than the payload-join form.
+    * The verify NEVER exchanges CORPUS shingle arrays (the round-8
+    * invariant, SCALE.md session-9), and since round 9 it is TIERED on the
+    * materialized candidate-pair count (one action: the count job both
+    * persists the lazily-marked candidate checkpoint and returns the
+    * cardinality the planner needs at initial planning — AQE's late
+    * SMJ->BHJ conversion arrives after the corpus-side exchange shipped):
+    *
+    *  - `nPairs <= payloadPairBound` — the measured common case (candidates
+    *    are O(near-dups): 31 pairs / 500 docs at sf0.01, ~proportional up
+    *    the decades): CANDIDATE-BOUNDED PAYLOAD verify. The pair-id table
+    *    broadcasts (ids only); one map-side hash probe attaches the a-side
+    *    shingle set as the signature scan streams by (no exchange), a
+    *    broadcast semi bounds the b-side to candidate docs, and one
+    *    merge-hinted join keyed on the PAIR id colocates the two sets for
+    *    a native `array_intersect` Jaccard. Arrays ride exactly one
+    *    exchange, bounded by CANDIDATE volume, never corpus volume. This
+    *    tier exists because the posting-count form below costs ~6 extra
+    *    32-task stages — pure fixed overhead when there are only hundreds
+    *    of candidate pairs (measured round 9: d2 sf0.1 CPU 11.5 s vs the
+    *    round-7 payload form's 4.4 s, with only ~300 candidates).
+    *  - `nPairs <= broadcastPairBound`: posting-count verify with a
+    *    BROADCAST candidate-id set — signatures semi-join down to candidate
+    *    docs, their shingles explode to postings, |a∩b| is the pair's
+    *    shared-posting count (exact: `sh` holds distinct shingles). Shuffle
+    *    is O(candidate postings); measured at the 100x decade as 2.3x lower
+    *    shuffle and 2x lower wall than the CORPUS payload-join form.
+    *  - above both bounds: the same posting-count verify with shuffled
+    *    distinct id-set semi-joins (nothing broadcasts).
     */
   def minHashNearDupPairs(docs: DataFrame, threshold: Double = 0.8,
       keep: Seq[String] = Seq("lang"), maxBucket: Int = 1000,
-      broadcastPairBound: Long = 4000000L): DataFrame = {
+      broadcastPairBound: Long = 4000000L,
+      payloadPairBound: Long = 262144L): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
     val (sigs, cands0) = minHashCandidates(docs, keep, maxBucket)
-    // eager + count: three consumers (two candDoc legs + the final semi),
-    // and the count hands the planner the broadcast decision at initial
-    // planning (LogicalRDD has no stats)
-    val cands = cands0.localCheckpoint(eager = true)
-    val small = cands.count() <= broadcastPairBound
-    val candDocs = cands.select(col("id_a").as("doc_id"))
-      .union(cands.select(col("id_b").as("doc_id")))
-    // broadcast path skips the distinct (the hash relation dedups keys —
-    // two fewer stages); the shuffled fallback keeps the build side minimal
-    val candKeys = if (small) broadcast(candDocs) else candDocs.distinct()
+    val cands = cands0.localCheckpoint(eager = false)
+    val nPairs = cands.count()
     val aKeep = keep.map(c => col(s"a.$c").as(c))
-    val bKeep = keep.map(c => col(s"b.$c").as(s"${c}_b"))
-    val candPost = sigs
-      // slim BEFORE the semi-join: never carry h0..h7 into an exchange
-      .select(col("doc_id") +: col("sh") +: keep.map(col): _*)
-      .join(candKeys, Seq("doc_id"), "left_semi")
-      .select(col("doc_id") +: size(col("sh")).as("n") +:
-        explode(col("sh")).as("shingle") +: keep.map(col): _*)
-    candPost.as("a")
-      .join(candPost.as("b"), expr("a.shingle = b.shingle AND a.doc_id < b.doc_id"))
-      // b-side keep columns in the grouping keys are redundant for the
-      // result but keep the two posting legs COLUMN-IDENTICAL — otherwise
-      // Catalyst prunes them from b, the subtrees canonicalize differently,
-      // and the shingle exchange is built twice instead of reused
-      .groupBy(col("a.doc_id").as("id_a") +: col("b.doc_id").as("id_b") +:
-        col("a.n").as("na") +: col("b.n").as("nb") +: (aKeep ++ bKeep): _*)
-      .agg(count(lit(1)).as("inter"))
-      .where(expr(s"inter * 1.0 / (na + nb - inter) >= $threshold"))
-      // the pair set is known-small exactly when the id set broadcast
-      .join(if (small) broadcast(cands) else cands, Seq("id_a", "id_b"), "left_semi")
-      .select(col("id_a") +: col("id_b") +: keep.map(col): _*)
+    // slim BEFORE any join: never carry h0..h7 into an exchange
+    val sigsSlim = sigs.select(col("doc_id") +: col("sh") +: keep.map(col): _*)
+    if (nPairs <= payloadPairBound) {
+      val bCands = broadcast(cands)
+      // a-side: map-side probe into the broadcast pair table — shingle sets
+      // stream from the signature checkpoint straight into the join output
+      val withA = sigsSlim.as("a")
+        .join(bCands, col("a.doc_id") === col("id_a"))
+        .select(col("id_a") +: col("id_b") +: col("a.sh").as("sha") +: aKeep: _*)
+      // b-side: broadcast semi bounds the exchange to candidate docs' sets
+      val bSide = sigsSlim.as("b")
+        .join(bCands, col("b.doc_id") === col("id_b"), "left_semi")
+        .select(col("b.doc_id").as("bid"), col("b.sh").as("shb"))
+      withA
+        .join(bSide.hint("merge"), col("id_b") === col("bid"))
+        .where(expr(s"${MinHash.jaccardExpr("sha", "shb")} >= $threshold"))
+        .select(col("id_a") +: col("id_b") +: keep.map(col): _*)
+    } else {
+      val small = nPairs <= broadcastPairBound
+      val candDocs = cands.select(col("id_a").as("doc_id"))
+        .union(cands.select(col("id_b").as("doc_id")))
+      // broadcast path skips the distinct (the hash relation dedups keys —
+      // two fewer stages); the shuffled fallback keeps the build side minimal
+      val candKeys = if (small) broadcast(candDocs) else candDocs.distinct()
+      val bKeep = keep.map(c => col(s"b.$c").as(s"${c}_b"))
+      val candPost = sigsSlim
+        .join(candKeys, Seq("doc_id"), "left_semi")
+        .select(col("doc_id") +: size(col("sh")).as("n") +:
+          explode(col("sh")).as("shingle") +: keep.map(col): _*)
+      candPost.as("a")
+        .join(candPost.as("b"), expr("a.shingle = b.shingle AND a.doc_id < b.doc_id"))
+        // b-side keep columns in the grouping keys are redundant for the
+        // result but keep the two posting legs COLUMN-IDENTICAL — otherwise
+        // Catalyst prunes them from b, the subtrees canonicalize differently,
+        // and the shingle exchange is built twice instead of reused
+        .groupBy(col("a.doc_id").as("id_a") +: col("b.doc_id").as("id_b") +:
+          col("a.n").as("na") +: col("b.n").as("nb") +: (aKeep ++ bKeep): _*)
+        .agg(count(lit(1)).as("inter"))
+        .where(expr(s"inter * 1.0 / (na + nb - inter) >= $threshold"))
+        // the pair set is known-small exactly when the id set broadcast
+        .join(if (small) broadcast(cands) else cands, Seq("id_a", "id_b"), "left_semi")
+        .select(col("id_a") +: col("id_b") +: keep.map(col): _*)
+    }
   }
 
   /** PRODUCTION n-gram Jaccard dedup entry: verified near-dup pairs with
@@ -691,16 +726,28 @@ object Similarity {
     * verified pair — `id_a`, `id_b` (id_a < id_b), the a-side `blockCols`,
     * and the exact `jaccard`.
     *
-    * 100 TB shape: df ranking is one aggregation over postings; the per-doc
-    * prefix rank is a window bounded by doc length; candidate generation is
-    * an equi-join on rare shingles (tiny buckets by construction); the
-    * exact verify joins shingle sets back BY ID only for candidate pairs.
-    * Joins hint spillable merge — never broadcast/hash-build a corpus side
-    * (the 100x decade's forced-SHJ OOM, SCALE.md).
+    * 100 TB shape (round-9 rebuild): shingles hash to 8-BYTE GRAM IDS once
+    * at set build, so every posting exchange, sort and aggregation downstream
+    * moves/compares fixed-width longs instead of shingle strings (the
+    * verify's intersection counts are exact over the hashed sets; a 64-bit
+    * collision would merge two grams corpus-wide — ~1e-6 likelihood at 1e7
+    * distinct shingles — which is the standard shingle-hashing trade and the
+    * reason `array_distinct` re-distincts after hashing). The df annotation
+    * REUSES one posting exchange: postings repartition by gram once, the df
+    * aggregate consumes that exchange in place (partitioning satisfied, no
+    * partial/final exchange pair), and the df merge-join reads the SAME
+    * exchange on its probe side — round 8 shipped the posting stream twice
+    * here (partial-agg exchange + merge-join re-exchange). The per-doc
+    * prefix rank is a hash aggregation bounded by doc length; candidate
+    * generation is an equi-join on rare grams (tiny buckets by
+    * construction); the exact verify joins gram sets back BY ID only for
+    * candidate pairs. Joins hint spillable merge — never broadcast/
+    * hash-build a corpus side (the 100x decade's forced-SHJ OOM, SCALE.md).
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8,
       blockCols: Seq[String] = Seq("lang", "source"),
-      broadcastPairBound: Long = 4000000L): DataFrame = {
+      broadcastPairBound: Long = 4000000L,
+      payloadPairBound: Long = 262144L): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
     val spark = docs.sparkSession
     GraftFunctions.register(spark)
@@ -712,72 +759,116 @@ object Similarity {
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .localCheckpoint(eager = false)
       .selectExpr(keep :+ MinHash.splitExpr: _*)
-      .selectExpr(keep :+ s"(${MinHash.shingleExpr}) AS sh": _*)
+      .selectExpr(keep :+ s"(${MinHash.shingleExpr}) AS s3": _*)
+      .selectExpr(keep :+ "array_distinct(transform(s3, x -> xxhash64(x))) AS sh": _*)
       .localCheckpoint(eager = true)
-    // SLIM postings: the df join and the doc_id regroup are the two
-    // full-posting-volume exchanges of this plan — they carry (doc_id,
-    // shingle) only; per-doc metadata (block columns, set size) joins back
-    // by id onto the ~20% PREFIX, never riding the full stream.
-    val meta = sh.selectExpr(keep :+ "size(sh) AS n": _*)
-    val post = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val dfreq = post.groupBy("shingle").agg(count(lit(1)).as("df"))
+    // SLIM postings: (doc_id, 8-byte gram) only; per-doc metadata (block
+    // columns) joins back by id onto the ~20% PREFIX, never riding the full
+    // stream. The explicit repartition IS the single full-posting exchange
+    // of the annotate step — both the df aggregate and the merge join's
+    // probe side consume it (identical subtree -> the shuffle stage is
+    // built once and reused).
+    val meta = sh.selectExpr(keep: _*)
+    // The explicit isnotnull + count(doc_id) pair is what makes the reuse
+    // real, not aspirational: the probe leg's downstream doc_id joins infer
+    // an isnotnull(doc_id) pushdown that the df leg never gets, and
+    // count(1) lets Catalyst prune doc_id from the df branch — either way
+    // the two exchange subtrees canonicalize differently and the posting
+    // stream ships TWICE (measured round 9: two 3.4 MB stages at sf0.1).
+    // With both legs constraint- and column-identical, AQE's stage cache
+    // plans ONE exchange and the df side reads it as a ReusedExchange.
+    // (doc_id is never null after the filter, so count(doc_id) == count(*);
+    // df only needs to be a CONSISTENT order key anyway.)
+    val post = sh.where(col("doc_id").isNotNull)
+      .select(col("doc_id"), explode(col("sh")).as("gram"))
+      .repartition(col("gram"))
+    val dfreq = post.groupBy("gram").agg(count(col("doc_id")).as("df"))
     // Per-doc prefix via HASH AGGREGATION, not a rank window: collect each
-    // doc's (df, shingle) pairs (struct sort == the window's (df, shingle)
-    // order; buffer bounded by doc length), slice the AllPairs prefix, and
-    // explode it back. Same rows as row_number() <= prefix_len, but the
-    // doc_id exchange feeds a hash aggregate instead of a partition-wide
-    // sort — no sort-spill of the full df-annotated posting stream.
+    // doc's (df, gram) pairs (struct sort == the window's (df, gram) order;
+    // buffer bounded by doc length), slice the AllPairs prefix, and explode
+    // it back. Same rows as row_number() <= prefix_len, but the doc_id
+    // exchange feeds a hash aggregate instead of a partition-wide sort — no
+    // sort-spill of the full df-annotated posting stream. The set size `n`
+    // is size(ranked) (postings are distinct per doc) — no meta join on the
+    // full stream.
     val prefix = post
-      .join(dfreq.hint("merge"), Seq("shingle"))
+      .join(dfreq.hint("merge"), Seq("gram"))
       .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("ranked"))
+      .agg(sort_array(collect_list(struct(col("df"), col("gram")))).as("ranked"))
+      .select(col("doc_id"), size(col("ranked")).as("n"),
+        expr(s"slice(ranked, 1, size(ranked) - CAST(ceil($threshold * size(ranked)) AS INT) + 1)").as("pref"))
+      .select(col("doc_id"), col("n"), explode(col("pref")).as("r"))
+      .select(col("doc_id"), col("n"), col("r.gram").as("gram"))
       .join(meta, Seq("doc_id"))
-      .select(col("doc_id") +: col("n") +: blockCols.map(col) :+
-        explode(expr(s"slice(ranked, 1, n - CAST(ceil($threshold * n) AS INT) + 1)")).as("r"): _*)
-      .select(col("doc_id") +: col("n") +: col("r.shingle").as("shingle") +:
-        blockCols.map(col): _*)
     val blockEq = blockCols.map(c => s"a.$c = b.$c").mkString(" AND ")
     val cands = prefix.as("a")
       .join(prefix.as("b").hint("merge"), expr(
-        s"$blockEq AND a.shingle = b.shingle AND a.doc_id < b.doc_id"))
+        s"$blockEq AND a.gram = b.gram AND a.doc_id < b.doc_id"))
       .select(col("a.doc_id").as("id_a") +: col("b.doc_id").as("id_b") +:
         blockCols.map(c => col(s"a.$c").as(c)): _*)
       .distinct()
-      // eager: feeds the id legs AND the final join, and the materialized
-      // count below hands the planner a broadcast decision it can use at
+      // lazy checkpoint + count = ONE action (round-9; eager + count was
+      // two jobs): the count below computes AND persists every partition,
+      // feeds the id legs and the final join from the checkpointed blocks,
+      // and its value hands the planner a broadcast decision usable at
       // initial planning (AQE's SMJ->BHJ conversion lands too late)
-      .localCheckpoint(eager = true)
-    // Exact verify WITHOUT exchanging shingle arrays (d2's posting-count
-    // form): |a∩b| = shared-posting count over candidate docs only, because
-    // `sh` holds distinct shingles. Identical legs -> the candidate posting
-    // exchange is planned once and reused.
+      .localCheckpoint(eager = false)
+    // TIERED exact verify (see minHashNearDupPairs — same contract, same
+    // one-action count): payload join on small pair sets (arrays ride one
+    // candidate-bounded exchange, native array_intersect — no explode, no
+    // posting self-join, ~6 fewer 32-task stages); posting-count form at
+    // scale, WITHOUT exchanging gram arrays (`sh` holds distinct grams so
+    // the shared-posting count is |a∩b|; identical legs -> the candidate
+    // posting exchange is planned once and reused).
     val nPairs = cands.count()
-    val small = nPairs <= broadcastPairBound
-    val candDocs = cands.select(col("id_a").as("doc_id"))
-      .union(cands.select(col("id_b").as("doc_id")))
-    // broadcast path skips the distinct (the hash relation dedups keys —
-    // two fewer stages on the critical path); the shuffled fallback keeps it
-    val candKeys = if (small) broadcast(candDocs) else candDocs.distinct()
-    // block columns ride candPost so the verify join prunes CROSS-BLOCK
-    // shingle collisions at the join instead of counting pairs the final
-    // cands join would discard anyway (candidates are within-block by
-    // construction; this is pure early pruning, not a semantic change)
-    val candPost = sh
-      .select(col("doc_id") +: col("sh") +: blockCols.map(col): _*)
-      .join(candKeys, Seq("doc_id"), "left_semi")
-      .select(col("doc_id") +: size(col("sh")).as("n") +:
-        explode(col("sh")).as("shingle") +: blockCols.map(col): _*)
-    candPost.as("a")
-      .join(candPost.as("b"), expr(
-        s"$blockEq AND a.shingle = b.shingle AND a.doc_id < b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.n").as("na"), col("b.n").as("nb"))
-      .agg(count(lit(1)).as("inter"))
-      .where(expr(s"inter * 1.0 / (na + nb - inter) >= $threshold"))
-      // pair set known-small when the id set broadcast — same decision makes
-      // the block-column join-back a broadcast probe instead of an SMJ
-      .join(if (small) broadcast(cands) else cands, Seq("id_a", "id_b"))
-      .select(col("id_a") +: col("id_b") +: blockCols.map(col) :+
-        expr("CAST(inter * 1.0 / (na + nb - inter) AS DOUBLE)").as("jaccard"): _*)
+    val jac = "size(array_intersect(sha, shb)) * 1.0 / " +
+      "(size(sha) + size(shb) - size(array_intersect(sha, shb)))"
+    if (nPairs <= payloadPairBound) {
+      // cands already carries the a-side block columns — only the gram sets
+      // join in (map-side probe for a, broadcast-semi-bounded merge for b)
+      val bCands = broadcast(cands)
+      val withA = sh.as("a")
+        .join(bCands, col("a.doc_id") === col("id_a"))
+        // qualify: blockCols exist on both sides (equal by construction —
+        // candidates carry the a-side block values)
+        .select(col("id_a") +: col("id_b") +: col("a.sh").as("sha") +:
+          blockCols.map(c => col(s"a.$c").as(c)): _*)
+      val bSide = sh.as("b")
+        .join(bCands, col("b.doc_id") === col("id_b"), "left_semi")
+        .select(col("b.doc_id").as("bid"), col("b.sh").as("shb"))
+      withA
+        .join(bSide.hint("merge"), col("id_b") === col("bid"))
+        .where(expr(s"$jac >= $threshold"))
+        .select(col("id_a") +: col("id_b") +: blockCols.map(col) :+
+          expr(s"CAST($jac AS DOUBLE)").as("jaccard"): _*)
+    } else {
+      val small = nPairs <= broadcastPairBound
+      val candDocs = cands.select(col("id_a").as("doc_id"))
+        .union(cands.select(col("id_b").as("doc_id")))
+      // broadcast path skips the distinct (the hash relation dedups keys —
+      // two fewer stages on the critical path); the shuffled fallback keeps it
+      val candKeys = if (small) broadcast(candDocs) else candDocs.distinct()
+      // block columns ride candPost so the verify join prunes CROSS-BLOCK
+      // gram collisions at the join instead of counting pairs the final
+      // cands join would discard anyway (candidates are within-block by
+      // construction; this is pure early pruning, not a semantic change)
+      val candPost = sh
+        .select(col("doc_id") +: col("sh") +: blockCols.map(col): _*)
+        .join(candKeys, Seq("doc_id"), "left_semi")
+        .select(col("doc_id") +: size(col("sh")).as("n") +:
+          explode(col("sh")).as("gram") +: blockCols.map(col): _*)
+      candPost.as("a")
+        .join(candPost.as("b"), expr(
+          s"$blockEq AND a.gram = b.gram AND a.doc_id < b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          col("a.n").as("na"), col("b.n").as("nb"))
+        .agg(count(lit(1)).as("inter"))
+        .where(expr(s"inter * 1.0 / (na + nb - inter) >= $threshold"))
+        // pair set known-small when the id set broadcast — same decision makes
+        // the block-column join-back a broadcast probe instead of an SMJ
+        .join(if (small) broadcast(cands) else cands, Seq("id_a", "id_b"))
+        .select(col("id_a") +: col("id_b") +: blockCols.map(col) :+
+          expr("CAST(inter * 1.0 / (na + nb - inter) AS DOUBLE)").as("jaccard"): _*)
+    }
   }
 }

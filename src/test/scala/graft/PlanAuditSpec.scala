@@ -464,25 +464,36 @@ class PlanAuditSpec extends SparkSpec {
       s"median/MAD must use ScaleOps' O(bins) descent, not percentile():\n${plan.take(3000)}")
   }
 
-  test("d2: verify broadcasts the candidate id set; shingle payloads never ride a doc_id exchange") {
-    // The round-8 rebuild's contract (SCALE.md session-9): the near-dup
-    // verify must (a) semi-join the signature table against a BROADCAST of
-    // candidate ids — planned at INITIAL planning, because AQE's late
-    // SMJ->BHJ conversion arrives after the corpus side's exchange has
-    // already shipped — and (b) exchange candidate POSTINGS (by shingle),
-    // never (doc_id, sh) signature rows. A shuffled join keyed on bare
-    // doc_id reappearing in this plan means whole-corpus shingle arrays
-    // are back on the wire at 100 TB scale.
+  test("d2: verify broadcasts pair/candidate ids; corpus shingle payloads never ride a doc_id exchange") {
+    // The round-8 invariant, tiered in round 9 (Similarity.scala scaladoc):
+    // whichever tier runs, the near-dup verify must (a) bound the signature
+    // table by a BROADCAST built from the materialized candidate table —
+    // planned at INITIAL planning, because AQE's late SMJ->BHJ conversion
+    // arrives after the corpus side's exchange has already shipped — and
+    // (b) never run a shuffled join whose LEADING key is the bare corpus
+    // doc_id (that is the whole-corpus signature-payload exchange the
+    // round-8 rebuild removed). At spec scale the PAYLOAD tier runs: the
+    // pair-colocating join keys on the pair id (id_b) with both sides
+    // candidate-bounded.
     val df = Registry.byName("d2_dedup_minhash_lsh").fn(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
-      s"candidate-id filter must be a broadcast semi-join:\n${plan.take(3000)}")
+      s"candidate bounding must be a broadcast semi-join:\n${plan.take(3000)}")
     assert(!plan.contains("SortMergeJoin [doc_id") && !plan.contains("ShuffledHashJoin [doc_id"),
       s"no shuffled join may key on bare doc_id (signature-payload exchange):\n${plan.take(3000)}")
-    // at spec scale the posting join legitimately broadcasts; at corpus
-    // scale it exchanges keyed by shingle — either way the join key is the
-    // fine-grained posting term, never the signature row
-    assert(plan.contains("hashpartitioning(shingle") || plan.contains("Join [shingle"),
-      s"the verify join must key on postings (shingle):\n${plan.take(3000)}")
+    assert(plan.contains("Join [id_b"),
+      s"the payload tier colocates sets by the pair id:\n${plan.take(3000)}")
+    // Force the POSTING tier (the at-scale shape) on the registered query:
+    // its join must key on the fine-grained posting term, never the
+    // signature row.
+    spark.conf.set("graft.payloadPairBound", "0")
+    try {
+      val df2 = Registry.byName("d2_dedup_minhash_lsh").fn(spark, sf)
+      val plan2 = df2.queryExecution.executedPlan.toString
+      assert(!plan2.contains("SortMergeJoin [doc_id") && !plan2.contains("ShuffledHashJoin [doc_id"),
+        s"posting tier: no shuffled join on bare doc_id:\n${plan2.take(3000)}")
+      assert(plan2.contains("hashpartitioning(shingle") || plan2.contains("Join [shingle"),
+        s"posting tier must key on postings (shingle):\n${plan2.take(3000)}")
+    } finally spark.conf.unset("graft.payloadPairBound")
   }
 }

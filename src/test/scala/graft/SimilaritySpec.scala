@@ -542,16 +542,20 @@ class SimilaritySpec extends SparkSpec {
     assert(got.contains((4L, 5L)), "de/web pair clears the 0.5 threshold")
   }
 
-  test("ngramJaccardPairs: the shuffled-fallback verify path equals the broadcast path") {
-    // the non-broadcast branch (candidate set above the bound) never runs on
-    // small fixtures by default — force it with bound 0 so a latent bug in
-    // the at-scale path cannot hide behind the broadcast fast path
-    def pairs(bound: Long) =
-      Similarity.ngramJaccardPairs(dupDocs, 0.5, Seq("lang", "source"), bound)
+  test("ngramJaccardPairs: all three verify tiers answer identically") {
+    // small fixtures land in the payload tier by default — force each
+    // posting-count tier with bound 0 so a latent bug in an at-scale path
+    // cannot hide behind the small-pair fast path
+    def pairs(bBound: Long, pBound: Long) =
+      Similarity.ngramJaccardPairs(dupDocs, 0.5, Seq("lang", "source"), bBound, pBound)
         .select("id_a", "id_b")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairs(0L) == pairs(4000000L))
-    assert(pairs(0L) == brutePairs(0.5))
+    val payload = pairs(4000000L, 262144L)
+    val postingBroadcast = pairs(4000000L, 0L)
+    val postingShuffled = pairs(0L, 0L)
+    assert(payload == brutePairs(0.5))
+    assert(postingBroadcast == payload)
+    assert(postingShuffled == payload)
   }
 
   test("cosineNearDupPairs: the saturation fallback (no candidate filter) equals the broadcast path") {
@@ -576,14 +580,17 @@ class SimilaritySpec extends SparkSpec {
       .where(expr(s"${graft.ext.MinHash.jaccardExpr("a.sh", "b.sh")} >= 0.8"))
       .select(col("a.doc_id"), col("b.doc_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    def got(bound: Long) =
-      Similarity.minHashNearDupPairs(dupDocs, 0.8, Seq("lang"), 1000, bound)
+    def got(bBound: Long, pBound: Long) =
+      Similarity.minHashNearDupPairs(dupDocs, 0.8, Seq("lang"), 1000, bBound, pBound)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
-    val fast = got(4000000L)
+    val fast = got(4000000L, 262144L) // payload tier (the small-pair default)
     assert(fast.map(t => (t._1, t._2)).toSet == want, s"${fast.toSeq} vs $want")
     assert(want.contains((1L, 3L)), "fixture plants a cross-block near-dup the LSH form must keep")
     assert(fast.forall(_._3 != null), "a-side keep column must ride the output")
-    assert(got(0L).sorted.sameElements(fast.sorted), "shuffled fallback must answer identically")
+    assert(got(4000000L, 0L).sorted.sameElements(fast.sorted),
+      "posting-count broadcast tier must answer identically")
+    assert(got(0L, 0L).sorted.sameElements(fast.sorted),
+      "posting-count shuffled tier must answer identically")
   }
 
   test("ngramJaccardPairs reports the exact jaccard and block columns") {
