@@ -346,9 +346,19 @@ object ScaleOps {
     * `orderCols` must totally order rows within a group (no peers) for the
     * result to be deterministic. Output: input columns + `rn` (1-based
     * within each group, in `orderCols` order).
+    *
+    * `maxOffsetRows` guards the bounded-driver-state contract (the
+    * [[graft.ext.Similarity.semDedup]] `maxCellWidth` discipline): the
+    * offset table is O(partitions x groups) and is collected + broadcast,
+    * which is the POINT for low-cardinality ranking groups (w14's shape) —
+    * but a caller passing a high-cardinality group column would silently
+    * collect millions of rows. Above the bound the call fails loudly with
+    * the fix (this operator is for FEW, LARGE ranking groups; for many
+    * small groups a plain per-group window is already shard-safe).
     */
   def groupedGlobalRowNumber(df: DataFrame, groupCols: Seq[String],
-      orderCols: Seq[String], partitions: Int = 0): DataFrame = {
+      orderCols: Seq[String], partitions: Int = 0,
+      maxOffsetRows: Int = 1 << 20): DataFrame = {
     val spark = df.sparkSession
     val n = if (partitions > 0) partitions else spark.sessionState.conf.numShufflePartitions
     val all = (groupCols ++ orderCols).map(col)
@@ -357,10 +367,19 @@ object ScaleOps {
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(eager = false) // pin partition ids across the two uses
     // per-(pid, group) counts -> per-(pid, group) starting offset; small:
-    // O(partitions x groups) rows on the driver, broadcast back
+    // O(partitions x groups) rows on the driver, broadcast back. The
+    // limit bounds what can ever reach driver memory; the require turns an
+    // over-bound cardinality into an actionable error instead of an OOM.
     val counts = rp.groupBy((col("__pid") +: groupCols.map(col)): _*)
       .agg(count(lit(1)).as("__c"))
+      .limit(maxOffsetRows + 1)
       .collect()
+    require(counts.length <= maxOffsetRows,
+      s"groupedGlobalRowNumber: per-(partition, group) offset table exceeds " +
+        s"maxOffsetRows=$maxOffsetRows — the group columns " +
+        s"${groupCols.mkString("(", ", ", ")")} are too high-cardinality for " +
+        "driver-side offsets. Use a plain per-group window for many small " +
+        "groups, or raise maxOffsetRows if the driver can hold the table.")
     val key = (r: org.apache.spark.sql.Row) => groupCols.indices.map(i => r.get(i + 1)).toSeq
     val offsets = counts
       .groupBy(key).values.toSeq

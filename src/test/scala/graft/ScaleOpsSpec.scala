@@ -486,6 +486,23 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got.count() == 0L)
   }
 
+  test("groupedGlobalRowNumber fails loudly on a high-cardinality group column") {
+    // the driver offset table is O(partitions x groups) BY DESIGN (few large
+    // ranking groups); a high-cardinality group must hit the guard with an
+    // actionable error, never silently collect an unbounded table
+    import spark.implicits._
+    val df = (1 to 2000).map(i => (s"g$i", i, i.toLong)).toDF("g", "k", "id")
+    val e = intercept[IllegalArgumentException] {
+      ScaleOps.groupedGlobalRowNumber(df, Seq("g"), Seq("k", "id"),
+        partitions = 4, maxOffsetRows = 100)
+    }
+    assert(e.getMessage.contains("maxOffsetRows"), e.getMessage)
+    // and the same data under the default bound still ranks correctly
+    val ok = ScaleOps.groupedGlobalRowNumber(df, Seq("g"), Seq("k", "id"), partitions = 4)
+    assert(ok.where(col("rn") =!= 1L).count() == 0L,
+      "singleton groups must all rank 1")
+  }
+
   test("deleteKeys removes exactly the matched rows, survivors untouched") {
     import spark.implicits._
     val dir = tmpDir("delkeys") + "/t"
