@@ -1910,21 +1910,12 @@ object RelationalQueries {
         "and a COUNT(DISTINCT) OVER (RANGE 30 DAYS) would buffer windows. " +
         "Reported weekly (day % 7 == 0 sample) to keep the gate compact",
       (s, d) => {
-        val du = events(s, d)
-          .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
-          .distinct()
+        // The registration IS the library call (graft.ops.ActiveUsers):
+        // this row gates the explosion form; w19 gates the sweep; w20 gates
+        // the auto-router.
+        val du = graft.ops.ActiveUsers.dailyUsers(events(s, d))
           .localCheckpoint(eager = false) // feeds DAU + two window explosions
-        val dau = du.groupBy("day").agg(countDistinct("user_id").as("dau"))
-        def rolling(win: Int, name: String) = du
-          .select(explode(expr(s"sequence(day, day + interval ${win - 1} days, interval 1 day)"))
-            .as("tday"), col("user_id"))
-          .distinct()
-          .groupBy("tday").agg(count(lit(1)).as(name))
-        dau
-          .join(rolling(7, "wau"), col("day") === col("tday"))
-          .drop("tday")
-          .join(rolling(30, "mau"), col("day") === col("tday"))
-          .drop("tday")
+        graft.ops.ActiveUsers.viaExplosion(du, Seq(7 -> "wau", 30 -> "mau"))
           .where(expr("dayofmonth(day) % 7 = 1"))
           .orderBy("day")
       },
@@ -2167,38 +2158,10 @@ object RelationalQueries {
         "one row per distinct day — calendar-bounded, the w18 spine " +
         "discipline — never a row per user or per event",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val du = events(s, d)
-          .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
-          .distinct()
+        // The registration IS the library call (graft.ops.ActiveUsers.viaSweep).
+        val du = graft.ops.ActiveUsers.dailyUsers(events(s, d))
           .localCheckpoint(eager = false) // feeds DAU + two sweeps
-        val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
-        def sweep(win: Int, name: String) = {
-          val wu = Window.partitionBy("user_id").orderBy("day")
-          val isl = du
-            .withColumn("brk",
-              when(datediff(col("day"),
-                lag("day", 1).over(wu)) <= lit(win - 1), 0).otherwise(1))
-            .withColumn("grp", sum("brk").over(wu))
-            .groupBy("user_id", "grp")
-            .agg(min("day").as("s"),
-              expr(s"max(day) + interval ${win - 1} days").as("e"))
-          val bounds = isl.select(col("s").as("day"), lit(1L).as("delta"))
-            .unionByName(isl.select(expr("e + interval 1 day").as("day"),
-              lit(-1L).as("delta")))
-            // dau days enter with delta 0 so the prefix sum has a row at
-            // every day the final join needs (counts only change at island
-            // boundaries, but the gate reads them at activity days)
-            .unionByName(dau.select(col("day"), lit(0L).as("delta")))
-            .groupBy("day").agg(sum("delta").as("delta"))
-          val wd = Window.orderBy("day")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-          bounds.withColumn(name, sum("delta").over(wd).cast("long"))
-            .select(col("day").as("tday"), col(name))
-        }
-        dau
-          .join(sweep(7, "wau"), col("day") === col("tday")).drop("tday")
-          .join(sweep(30, "mau"), col("day") === col("tday")).drop("tday")
+        graft.ops.ActiveUsers.viaSweep(du, Seq(7 -> "wau", 30 -> "mau"))
           .where(expr("dayofmonth(day) % 7 = 1"))
           .orderBy("day")
       },
@@ -2223,6 +2186,37 @@ object RelationalQueries {
              |SELECT dau.day AS day, dau, wau, mau
              |FROM dau JOIN c7 ON dau.day = c7.day JOIN c30 ON dau.day = c30.day
              |WHERE dayofmonth(dau.day) % 7 = 1
+             |ORDER BY day""".stripMargin)
+    ),
+    Q(
+      "w20_active_users_auto",
+      "Auto-routed rolling engagement (graft.ops.ActiveUsers.rollingActive): " +
+        "ONE count on the shared distinct (day, user) projection — which " +
+        "also materializes its checkpoint, so the decision is free — " +
+        "forecasts the explosion volume (pairs x sum of windows) and picks " +
+        "w16's generator-explosion form below the bound or w19's island " +
+        "sweep above it (the measured SCALE.md crossover automated, the " +
+        "planBandBits philosophy for the MAU family). Both forms are " +
+        "registered and oracle-gated individually; this row gates the " +
+        "ROUTER end-to-end: whatever form it picks must reproduce the " +
+        "same exact DAU/WAU/MAU numbers",
+      (s, d) =>
+        graft.ops.ActiveUsers.rollingActive(events(s, d))
+          .where(expr("dayofmonth(day) % 7 = 1"))
+          .orderBy("day"),
+      // Same values as w16/w19 (the three rows share hash-identical
+      // oracles); the explosion-form SQL is the shorter spelling.
+      Some("""WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+             |dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM du GROUP BY 1),
+             |w AS (SELECT tday, COUNT(*) AS wau FROM (
+             |    SELECT DISTINCT unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS tday, user_id
+             |    FROM du) GROUP BY 1),
+             |m AS (SELECT tday, COUNT(*) AS mau FROM (
+             |    SELECT DISTINCT unnest(generate_series(day, day + INTERVAL 29 DAY, INTERVAL 1 DAY)) AS tday, user_id
+             |    FROM du) GROUP BY 1)
+             |SELECT day, dau, wau, mau
+             |FROM dau JOIN w ON day = w.tday JOIN m ON day = m.tday
+             |WHERE dayofmonth(day) % 7 = 1
              |ORDER BY day""".stripMargin)
     ),
     Q(
