@@ -231,20 +231,67 @@ object ExtensionQueries {
         |  UNION ALL SELECT vec_id, 1, band1 FROM sig
         |  UNION ALL SELECT vec_id, 2, band2 FROM sig
         |  UNION ALL SELECT vec_id, 3, band3 FROM sig),
-        |capped AS (
-        |  SELECT band, bkey FROM bands GROUP BY band, bkey HAVING COUNT(*) <= 1000),
-        |cands AS (
-        |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS vec_id FROM bands q
-        |  JOIN capped cp ON q.band = cp.band AND q.bkey = cp.bkey
-        |  JOIN bands c ON q.band = c.band AND q.bkey = c.bkey AND c.vec_id <> q.vec_id),
-        |scored AS (
-        |  SELECT qid, c.vec_id AS vec_id,
-        |    list_reduce(list_transform(list_zip(qe.v, ce.v), p -> p[1] * p[2]), (acc, x) -> acc + x) / (qe.nrm * ce.nrm) AS cos,
-        |    row_number() OVER (PARTITION BY qid ORDER BY
-        |      list_reduce(list_transform(list_zip(qe.v, ce.v), p -> p[1] * p[2]), (acc, x) -> acc + x) / (qe.nrm * ce.nrm) DESC,
-        |      c.vec_id) AS rank
-        |  FROM cands c JOIN e qe ON c.qid = qe.vec_id JOIN e ce ON c.vec_id = ce.vec_id)
-        |SELECT qid, rank, vec_id, cos FROM scored WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+        |""".stripMargin + knnGraphOracleTail
+  }
+
+  /** The capped-bucket-join + exact-rerank tail shared by every kNN-graph
+    * oracle: expects a `bands (vec_id, band, bkey)` CTE and the `e` vector
+    * CTE in scope. maxBucket=1000 and the (score desc, id) tiebreak mirror
+    * [[graft.ext.Similarity.knnGraph]].
+    */
+  private def knnGraphOracleTail: String =
+    """capped AS (
+      |  SELECT band, bkey FROM bands GROUP BY band, bkey HAVING COUNT(*) <= 1000),
+      |cands AS (
+      |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS vec_id FROM bands q
+      |  JOIN capped cp ON q.band = cp.band AND q.bkey = cp.bkey
+      |  JOIN bands c ON q.band = c.band AND q.bkey = c.bkey AND c.vec_id <> q.vec_id),
+      |scored AS (
+      |  SELECT qid, c.vec_id AS vec_id,
+      |    list_reduce(list_transform(list_zip(qe.v, ce.v), p -> p[1] * p[2]), (acc, x) -> acc + x) / (qe.nrm * ce.nrm) AS cos,
+      |    row_number() OVER (PARTITION BY qid ORDER BY
+      |      list_reduce(list_transform(list_zip(qe.v, ce.v), p -> p[1] * p[2]), (acc, x) -> acc + x) / (qe.nrm * ce.nrm) DESC,
+      |      c.vec_id) AS rank
+      |  FROM cands c JOIN e qe ON c.qid = qe.vec_id JOIN e ce ON c.vec_id = ce.vec_id)
+      |SELECT qid, rank, vec_id, cos FROM scored WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
+  /** The n15 auto-width oracle: BOTH widths' band tables, the
+    * [[graft.ext.Similarity.planBandBits]] decision reproduced in SQL (the
+    * narrow width's UNCAPPED pair forecast against the budget — forecasts
+    * run narrowest-first, so 16-bit wins when it fits and 32-bit is both
+    * the fallback and the saturation default), then the shared capped-join
+    * tail over whichever band table the forecast picked.
+    */
+  private def knnGraphAutoOracleSql(pairBudget: Long): String = {
+    def bandExprs(perBand: Int, prefix: String) = (0 until 4).map(b =>
+      s"  concat(" + (b * perBand until (b + 1) * perBand).map(i =>
+        s"(CASE WHEN v[${i + 1}] >= 0 THEN '1' ELSE '0' END)").mkString(", ") +
+        s") AS $prefix$b").mkString(",\n")
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |  sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), (acc, x) -> acc + x)) AS nrm
+      |  FROM embeddings),
+      |sig AS (SELECT vec_id, v, nrm,
+      |""".stripMargin +
+      bandExprs(4, "n") + ",\n" + bandExprs(8, "w") +
+      s"""
+        |  FROM e),
+        |bands4 AS (
+        |  SELECT vec_id, 0 AS band, n0 AS bkey FROM sig
+        |  UNION ALL SELECT vec_id, 1, n1 FROM sig
+        |  UNION ALL SELECT vec_id, 2, n2 FROM sig
+        |  UNION ALL SELECT vec_id, 3, n3 FROM sig),
+        |bands8 AS (
+        |  SELECT vec_id, 0 AS band, w0 AS bkey FROM sig
+        |  UNION ALL SELECT vec_id, 1, w1 FROM sig
+        |  UNION ALL SELECT vec_id, 2, w2 FROM sig
+        |  UNION ALL SELECT vec_id, 3, w3 FROM sig),
+        |f4 AS (SELECT COALESCE(SUM(c * (c - 1) // 2), 0) AS p
+        |  FROM (SELECT COUNT(*) AS c FROM bands4 GROUP BY band, bkey)),
+        |pick AS (SELECT CASE WHEN (SELECT p FROM f4) <= $pairBudget THEN 4 ELSE 8 END AS pb),
+        |bands AS (
+        |  SELECT * FROM bands4 WHERE (SELECT pb FROM pick) = 4
+        |  UNION ALL SELECT * FROM bands8 WHERE (SELECT pb FROM pick) = 8),
+        |""".stripMargin + knnGraphOracleTail
   }
 
   /** e4's seeded Achlioptas sign matrix (8 x 64, entries {-1,0,+1} with
@@ -1339,6 +1386,30 @@ object ExtensionQueries {
           .orderBy("qid", "rank")
       },
       Some(knnGraphOracleSql(perBand = 8))
+    ),
+    Q(
+      "n15_knn_graph_auto",
+      "The n7-vs-n8 width bracket AUTO-ROUTED end-to-end " +
+        "(Similarity.knnGraphAuto): planBandBits forecasts each width's " +
+        "UNCAPPED candidate-pair volume (one sum per width, narrowest " +
+        "first — best recall that fits the budget wins; the widest width " +
+        "is the saturation fallback) and the graph runs at the chosen " +
+        "width. The oracle reproduces the DECISION itself in SQL — both " +
+        "widths' band tables, the forecast CASE, the shared capped-join " +
+        "tail — so the gate fails if the router and the engine ever " +
+        "disagree about which regime the corpus is in. On a saturated " +
+        "4-bit key space (n7's regime at the larger SFs) the forecast " +
+        "exceeds the budget and the wide key wins; on a sparse corpus " +
+        "the narrow key keeps recall",
+      (s, d) => {
+        val prepared = graft.ext.Similarity.prepare(embeddings(s, d), "vec_id", "embedding")
+        graft.ext.Similarity
+          .knnGraphAuto(prepared, k = 3, widths = Seq(16, 32), bands = 4,
+            pairBudget = 1000000L, maxBucket = 1000)
+          .selectExpr("qid", "rank", "id AS vec_id", "score AS cos")
+          .orderBy("qid", "rank")
+      },
+      Some(knnGraphAutoOracleSql(1000000L))
     ),
     Q(
       "n9_ann_hamming",
