@@ -190,7 +190,7 @@ object ExtensionQueries {
   private val pqM = 4
   private val pqK = 4
   private val pqDim = 16
-  private lazy val pqModel: graft.ext.Pq.Model = {
+  private[graft] lazy val pqModel: graft.ext.Pq.Model = {
     val rng = new scala.util.Random(1105L)
     graft.ext.Pq.Model(pqM, pqK, pqDim,
       Array.fill(pqM, pqK, pqDim / pqM)(rng.nextFloat() * 0.6f - 0.3f))
@@ -441,7 +441,7 @@ object ExtensionQueries {
   // distance arithmetic follows the pq f32 contract documented above.
   private val sdK = 8
   private val sdDim = 16
-  private lazy val sdCent: Array[Array[Float]] = {
+  private[graft] lazy val sdCent: Array[Array[Float]] = {
     val rng = new scala.util.Random(2207L)
     Array.fill(sdK, sdDim)(rng.nextFloat() * 0.6f - 0.3f)
   }
