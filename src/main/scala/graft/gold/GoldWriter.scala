@@ -15,6 +15,22 @@ import graft.silver.Transformer
   * cleaner/cleaner.py:248). Replays of the same batch are no-ops, which is
   * what makes the at-least-once delivery safe (ST4).
   *
+  * WRITER CONCURRENCY (the contract, stated once and permanently): plain
+  * [[upsert]]/[[upsertBucketed]] are SINGLE-WRITER per table path — the
+  * conflict check (anti join) and the append are two steps, so two
+  * uncoordinated writers racing the same keys can both observe "absent" and
+  * both insert (GoldWriterSpec pins the serialized interleaving that
+  * prevents this). That matches the reference deployment exactly (its
+  * PK-enforced DuckDB writer sits behind a prefetch-1 queue consumer — one
+  * writer by construction). Deployments that DO need concurrent upserts use
+  * [[lockedUpsert]]/[[lockedUpsertBucketed]]: an advisory filesystem mutex
+  * (atomic exclusive-create of `_graft_gold.lock`, stale-takeover on crash)
+  * serializes cooperating writers on filesystems with atomic
+  * create-no-overwrite (local, HDFS). Object stores without atomic
+  * exclusive-create need an external coordinator (or a transactional table
+  * format) — that is a storage-layer property no parquet-directory protocol
+  * can conjure, and pretending otherwise would be the bug.
+  *
   * Scale: the anti join ships only the key column of the existing table
   * (Catalyst prunes to one column) and the incoming batch is tiny relative to
   * the table, so AQE plans it as a broadcast of the batch keys — no full-table
@@ -153,6 +169,60 @@ object GoldWriter {
           "conflict scan and can admit duplicate keys).")
     }
   }
+
+  /** The advisory writer mutex behind [[lockedUpsert]]: acquire via atomic
+    * exclusive-create of `<path parent>/<name>.lock` (Hadoop
+    * `create(overwrite = false)` — atomic on local/HDFS semantics), run the
+    * body, delete the lock in finally. A lock older than `staleMs` is
+    * presumed abandoned by a crashed writer and is broken (delete + retry) —
+    * safe because upserts are idempotent first-write-wins appends: the worst
+    * a broken-then-raced stale writer can do is append rows a replay would
+    * have appended anyway... except duplicates, which is exactly why
+    * `staleMs` should exceed any plausible upsert duration (default 10 min).
+    * Contention waits with bounded sleep up to `waitMs`, then fails loudly
+    * (a stuck queue must page someone, not silently drop batches).
+    */
+  def withTableLock[T](spark: SparkSession, path: String,
+      staleMs: Long = 600000L, waitMs: Long = 60000L)(body: => T): T = {
+    val table = new org.apache.hadoop.fs.Path(path)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(
+      table.getParent, s".${table.getName}._graft_gold.lock")
+    val deadline = System.currentTimeMillis() + waitMs
+    var held = false
+    while (!held) {
+      try {
+        fs.create(lock, false).close()
+        held = true
+      } catch {
+        case _: java.io.IOException =>
+          val age = try System.currentTimeMillis() -
+            fs.getFileStatus(lock).getModificationTime
+          catch { case _: java.io.FileNotFoundException => 0L } // racer released; retry
+          if (age > staleMs) fs.delete(lock, false) // break an abandoned lock
+          else if (System.currentTimeMillis() > deadline)
+            throw new IllegalStateException(
+              s"GoldWriter: could not acquire writer lock $lock within ${waitMs} ms " +
+                "— another upsert holds it (or raise waitMs / check for a stuck writer)")
+          else Thread.sleep(50L)
+      }
+    }
+    try body finally fs.delete(lock, false)
+  }
+
+  /** [[upsert]] serialized through [[withTableLock]] — the multi-writer
+    * entry: concurrent cooperating writers upserting overlapping keys get
+    * first-write-wins with zero duplicate keys (GoldWriterSpec pins the
+    * contended interleaving).
+    */
+  def lockedUpsert(spark: SparkSession, batch: DataFrame, path: String,
+      key: String = "crash_record_id"): IntegrityReport =
+    withTableLock(spark, path)(upsert(spark, batch, path, key))
+
+  /** [[upsertBucketed]] under the same advisory writer mutex. */
+  def lockedUpsertBucketed(spark: SparkSession, batch: DataFrame, path: String,
+      key: String = "crash_record_id", buckets: Int = 64): IntegrityReport =
+    withTableLock(spark, path)(upsertBucketed(spark, batch, path, key, buckets))
 
   /** Filesystem-agnostic existence probe (a java.io.File check would always
     * say "missing" on hdfs:// or s3a:// paths and silently break the

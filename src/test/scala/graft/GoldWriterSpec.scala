@@ -110,4 +110,72 @@ class GoldWriterSpec extends SparkSpec {
     assert(filesRead > 0 && filesRead < allFiles,
       s"pruned scan must read a strict subset: $filesRead of $allFiles")
   }
+
+  test("withTableLock serializes: a second acquirer waits until the holder releases") {
+    val path = tmpDir("goldlock") + "/gold"
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() =>
+      GoldWriter.withTableLock(spark, path) {
+        started.countDown()
+        release.await(10, java.util.concurrent.TimeUnit.SECONDS)
+      })
+    holder.start()
+    started.await(10, java.util.concurrent.TimeUnit.SECONDS)
+    val t0 = System.nanoTime()
+    // release the holder shortly after the contender starts waiting
+    new Thread(() => { Thread.sleep(500); release.countDown() }).start()
+    val got = GoldWriter.withTableLock(spark, path, waitMs = 10000L)(42)
+    val waitedMs = (System.nanoTime() - t0) / 1000000L
+    holder.join(10000)
+    assert(got == 42)
+    assert(waitedMs >= 400, s"contender must block until release, waited only ${waitedMs}ms")
+  }
+
+  test("lockedUpsert under contention: overlapping concurrent batches, zero duplicate keys") {
+    val path = tmpDir("goldlock2") + "/gold"
+    // seed the table so both contenders take the existing-keys anti-join path
+    GoldWriter.lockedUpsert(spark, Seq(("c0", 0)).toDF("crash_record_id", "v"), path)
+    val overlapping = Seq(
+      Seq(("c0", 10), ("c1", 11), ("c2", 12)),
+      Seq(("c1", 21), ("c2", 22), ("c3", 23)))
+    val reports = new java.util.concurrent.ConcurrentLinkedQueue[GoldWriter.IntegrityReport]()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = overlapping.map { rows =>
+      new Thread(() =>
+        try reports.add(GoldWriter.lockedUpsert(
+          spark, rows.toDF("crash_record_id", "v"), path))
+        catch { case t: Throwable => errors.add(t) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(60000))
+    assert(errors.isEmpty, s"writers must not fail: ${errors.peek()}")
+    import scala.jdk.CollectionConverters._
+    assert(reports.asScala.forall(_.duplicateKeys == 0L))
+    val table = spark.read.parquet(path)
+    assert(table.count() == 4L, "c0..c3 exactly once each")
+    assert(table.groupBy("crash_record_id").count().where($"count" > 1).count() == 0L,
+      "the lock must prevent the double-insert race on overlapping keys")
+    // first-write-wins held for the seeded key regardless of interleaving
+    assert(table.where($"crash_record_id" === "c0").collect()(0).getInt(1) == 0)
+  }
+
+  test("a stale lock from a crashed writer is broken and the upsert proceeds") {
+    val path = tmpDir("goldlock3") + "/gold"
+    val table = new org.apache.hadoop.fs.Path(path)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(
+      table.getParent, s".${table.getName}._graft_gold.lock")
+    fs.mkdirs(table.getParent)
+    fs.create(lock, false).close()
+    fs.setTimes(lock, System.currentTimeMillis() - 3600000L, -1) // an hour old
+    val r = GoldWriter.withTableLock(spark, path, staleMs = 600000L, waitMs = 2000L)(7)
+    assert(r == 7, "hour-old lock must be presumed abandoned and broken")
+    // and a FRESH lock is respected: bounded wait then loud failure
+    fs.create(lock, false).close()
+    val e = intercept[IllegalStateException] {
+      GoldWriter.withTableLock(spark, path, waitMs = 300L)(0)
+    }
+    assert(e.getMessage.contains("writer lock"), e.getMessage)
+    fs.delete(lock, false)
+  }
 }
