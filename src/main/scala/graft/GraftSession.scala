@@ -26,6 +26,15 @@ object GraftSession {
       // session-global legacy flag would be a trap for any other NANOS
       // parquet read in the same session
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // ObjectHashAggregate (collect_list/collect_set) falls back to
+      // SORT-BASED aggregation after just 128 distinct keys by default,
+      // which silently turns every per-doc/per-user list aggregation into a
+      // full sort of its input — measured at the 100x doc decade as ALL of
+      // d17's 1.7 GB spill and ~2x its aggregate-stage CPU. Every grouped
+      // list in this engine is bounded by construction (doc length, a
+      // user's calendar days), so the hash map's VALUES are small; 2M keys
+      // per partition is the regime the partition sizing already assumes.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (1 << 21).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

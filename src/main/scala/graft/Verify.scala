@@ -21,6 +21,9 @@ object Verify {
       // this for the small-scale fast path (forced SHUFFLE_HASH OOMs at the
       // 100x decade: SCALE.md session-8 notes)
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
+      // grouped-list aggs are bounded by construction; the 128-key default
+      // fallback turns them into full-input sorts (GraftSession rationale)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (1 << 21).toString)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

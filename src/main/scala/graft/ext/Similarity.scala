@@ -800,10 +800,15 @@ object Similarity {
       .select(col("doc_id"), col("n"), explode(col("pref")).as("r"))
       .select(col("doc_id"), col("n"), col("r.gram").as("gram"))
       .join(meta, Seq("doc_id"))
+    // gram FIRST in the equi-condition: SMJ sort/compare order follows the
+    // condition order, so the 8-byte gram resolves almost every comparison
+    // and the block-column STRING compares run only inside same-gram runs
+    // (measured at the 100x decade: the candidate join's sort was a top-2
+    // CPU stage with block strings leading the key)
     val blockEq = blockCols.map(c => s"a.$c = b.$c").mkString(" AND ")
     val cands = prefix.as("a")
       .join(prefix.as("b").hint("merge"), expr(
-        s"$blockEq AND a.gram = b.gram AND a.doc_id < b.doc_id"))
+        s"a.gram = b.gram AND $blockEq AND a.doc_id < b.doc_id"))
       .select(col("a.doc_id").as("id_a") +: col("b.doc_id").as("id_b") +:
         blockCols.map(c => col(s"a.$c").as(c)): _*)
       .distinct()
@@ -859,7 +864,7 @@ object Similarity {
           explode(col("sh")).as("gram") +: blockCols.map(col): _*)
       candPost.as("a")
         .join(candPost.as("b"), expr(
-          s"$blockEq AND a.gram = b.gram AND a.doc_id < b.doc_id"))
+          s"a.gram = b.gram AND $blockEq AND a.doc_id < b.doc_id"))
         .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
           col("a.n").as("na"), col("b.n").as("nb"))
         .agg(count(lit(1)).as("inter"))

@@ -20,11 +20,13 @@ object StageProbe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OBJAGG_FALLBACK", (1 << 21).toString))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val rows = mutable.ArrayBuffer.empty[(Int, String, Long, Long, Long, Int, Double, Double)]
+    val rows = mutable.ArrayBuffer.empty[(Int, String, Long, Long, Long, Int, Double, Double, Long)]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(ev: SparkListenerStageCompleted): Unit = {
         val si = ev.stageInfo
@@ -34,7 +36,8 @@ object StageProbe {
             m.shuffleWriteMetrics.bytesWritten,
             m.shuffleReadMetrics.totalBytesRead,
             m.inputMetrics.bytesRead, si.numTasks,
-            m.executorRunTime / 1e3, m.executorCpuTime / 1e9))
+            m.executorRunTime / 1e3, m.executorCpuTime / 1e9,
+            m.memoryBytesSpilled + m.diskBytesSpilled))
         }
       }
     })
@@ -51,12 +54,12 @@ object StageProbe {
     // listener bus is async — give it a moment to drain before reading
     Thread.sleep(2000)
     println(f"STAGEPROBE $name rows=$n sec=$sec%.2f")
-    println(f"${"stage"}%6s ${"shufW_mb"}%9s ${"shufR_mb"}%9s ${"input_mb"}%9s ${"tasks"}%6s ${"run_s"}%8s ${"cpu_s"}%8s  name")
-    rows.sortBy(-_._7).foreach { case (id, nm, sw, sr, in, tk, rt, ct) =>
-      println(f"$id%6d ${sw / 1e6}%9.1f ${sr / 1e6}%9.1f ${in / 1e6}%9.1f $tk%6d $rt%8.1f $ct%8.1f  $nm")
+    println(f"${"stage"}%6s ${"shufW_mb"}%9s ${"shufR_mb"}%9s ${"input_mb"}%9s ${"spill_mb"}%9s ${"tasks"}%6s ${"run_s"}%8s ${"cpu_s"}%8s  name")
+    rows.sortBy(-_._7).foreach { case (id, nm, sw, sr, in, tk, rt, ct, sp) =>
+      println(f"$id%6d ${sw / 1e6}%9.1f ${sr / 1e6}%9.1f ${in / 1e6}%9.1f ${sp / 1e6}%9.1f $tk%6d $rt%8.1f $ct%8.1f  $nm")
     }
     val (tw, tr, ti) = (rows.map(_._3).sum / 1e6, rows.map(_._4).sum / 1e6, rows.map(_._5).sum / 1e6)
-    println(f"TOTAL shufW=$tw%.1f MB shufR=$tr%.1f MB input=$ti%.1f MB run=${rows.map(_._7).sum}%.1f s cpu=${rows.map(_._8).sum}%.1f s stages=${rows.size}")
+    println(f"TOTAL shufW=$tw%.1f MB shufR=$tr%.1f MB input=$ti%.1f MB spill=${rows.map(_._9).sum / 1e6}%.1f MB run=${rows.map(_._7).sum}%.1f s cpu=${rows.map(_._8).sum}%.1f s stages=${rows.size}")
     spark.stop()
   }
 }
