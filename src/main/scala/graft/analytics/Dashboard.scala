@@ -211,4 +211,49 @@ object Dashboard {
       .where(col("crash_date").between(lit(start), lit(end)))
       .orderBy("crash_record_id")
       .limit(limit)
+
+  /** Per-table statistics — the reference status card's table list + row
+    * counts (streamlit_frontend.py:439-456: `information_schema.tables` then
+    * one `COUNT(*)` per table). Parquet COUNT(*) is answered from footer
+    * metadata (no column pages read), columns from the cached schema, so the
+    * loop is O(tables) driver metadata work exactly like the reference's
+    * own. Output: (tbl, n_rows, n_cols) sorted by table name.
+    */
+  def tableStats(spark: SparkSession, dir: String, tables: Seq[String]): DataFrame = {
+    import spark.implicits._
+    tables.sorted.map { t =>
+      val df = if (t == "events") Tables.events(spark, dir) else Tables.t(spark, dir, t)
+      (t, df.count(), df.schema.fields.length.toLong)
+    }.toDF("tbl", "n_rows", "n_cols")
+  }
+
+  /** Partition/size introspection of a parquet table path — the DESCRIBE
+    * surface's physical half for the Gold writer's layouts: one row per
+    * `col=value` partition directory (or `<root>` for the flat layout) with
+    * data-file count and total bytes. Pure FileSystem listing — no data and
+    * no footers are read, so it costs O(files) metadata ops on a 100 TB
+    * table. Spec-pinned (filesystem state is not oracle-expressible).
+    */
+  def describePath(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = fs.listStatus(p).toSeq
+    def dataFiles(d: org.apache.hadoop.fs.Path) =
+      fs.listStatus(d).toSeq.filter(f => f.isFile &&
+        !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+    val parts = entries.filter(e => e.isDirectory && e.getPath.getName.contains("="))
+    val rows =
+      if (parts.nonEmpty)
+        parts.map { d =>
+          val fl = dataFiles(d.getPath)
+          (d.getPath.getName, fl.size.toLong, fl.map(_.getLen).sum)
+        }
+      else {
+        val fl = entries.filter(e => e.isFile && !e.getPath.getName.startsWith("_") &&
+          !e.getPath.getName.startsWith("."))
+        Seq(("<root>", fl.size.toLong, fl.map(_.getLen).sum))
+      }
+    rows.toDF("partition", "files", "bytes").orderBy("partition")
+  }
 }

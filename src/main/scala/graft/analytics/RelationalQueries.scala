@@ -2361,6 +2361,33 @@ object RelationalQueries {
              |JOIN region ON n_regionkey = r_regionkey
              |GROUP BY ROLLUP(r_name, n_name)
              |ORDER BY region, nation""".stripMargin)
+    ),
+    Q(
+      "a27_table_stats",
+      "Catalog statistics introspection (Dashboard.tableStats): the " +
+        "reference status card's table list + per-table row counts " +
+        "(streamlit_frontend.py:439-456 information_schema.tables + one " +
+        "COUNT(*) per table) over the whole star schema, plus column " +
+        "counts from the schema. Parquet COUNT(*) answers from footer " +
+        "metadata — no column pages read — so this is O(tables) metadata " +
+        "work on a 100 TB warehouse, same as the reference's own loop",
+      (s, d) =>
+        graft.analytics.Dashboard.tableStats(s, d, Seq(
+          "region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")),
+      Some {
+        val cols = Map(
+          // fixture schemas (TESTDATA.md): pragma_table_info would describe
+          // the checker's VIEWS, which DuckDB materializes per query — a
+          // literal per-table column count is the stable spelling
+          "region" -> 2, "nation" -> 3, "customer" -> 5, "supplier" -> 4,
+          "part" -> 6, "orders" -> 6, "lineitem" -> 11, "events" -> 6,
+          "documents" -> 5, "embeddings" -> 3)
+        cols.keys.toSeq.sorted.map { t =>
+          s"SELECT '$t' AS tbl, CAST((SELECT COUNT(*) FROM $t) AS BIGINT) AS n_rows, " +
+            s"CAST(${cols(t)} AS BIGINT) AS n_cols"
+        }.mkString("", "\nUNION ALL ", "\nORDER BY tbl")
+      }
     )
   )
 }

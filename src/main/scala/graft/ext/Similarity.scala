@@ -603,7 +603,7 @@ object Similarity {
     * unsplittable file (AQE-coalesce-exempt — SCALE.md).
     */
   def minHashCandidates(docs: DataFrame, keep: Seq[String] = Seq("lang"),
-      maxBucket: Int = 1000): (DataFrame, DataFrame) = {
+      maxBucket: Int = 1000, eagerSigs: Boolean = true): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     val sigs = MinHash
       .signatures(
@@ -611,7 +611,7 @@ object Similarity {
           .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
           .localCheckpoint(eager = false),
         "doc_id" +: keep)
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = eagerSigs)
     val bands = capBuckets(MinHash.bands(sigs), Seq("band", "bkey"), maxBucket)
     val cands = bands.as("x")
       .join(bands.as("y"), expr("x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id"))
@@ -659,6 +659,12 @@ object Similarity {
       broadcastPairBound: Long = 4000000L,
       payloadPairBound: Long = 262144L): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    // sigs stays EAGER (round-9 re-measured, not just carried over): a lazy
+    // sigs cut looked free at sf0.1 (same CPU, one fewer barrier) but at the
+    // 100x decade d2's CPU rose 137 -> 172 s — capBuckets' broadcast build
+    // races the band-exchange materialization across CONCURRENT JOBS, and
+    // BlockManager locks only dedup block STORAGE, not computation: the
+    // losing task recomputes the signature projection and discards it.
     val (sigs, cands0) = minHashCandidates(docs, keep, maxBucket)
     val cands = cands0.localCheckpoint(eager = false)
     val nPairs = cands.count()

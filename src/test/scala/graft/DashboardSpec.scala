@@ -101,4 +101,23 @@ class DashboardSpec extends SparkSpec {
     assert(s1.map(_.getString(0)).toSeq == s2.map(_.getString(0)).toSeq)
     assert(Dashboard.geoSample(gold, 10, hitRunOnly = true).count() == 3)
   }
+
+  test("describePath reports bucketed partition dirs and flat roots without reading data") {
+    val base = tmpDir("descpath")
+    // bucketed layout (the Gold writer's scale layout)
+    val bucketed = s"$base/bucketed"
+    (1 to 100).map(i => (i.toLong, i % 4)).toDF("k", "__key_bucket")
+      .write.partitionBy("__key_bucket").parquet(bucketed)
+    val parts = Dashboard.describePath(spark, bucketed).collect()
+    assert(parts.length == 4, s"one row per bucket dir: ${parts.toSeq}")
+    assert(parts.map(_.getString(0)).forall(_.startsWith("__key_bucket=")))
+    assert(parts.forall(r => r.getLong(1) > 0 && r.getLong(2) > 0L),
+      "every partition reports data files and bytes")
+    // flat layout collapses to a <root> row
+    val flat = s"$base/flat"
+    (1 to 10).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1).write.parquet(flat)
+    val root = Dashboard.describePath(spark, flat).collect()
+    assert(root.length == 1 && root(0).getString(0) == "<root>")
+    assert(root(0).getLong(1) == 1L && root(0).getLong(2) > 0L)
+  }
 }
