@@ -1402,7 +1402,12 @@ object ExtensionQueries {
         "exceeds the budget and the wide key wins; on a sparse corpus " +
         "the narrow key keeps recall",
       (s, d) => {
-        val prepared = graft.ext.Similarity.prepare(embeddings(s, d), "vec_id", "embedding")
+        // lazy cut: the planner's FIRST forecast job materializes it, and
+        // every later forecast + both graph legs read the cached blocks
+        // instead of re-running the norm projection per consumer
+        val prepared = graft.ext.Similarity
+          .prepare(embeddings(s, d), "vec_id", "embedding")
+          .localCheckpoint(eager = false)
         graft.ext.Similarity
           .knnGraphAuto(prepared, k = 3, widths = Seq(16, 32), bands = 4,
             pairBudget = 1000000L, maxBucket = 1000)
