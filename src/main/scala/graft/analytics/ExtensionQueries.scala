@@ -2881,6 +2881,37 @@ object ExtensionQueries {
              |SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, priority
              |FROM r WHERE rank <= 8 ORDER BY lang, rank""".stripMargin)
     ),
+    Q(
+      "p19_sequence_packing",
+      "Sequence packing for pretraining batches (ext.Packing): documents " +
+        "concatenate in deterministic doc_id order and the token stream " +
+        "chunks into 2048-token context windows (concat-and-chunk, the " +
+        "GPT-style recipe — 100% fill by construction, no padding waste). " +
+        "Pack assignment is PURE ARITHMETIC over each doc's exclusive " +
+        "running token offset: pack = start div capacity; a doc crosses a " +
+        "window boundary iff its span ends in a later pack (the attention-" +
+        "contamination metric). The prefix sum is " +
+        "ScaleOps.globalRunningTotal — range partitioning + O(partitions) " +
+        "driver offsets + partition-local window, never a corpus-global " +
+        "window partition and never a sequential pass. Per-pack rollup: " +
+        "docs starting in the window, token mass, boundary crossers",
+      (s, d) => graft.ext.Packing.packStats(documents(s, d), 2048L),
+      Some("""WITH t AS (
+             |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+             |  FROM documents WHERE text IS NOT NULL),
+             |o AS (
+             |  SELECT doc_id, toks,
+             |    CAST(COALESCE(SUM(toks) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+             |  FROM t),
+             |a AS (
+             |  SELECT doc_id, toks, start, start // 2048 AS pack_id,
+             |    (toks > 0 AND (start + toks - 1) // 2048 > start // 2048) AS crosses
+             |  FROM o)
+             |SELECT pack_id, COUNT(*) AS docs, CAST(SUM(toks) AS BIGINT) AS tokens,
+             |  CAST(SUM(CASE WHEN crosses THEN 1 ELSE 0 END) AS BIGINT) AS crossers
+             |FROM a GROUP BY pack_id ORDER BY pack_id""".stripMargin)
+    ),
     // -------------------------------------------------------- multimodal ops
     Q(
       "m1_multimodal_meta",

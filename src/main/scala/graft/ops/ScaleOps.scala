@@ -411,6 +411,51 @@ object ScaleOps {
       .drop("__pid", "__off")
   }
 
+  /** Exact EXCLUSIVE global running total of `valueCol` in `orderCols`
+    * order WITHOUT a corpus-global window partition — the
+    * [[groupedGlobalRowNumber]] discipline with SUM: range-partition on the
+    * order columns (a contiguous global order across Spark partitions),
+    * collect per-partition value sums (O(partitions) driver rows), turn
+    * them into exclusive partition offsets, and add each row's
+    * partition-LOCAL exclusive running sum — every window partition in the
+    * plan is one bounded range slice. This is the prefix-sum primitive
+    * under sequence packing ([[graft.ext.Packing]]) and any
+    * offset-assignment pass over a corpus-scale table.
+    *
+    * `orderCols` must totally order rows; null `valueCol` rows contribute 0.
+    * Output: input columns + `start` (sum of all strictly-preceding rows'
+    * values, 0 for the first row).
+    */
+  def globalRunningTotal(df: DataFrame, orderCols: Seq[String],
+      valueCol: String, partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (partitions > 0) partitions else spark.sessionState.conf.numShufflePartitions
+    val all = orderCols.map(col)
+    val rp = df.repartitionByRange(n, all: _*)
+      .sortWithinPartitions(all: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(eager = false) // pin partition ids across the two uses
+    val sums = rp.groupBy(col("__pid"))
+      .agg(sum(col(valueCol).cast("long")).as("__s"))
+      .collect()
+      .map(r => r.getInt(0) -> Option(r.get(1)).map(_.toString.toLong).getOrElse(0L))
+      .toMap
+    val maxPid = if (sums.isEmpty) -1 else sums.keys.max
+    var cum = 0L
+    val offsets = (0 to maxPid).map { pid =>
+      val off = cum; cum += sums.getOrElse(pid, 0L); (pid, off)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid"))
+      .orderBy(all: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    import spark.implicits._
+    rp.join(broadcast(offsets.toDF("__pid", "__off")), Seq("__pid"))
+      .withColumn("start",
+        col("__off") + coalesce(sum(col(valueCol).cast("long")).over(w), lit(0L)))
+      .drop("__pid", "__off")
+  }
+
   /** Chained `when` mapping each group key to a per-group double constant —
     * how every group carries its own [lo, hi] through one shared pass.
     */

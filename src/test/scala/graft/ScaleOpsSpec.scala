@@ -503,6 +503,26 @@ class ScaleOpsSpec extends SparkSpec {
       "singleton groups must all rank 1")
   }
 
+  test("globalRunningTotal == a global-window exclusive cumsum, without a global window partition") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val df = (1 to 3000).map(i => (i.toLong, rnd.nextInt(500).toLong)).toDF("id", "v")
+    val got = ScaleOps.globalRunningTotal(df, Seq("id"), "v", partitions = 8)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val want = df.withColumn("start", coalesce(sum("v").over(w), lit(0L)))
+    assert(got.select("id", "v", "start").except(want.select("id", "v", "start")).isEmpty)
+    assert(want.select("id", "v", "start").except(got.select("id", "v", "start")).isEmpty)
+    // the plan's window partitions by the physical range slice, never global
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("__pid"),
+      s"local window must partition by the range slice id:\n${plan.take(2000)}")
+    // empty input: empty frame with the start column, no error
+    val empty = ScaleOps.globalRunningTotal(
+      Seq.empty[(Long, Long)].toDF("id", "v"), Seq("id"), "v", partitions = 4)
+    assert(empty.columns.contains("start") && empty.count() == 0L)
+  }
+
   test("deleteKeys removes exactly the matched rows, survivors untouched") {
     import spark.implicits._
     val dir = tmpDir("delkeys") + "/t"
