@@ -1610,6 +1610,41 @@ object RelationalQueries {
              |GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
     Q(
+      "j10_asof_join",
+      "AS-OF join as a first-class two-table operator " +
+        "(ScaleOps.asofJoin): every purchase matched to the user's latest " +
+        "prior-or-equal click — the quotes-to-trades / state-at-time join " +
+        "Spark lacks natively. The classic range formulation (l.ts >= " +
+        "r.ts theta-join + argmax) explodes O(left x right-history) pairs " +
+        "per key; this plan unions probe and build rows into one " +
+        "time-ordered stream per key and carries the newest build payload " +
+        "forward with last(...) IGNORE NULLS over a trailing frame — one " +
+        "shuffle, one pass, O(1) window state, per-key partitions bounded " +
+        "by a user's history. The oracle is DuckDB's NATIVE ASOF LEFT " +
+        "JOIN, so two completely different implementations must agree row " +
+        "for row (clicks pre-aggregated per (user, ts): equal-time ties " +
+        "are the one nondeterminism both engines share)",
+      (s, d) => {
+        val ev = events(s, d)
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val clicks = ev.where(col("event_type") === "click")
+          .groupBy("user_id", "ts").agg(max("event_id").as("click_id"))
+        graft.ops.ScaleOps
+          .asofJoin(purchases, clicks, Seq("user_id"), "ts", Seq("click_id"))
+          .selectExpr("event_id", "user_id", "ts",
+            "asof_click_id AS click_id", "asof_ts AS click_ts")
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+             |c AS (SELECT user_id, ts, MAX(event_id) AS click_id
+             |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+             |SELECT p.event_id AS event_id, p.user_id AS user_id, p.ts AS ts,
+             |       c.click_id AS click_id, c.ts AS click_ts
+             |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+             |ORDER BY event_id""".stripMargin)
+    ),
+    Q(
       "w13_sliding_window",
       "Sliding (hopping) windows — 1-hour windows every 15 minutes, each " +
         "event in exactly 4 — via Spark's native window(ts, slide) " +

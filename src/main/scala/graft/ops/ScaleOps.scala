@@ -456,6 +456,57 @@ object ScaleOps {
       .drop("__pid", "__off")
   }
 
+  /** AS-OF join (backward, inclusive): for every left row, the single
+    * right row with the LATEST `timeCol` <= the left row's, per `keyCols` —
+    * the quotes-to-trades / state-at-time operator Spark lacks natively.
+    *
+    * Plan shape: the classic range formulation (`l.ts >= r.ts` theta-join +
+    * argmax) explodes to O(left x right-history) pairs per key before
+    * pruning; this form instead UNIONS probe and build rows into one
+    * time-ordered stream and carries the most recent build payload forward
+    * with `last(..., ignoreNulls) OVER (trailing frame)` — one shuffle on
+    * the key, one pass, state = one row. Window partitions are per KEY
+    * (bounded by a key's event history, the w4/w17 discipline), never
+    * corpus-global.
+    *
+    * `right` must be unique per (keyCols, timeCol) — pre-aggregate ties
+    * away (at equal times the winner would otherwise be nondeterministic;
+    * the same caveat applies to SQL ASOF JOIN engines). A right row AT the
+    * left timestamp matches (inclusive, matching DuckDB `ON l.t >= r.t`).
+    * Output: every left row + `<prefix><valueCol>`s and `<prefix><timeCol>`
+    * from the matched right row (null when no right row precedes).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      timeCol: String, valueCols: Seq[String],
+      prefix: String = "asof_"): DataFrame = {
+    val leftOther = left.columns.toSeq.filterNot(c => keyCols.contains(c) || c == timeCol)
+    require(!left.columns.exists(_.startsWith(prefix)),
+      s"left columns may not start with '$prefix' (matched-column namespace)")
+    val shared = keyCols.map(col) :+ col(timeCol)
+    val probe = left.select(shared ++
+      leftOther.map(col) ++
+      valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"$prefix$c")) :+
+      lit(null).cast(right.schema(timeCol).dataType).as(s"$prefix$timeCol") :+
+      lit(1).as("__side"): _*)
+    val build = right.select(shared ++
+      leftOther.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+      valueCols.map(c => col(c).as(s"$prefix$c")) :+
+      col(timeCol).as(s"$prefix$timeCol") :+
+      lit(0).as("__side"): _*)
+    // at equal times the build row sorts FIRST (side 0 < 1), so an
+    // equal-timestamp right row is visible to the left row (inclusive)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(timeCol).asc, col("__side").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val matched = (valueCols.map(c => s"$prefix$c") :+ s"$prefix$timeCol")
+      .foldLeft(probe.unionByName(build)) { (df, c) =>
+        df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+      }
+    matched.where(col("__side") === 1).drop("__side")
+  }
+
   /** Chained `when` mapping each group key to a per-group double constant —
     * how every group carries its own [lo, hi] through one shared pass.
     */

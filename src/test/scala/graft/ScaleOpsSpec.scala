@@ -523,6 +523,34 @@ class ScaleOpsSpec extends SparkSpec {
     assert(empty.columns.contains("start") && empty.count() == 0L)
   }
 
+  test("asofJoin == brute-force range-join + argmax, incl. unmatched and equal-time rows") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val left = (1 to 400).map(i =>
+      (i.toLong, (i % 7).toLong, rnd.nextInt(1000))).toDF("lid", "k", "t")
+    // right sparse on purpose: some keys have no prior row for early lefts;
+    // include exact-time collisions with left rows (inclusive semantics)
+    val right = (1 to 150).map(i =>
+      ((i % 7).toLong, rnd.nextInt(1000), s"v$i")).distinct
+      .groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq // unique (k, t)
+      .toDF("k", "t", "payload")
+    val got = ScaleOps.asofJoin(left, right, Seq("k"), "t", Seq("payload"))
+      .select("lid", "k", "t", "asof_payload", "asof_t")
+    val brute = left.as("l")
+      .join(right.as("r"), expr("l.k = r.k AND l.t >= r.t"), "left")
+      .groupBy(col("l.lid").as("lid"), col("l.k").as("k"), col("l.t").as("t"))
+      .agg(max(struct(col("r.t"), col("r.payload"))).as("m"))
+      .select(col("lid"), col("k"), col("t"),
+        col("m.payload").as("asof_payload"), col("m.t").as("asof_t"))
+    assert(got.except(brute).isEmpty && brute.except(got).isEmpty,
+      "asofJoin must equal the range-join + argmax formulation")
+    assert(got.count() == 400, "every left row survives (left semantics)")
+    // plan: per-key window, never a range theta-join
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      s"asofJoin must never plan a range product:\n${plan.take(2000)}")
+  }
+
   test("deleteKeys removes exactly the matched rows, survivors untouched") {
     import spark.implicits._
     val dir = tmpDir("delkeys") + "/t"
