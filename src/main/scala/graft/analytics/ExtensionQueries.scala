@@ -2743,6 +2743,59 @@ object ExtensionQueries {
              |FROM h GROUP BY 1, 2 ORDER BY split, lang""".stripMargin)
     ),
     Q(
+      "p20_leakage_safe_split",
+      "LEAKAGE-SAFE train/val/test split: p13's content-stable md5-bucket " +
+        "split keyed on the near-dup FAMILY label (d6's connected " +
+        "components; singletons are their own family) instead of the " +
+        "doc id — so near-duplicate documents can never straddle the " +
+        "train/test boundary, the contamination mode a doc-level hash " +
+        "split provably commits whenever a dup family's members hash to " +
+        "different buckets (test-set memorization measured as " +
+        "generalization). Per (split, lang): docs and distinct families. " +
+        "100 TB shape: d2's candidate pipeline + CC labeling + one hash " +
+        "bucket expression — the split itself adds zero shuffles beyond " +
+        "the label join",
+      (s, d) => {
+        val pairs = verifiedNearDupPairs(s, d).localCheckpoint(eager = false)
+        val labels = graft.ops.GraphOps.connectedComponents(pairs, "id_a", "id_b")
+        val h =
+          "(instr('0123456789abcdef', substring(md5(CAST(family AS STRING)), 1, 1)) - 1) * 16 + " +
+            "instr('0123456789abcdef', substring(md5(CAST(family AS STRING)), 2, 1)) - 1"
+        documents(s, d).select(col("doc_id"), col("lang"))
+          .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .selectExpr("lang", "coalesce(label, doc_id) AS family")
+          .selectExpr("lang", "family",
+            s"CASE WHEN ($h) < 204 THEN 'train' WHEN ($h) < 230 THEN 'val' ELSE 'test' END AS split")
+          .groupBy("split", "lang")
+          .agg(count(lit(1)).as("docs"), countDistinct("family").as("families"))
+          .orderBy("split", "lang")
+      },
+      Some(s"""WITH RECURSIVE $nearDupCtes,
+              |pairs AS (
+              |  SELECT id_a, id_b FROM cands
+              |  JOIN sigs a ON id_a = a.doc_id JOIN sigs b ON id_b = b.doc_id
+              |  WHERE length(list_intersect(a.sh, b.sh)) * 1.0 /
+              |        (length(a.sh) + length(b.sh) - length(list_intersect(a.sh, b.sh))) >= 0.8),
+              |und AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+              |reach AS (
+              |  SELECT a AS src, b AS dst FROM und
+              |  UNION
+              |  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
+              |labels AS (
+              |  SELECT src AS id, LEAST(src, MIN(dst)) AS label FROM reach GROUP BY src),
+              |asn AS (
+              |  SELECT d.lang, COALESCE(l.label, d.doc_id) AS family
+              |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.id),
+              |hb AS (
+              |  SELECT lang, family,
+              |    (instr('0123456789abcdef', substring(md5(CAST(family AS VARCHAR)), 1, 1)) - 1) * 16 +
+              |    instr('0123456789abcdef', substring(md5(CAST(family AS VARCHAR)), 2, 1)) - 1 AS h
+              |  FROM asn)
+              |SELECT CASE WHEN h < 204 THEN 'train' WHEN h < 230 THEN 'val' ELSE 'test' END AS split,
+              |  lang, COUNT(*) AS docs, COUNT(DISTINCT family) AS families
+              |FROM hb GROUP BY 1, 2 ORDER BY split, lang""".stripMargin)
+    ),
+    Q(
       "p14_mixture_sample",
       "Dataset mixture: fill per-source quotas (a target lang mixture) by deterministic md5-ranked sampling within each source — the weighted-interleave op that composes a training mix from heterogeneous corpora. Bounded-state selection (ScaleOps.quotaSampleByGroup): per lang the quota-th smallest md5 rank is found by a k-bounded aggregation and broadcast as a filter threshold — no per-lang total sort through one reducer. Per lang: quota-capped sample size and its token mass",
       (s, d) => {

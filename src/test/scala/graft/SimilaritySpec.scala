@@ -593,6 +593,35 @@ class SimilaritySpec extends SparkSpec {
       "posting-count shuffled tier must answer identically")
   }
 
+  test("family-keyed split keeps near-dup pairs on one side where the doc-keyed split leaks") {
+    // doc ids 2 and 3 are planted near-identical; md5 buckets: '2' -> 200
+    // (train) but '3' -> 236 (test), so p13's doc-level split PROVABLY
+    // leaks this pair across train/test — the family-keyed split (p20's
+    // rule: hash the CC label, here min(2,3)=2) must keep both together
+    val docs = Seq(
+      (2L, "en", "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "en", "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (7L, "en", "completely different text with no overlap whatsoever in content here")
+    ).toDF("doc_id", "lang", "text")
+    val pairs = Similarity.minHashNearDupPairs(docs, 0.8, Seq("lang"))
+      .select("id_a", "id_b")
+    val labels = graft.ops.GraphOps.connectedComponents(pairs, "id_a", "id_b")
+    def bucket(k: String) =
+      s"(instr('0123456789abcdef', substring(md5(CAST($k AS STRING)), 1, 1)) - 1) * 16 + " +
+        s"instr('0123456789abcdef', substring(md5(CAST($k AS STRING)), 2, 1)) - 1"
+    val assigned = docs.select(col("doc_id"))
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .selectExpr("doc_id", "coalesce(label, doc_id) AS family")
+      .selectExpr("doc_id",
+        s"CASE WHEN (${bucket("family")}) < 204 THEN 'train' ELSE 'other' END AS fam_split",
+        s"CASE WHEN (${bucket("doc_id")}) < 204 THEN 'train' ELSE 'other' END AS doc_split")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(assigned(2L)._2 == "train" && assigned(3L)._2 == "other",
+      "fixture must demonstrate the doc-level leak (md5 buckets differ)")
+    assert(assigned(2L)._1 == assigned(3L)._1,
+      "family-keyed split must keep the near-dup pair on one side")
+  }
+
   test("ngramJaccardPairs reports the exact jaccard and block columns") {
     val rows = Similarity.ngramJaccardPairs(dupDocs, 0.5, Seq("lang", "source"))
       .collect()
