@@ -622,6 +622,14 @@ class SimilaritySpec extends SparkSpec {
       "family-keyed split must keep the near-dup pair on one side")
   }
 
+  test("near-dup entries on an EMPTY corpus return empty frames, not errors") {
+    val empty = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "lang", "source", "text")
+    assert(Similarity.minHashNearDupPairs(empty, 0.8, Seq("lang")).count() == 0L)
+    assert(Similarity.ngramJaccardPairs(empty, 0.8).count() == 0L)
+    assert(graft.ext.Packing.packStats(empty, 64L).count() == 0L)
+  }
+
   test("ngramJaccardPairs reports the exact jaccard and block columns") {
     val rows = Similarity.ngramJaccardPairs(dupDocs, 0.5, Seq("lang", "source"))
       .collect()
