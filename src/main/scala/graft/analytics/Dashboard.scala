@@ -220,11 +220,24 @@ object Dashboard {
     * own. Output: (tbl, n_rows, n_cols) sorted by table name.
     */
   def tableStats(spark: SparkSession, dir: String, tables: Seq[String]): DataFrame = {
-    import spark.implicits._
-    tables.sorted.map { t =>
-      val df = if (t == "events") Tables.events(spark, dir) else Tables.t(spark, dir, t)
-      (t, df.count(), df.schema.fields.length.toLong)
-    }.toDF("tbl", "n_rows", "n_cols")
+    // one aggregate branch per table, unioned into a SINGLE job — N
+    // sequential df.count() actions would pay N job-scheduling latencies
+    // for what is metadata work. The spark.read calls themselves run on a
+    // thread pool: per-table schema inference (a driver-side footer read)
+    // was the actual latency, ~100 ms x N sequential (measured 1.2 s wall
+    // at 0.1 s CPU for 10 tables).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val branches = tables.sorted.map { t =>
+      Future {
+        val df = if (t == "events") Tables.events(spark, dir) else Tables.t(spark, dir, t)
+        df.agg(count(lit(1)).as("n_rows"))
+          .select(lit(t).as("tbl"), col("n_rows"),
+            lit(df.schema.fields.length.toLong).as("n_cols"))
+      }
+    }
+    Await.result(Future.sequence(branches), Duration.Inf).reduce(_ unionByName _)
   }
 
   /** Partition/size introspection of a parquet table path — the DESCRIBE
