@@ -300,4 +300,47 @@ class PropertiesSpec extends SparkSpec {
         s"prefix-filtered join diverged at t=$t on ${texts.mkString(" | ")}: $got vs $want")
     }
   }
+
+  test("property: asofJoin == range-join + argmax on arbitrary key/time data with ties") {
+    // small time domain on purpose: forces equal-time left/right collisions
+    // (inclusive semantics) and keys with empty histories (null matches)
+    val gen = Gen.zip(
+      Gen.listOfN(30, Gen.zip(Gen.choose(0L, 3L), Gen.choose(0, 20))),
+      Gen.listOfN(15, Gen.zip(Gen.choose(0L, 3L), Gen.choose(0, 20))))
+    forAllSeeded(gen, n = 10) { case (lRows, rRows) =>
+      val left = lRows.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, t) }.toDF("lid", "k", "t")
+      val right = rRows.distinct
+        .groupBy { case (k, t) => (k, t) }.map(_._2.head).toSeq // unique (k, t)
+        .zipWithIndex.map { case ((k, t), i) => (k, t, s"p$i") }
+        .toDF("k", "t", "payload")
+      val got = graft.ops.ScaleOps
+        .asofJoin(left, right, Seq("k"), "t", Seq("payload"))
+        .select("lid", "asof_payload", "asof_t")
+        .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+      val want = left.as("l")
+        .join(right.as("r"), expr("l.k = r.k AND l.t >= r.t"), "left")
+        .groupBy(col("l.lid").as("lid"))
+        .agg(max(struct(col("r.t"), col("r.payload"))).as("m"))
+        .select(col("lid"), col("m.payload"), col("m.t"))
+        .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+      assert(got == want, s"asof diverged: ${got.diff(want)} vs ${want.diff(got)}")
+    }
+  }
+
+  test("property: ActiveUsers explosion == sweep on arbitrary sparse activity") {
+    val gen = Gen.listOfN(60, Gen.zip(Gen.choose(0, 50), Gen.choose(0L, 9L)))
+    forAllSeeded(gen, n = 8) { pairs =>
+      val events = pairs.map { case (day, u) =>
+        (java.sql.Timestamp.valueOf(f"2024-01-${day % 28 + 1}%02d 0${day % 10}:00:00"), u)
+      }.toDF("ts", "user_id")
+      val du = graft.ops.ActiveUsers.dailyUsers(events).localCheckpoint(eager = false)
+      val windows = Seq(3 -> "w3", 11 -> "w11")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select("day", "dau", "w3", "w11").orderBy("day").collect().toSeq
+      assert(canon(graft.ops.ActiveUsers.viaExplosion(du, windows)) ==
+        canon(graft.ops.ActiveUsers.viaSweep(du, windows)),
+        s"forms diverged on ${pairs.take(8)}...")
+    }
+  }
 }
