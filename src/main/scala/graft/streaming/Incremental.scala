@@ -428,6 +428,74 @@ object Incremental {
       .select(col("c_user").as("user_id"), col("click_ts"), col("error_ts"))
   }
 
+  /** A probe row enriched with the as-of matched build row (nulls = no
+    * prior build for the key). */
+  final case class AsofEnriched(user_id: Long, event_id: Long,
+      ts: java.sql.Timestamp, click_id: java.lang.Long,
+      click_ts: java.sql.Timestamp)
+
+  /** Streaming AS-OF enrichment — the streaming sibling of the batch
+    * `j10_asof_join` ([[graft.ops.ScaleOps.asofJoin]]): each PROBE event
+    * (purchase) is matched to the same user's latest prior-or-equal BUILD
+    * event (click). One keyed `flatMapGroupsWithState` over the tagged
+    * union of both streams; state per key is ONE (time, id) pair — the
+    * newest build seen — so state is O(keys) regardless of history length
+    * (the batch form's O(1)-per-row window state, made persistent).
+    *
+    * Within a micro-batch, rows fold in event-time order with builds
+    * before probes at equal times (the batch form's inclusive tie rule;
+    * equal-time builds keep the max id, matching j10's pre-aggregation).
+    * Cross-batch, a build never regresses the stored state (max fold).
+    * The streaming approximation class (sessionization's notes apply): a
+    * probe processed in an EARLIER batch than a late build it should have
+    * matched keeps its emitted null/older match — enrichments are
+    * append-mode immutable facts. Streaming == batch exactly when per-key
+    * streams are event-time-ordered across batches (StreamingSpec pins
+    * parity and the divergence case).
+    *
+    * Input needs (user_id, ts, event_type, event_id); probes are
+    * `probeType` rows, builds `buildType`, everything else is ignored.
+    */
+  def streamingAsofEnrich(events: DataFrame, probeType: String = "purchase",
+      buildType: String = "click"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .where(col("event_type").isin(probeType, buildType))
+      .selectExpr("CAST(user_id AS LONG) AS user_id",
+        "CAST(event_id AS LONG) AS event_id", "CAST(ts AS TIMESTAMP) AS ts",
+        s"CAST(event_type = '$buildType' AS BOOLEAN) AS is_build")
+      .as[(Long, Long, java.sql.Timestamp, Boolean)]
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), AsofEnriched](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp, Boolean)],
+         state) =>
+          // builds sort before probes at equal times: (t, !is_build) asc
+          val sorted = rows.toArray.sortBy(r => (r._3.getTime, !r._4, r._2))
+          var cur = state.getOption // (newest build tMs, its id)
+          val out = scala.collection.mutable.ArrayBuffer.empty[AsofEnriched]
+          sorted.foreach { case (_, id, ts, isBuild) =>
+            if (isBuild) {
+              val t = ts.getTime
+              cur match {
+                case Some((ct, cid)) if ct > t || (ct == t && cid >= id) => ()
+                case _ => cur = Some((t, id))
+              }
+            } else out += (cur match {
+              case Some((ct, cid)) =>
+                AsofEnriched(user, id, ts, cid, new java.sql.Timestamp(ct))
+              case None => AsofEnriched(user, id, ts, null, null)
+            })
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+      .toDF()
+  }
+
   /** ST7 — scheduled periodic ingestion: the reference's external cron
     * scheduler (pipeline_scheduler.py:42-103 cron -> job publish) collapses
     * into Structured Streaming's own trigger scheduler. The SAME pipeline as

@@ -702,4 +702,89 @@ class StreamingSpec extends SparkSpec {
     assert(got() == totals(all).map(t => (t._1, t._2, t._3.setScale(6))),
       s"after wave 3: ${got()} vs ${totals(all)}")
   }
+
+  test("streamingAsofEnrich == batch asofJoin on ordered batches; late builds never retro-match") {
+    import spark.implicits._
+    val dir = tmpDir("asof-ev")
+    val chk = tmpDir("asof-chk")
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Option[Long], Option[String])]
+    def run(): Seq[(Long, Long, Option[Long], Option[String])] = {
+      val schema = StructType(Seq(
+        StructField("user_id", LongType), StructField("event_id", LongType),
+        StructField("ts", StringType), StructField("event_type", StringType)))
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(dir)
+        .withColumn("ts", to_timestamp(col("ts")))
+      val q = Incremental.streamingAsofEnrich(stream)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", chk)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = b.collect().map(r => (
+            r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+            Option(r.getAs[java.lang.Long]("click_id")).map(_.toLong),
+            Option(r.getAs[java.sql.Timestamp]("click_ts")).map(_.toString)))
+          acc.synchronized { acc ++= rows }
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(180000)
+      acc.synchronized(acc.toSeq)
+    }
+    // batch 1: u1 click(100) @10:00, purchase(200) @10:05 (matches 100),
+    //          purchase(201) @10:00 EQUAL-TIME (inclusive: matches 100),
+    //          u2 purchase(202) @10:00 with NO prior click -> null
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/a.json"),
+      """{"user_id":1,"event_id":100,"ts":"2024-01-01T10:00:00","event_type":"click"}
+        |{"user_id":1,"event_id":200,"ts":"2024-01-01T10:05:00","event_type":"purchase"}
+        |{"user_id":1,"event_id":201,"ts":"2024-01-01T10:00:00","event_type":"purchase"}
+        |{"user_id":2,"event_id":202,"ts":"2024-01-01T10:00:00","event_type":"purchase"}
+        |""".stripMargin)
+    // batch 2: cross-batch state carry (u1's purchase matches batch-1 click
+    // until a newer click lands), then a newer click wins for later probes
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/b.json"),
+      """{"user_id":1,"event_id":203,"ts":"2024-01-01T11:00:00","event_type":"purchase"}
+        |{"user_id":1,"event_id":101,"ts":"2024-01-01T11:30:00","event_type":"click"}
+        |{"user_id":1,"event_id":204,"ts":"2024-01-01T11:45:00","event_type":"purchase"}
+        |""".stripMargin)
+    val got = run()
+    assert(got.contains((1L, 200L, Some(100L), Some("2024-01-01 10:00:00.0"))), s"$got")
+    assert(got.contains((1L, 201L, Some(100L), Some("2024-01-01 10:00:00.0"))),
+      s"equal-time build must be visible (inclusive): $got")
+    assert(got.contains((2L, 202L, None, None)), s"no prior build -> null match: $got")
+    assert(got.contains((1L, 203L, Some(100L), Some("2024-01-01 10:00:00.0"))),
+      s"cross-batch state carry: $got")
+    assert(got.contains((1L, 204L, Some(101L), Some("2024-01-01 11:30:00.0"))), s"$got")
+    // parity with the batch operator over the SAME rows
+    val all = Seq(
+      (1L, 100L, "2024-01-01 10:00:00", "click"),
+      (1L, 200L, "2024-01-01 10:05:00", "purchase"),
+      (1L, 201L, "2024-01-01 10:00:00", "purchase"),
+      (2L, 202L, "2024-01-01 10:00:00", "purchase"),
+      (1L, 203L, "2024-01-01 11:00:00", "purchase"),
+      (1L, 101L, "2024-01-01 11:30:00", "click"),
+      (1L, 204L, "2024-01-01 11:45:00", "purchase"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val purchases = all.where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = all.where(col("event_type") === "click")
+      .groupBy("user_id", "ts").agg(max("event_id").as("click_id"))
+    val batch = graft.ops.ScaleOps
+      .asofJoin(purchases, clicks, Seq("user_id"), "ts", Seq("click_id"))
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        Option(r.getAs[java.lang.Long]("asof_click_id")).map(_.toLong))).toSet
+    assert(got.map(t => (t._1, t._2, t._3)).toSet == batch,
+      s"streaming must equal batch on event-time-ordered batches: $got vs $batch")
+    // divergence case (documented approximation): a LATE build older than
+    // already-emitted probes updates state for FUTURE probes only
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/c.json"),
+      """{"user_id":2,"event_id":102,"ts":"2024-01-01T09:00:00","event_type":"click"}
+        |{"user_id":2,"event_id":205,"ts":"2024-01-01T12:00:00","event_type":"purchase"}
+        |""".stripMargin)
+    val later = run()
+    assert(later.contains((2L, 202L, None, None)),
+      "already-emitted null match is immutable (append mode)")
+    assert(later.contains((2L, 205L, Some(102L), Some("2024-01-01 09:00:00.0"))),
+      s"the late build serves future probes: $later")
+  }
 }
