@@ -1682,6 +1682,12 @@ object RelationalQueries {
         "deterministic and the divisions are identical IEEE on both " +
         "engines. Summarized per (group, tile)",
       (s, d) => {
+        // NO checkpoint on rn (round-9 measured negative result): cutting
+        // here would persist ~600k wide ranked rows to save re-running the
+        // partition-local window for the count leg — the persist cost
+        // measured HIGHER than the recompute (cold-probe CPU 48 vs 36 s);
+        // the shared rp cut inside groupedGlobalRowNumber already stops the
+        // expensive range sort from running twice
         val rn = graft.ops.ScaleOps.groupedGlobalRowNumber(
           lineitem(s, d).select("l_linestatus", "l_extendedprice", "l_orderkey", "l_linenumber"),
           Seq("l_linestatus"), Seq("l_extendedprice", "l_orderkey", "l_linenumber"))
