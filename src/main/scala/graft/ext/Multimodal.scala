@@ -13,12 +13,16 @@ import org.apache.spark.sql.types._
   *
   * Codec dispatch: PNG/JPEG/BMP payloads (sniffed by magic bytes) decode for
   * REAL through the JDK's `javax.imageio` ([[ImageCodec]] — pixel dimensions,
-  * mean luminance, grid-pooled pixel features, resample + re-encode), and
+  * mean luminance, grid-pooled pixel features, resample + re-encode),
   * RIFF/WAVE PCM audio decodes for real through [[AudioCodec]] (pure byte
   * parsing — sample rate, duration, RMS, zero-crossing rate from the actual
-  * samples). Formats the JVM cannot decode (video, compressed audio, exotic
-  * containers) fall back to [[StubCodec]], a deterministic fake standing in
-  * for ffmpeg.
+  * samples), and MJPEG-in-AVI VIDEO decodes real frame pixels through
+  * [[VideoCodec.mjpegFrames]] (RIFF chunk walk + per-frame imageio —
+  * [[decodeVideoFramesBatched]] emits per-frame dims + perceptual aHash, so
+  * video frames feed the same near-dup machinery as stills). Formats the
+  * JVM cannot decode (inter-frame-compressed video, compressed audio,
+  * exotic containers) fall back to [[StubCodec]], a deterministic fake
+  * standing in for ffmpeg.
   * Everything Spark-side is shared between the two: the schema contract, the
   * partition batching, null/corrupt-row tolerance, and the deterministic
   * feature shapes. Swapping [[StubCodec]] for a JNI/JavaCPP codec changes no
@@ -374,6 +378,103 @@ object Multimodal {
         } yield ms.toInt
       } catch { case scala.util.control.NonFatal(_) => None }
     }
+
+    // RIFF is LITTLE-endian (ISO-BMFF above is big-endian) — AVI shares
+    // WAV's container framing, so this mirrors AudioCodec's chunk walk
+    private def le32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+    /** RIFF-AVI sniff: `RIFF....AVI `. */
+    def sniffAvi(bytes: Array[Byte]): Boolean =
+      bytes != null && bytes.length >= 12 &&
+        bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+        bytes(8) == 'A' && bytes(9) == 'V' && bytes(10) == 'I' && bytes(11) == ' '
+
+    /** Walk the AVI's top-level chunks; returns (avih body offset, movi
+      * LIST body range). Either part may be absent in a malformed file.
+      */
+    private def aviChunks(bytes: Array[Byte]): (Option[Int], Option[(Int, Int)]) = {
+      var avih: Option[Int] = None
+      var movi: Option[(Int, Int)] = None
+      var off = 12
+      while (off + 8 <= bytes.length) {
+        val id = new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val sz = le32(bytes, off + 4)
+        if (sz < 0 || off + 8 + sz > bytes.length) return (avih, movi)
+        if (id == "LIST" && sz >= 4) {
+          val listType = new String(bytes, off + 8, 4, java.nio.charset.StandardCharsets.US_ASCII)
+          if (listType == "movi") movi = Some((off + 12, off + 8 + sz.toInt))
+          else if (listType == "hdrl") {
+            // children of hdrl: the first is avih
+            var c = off + 12
+            val end = off + 8 + sz.toInt
+            while (c + 8 <= end && avih.isEmpty) {
+              val cid = new String(bytes, c, 4, java.nio.charset.StandardCharsets.US_ASCII)
+              val csz = le32(bytes, c + 4)
+              if (csz < 0 || c + 8 + csz > end) return (avih, movi)
+              if (cid == "avih") avih = Some(c + 8)
+              c += 8 + csz.toInt + (csz.toInt & 1)
+            }
+          }
+        }
+        off += 8 + sz.toInt + (sz.toInt & 1) // RIFF chunks are word-aligned
+      }
+      (avih, movi)
+    }
+
+    /** AVI duration from the avih header: usPerFrame x totalFrames (fields
+      * 0 and 16 of the 56-byte main header). PERMISSIVE like the rest of
+      * the codec family.
+      */
+    def aviDurationMs(bytes: Array[Byte]): Option[Int] = {
+      if (!sniffAvi(bytes)) return None
+      try aviChunks(bytes)._1.flatMap { a =>
+        if (a + 20 > bytes.length) None
+        else {
+          val usPerFrame = le32(bytes, a)
+          val totalFrames = le32(bytes, a + 16)
+          val ms = usPerFrame * totalFrames / 1000L
+          if (usPerFrame <= 0 || totalFrames < 0 || ms > Int.MaxValue) None
+          else Some(ms.toInt)
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    /** REAL video frame decode — MJPEG-in-AVI, the one mainstream video
+      * format a bare JVM decodes end to end (RIFF chunk walk + javax.imageio
+      * JPEG frames; no native codecs). Walks the `movi` LIST and decodes
+      * every `..dc`/`..db` video chunk whose payload [[ImageCodec]] can
+      * read. Frames beyond `maxFrames` are not decoded (bounded work per
+      * row); malformed containers yield the frames parsed so far.
+      * Inter-frame-compressed codecs (H.264 etc.) return Nil here and stay
+      * on the header-parse + stub path.
+      */
+    def mjpegFrames(bytes: Array[Byte],
+        maxFrames: Int = 64): List[(Int, java.awt.image.BufferedImage)] = {
+      if (!sniffAvi(bytes)) return Nil
+      try {
+        aviChunks(bytes)._2 match {
+          case None => Nil
+          case Some((from, until)) =>
+            val out = List.newBuilder[(Int, java.awt.image.BufferedImage)]
+            var idx = 0
+            var off = from
+            while (off + 8 <= until && idx < maxFrames) {
+              val id = new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+              val sz = le32(bytes, off + 4)
+              if (sz < 0 || off + 8 + sz > until) return out.result()
+              if (id.length == 4 && (id.endsWith("dc") || id.endsWith("db"))) {
+                val payload = java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + sz.toInt)
+                ImageCodec.read(payload).foreach(img => out += ((idx, img)))
+                idx += 1
+              }
+              off += 8 + sz.toInt + (sz.toInt & 1)
+            }
+            out.result()
+        }
+      } catch { case scala.util.control.NonFatal(_) => Nil }
+    }
   }
 
   /** Wrap a text/metadata table into media rows (fixture adapter: the
@@ -411,7 +512,8 @@ object Multimodal {
       it.map { r =>
         val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
         val meta = r.getStruct(2)
-        AudioCodec.durationMs(bytes).orElse(VideoCodec.durationMs(bytes)) match {
+        AudioCodec.durationMs(bytes).orElse(VideoCodec.durationMs(bytes))
+          .orElse(VideoCodec.aviDurationMs(bytes)) match {
           case Some(d) =>
             Row(r.getLong(0), bytes, Row(meta.get(0), meta.get(1), meta.get(2), d))
           case None => Row(r.getLong(0), bytes, meta)
@@ -453,6 +555,40 @@ object Multimodal {
             case None =>
               Row(id, n, mean, r.getString(2), null, null, null)
           }
+        }
+      }
+    }(enc)
+  }
+
+  private val videoFrameSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("ahash64", LongType)))
+
+  /** Batched REAL video frame decode — MJPEG-in-AVI payloads decode to
+    * actual frame pixels ([[VideoCodec.mjpegFrames]]: RIFF walk +
+    * javax.imageio per frame), each kept frame emitting one row with its
+    * dimensions and perceptual aHash (the same 64-bit hash the m-family's
+    * image near-dup pipeline banding consumes — so video frames feed the
+    * SAME dedup machinery as stills). `everyNth` samples the decoded frame
+    * sequence; `maxFrames` bounds decode work per row. Non-AVI /
+    * inter-frame-compressed payloads yield zero rows and stay on the
+    * header-parse + stub path (the honest boundary: a bare JVM has no
+    * H.264 decoder).
+    */
+  def decodeVideoFramesBatched(media: DataFrame, everyNth: Int = 1,
+      maxFrames: Int = 64): DataFrame = {
+    require(everyNth >= 1, s"everyNth must be >= 1, got $everyNth")
+    val enc = RowEncoder.encoderFor(videoFrameSchema)
+    media.select("media_id", "content").mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        VideoCodec.mjpegFrames(bytes, maxFrames).iterator.collect {
+          case (idx, img) if idx % everyNth == 0 =>
+            Row(r.getLong(0), idx, img.getWidth, img.getHeight,
+              ImageCodec.aHash64(img))
         }
       }
     }(enc)

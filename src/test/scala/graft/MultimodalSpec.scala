@@ -339,4 +339,82 @@ class MultimodalSpec extends SparkSpec {
     } yield (i, j)).toSet
     assert(pairs == brute, s"banding must be candidate-complete: $pairs vs $brute")
   }
+
+  /** A real MJPEG-AVI: RIFF('AVI ', LIST(hdrl, avih), LIST(movi, 00dc...)). */
+  private def mjpegAvi(frames: Seq[Array[Byte]], usPerFrame: Int): Array[Byte] = {
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad: Array[Byte] = if (body.length % 2 == 1) Array(0.toByte) else Array.empty
+      id.getBytes("US-ASCII") ++ le32(body.length) ++ body ++ pad
+    }
+    val avih = new Array[Byte](56)
+    System.arraycopy(le32(usPerFrame.toLong), 0, avih, 0, 4)
+    System.arraycopy(le32(frames.length.toLong), 0, avih, 16, 4)
+    val hdrl = chunk("LIST", "hdrl".getBytes("US-ASCII") ++ chunk("avih", avih))
+    val movi = chunk("LIST",
+      "movi".getBytes("US-ASCII") ++ frames.flatMap(f => chunk("00dc", f)))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
+  /** Half-split pattern (vertical for even `shade`, horizontal for odd) so
+    * frames carry aHash-distinguishable structure — a UNIFORM frame's aHash
+    * is all-zero regardless of shade (every pixel equals the mean).
+    */
+  private def jpegOf(shade: Int, w: Int = 8, h: Int = 6): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val on = if (shade % 2 == 0) x < w / 2 else y < h / 2
+      val v = if (on) 230 else 25
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  test("MJPEG-AVI: REAL frame pixels decode; avih drives the container duration") {
+    val frames = Seq(jpegOf(32), jpegOf(128), jpegOf(224), jpegOf(16))
+    val avi = mjpegAvi(frames, usPerFrame = 40000) // 25 fps, 4 frames = 160 ms
+    assert(Multimodal.VideoCodec.sniffAvi(avi))
+    assert(Multimodal.VideoCodec.aviDurationMs(avi).contains(160))
+    val decoded = Multimodal.VideoCodec.mjpegFrames(avi)
+    assert(decoded.map(_._1) == List(0, 1, 2, 3))
+    assert(decoded.forall { case (_, img) => img.getWidth == 8 && img.getHeight == 6 },
+      "frame dims must come from real pixel decode")
+    // decoded frames are the same pixels imageio reads from the raw JPEGs
+    decoded.zip(frames).foreach { case ((_, img), jpeg) =>
+      val direct = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+      assert(Multimodal.ImageCodec.aHash64(img) == Multimodal.ImageCodec.aHash64(direct))
+    }
+    // hostile inputs: truncated container and non-AVI bytes are Nil, no throw
+    assert(Multimodal.VideoCodec.mjpegFrames(avi.take(30)) == Nil)
+    assert(Multimodal.VideoCodec.mjpegFrames("not an avi".getBytes) == Nil)
+    assert(Multimodal.VideoCodec.aviDurationMs(avi.take(16)).isEmpty)
+  }
+
+  test("decodeVideoFramesBatched: per-frame rows with real aHashes; everyNth samples; non-AVI rows yield none") {
+    import org.apache.spark.sql.Row
+    val avi = mjpegAvi(Seq(jpegOf(40), jpegOf(91), jpegOf(150), jpegOf(211)), 33333)
+    val m = spark.createDataFrame(
+      java.util.List.of(
+        Row(1L, avi, Row("video/avi", 0, 0, 0)),
+        Row(2L, "garbage".getBytes, Row("text/plain", 0, 0, 0)),
+        Row(3L, null, Row("video/avi", 0, 0, 0))),
+      Multimodal.mediaSchema)
+    val all = Multimodal.decodeVideoFramesBatched(m).collect()
+    assert(all.length == 4 && all.forall(_.getAs[Long]("media_id") == 1L))
+    assert(all.map(_.getAs[Int]("frame_idx")).sorted.toSeq == Seq(0, 1, 2, 3))
+    assert(all.map(_.getAs[Long]("ahash64")).distinct.length >= 2,
+      "distinct shades must hash differently")
+    val sampled = Multimodal.decodeVideoFramesBatched(m, everyNth = 2).collect()
+    assert(sampled.map(_.getAs[Int]("frame_idx")).sorted.toSeq == Seq(0, 2))
+    // the parsed-duration chain picks the avih duration for AVI payloads
+    val withDur = Multimodal.withParsedDurations(m).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getStruct(2).getInt(3)).toMap
+    assert(withDur(1L) == 133, s"4 frames x 33.333 ms = 133 ms: $withDur")
+    assert(withDur(2L) == 0, "unparseable payload keeps its declared duration")
+  }
 }
