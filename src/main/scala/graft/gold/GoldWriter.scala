@@ -179,11 +179,13 @@ object GoldWriter {
     * a broken-then-raced stale writer can do is append rows a replay would
     * have appended anyway... except duplicates, which is exactly why
     * `staleMs` should exceed any plausible upsert duration (default 10 min).
-    * Contention waits with bounded sleep up to `waitMs`, then fails loudly
-    * (a stuck queue must page someone, not silently drop batches).
+    * Contention waits with bounded sleep up to `waitMs` — defaulted to the
+    * SAME 10 minutes as `staleMs`, because a healthy competing upsert on a
+    * large table legitimately runs for minutes — then fails loudly (a
+    * genuinely stuck queue must page someone, not silently drop batches).
     */
   def withTableLock[T](spark: SparkSession, path: String,
-      staleMs: Long = 600000L, waitMs: Long = 60000L)(body: => T): T = {
+      staleMs: Long = 600000L, waitMs: Long = 600000L)(body: => T): T = {
     val table = new org.apache.hadoop.fs.Path(path)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val lock = new org.apache.hadoop.fs.Path(

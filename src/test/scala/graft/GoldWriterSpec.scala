@@ -124,12 +124,12 @@ class GoldWriterSpec extends SparkSpec {
     started.await(10, java.util.concurrent.TimeUnit.SECONDS)
     val t0 = System.nanoTime()
     // release the holder shortly after the contender starts waiting
-    new Thread(() => { Thread.sleep(500); release.countDown() }).start()
-    val got = GoldWriter.withTableLock(spark, path, waitMs = 10000L)(42)
+    new Thread(() => { Thread.sleep(600); release.countDown() }).start()
+    val got = GoldWriter.withTableLock(spark, path, waitMs = 30000L)(42)
     val waitedMs = (System.nanoTime() - t0) / 1000000L
     holder.join(10000)
     assert(got == 42)
-    assert(waitedMs >= 400, s"contender must block until release, waited only ${waitedMs}ms")
+    assert(waitedMs >= 300, s"contender must block until release, waited only ${waitedMs}ms")
   }
 
   test("lockedUpsert under contention: overlapping concurrent batches, zero duplicate keys") {
@@ -147,7 +147,7 @@ class GoldWriterSpec extends SparkSpec {
           spark, rows.toDF("crash_record_id", "v"), path))
         catch { case t: Throwable => errors.add(t) })
     }
-    threads.foreach(_.start()); threads.foreach(_.join(60000))
+    threads.foreach(_.start()); threads.foreach(_.join(300000))
     assert(errors.isEmpty, s"writers must not fail: ${errors.peek()}")
     import scala.jdk.CollectionConverters._
     assert(reports.asScala.forall(_.duplicateKeys == 0L))
