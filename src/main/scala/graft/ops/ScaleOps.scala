@@ -488,11 +488,16 @@ object ScaleOps {
       valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"$prefix$c")) :+
       lit(null).cast(right.schema(timeCol).dataType).as(s"$prefix$timeCol") :+
       lit(1).as("__side"): _*)
-    val build = right.select(shared ++
-      leftOther.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-      valueCols.map(c => col(c).as(s"$prefix$c")) :+
-      col(timeCol).as(s"$prefix$timeCol") :+
-      lit(0).as("__side"): _*)
+    // null-key build rows can never match under SQL equality, but a window
+    // PARTITION groups nulls together — drop them so a null-key left row
+    // gets the correct null match instead of a null-key "neighbor"
+    val build = right
+      .where(keyCols.map(col(_).isNotNull).reduce(_ && _))
+      .select(shared ++
+        leftOther.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        valueCols.map(c => col(c).as(s"$prefix$c")) :+
+        col(timeCol).as(s"$prefix$timeCol") :+
+        lit(0).as("__side"): _*)
     // at equal times the build row sorts FIRST (side 0 < 1), so an
     // equal-timestamp right row is visible to the left row (inclusive)
     val w = org.apache.spark.sql.expressions.Window

@@ -551,6 +551,20 @@ class ScaleOpsSpec extends SparkSpec {
       s"asofJoin must never plan a range product:\n${plan.take(2000)}")
   }
 
+  test("asofJoin null keys: SQL equality semantics, not window-partition grouping") {
+    import spark.implicits._
+    // a null-key left row must match NOTHING even though a null-key right
+    // row exists at an earlier time (nulls never equal under SQL equality)
+    val left = Seq((1L, Option(5L), 100), (2L, Option.empty[Long], 100))
+      .toDF("lid", "k", "t")
+    val right = Seq((Option(5L), 50, "a"), (Option.empty[Long], 50, "b"))
+      .toDF("k", "t", "payload")
+    val got = ScaleOps.asofJoin(left, right, Seq("k"), "t", Seq("payload"))
+      .collect().map(r => r.getAs[Long]("lid") -> Option(r.getAs[String]("asof_payload"))).toMap
+    assert(got(1L).contains("a"))
+    assert(got(2L).isEmpty, "null-key probe must not match the null-key build row")
+  }
+
   test("deleteKeys removes exactly the matched rows, survivors untouched") {
     import spark.implicits._
     val dir = tmpDir("delkeys") + "/t"
