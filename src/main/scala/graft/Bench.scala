@@ -85,8 +85,6 @@ object Bench {
     // ~2x the floor on a perfectly quiet box and the artifact reports
     // phantom contention.
     (0 until 4).foreach(_ => calibrate())
-    val calibBefore = Seq.fill(3)(calibrate())
-    val wall0 = System.nanoTime()
     // Stable name order so per-query timings are comparable across rounds
     // (Map iteration order would shuffle which query absorbs residual warmup).
     // Failures are recorded by name, never silently absorbed as a fast
@@ -104,45 +102,67 @@ object Bench {
       require(unknown.isEmpty, s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.mkString(", ")}")
       require(names.nonEmpty, "SPARK_GRAFT_BENCH_ONLY is set but empty")
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      val before = listener.quiesce()
-      listener.resetPeak()
-      var err: Option[String] = None
-      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
-      var i = 0
-      while (i < repeats && err.isEmpty) {
-        // Snapshot what was pinned BEFORE the run so only the blocks THIS
-        // run created are released below — a blanket unpersist would also
-        // evict any future cross-query cached state (localCheckpoint RDDs
-        // are unrecoverable once unpersisted).
-        val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).count()
-        catch { case e: Throwable => err = Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}") }
-        times += (System.nanoTime() - t0) / 1e9
-        // Release the blocks this run pinned (localCheckpoint storage):
-        // every fn() call builds FRESH checkpoint RDDs, so without this a
-        // 3-repeat, 158-query sweep accumulates hundreds of dead signature
-        // checkpoints in the block manager — measured at sf0.1 in the 8g
-        // driver as broad >1.5x inflation of UNRELATED queries running
-        // after the dedup family (storage squeezing execution memory).
-        // A long-lived production session does the same between jobs.
-        spark.sparkContext.getPersistentRDDs
-          .foreach { case (id, rdd) =>
-            if (!pinnedBefore.contains(id)) rdd.unpersist(blocking = false)
-          }
-        i += 1
+    def sweepOnce() = {
+      val calibBefore = Seq.fill(3)(calibrate())
+      val wall0 = System.nanoTime()
+      val results = SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
+        val before = listener.quiesce()
+        listener.resetPeak()
+        var err: Option[String] = None
+        val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+        var i = 0
+        while (i < repeats && err.isEmpty) {
+          // Snapshot what was pinned BEFORE the run so only the blocks THIS
+          // run created are released below — a blanket unpersist would also
+          // evict any future cross-query cached state (localCheckpoint RDDs
+          // are unrecoverable once unpersisted).
+          val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).count()
+          catch { case e: Throwable => err = Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}") }
+          times += (System.nanoTime() - t0) / 1e9
+          // Release the blocks this run pinned (localCheckpoint storage):
+          // every fn() call builds FRESH checkpoint RDDs, so without this a
+          // 3-repeat, 158-query sweep accumulates hundreds of dead signature
+          // checkpoints in the block manager — measured at sf0.1 in the 8g
+          // driver as broad >1.5x inflation of UNRELATED queries running
+          // after the dedup family (storage squeezing execution memory).
+          // A long-lived production session does the same between jobs.
+          spark.sparkContext.getPersistentRDDs
+            .foreach { case (id, rdd) =>
+              if (!pinnedBefore.contains(id)) rdd.unpersist(blocking = false)
+            }
+          i += 1
+        }
+        val delta = listener.quiesce().diff(before)
+        (name, times.toSeq, err, delta)
       }
-      val delta = listener.quiesce().diff(before)
-      (name, times.toSeq, err, delta)
+      val walltime = (System.nanoTime() - wall0) / 1e9
+      val calibAfter = Seq.fill(3)(calibrate())
+      val loadFactor =
+        math.max(calibBefore.min / calibQuietBefore, calibAfter.min / calibQuietAfter)
+      (results, walltime, calibBefore, calibAfter, loadFactor)
     }
-    val walltime = (System.nanoTime() - wall0) / 1e9
-    val calibAfter = Seq.fill(3)(calibrate())
+    // Load-gated retry (round-8 verdict close-hygiene item, the "refuse to
+    // record a contended close" half — total_norm is the other half): with
+    // SPARK_GRAFT_BENCH_ATTEMPTS > 1, a sweep whose load_factor exceeds
+    // SPARK_GRAFT_BENCH_LOAD_GATE is re-run and the LOWEST-load attempt is
+    // recorded. Default 1 attempt = the historical single-sweep behavior
+    // (the driver's per-round invocation budget is not ours to spend).
+    val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "1").toInt
+    val loadGate = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_GATE", "1.4").toDouble
+    var best = sweepOnce()
+    var attempt = 1
+    while (attempt < maxAttempts && best._5 > loadGate) {
+      System.err.println(f"BENCH RETRY: load_factor ${best._5}%.2f > gate $loadGate%.2f (attempt $attempt/$maxAttempts)")
+      val next = sweepOnce()
+      if (next._5 < best._5) best = next
+      attempt += 1
+    }
+    val (results, walltime, calibBefore, calibAfter, loadFactor) = best
     val calibRuns = calibBefore ++ calibAfter
-    val loadFactor =
-      math.max(calibBefore.min / calibQuietBefore, calibAfter.min / calibQuietAfter)
     def fmt(d: Double): String = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, ts, _, _) => s"\"" + k + "\":" + fmt(ts.min) }
       .mkString("{", ",", "}")
