@@ -237,7 +237,11 @@ object Dashboard {
             lit(df.schema.fields.length.toLong).as("n_cols"))
       }
     }
-    Await.result(Future.sequence(branches), Duration.Inf).reduce(_ unionByName _)
+    // explicit sort: the oracle gate compares rows POSITIONALLY, and a
+    // union's physical concatenation order is not a contract
+    Await.result(Future.sequence(branches), Duration.Inf)
+      .reduce(_ unionByName _)
+      .orderBy("tbl")
   }
 
   /** Partition/size introspection of a parquet table path — the DESCRIBE

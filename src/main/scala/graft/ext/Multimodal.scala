@@ -434,24 +434,32 @@ object Multimodal {
         else {
           val usPerFrame = le32(bytes, a)
           val totalFrames = le32(bytes, a + 16)
-          val ms = usPerFrame * totalFrames / 1000L
-          if (usPerFrame <= 0 || totalFrames < 0 || ms > Int.MaxValue) None
-          else Some(ms.toInt)
+          // both fields are unsigned-32 (le32 is always >= 0); the raw
+          // product can reach ~1.8e19 and wrap Long negative on hostile
+          // headers, so guard in doubles BEFORE the exact long arithmetic
+          // (any in-range result's product <= ~2.1e12 fits a long exactly)
+          if (usPerFrame <= 0 ||
+              usPerFrame.toDouble * totalFrames.toDouble / 1000.0 > Int.MaxValue) None
+          else Some((usPerFrame * totalFrames / 1000L).toInt)
         }
       } catch { case scala.util.control.NonFatal(_) => None }
     }
 
     /** REAL video frame decode — MJPEG-in-AVI, the one mainstream video
       * format a bare JVM decodes end to end (RIFF chunk walk + javax.imageio
-      * JPEG frames; no native codecs). Walks the `movi` LIST and decodes
-      * every `..dc`/`..db` video chunk whose payload [[ImageCodec]] can
-      * read. Frames beyond `maxFrames` are not decoded (bounded work per
-      * row); malformed containers yield the frames parsed so far.
+      * JPEG frames; no native codecs). Walks the `movi` LIST — recursing
+      * into `rec ` grouping LISTs, the interleaved layout most muxers emit —
+      * and decodes every `..dc`/`..db` video chunk whose payload
+      * [[ImageCodec]] can read. `keepFrame` gates the EXPENSIVE imageio
+      * decode per frame index (the cheap chunk walk still advances the
+      * index), so an every-Nth sampler pays only for the frames it keeps;
+      * frames beyond `maxFrames` are not visited (bounded work per row);
+      * malformed containers yield the frames parsed so far.
       * Inter-frame-compressed codecs (H.264 etc.) return Nil here and stay
       * on the header-parse + stub path.
       */
-    def mjpegFrames(bytes: Array[Byte],
-        maxFrames: Int = 64): List[(Int, java.awt.image.BufferedImage)] = {
+    def mjpegFrames(bytes: Array[Byte], maxFrames: Int = 64,
+        keepFrame: Int => Boolean = _ => true): List[(Int, java.awt.image.BufferedImage)] = {
       if (!sniffAvi(bytes)) return Nil
       try {
         aviChunks(bytes)._2 match {
@@ -459,18 +467,28 @@ object Multimodal {
           case Some((from, until)) =>
             val out = List.newBuilder[(Int, java.awt.image.BufferedImage)]
             var idx = 0
-            var off = from
-            while (off + 8 <= until && idx < maxFrames) {
-              val id = new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
-              val sz = le32(bytes, off + 4)
-              if (sz < 0 || off + 8 + sz > until) return out.result()
-              if (id.length == 4 && (id.endsWith("dc") || id.endsWith("db"))) {
-                val payload = java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + sz.toInt)
-                ImageCodec.read(payload).foreach(img => out += ((idx, img)))
-                idx += 1
+            def walk(from0: Int, until0: Int): Boolean = { // false = stop
+              var off = from0
+              while (off + 8 <= until0 && idx < maxFrames) {
+                val id = new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+                val sz = le32(bytes, off + 4)
+                if (sz < 0 || off + 8 + sz > until0) return false
+                if (id == "LIST" && sz >= 4 &&
+                    new String(bytes, off + 8, 4,
+                      java.nio.charset.StandardCharsets.US_ASCII) == "rec ") {
+                  if (!walk(off + 12, off + 8 + sz.toInt)) return false
+                } else if (id.length == 4 && (id.endsWith("dc") || id.endsWith("db"))) {
+                  if (keepFrame(idx)) {
+                    val payload = java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + sz.toInt)
+                    ImageCodec.read(payload).foreach(img => out += ((idx, img)))
+                  }
+                  idx += 1
+                }
+                off += 8 + sz.toInt + (sz.toInt & 1)
               }
-              off += 8 + sz.toInt + (sz.toInt & 1)
+              true
             }
+            walk(from, until)
             out.result()
         }
       } catch { case scala.util.control.NonFatal(_) => Nil }
@@ -585,11 +603,13 @@ object Multimodal {
     media.select("media_id", "content").mapPartitions { it =>
       it.flatMap { r =>
         val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
-        VideoCodec.mjpegFrames(bytes, maxFrames).iterator.collect {
-          case (idx, img) if idx % everyNth == 0 =>
+        // sampling gates the imageio decode itself, not just the output —
+        // everyNth=8 pays for 1/8th of the frames, not all of them
+        VideoCodec.mjpegFrames(bytes, maxFrames, idx => idx % everyNth == 0)
+          .iterator.map { case (idx, img) =>
             Row(r.getLong(0), idx, img.getWidth, img.getHeight,
               ImageCodec.aHash64(img))
-        }
+          }
       }
     }(enc)
   }

@@ -603,7 +603,7 @@ object Similarity {
     * unsplittable file (AQE-coalesce-exempt — SCALE.md).
     */
   def minHashCandidates(docs: DataFrame, keep: Seq[String] = Seq("lang"),
-      maxBucket: Int = 1000, eagerSigs: Boolean = true): (DataFrame, DataFrame) = {
+      maxBucket: Int = 1000): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     val sigs = MinHash
       .signatures(
@@ -611,7 +611,7 @@ object Similarity {
           .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
           .localCheckpoint(eager = false),
         "doc_id" +: keep)
-      .localCheckpoint(eager = eagerSigs)
+      .localCheckpoint(eager = true)
     val bands = capBuckets(MinHash.bands(sigs), Seq("band", "bkey"), maxBucket)
     val cands = bands.as("x")
       .join(bands.as("y"), expr("x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id"))

@@ -201,7 +201,17 @@ object GoldWriter {
           val age = try System.currentTimeMillis() -
             fs.getFileStatus(lock).getModificationTime
           catch { case _: java.io.FileNotFoundException => 0L } // racer released; retry
-          if (age > staleMs) fs.delete(lock, false) // break an abandoned lock
+          if (age > staleMs) {
+            // break via atomic RENAME, not delete: two contenders that both
+            // observed the stale lock would otherwise both delete — and the
+            // slower delete could remove the faster breaker's FRESH lock,
+            // admitting two concurrent writers. Rename succeeds for exactly
+            // one breaker (the loser's rename fails and it just re-loops).
+            val tomb = new org.apache.hadoop.fs.Path(lock.getParent,
+              s"${lock.getName}.stale.${java.util.UUID.randomUUID()}")
+            try { if (fs.rename(lock, tomb)) fs.delete(tomb, false) }
+            catch { case _: java.io.IOException => () }
+          }
           else if (System.currentTimeMillis() > deadline)
             throw new IllegalStateException(
               s"GoldWriter: could not acquire writer lock $lock within ${waitMs} ms " +

@@ -483,10 +483,16 @@ object ScaleOps {
     require(!left.columns.exists(_.startsWith(prefix)),
       s"left columns may not start with '$prefix' (matched-column namespace)")
     val shared = keyCols.map(col) :+ col(timeCol)
+    // ONE struct carries the whole build row through the window: per-column
+    // last(ignoreNulls) would skip a legitimately-NULL value in the true
+    // as-of row and stitch columns from DIFFERENT right rows into one
+    // impossible match (a build row's struct is never null even when its
+    // fields are, so the struct-level last() always picks one real row).
+    val matchType = org.apache.spark.sql.types.StructType(
+      right.schema(timeCol) +: valueCols.map(right.schema(_)))
     val probe = left.select(shared ++
-      leftOther.map(col) ++
-      valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"$prefix$c")) :+
-      lit(null).cast(right.schema(timeCol).dataType).as(s"$prefix$timeCol") :+
+      leftOther.map(col) :+
+      lit(null).cast(matchType).as("__m") :+
       lit(1).as("__side"): _*)
     // null-key build rows can never match under SQL equality, but a window
     // PARTITION groups nulls together — drop them so a null-key left row
@@ -494,9 +500,8 @@ object ScaleOps {
     val build = right
       .where(keyCols.map(col(_).isNotNull).reduce(_ && _))
       .select(shared ++
-        leftOther.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        valueCols.map(c => col(c).as(s"$prefix$c")) :+
-        col(timeCol).as(s"$prefix$timeCol") :+
+        leftOther.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(col(timeCol) +: valueCols.map(col): _*).cast(matchType).as("__m") :+
         lit(0).as("__side"): _*)
     // at equal times the build row sorts FIRST (side 0 < 1), so an
     // equal-timestamp right row is visible to the left row (inclusive)
@@ -505,11 +510,13 @@ object ScaleOps {
       .orderBy(col(timeCol).asc, col("__side").asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    val matched = (valueCols.map(c => s"$prefix$c") :+ s"$prefix$timeCol")
-      .foldLeft(probe.unionByName(build)) { (df, c) =>
-        df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-      }
-    matched.where(col("__side") === 1).drop("__side")
+    probe.unionByName(build)
+      .withColumn("__m", last(col("__m"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select(col("*") +:
+        col(s"__m.$timeCol").as(s"$prefix$timeCol") +:
+        valueCols.map(c => col(s"__m.$c").as(s"$prefix$c")): _*)
+      .drop("__side", "__m")
   }
 
   /** Chained `when` mapping each group key to a per-group double constant —

@@ -466,6 +466,11 @@ object Incremental {
       .selectExpr("CAST(user_id AS LONG) AS user_id",
         "CAST(event_id AS LONG) AS event_id", "CAST(ts AS TIMESTAMP) AS ts",
         s"CAST(event_type = '$buildType' AS BOOLEAN) AS is_build")
+      // a single null ts/id would NPE inside the state function — and a
+      // streaming NPE is a poison pill (the checkpoint replays the same
+      // batch forever). Malformed events drop here, the codec family's
+      // PERMISSIVE posture applied to the stream.
+      .where(col("user_id").isNotNull && col("event_id").isNotNull && col("ts").isNotNull)
       .as[(Long, Long, java.sql.Timestamp, Boolean)]
     typed
       .groupByKey(_._1)

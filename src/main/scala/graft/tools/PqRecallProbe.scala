@@ -47,9 +47,15 @@ object PqRecallProbe {
     val nGt = gt.count()
     println(s"PQRECALL dir=$dir vecs=$nVecs queries=$nQueries gtRows=$nGt")
 
+    // recall@N in the standard sense: |true-top-N ∩ retrieved-top-N| over
+    // the ACTUAL ground-truth rows at that depth (comparing true-top-N
+    // against the full retrieved-top-k would count a 6th-ranked retrieval
+    // as a recall@5 hit and inflate the metric)
     def recallAt(approx: org.apache.spark.sql.DataFrame, at: Int): Double = {
-      val hits = gt.where(col("rank") <= at).join(approx, Seq("qid", "id")).count()
-      hits.toDouble / (nQueries.toLong * at)
+      val gtAt = gt.where(col("rank") <= at).select("qid", "id")
+      val apAt = approx.where(col("rank") <= at).select("qid", "id")
+      val denom = math.max(1L, gtAt.count())
+      gtAt.join(apAt, Seq("qid", "id")).count().toDouble / denom
     }
 
     def line(label: String, coarse: Array[Array[Float]],
@@ -57,7 +63,7 @@ object PqRecallProbe {
       val encoded = graft.ext.Pq.ivfPqEncode(emb, "vec_id", "v16", coarse, model)
       val approx = graft.ext.Pq
         .ivfPqTopK(encoded, queries, "vec_id", "v16", coarse, model, nprobe, k)
-        .select(col("qid"), col("id"))
+        .select(col("qid"), col("rank"), col("id"))
         .localCheckpoint(eager = false)
       approx.count()
       println(f"PQRECALL $label%-28s cells=${coarse.length}%2d nprobe=$nprobe%d " +
