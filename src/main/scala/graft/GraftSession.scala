@@ -34,6 +34,14 @@ object GraftSession {
       // list in this engine is bounded by construction (doc length, a
       // user's calendar days), so the hash map's VALUES are small; 2M keys
       // per partition is the regime the partition sizing already assumes.
+      //
+      // CONTRACT for new queries: this setting is SESSION-GLOBAL, so every
+      // collect_list/collect_set added to the engine must keep its
+      // per-group values bounded by construction (cap, slice, or window the
+      // group first) — an unbounded-values list agg would have lost its
+      // sort-based spill fallback and can OOM an executor instead of
+      // spilling. If you cannot bound the values, aggregate under a
+      // dedicated session (or reset this conf around the call).
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (1 << 21).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

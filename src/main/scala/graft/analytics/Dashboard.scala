@@ -188,7 +188,11 @@ object Dashboard {
     * table/view visible in the session catalog — the first thing the reference
     * UI does on load (streamlit_frontend.py:440-444 `information_schema.tables`,
     * :515 `DESCRIBE`). Pure driver-side metadata from `spark.catalog`; no data
-    * is scanned, so this is O(columns) regardless of table size.
+    * is scanned, so this is O(columns) regardless of table size. The
+    * `listTables().collect()` is INTENTIONALLY driver-side and catalog-sized:
+    * against a metastore with very many tables (100k+) this enumeration —
+    * like any `information_schema.tables` scan — is O(tables) driver work and
+    * should be filtered by database/pattern before listing.
     */
   def catalog(spark: SparkSession): DataFrame = {
     import spark.implicits._

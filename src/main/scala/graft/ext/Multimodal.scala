@@ -454,7 +454,12 @@ object Multimodal {
       * decode per frame index (the cheap chunk walk still advances the
       * index), so an every-Nth sampler pays only for the frames it keeps;
       * frames beyond `maxFrames` are not visited (bounded work per row);
-      * malformed containers yield the frames parsed so far.
+      * malformed containers yield the frames parsed so far. Nesting of
+      * `rec ` lists is DEPTH-CAPPED at 16 (real muxers emit depth 1): a
+      * crafted container with thousands of nested 12-byte rec headers would
+      * otherwise overflow the JVM stack, and StackOverflowError is not
+      * NonFatal — the permissive-posture catch below would let it kill the
+      * executor task. Chunks below the cap are skipped, not fatal.
       * Inter-frame-compressed codecs (H.264 etc.) return Nil here and stay
       * on the header-parse + stub path.
       */
@@ -467,7 +472,7 @@ object Multimodal {
           case Some((from, until)) =>
             val out = List.newBuilder[(Int, java.awt.image.BufferedImage)]
             var idx = 0
-            def walk(from0: Int, until0: Int): Boolean = { // false = stop
+            def walk(from0: Int, until0: Int, depth: Int): Boolean = { // false = stop
               var off = from0
               while (off + 8 <= until0 && idx < maxFrames) {
                 val id = new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
@@ -476,7 +481,7 @@ object Multimodal {
                 if (id == "LIST" && sz >= 4 &&
                     new String(bytes, off + 8, 4,
                       java.nio.charset.StandardCharsets.US_ASCII) == "rec ") {
-                  if (!walk(off + 12, off + 8 + sz.toInt)) return false
+                  if (depth < 16 && !walk(off + 12, off + 8 + sz.toInt, depth + 1)) return false
                 } else if (id.length == 4 && (id.endsWith("dc") || id.endsWith("db"))) {
                   if (keepFrame(idx)) {
                     val payload = java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + sz.toInt)
@@ -488,7 +493,7 @@ object Multimodal {
               }
               true
             }
-            walk(from, until)
+            walk(from, until, 0)
             out.result()
         }
       } catch { case scala.util.control.NonFatal(_) => Nil }

@@ -170,15 +170,24 @@ object GoldWriter {
     }
   }
 
-  /** The advisory writer mutex behind [[lockedUpsert]]: acquire via atomic
-    * exclusive-create of `<path parent>/<name>.lock` (Hadoop
-    * `create(overwrite = false)` — atomic on local/HDFS semantics), run the
-    * body, delete the lock in finally. A lock older than `staleMs` is
-    * presumed abandoned by a crashed writer and is broken (delete + retry) —
-    * safe because upserts are idempotent first-write-wins appends: the worst
-    * a broken-then-raced stale writer can do is append rows a replay would
+  /** The advisory writer mutex behind [[lockedUpsert]]: acquire via
+    * exclusive-create of `<path parent>/<name>.lock`, run the body, release
+    * in finally. Exclusive-create is atomic on HDFS and on `file://` here
+    * (local paths go through `java.nio` `CREATE_NEW`, an O_EXCL open —
+    * Hadoop's own RawLocalFileSystem implements `create(overwrite=false)`
+    * as a NON-atomic exists-then-create, so it is only the fallback for
+    * other schemes; on S3-like stores with no atomic create this lock is
+    * advisory-best-effort and the idempotent-upsert argument below is the
+    * real safety net). A lock older than `staleMs` is presumed abandoned by
+    * a crashed writer and is broken (rename-aside + retry) — safe because
+    * upserts are idempotent first-write-wins appends: the worst a
+    * broken-then-raced stale writer can do is append rows a replay would
     * have appended anyway... except duplicates, which is exactly why
     * `staleMs` should exceed any plausible upsert duration (default 10 min).
+    * Each acquisition writes a per-acquisition UUID into the lock file and
+    * the finally-release deletes ONLY if the content still matches: a
+    * healthy writer that overran `staleMs` and had its lock broken must not
+    * delete the contender's FRESH lock (which would admit a third writer).
     * Contention waits with bounded sleep up to `waitMs` — defaulted to the
     * SAME 10 minutes as `staleMs`, because a healthy competing upsert on a
     * large table legitimately runs for minutes — then fails loudly (a
@@ -190,36 +199,73 @@ object GoldWriter {
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val lock = new org.apache.hadoop.fs.Path(
       table.getParent, s".${table.getName}._graft_gold.lock")
+    val token = java.util.UUID.randomUUID().toString
+    val tokenBytes = token.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val isLocal = {
+      val s = lock.toUri.getScheme
+      s == null || s == "file"
+    }
+    def tryCreate(): Boolean =
+      if (isLocal) {
+        // O_EXCL create — atomic on a local filesystem, unlike
+        // RawLocalFileSystem's exists-then-create
+        val p = java.nio.file.Paths.get(lock.toUri.getPath)
+        try {
+          java.nio.file.Files.write(p, tokenBytes,
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+          true
+        } catch { case _: java.io.IOException => false }
+      } else {
+        try {
+          val out = fs.create(lock, false)
+          out.write(tokenBytes); out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+      }
+    def lockContent(): Option[String] =
+      try {
+        val in = fs.open(lock)
+        try {
+          val buf = new Array[Byte](64)
+          var n = 0
+          var r = in.read(buf, 0, buf.length)
+          while (r > 0 && n < buf.length) { n += r; r = in.read(buf, n, buf.length - n) }
+          Some(new String(buf, 0, n, java.nio.charset.StandardCharsets.UTF_8))
+        } finally in.close()
+      } catch { case _: java.io.IOException => None }
     val deadline = System.currentTimeMillis() + waitMs
     var held = false
     while (!held) {
-      try {
-        fs.create(lock, false).close()
-        held = true
-      } catch {
-        case _: java.io.IOException =>
-          val age = try System.currentTimeMillis() -
-            fs.getFileStatus(lock).getModificationTime
-          catch { case _: java.io.FileNotFoundException => 0L } // racer released; retry
-          if (age > staleMs) {
-            // break via atomic RENAME, not delete: two contenders that both
-            // observed the stale lock would otherwise both delete — and the
-            // slower delete could remove the faster breaker's FRESH lock,
-            // admitting two concurrent writers. Rename succeeds for exactly
-            // one breaker (the loser's rename fails and it just re-loops).
-            val tomb = new org.apache.hadoop.fs.Path(lock.getParent,
-              s"${lock.getName}.stale.${java.util.UUID.randomUUID()}")
-            try { if (fs.rename(lock, tomb)) fs.delete(tomb, false) }
-            catch { case _: java.io.IOException => () }
-          }
-          else if (System.currentTimeMillis() > deadline)
-            throw new IllegalStateException(
-              s"GoldWriter: could not acquire writer lock $lock within ${waitMs} ms " +
-                "— another upsert holds it (or raise waitMs / check for a stuck writer)")
-          else Thread.sleep(50L)
+      if (tryCreate()) held = true
+      else {
+        val age = try System.currentTimeMillis() -
+          fs.getFileStatus(lock).getModificationTime
+        catch { case _: java.io.FileNotFoundException => 0L } // racer released; retry
+        if (age > staleMs) {
+          // break via atomic RENAME, not delete: two contenders that both
+          // observed the stale lock would otherwise both delete — and the
+          // slower delete could remove the faster breaker's FRESH lock,
+          // admitting two concurrent writers. Rename succeeds for exactly
+          // one breaker (the loser's rename fails and it just re-loops).
+          val tomb = new org.apache.hadoop.fs.Path(lock.getParent,
+            s"${lock.getName}.stale.${java.util.UUID.randomUUID()}")
+          try { if (fs.rename(lock, tomb)) fs.delete(tomb, false) }
+          catch { case _: java.io.IOException => () }
+        }
+        else if (System.currentTimeMillis() > deadline)
+          throw new IllegalStateException(
+            s"GoldWriter: could not acquire writer lock $lock within ${waitMs} ms " +
+              "— another upsert holds it (or raise waitMs / check for a stuck writer)")
+        else Thread.sleep(50L)
       }
     }
-    try body finally fs.delete(lock, false)
+    try body finally {
+      // release only if we still own the lock: if a contender broke it as
+      // stale while the body overran, the current lock file is THEIRS
+      if (lockContent().contains(token))
+        try fs.delete(lock, false) catch { case _: java.io.IOException => () }
+    }
   }
 
   /** [[upsert]] serialized through [[withTableLock]] — the multi-writer

@@ -475,6 +475,16 @@ object ScaleOps {
     * left timestamp matches (inclusive, matching DuckDB `ON l.t >= r.t`).
     * Output: every left row + `<prefix><valueCol>`s and `<prefix><timeCol>`
     * from the matched right row (null when no right row precedes).
+    *
+    * Null handling is SQL-equality semantics on BOTH sides, enforced
+    * BEFORE the shuffle: a null-key or null-time build row can never be an
+    * as-of match (`l.t >= r.t` is never true for null `r.t`), so such rows
+    * are filtered from the build; a null-key PROBE row's match is null by
+    * definition, so those rows BYPASS the window entirely (projected null
+    * match columns, unioned back). The bypass matters at scale: nulls
+    * share one `Window.partitionBy` partition, so a mostly-null key column
+    * would otherwise funnel every null-key left row into a single
+    * straggler task that sorts them all to compute a constant.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       timeCol: String, valueCols: Seq[String],
@@ -490,15 +500,20 @@ object ScaleOps {
     // fields are, so the struct-level last() always picks one real row).
     val matchType = org.apache.spark.sql.types.StructType(
       right.schema(timeCol) +: valueCols.map(right.schema(_)))
-    val probe = left.select(shared ++
+    val keysNotNull = keyCols.map(col(_).isNotNull).reduce(_ && _)
+    val probe = left
+      .where(keysNotNull)
+      .select(shared ++
       leftOther.map(col) :+
       lit(null).cast(matchType).as("__m") :+
       lit(1).as("__side"): _*)
-    // null-key build rows can never match under SQL equality, but a window
-    // PARTITION groups nulls together — drop them so a null-key left row
-    // gets the correct null match instead of a null-key "neighbor"
+    // build-side rows that can never match under the as-of predicate are
+    // dropped before the exchange: null keys (SQL equality) and null
+    // timestamps (`l.ts >= r.ts` is never true for null r.ts — an
+    // ascending-nulls-first sort would otherwise surface a null-time build
+    // row as the "earliest" match)
     val build = right
-      .where(keyCols.map(col(_).isNotNull).reduce(_ && _))
+      .where(keysNotNull && col(timeCol).isNotNull)
       .select(shared ++
         leftOther.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         struct(col(timeCol) +: valueCols.map(col): _*).cast(matchType).as("__m") :+
@@ -510,13 +525,21 @@ object ScaleOps {
       .orderBy(col(timeCol).asc, col("__side").asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    probe.unionByName(build)
+    val matched = probe.unionByName(build)
       .withColumn("__m", last(col("__m"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
       .select(col("*") +:
         col(s"__m.$timeCol").as(s"$prefix$timeCol") +:
         valueCols.map(c => col(s"__m.$c").as(s"$prefix$c")): _*)
       .drop("__side", "__m")
+    // null-key probes: constant-null match columns, no window, no exchange
+    val bypass = left
+      .where(!keysNotNull)
+      .select(shared ++ leftOther.map(col) ++
+        (lit(null).cast(right.schema(timeCol).dataType).as(s"$prefix$timeCol") +:
+          valueCols.map(c =>
+            lit(null).cast(right.schema(c).dataType).as(s"$prefix$c"))): _*)
+    matched.unionByName(bypass)
   }
 
   /** Chained `when` mapping each group key to a per-group double constant —

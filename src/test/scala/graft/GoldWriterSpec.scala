@@ -178,4 +178,32 @@ class GoldWriterSpec extends SparkSpec {
     assert(e.getMessage.contains("writer lock"), e.getMessage)
     fs.delete(lock, false)
   }
+
+  test("an overrun writer whose lock was broken must not delete the contender's fresh lock") {
+    val path = tmpDir("goldlock4") + "/gold"
+    val table = new org.apache.hadoop.fs.Path(path)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(
+      table.getParent, s".${table.getName}._graft_gold.lock")
+    fs.mkdirs(table.getParent)
+    // writer A acquires, then — inside the body, simulating A overrunning
+    // staleMs — a contender breaks A's lock and plants its OWN (different
+    // token). A's finally must leave the contender's lock in place.
+    GoldWriter.withTableLock(spark, path) {
+      fs.delete(lock, false)
+      val out = fs.create(lock, false)
+      out.write("contender-token".getBytes("UTF-8")); out.close()
+      ()
+    }
+    assert(fs.exists(lock),
+      "the contender's fresh lock must survive the overrun writer's release")
+    val bytes = new Array[Byte](64)
+    val in = fs.open(lock)
+    val n = in.read(bytes); in.close()
+    assert(new String(bytes, 0, n, "UTF-8") == "contender-token")
+    fs.delete(lock, false)
+    // and the normal path still releases: a clean acquire/release leaves no lock
+    assert(GoldWriter.withTableLock(spark, path)(11) == 11)
+    assert(!fs.exists(lock), "a clean release must delete its own lock")
+  }
 }

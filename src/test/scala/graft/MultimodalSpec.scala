@@ -395,6 +395,34 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.VideoCodec.aviDurationMs(avi.take(16)).isEmpty)
   }
 
+  test("mjpegFrames: hostile deep 'rec ' nesting is depth-capped — parses, no stack overflow") {
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad: Array[Byte] = if (body.length % 2 == 1) Array(0.toByte) else Array.empty
+      id.getBytes("US-ASCII") ++ le32(body.length) ++ body ++ pad
+    }
+    def rec(inner: Array[Byte]): Array[Byte] =
+      chunk("LIST", "rec ".getBytes("US-ASCII") ++ inner)
+    def avi(moviBody: Array[Byte]): Array[Byte] = {
+      val hdrl = chunk("LIST",
+        "hdrl".getBytes("US-ASCII") ++ chunk("avih", new Array[Byte](56)))
+      val movi = chunk("LIST", "movi".getBytes("US-ASCII") ++ moviBody)
+      val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    }
+    val frame = chunk("00dc", jpegOf(100))
+    // depth 3 (within the 16-level cap): the frame decodes
+    val nested3 = (1 to 3).foldLeft(frame)((b, _) => rec(b))
+    assert(Multimodal.VideoCodec.mjpegFrames(avi(nested3)).map(_._1) == List(0))
+    // 5000 nested rec headers (~60 KB of container): a recursive walk would
+    // StackOverflowError — which NonFatal does NOT catch — and kill the
+    // task; the depth cap skips the over-deep subtree and returns normally
+    val deep = (1 to 5000).foldLeft(frame)((b, _) => rec(b))
+    assert(Multimodal.VideoCodec.mjpegFrames(avi(deep)) == Nil)
+  }
+
   test("decodeVideoFramesBatched: per-frame rows with real aHashes; everyNth samples; non-AVI rows yield none") {
     import org.apache.spark.sql.Row
     val avi = mjpegAvi(Seq(jpegOf(40), jpegOf(91), jpegOf(150), jpegOf(211)), 33333)

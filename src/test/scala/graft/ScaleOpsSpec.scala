@@ -565,6 +565,60 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got(2L).isEmpty, "null-key probe must not match the null-key build row")
   }
 
+  test("asofJoin: 90%-null probe keys — correct, and null probes bypass the window") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // the mostly-null-key regime: window-partitioned nulls would all land
+    // in ONE partition; the bypass must keep them out of the exchange
+    val left = (1 to 300).map { i =>
+      val k = if (i % 10 == 0) Option((i % 5).toLong) else Option.empty[Long]
+      (i.toLong, k, rnd.nextInt(100))
+    }.toDF("lid", "k", "t")
+    val right = (1 to 40).map(i => ((i % 5).toLong, rnd.nextInt(100), s"v$i"))
+      .groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq // unique (k, t)
+      .toDF("k", "t", "payload")
+    val got = ScaleOps.asofJoin(left, right, Seq("k"), "t", Seq("payload"))
+    val brute = left.as("l")
+      .join(right.as("r"), expr("l.k = r.k AND l.t >= r.t"), "left")
+      .groupBy(col("l.lid").as("lid"), col("l.k").as("k"), col("l.t").as("t"))
+      .agg(max(struct(col("r.t"), col("r.payload"))).as("m"))
+      .select(col("lid"), col("k"), col("t"),
+        col("m.t").as("asof_t"), col("m.payload").as("asof_payload"))
+    val gotSel = got.select("lid", "k", "t", "asof_t", "asof_payload")
+    assert(gotSel.except(brute).isEmpty && brute.except(gotSel).isEmpty,
+      "90%-null-key asofJoin must equal the range-join + argmax formulation")
+    assert(got.count() == 300, "every left row survives, null-key ones included")
+    // plan pins: (1) the Window's input subtree pre-filters null keys, so a
+    // null-key probe can never ride the window exchange; (2) the union has
+    // a window-free branch — the null-key bypass projection. Pinned on the
+    // ANALYZED plan: the optimizer folds this local fixture into
+    // LocalRelations (at scale, against a file source, the same Filter
+    // stays in the physical plan below the window exchange).
+    import org.apache.spark.sql.catalyst.plans.logical.{Union, Window => LWindow}
+    val plan = got.queryExecution.analyzed
+    val wins = plan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "expected the as-of window in the plan")
+    wins.foreach(w =>
+      assert(w.child.toString.contains("isnotnull"),
+        s"window input must pre-filter null keys:\n${w.child.toString.take(2000)}"))
+    val unions = plan.collect { case u: Union => u }
+    assert(unions.exists(_.children.exists(c =>
+      c.collect { case w: LWindow => w }.isEmpty)),
+      s"expected a window-free null-key bypass branch:\n${plan.toString.take(3000)}")
+  }
+
+  test("asofJoin: null-TIME build rows never match (SQL `l.ts >= r.ts` semantics)") {
+    import spark.implicits._
+    // an ascending-nulls-first sort would surface the null-ts build row as
+    // the "earliest" match for every probe; the build filter must drop it
+    val left = Seq((1L, 5L, 100)).toDF("lid", "k", "t")
+    val right = Seq((5L, Option.empty[Int], "ghost"), (5L, Option(50), "real"))
+      .toDF("k", "t", "payload")
+    val got = ScaleOps.asofJoin(left, right, Seq("k"), "t", Seq("payload"))
+      .collect().map(r => r.getAs[Long]("lid") -> Option(r.getAs[String]("asof_payload"))).toMap
+    assert(got(1L).contains("real"), "null-ts build row must be invisible to the as-of match")
+  }
+
   test("deleteKeys removes exactly the matched rows, survivors untouched") {
     import spark.implicits._
     val dir = tmpDir("delkeys") + "/t"
