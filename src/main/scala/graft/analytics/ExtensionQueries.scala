@@ -3332,6 +3332,86 @@ object ExtensionQueries {
              |ORDER BY lift DESC, w1, w2 LIMIT 20""".stripMargin)
     ),
     Q(
+      "t20_lm_perplexity",
+      "CCNet-style n-gram LM perplexity quality filter (Wenzek et al. " +
+        "2020, beside the Gopher funnel t13): train a bigram stupid-" +
+        "backoff LM on a reference slice (doc_id % 10 = 0), score every " +
+        "held-out document, cut into per-language head/middle/tail " +
+        "tranches. The whole scoring path is EXACT INTEGER 'bits' — each " +
+        "token's surprisal quantized to whole log2 bits via integer bit-" +
+        "length (length(bin(count))), so document scores are order-" +
+        "independent BIGINT sums and the oracle is bitwise (LangModel " +
+        "scaladoc derives the rule). The model is two count TABLES " +
+        "(never driver state); scoring is a posexplode + two merge-" +
+        "hinted left joins; the per-lang tranche cut is ntile arithmetic " +
+        "over groupedGlobalRowNumber — the w14 distributed-ranking " +
+        "discipline, so no language's documents ever sort in one task",
+      (s, d) => {
+        val sp = documents(s, d)
+          .selectExpr("doc_id", "lang", graft.ext.MinHash.splitExpr)
+          .localCheckpoint(eager = false) // feeds train + held-out scoring
+        val m = graft.ext.LangModel.train(
+          sp.where(col("doc_id") % 10 === 0).select("t"))
+        val dd = graft.ext.LangModel
+          .scoreDocs(sp.where(col("doc_id") % 10 =!= 0), m, Seq("doc_id", "lang"))
+          .withColumn("bpt", expr("CAST(bits AS DOUBLE) / n_tokens"))
+        val rn = graft.ops.ScaleOps.groupedGlobalRowNumber(
+          dd, Seq("lang"), Seq("bpt", "doc_id"))
+        val cnt = rn.groupBy("lang").agg(count(lit(1)).as("nd"))
+        rn.join(broadcast(cnt), Seq("lang"))
+          .withColumn("tile", expr(
+            """CASE WHEN rn <= (nd DIV 3 + 1) * (nd % 3)
+              |     THEN (rn - 1) DIV (nd DIV 3 + 1) + 1
+              |     ELSE nd % 3 + (rn - (nd DIV 3 + 1) * (nd % 3) - 1) DIV (nd DIV 3) + 1
+              |END""".stripMargin))
+          .withColumn("tranche",
+            expr("CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END"))
+          .groupBy("lang", "tranche")
+          .agg(count(lit(1)).as("docs"),
+            sum("bits").cast("long").as("total_bits"),
+            sum("n_tokens").cast("long").as("total_tokens"),
+            expr("round(CAST(SUM(bits) AS DOUBLE) / SUM(n_tokens), 9)")
+              .as("bits_per_token"))
+          .orderBy("lang", "tranche")
+      },
+      Some("""WITH sp AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS t FROM documents),
+             |tr AS (SELECT t FROM sp WHERE doc_id % 10 = 0),
+             |uni AS (SELECT u.w AS w, COUNT(*) AS cw
+             |        FROM (SELECT unnest(t) AS w FROM tr) u GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(cw) AS BIGINT) AS tt FROM uni),
+             |trb AS (SELECT t[i] AS c1, t[i + 1] AS w2
+             |        FROM tr, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) s),
+             |big AS (SELECT c1, w2, COUNT(*) AS cb FROM trb GROUP BY 1, 2),
+             |bigc AS (SELECT b.c1, b.w2, b.cb, u.cw AS cc FROM big b JOIN uni u ON u.w = b.c1),
+             |he AS (SELECT doc_id, lang, t FROM sp WHERE doc_id % 10 <> 0),
+             |po AS (SELECT doc_id, lang, i, t[i] AS w,
+             |         CASE WHEN i > 1 THEN t[i - 1] END AS c
+             |       FROM he, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) s),
+             |sc AS (SELECT p.doc_id, p.lang,
+             |  CASE WHEN p.i = 1 THEN
+             |         CASE WHEN u.cw IS NOT NULL THEN length(bin(tt)) - length(bin(u.cw))
+             |              ELSE length(bin(tt)) + 8 END
+             |       WHEN b.cb IS NOT NULL THEN length(bin(b.cc)) - length(bin(b.cb))
+             |       WHEN u.cw IS NOT NULL THEN 2 + length(bin(tt)) - length(bin(u.cw))
+             |       ELSE 2 + length(bin(tt)) + 8 END AS s
+             |  FROM po p
+             |  LEFT JOIN bigc b ON b.c1 = p.c AND b.w2 = p.w
+             |  LEFT JOIN uni u ON u.w = p.w
+             |  CROSS JOIN tot),
+             |dd AS (SELECT doc_id, lang, COUNT(*) AS n, CAST(SUM(s) AS BIGINT) AS sb
+             |       FROM sc GROUP BY 1, 2),
+             |rk AS (SELECT lang, n, sb, ntile(3) OVER
+             |         (PARTITION BY lang ORDER BY CAST(sb AS DOUBLE) / n, doc_id) AS tile
+             |       FROM dd)
+             |SELECT lang,
+             |  CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS tranche,
+             |  COUNT(*) AS docs,
+             |  CAST(SUM(sb) AS BIGINT) AS total_bits,
+             |  CAST(SUM(n) AS BIGINT) AS total_tokens,
+             |  round(CAST(SUM(sb) AS DOUBLE) / CAST(SUM(n) AS BIGINT), 9) AS bits_per_token
+             |FROM rk GROUP BY 1, 2 ORDER BY lang, tranche""".stripMargin)
+    ),
+    Q(
       "e8_embedding_audit",
       "Embedding-table health audit: per label — vector count, dimension " +
         "consistency (a ragged table breaks every downstream kernel), " +
