@@ -1132,6 +1132,48 @@ object RelationalQueries {
              |FROM per, tot ORDER BY pairs DESC, suppkey LIMIT 5""".stripMargin)
     ),
     Q(
+      "j11_skew_auto",
+      "Auto-routed skew join (ScaleOps.autoJoin) — j8's O(distinct keys) " +
+        "forecast wired to the decision (the w20/n15 router pattern for " +
+        "joins): a small-side count gates broadcast, then the hottest " +
+        "key's share of the large side vs the per-reducer average picks " +
+        "salted (j7) or plain. The fixture funnels every fourth order's " +
+        "lineitems onto suppkey 1 — ~25% of rows on one key, the " +
+        "single-key flood AQE's split can't fix — so the share test " +
+        "(25% >> 4x 1/32) picks 'salted' at EVERY scale factor " +
+        "(share-based, scale-invariant by construction). All three " +
+        "routes are bitwise-identical (spec-pinned), so the oracle is " +
+        "the plain join plus the same routing arithmetic in SQL: the " +
+        "DECISION is part of the gated output",
+      (s, d) => {
+        val li = lineitem(s, d).select(
+          expr("CASE WHEN l_orderkey % 4 = 0 THEN 1 ELSE l_suppkey END").as("suppkey"),
+          col("l_quantity"))
+        val sup = supplier(s, d).select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+        // broadcastRowLimit=0: this row gates the salted-vs-plain share
+        // test, so the (tiny-fixture) broadcast fast path is disabled;
+        // reducers pinned to 32 so the decision is session-independent
+        val (joined, route) = graft.ops.ScaleOps.autoJoin(
+          li, sup, "suppkey", broadcastRowLimit = 0L, reducers = 32)
+        joined
+          .groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+          .withColumn("route", lit(route.route))
+          .orderBy("s_nationkey")
+      },
+      Some("""WITH lg AS (SELECT CASE WHEN l_orderkey % 4 = 0 THEN 1 ELSE l_suppkey END AS suppkey,
+             |              l_quantity FROM lineitem),
+             |kc AS (SELECT suppkey, COUNT(*) AS c FROM lg GROUP BY 1),
+             |st AS (SELECT CAST(MAX(c) AS BIGINT) AS mx, CAST(SUM(c) AS BIGINT) AS tot FROM kc),
+             |rt AS (SELECT CASE WHEN mx > 4.0 * GREATEST(1.0, CAST(tot AS DOUBLE) / 32)
+             |              THEN 'salted' ELSE 'plain' END AS route FROM st)
+             |SELECT s_nationkey, COUNT(*) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |  (SELECT route FROM rt) AS route
+             |FROM lg JOIN supplier ON suppkey = s_suppkey
+             |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)
+    ),
+    Q(
       "f22_zorder_index",
       "Morton (Z-order) key construction over (user_id, minute-of-window) " +
         "— the two-axis data-layout primitive behind lakehouse file " +
@@ -1161,6 +1203,36 @@ object RelationalQueries {
           .mkString("(", " + ", ")")
         s"""WITH zt AS (SELECT $z AS z FROM events)
            |SELECT z // 4194304 AS z_bucket, COUNT(*) AS n,
+           |  MIN(z) AS z_min, MAX(z) AS z_max
+           |FROM zt GROUP BY 1 ORDER BY z_bucket""".stripMargin
+      }
+    ),
+    Q(
+      "f25_zorder_nd",
+      "N-dimensional Morton key (ScaleOps.zOrderColumnN) — f22's 2-axis " +
+        "interleave generalized: bit i of column j lands at position " +
+        "i*n + j, here three axes (user_id, minute-of-window, low event_id " +
+        "bits) into one 48-bit key — so each z-range bounds a " +
+        "hyper-RECTANGLE and file min/max stats prune a selective " +
+        "predicate on ANY of the three axes (the per-axis skipped-file " +
+        "demonstration vs a single-column sort is ScaleOpsSpec-pinned; " +
+        "this row gates the interleave arithmetic bitwise over every " +
+        "event). Exact integer shifts end to end",
+      (s, d) => {
+        val mi = "(unix_micros(ts) div 60000000 - 28401120)" // minutes since 2024-01-01 UTC
+        events(s, d)
+          .withColumn("z", graft.ops.ScaleOps.zOrderColumnN(
+            Seq("user_id", mi, "(event_id & 65535)")))
+          .groupBy(expr("z div 4398046511104").as("z_bucket")) // z // 2^42
+          .agg(count(lit(1)).as("n"), min("z").as("z_min"), max("z").as("z_max"))
+          .orderBy("z_bucket")
+      },
+      Some {
+        val cols = Seq("user_id", "(epoch_us(ts) // 60000000 - 28401120)", "(event_id & 65535)")
+        val z = (for { i <- 0 until 16; (c, j) <- cols.zipWithIndex } yield
+          s"((($c >> $i) & 1) << ${3 * i + j})").mkString("(", " + ", ")")
+        s"""WITH zt AS (SELECT $z AS z FROM events)
+           |SELECT z // 4398046511104 AS z_bucket, COUNT(*) AS n,
            |  MIN(z) AS z_min, MAX(z) AS z_max
            |FROM zt GROUP BY 1 ORDER BY z_bucket""".stripMargin
       }

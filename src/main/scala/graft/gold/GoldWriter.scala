@@ -29,7 +29,12 @@ import graft.silver.Transformer
   * create-no-overwrite (local, HDFS). Object stores without atomic
   * exclusive-create need an external coordinator (or a transactional table
   * format) — that is a storage-layer property no parquet-directory protocol
-  * can conjure, and pretending otherwise would be the bug.
+  * can conjure, and pretending otherwise would be the bug. The engine's
+  * transactional answer is [[graft.ops.ManifestStore]]: manifest-resolved
+  * tables get lock-free first-write-wins upserts (optimistic CAS publish)
+  * and crash-atomic rewrites — use it when the table is born under this
+  * engine; the path-based writers here remain for plain parquet layouts
+  * any external reader can scan directly.
   *
   * Scale: the anti join ships only the key column of the existing table
   * (Catalyst prunes to one column) and the incoming batch is tiny relative to

@@ -38,6 +38,83 @@ object ScaleOps {
       .drop("__salt")
   }
 
+  /** A routed join decision from [[planJoin]]: `route` is "broadcast",
+    * "salted" or "plain"; `salt` is the fan-out the salted route would use
+    * (1 otherwise).
+    */
+  final case class JoinRoute(route: String, salt: Int)
+
+  /** Forecast the join strategy BEFORE paying the join — the j8 skew
+    * planner's measurement wired to a decision, completing the
+    * w20/n15 router family: measure with an O(distinct keys) aggregation,
+    * route on the measurement, never discover the problem by running the
+    * expensive plan.
+    *
+    * Decision rule (two tiny jobs — a small-side count and a two-stage
+    * per-key count aggregate on the large side):
+    *  - small side row count <= `broadcastRowLimit` -> "broadcast" (the
+    *    caller's limit should reflect executor memory; rows x row-width is
+    *    the refinement);
+    *  - else if the hottest key's large-side count exceeds `skewFactor` x
+    *    the average per-reducer row count (`total / reducers`) -> "salted"
+    *    with salt = ceil(hottest / avg) clamped to [2, maxSalt] — just
+    *    enough fan-out to level the hot reducer, no more replication than
+    *    that;
+    *  - else "plain" (AQE's skew split handles the moderate middle).
+    *
+    * The skew test is SHARE-based (hottest key vs per-reducer average), so
+    * the decision is scale-invariant for a fixed key distribution — the
+    * same data at 100x routes the same way. `reducers` defaults to the
+    * session's shuffle partitions; pass it explicitly when the decision
+    * must be reproducible across differently-sized sessions (the j11
+    * oracle does).
+    */
+  def planJoin(large: DataFrame, small: DataFrame, key: String,
+      broadcastRowLimit: Long = 1000000L, skewFactor: Double = 4.0,
+      maxSalt: Int = 64, reducers: Int = 0): JoinRoute = {
+    val sRows = small.count()
+    if (sRows <= broadcastRowLimit) JoinRoute("broadcast", 1)
+    else {
+      val parts = if (reducers > 0) reducers
+        else large.sparkSession.sessionState.conf.numShufflePartitions
+      val stats = large.groupBy(col(key)).agg(count(lit(1)).as("c"))
+        .agg(max("c"), sum("c")).collect()(0)
+      if (stats.isNullAt(0)) JoinRoute("plain", 1) // empty large side
+      else {
+        val mx = stats.getLong(0)
+        val avg = math.max(1.0, stats.getLong(1).toDouble / parts)
+        if (mx > skewFactor * avg)
+          JoinRoute("salted", math.min(maxSalt, math.max(2, math.ceil(mx / avg).toInt)))
+        else JoinRoute("plain", 1)
+      }
+    }
+  }
+
+  /** [[planJoin]] + execute: broadcast / salted / plain on the forecast.
+    * All three routes produce bitwise-identical results (the salted route
+    * is assignment-independent because the small side is present under
+    * every salt — ScaleOpsSpec pins the three-way identity), so routing is
+    * purely a physical decision. Returns the joined frame and the route
+    * taken.
+    */
+  def autoJoin(large: DataFrame, small: DataFrame, key: String,
+      joinType: String = "inner", broadcastRowLimit: Long = 1000000L,
+      skewFactor: Double = 4.0, maxSalt: Int = 64,
+      reducers: Int = 0): (DataFrame, JoinRoute) = {
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi")
+      .contains(joinType.toLowerCase),
+      s"autoJoin supports inner/left/left_semi joins, not $joinType — the " +
+        "salted route replicates the small side, which would duplicate " +
+        "unmatched small rows under right/full semantics")
+    val r = planJoin(large, small, key, broadcastRowLimit, skewFactor, maxSalt, reducers)
+    val joined = r.route match {
+      case "broadcast" => large.join(broadcast(small), Seq(key), joinType)
+      case "salted"    => saltedJoin(large, small, key, r.salt, joinType)
+      case _           => large.join(small, Seq(key), joinType)
+    }
+    (joined, r)
+  }
+
   /** Write a DataFrame as a bucketed+sorted managed table: both sides of a
     * recurring join bucketed by the same key and count join with NO exchange
     * (each bucket pair joins locally) — the pre-shuffle trade the reference's
@@ -971,6 +1048,9 @@ object ScaleOps {
     * own the exclusion: streaming stores compact only while the stream is
     * STOPPED ([[graft.streaming.Incremental]] documents the contract), and
     * probe/query paths must not race a compaction.
+    * [[ManifestStore.compact]] is the no-gap alternative for
+    * manifest-resolved tables: readers keep their snapshot through the
+    * commit, at the cost of manifest-aware reads.
     *
     * Returns (files before, files after).
     */
@@ -1067,7 +1147,9 @@ object ScaleOps {
     *
     * `keys` co-partitions against the store on the key column (broadcast
     * when small — Catalyst's choice); the rewrite is one scan + one
-    * anti-join. SINGLE-WRITER, like compaction.
+    * anti-join. SINGLE-WRITER, like compaction —
+    * [[ManifestStore.deleteKeys]] is the snapshot-isolated variant for
+    * manifest-resolved tables.
     *
     * Returns (rows deleted, rows remaining).
     */
@@ -1202,29 +1284,45 @@ object ScaleOps {
   // lakehouse tables serve selective queries on two axes from one layout.
   // ------------------------------------------------------------------------
 
-  /** Bit-interleaved Morton key of two non-negative integer expressions
-    * (`x` occupies even bits, `y` odd). Pure integer shift/mask column
-    * arithmetic — codegen'd, deterministic, mirrored exactly by the SQL
-    * `((x >> i) & 1) << 2i` form on any engine.
+  /** Bit-interleaved Morton key of N >= 2 non-negative integer expressions:
+    * bit `i` of column `j` lands at interleaved position `i*n + j` (so for
+    * n=2 the first column occupies even bits, the second odd — the classic
+    * 2-D key unchanged). Pure integer shift/mask column arithmetic —
+    * codegen'd, deterministic, mirrored exactly by the SQL
+    * `((x >> i) & 1) << (i*n + j)` form on any engine. `n * bits` must fit
+    * a signed long; each column contributes its low `bits` bits, so cap or
+    * bucket wider domains first (the z key only needs ORDER fidelity, not
+    * full value fidelity).
     */
-  def zOrderColumn(x: String, y: String, bits: Int = 16): org.apache.spark.sql.Column = {
-    require(bits >= 1 && bits <= 31, "bits in [1, 31]")
-    expr((0 until bits).map(i =>
-      s"(shiftleft(shiftright($x, $i) & 1, ${2 * i}) + " +
-        s"shiftleft(shiftright($y, $i) & 1, ${2 * i + 1}))")
+  def zOrderColumnN(cols: Seq[String], bits: Int = 16): org.apache.spark.sql.Column = {
+    val n = cols.size
+    require(n >= 2, "zOrderColumnN needs at least 2 columns")
+    require(bits >= 1 && n * bits <= 63, s"n*bits = ${n * bits} must be in [2, 63]")
+    expr((for { i <- 0 until bits; (c, j) <- cols.zipWithIndex } yield
+      s"shiftleft(shiftright($c, $i) & 1, ${i * n + j})")
       .mkString("(", " + ", ")"))
   }
 
-  /** Lay `df` out in Z-order on `(x, y)`: range-partition then sort by the
-    * Morton key, so each output partition/file covers a bounded rectangle
-    * of BOTH dimensions (ScaleOpsSpec pins the clustering win vs a
-    * single-column sort). Write the result with any sink; parquet min/max
-    * stats then prune on either axis.
+  /** The 2-D special case of [[zOrderColumnN]] (`x` even bits, `y` odd). */
+  def zOrderColumn(x: String, y: String, bits: Int = 16): org.apache.spark.sql.Column =
+    zOrderColumnN(Seq(x, y), bits)
+
+  /** Lay `df` out in Z-order on N columns: range-partition then sort by the
+    * Morton key, so each output partition/file covers a bounded
+    * hyper-rectangle of EVERY interleaved dimension (ScaleOpsSpec pins the
+    * per-axis stats-pruning win vs a single-column sort). Write the result
+    * with any sink; file/row-group min/max stats then prune a selective
+    * predicate on ANY of the axes.
     */
-  def zOrdered(df: DataFrame, x: String, y: String,
+  def zOrderedN(df: DataFrame, cols: Seq[String],
       bits: Int = 16, partitions: Int = 32): DataFrame =
-    df.withColumn("__z", zOrderColumn(x, y, bits))
+    df.withColumn("__z", zOrderColumnN(cols, bits))
       .repartitionByRange(partitions, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
+
+  /** The 2-D special case of [[zOrderedN]]. */
+  def zOrdered(df: DataFrame, x: String, y: String,
+      bits: Int = 16, partitions: Int = 32): DataFrame =
+    zOrderedN(df, Seq(x, y), bits, partitions)
 }

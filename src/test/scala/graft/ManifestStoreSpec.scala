@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.ManifestStore
+
+class ManifestStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("append/read round-trip with dense versions; orphan tmp files are harmless") {
+    val path = tmpDir("mstore") + "/t"
+    val s1 = ManifestStore.append(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path)
+    assert(s1.version == 1L && s1.segments.size == 1)
+    val s2 = ManifestStore.append(spark, Seq((3L, "c")).toDF("k", "v"), path)
+    assert(s2.version == 2L && s2.segments.size == 2)
+    assert(ManifestStore.read(spark, path).count() == 3)
+    // a leftover publish tmp (crashed writer mid-commit) must not confuse
+    // version resolution
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(path, "_manifest/.tmp-deadbeef"), false).close()
+    assert(ManifestStore.current(spark, path).get.version == 2L)
+    // empty append is a no-op commit
+    val s3 = ManifestStore.append(spark,
+      Seq.empty[(Long, String)].toDF("k", "v"), path)
+    assert(s3.version == 2L)
+  }
+
+  test("crash between data write and publish: the segment is invisible; vacuum reclaims it") {
+    val path = tmpDir("mstore2") + "/t"
+    ManifestStore.append(spark, Seq((1L, "a")).toDF("k", "v"), path)
+    // simulate a writer killed after its data write, before its publish
+    val orphan = s"$path/seg-orphan-crashed"
+    Seq((99L, "ghost")).toDF("k", "v").write.parquet(orphan)
+    assert(ManifestStore.read(spark, path).count() == 1,
+      "an unpublished segment must never be visible to readers")
+    Thread.sleep(30)
+    val removed = ManifestStore.vacuum(spark, path, graceMs = 10)
+    assert(removed == 1, s"vacuum must reclaim exactly the orphan, removed $removed")
+    assert(ManifestStore.read(spark, path).count() == 1)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(orphan)))
+  }
+
+  test("concurrent appends: every committer's rows survive the CAS race") {
+    val path = tmpDir("mstore3") + "/t"
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val futures = (1 to 8).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long =
+          ManifestStore.append(spark, Seq((i.toLong, s"w$i")).toDF("k", "v"), path).version
+      })
+    }
+    val versions = futures.map(_.get())
+    pool.shutdown()
+    assert(versions.toSet.size == 8, s"versions must be distinct: $versions")
+    assert(ManifestStore.read(spark, path).count() == 8,
+      "no append may be lost to the publish race")
+    assert(ManifestStore.current(spark, path).get.version == 8L, "versions are dense")
+  }
+
+  test("upsert: first-write-wins without a lock — racing writers cannot double-insert") {
+    val path = tmpDir("mstore4") + "/t"
+    // batch with internal dups and a null key: both dropped, deterministically
+    val r0 = ManifestStore.upsert(spark,
+      Seq((Option(1L), "a1"), (Option(1L), "a0"), (Option(2L), "b"),
+        (Option.empty[Long], "n")).toDF("k", "v"), path, "k")
+    assert(r0.inserted == 2 && r0.batchDuplicates == 2)
+    val v0 = ManifestStore.read(spark, path).where(col("k") === 1L)
+      .collect()(0).getString(1)
+    assert(v0 == "a0", "keep-first must be deterministic (full-row order)")
+    // overlapping concurrent upserts: k=2 exists, k=3 raced by both
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val fs = (1 to 2).map { i =>
+      pool.submit(new java.util.concurrent.Callable[ManifestStore.UpsertReport] {
+        def call(): ManifestStore.UpsertReport = ManifestStore.upsert(spark,
+          Seq((Option(3L), s"c$i"), (Option(2L), s"b$i")).toDF("k", "v"), path, "k")
+      })
+    }
+    val reports = fs.map(_.get())
+    pool.shutdown()
+    assert(reports.map(_.inserted).sum == 1,
+      s"exactly one racer inserts k=3: $reports")
+    val dups = ManifestStore.read(spark, path)
+      .groupBy("k").count().where(col("count") > 1).count()
+    assert(dups == 0, "no duplicate keys under concurrent upserts")
+    assert(ManifestStore.read(spark, path).count() == 3)
+    // replay is a no-op (idempotent at-least-once delivery)
+    val replay = ManifestStore.upsert(spark,
+      Seq((Option(2L), "zzz")).toDF("k", "v"), path, "k")
+    assert(replay.inserted == 0 && replay.existingConflicts == 1)
+  }
+
+  test("compact: atomic, content-identical, snapshot-isolated for in-flight readers") {
+    val path = tmpDir("mstore5") + "/t"
+    (1 to 6).foreach(i => ManifestStore.append(spark,
+      Seq((i.toLong, s"v$i")).toDF("k", "v"), path))
+    val before = ManifestStore.read(spark, path).collect().map(_.toString).sorted.toSeq
+    val oldSnap = ManifestStore.current(spark, path).get
+    assert(oldSnap.segments.size == 6)
+    val snap = ManifestStore.compact(spark, path, partitions = 1)
+    assert(snap.segments.size == 1, "compaction must collapse the segment list")
+    val after = ManifestStore.read(spark, path).collect().map(_.toString).sorted.toSeq
+    assert(after == before, "compaction must be byte-identical")
+    // an in-flight reader pinned to the pre-compaction snapshot still reads
+    // (old segments survive until vacuum's grace expires)
+    assert(ManifestStore.readAt(spark, path, oldSnap)
+      .collect().map(_.toString).sorted.toSeq == before)
+    Thread.sleep(30)
+    assert(ManifestStore.vacuum(spark, path, graceMs = 10) == 6)
+    assert(ManifestStore.read(spark, path).collect().map(_.toString).sorted.toSeq == before)
+  }
+
+  test("deleteKeys: atomic rewrite; a crashed rewrite (no publish) changes nothing") {
+    val path = tmpDir("mstore6") + "/t"
+    ManifestStore.append(spark,
+      (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v"), path)
+    // crash simulation: a rewrite's data files land but its publish never
+    // happens — readers must see the table unchanged
+    ManifestStore.read(spark, path).where(col("k") > 50)
+      .write.parquet(s"$path/seg-halfdone-rewrite")
+    assert(ManifestStore.read(spark, path).count() == 100)
+    val (deleted, remaining) = ManifestStore.deleteKeys(spark, path, "k",
+      ((1 to 30).map(_.toLong) ++ Seq(9999L)).toDF("k"))
+    assert(deleted == 30 && remaining == 70, s"($deleted, $remaining)")
+    assert(ManifestStore.read(spark, path).where(col("k") <= 30).count() == 0)
+  }
+}

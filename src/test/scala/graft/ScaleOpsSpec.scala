@@ -407,6 +407,60 @@ class ScaleOpsSpec extends SparkSpec {
       s"z-layout worst-axis fan-in must beat single-column sort: z=($zx,$zy) x=($xx,$xy)")
   }
 
+  test("zOrderedN: 3-axis parquet layout — file min/max stats prune on EVERY axis") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // full 32^3 grid, shuffled arrival order
+    val pts = scala.util.Random.shuffle(
+      (for (x <- 0 until 32; y <- 0 until 32; w <- 0 until 32)
+        yield (x.toLong, y.toLong, w.toLong)).toList)
+      .toDF("x", "y", "w")
+    // the 3-way interleave is a bijection on the grid
+    assert(pts.select(ScaleOps.zOrderColumnN(Seq("x", "y", "w"), 5).as("z"))
+      .distinct().count() == 32L * 32 * 32, "interleave must be injective")
+    // n*bits > 63 fails loudly rather than silently wrapping the long
+    intercept[IllegalArgumentException] {
+      ScaleOps.zOrderColumnN(Seq("x", "y", "w"), 22)
+    }
+    val zdir = tmpDir("zordernd") + "/z"
+    val xdir = tmpDir("zordernd") + "/x"
+    ScaleOps.zOrderedN(pts, Seq("x", "y", "w"), bits = 5, partitions = 16)
+      .write.parquet(zdir)
+    pts.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.parquet(xdir)
+    // per-FILE min/max stats (what a27/parquet footers expose): how many
+    // files must a point predicate on each axis open?
+    def stats(dir: String): (Long, Map[String, Long => Long]) = {
+      val rows = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("x").as("x0"), max("x").as("x1"),
+          min("y").as("y0"), max("y").as("y1"),
+          min("w").as("w0"), max("w").as("w1"))
+        .collect()
+      val open = Seq("x", "y", "w").map(a => a -> ((v: Long) =>
+        rows.count(r => r.getAs[Long](s"${a}0") <= v &&
+          v <= r.getAs[Long](s"${a}1")).toLong)).toMap
+      (rows.length.toLong, open)
+    }
+    val (zFiles, zOpen) = stats(zdir)
+    val (xFiles, xOpen) = stats(xdir)
+    // the x-sorted layout prunes x but reads EVERY file for y/w predicates
+    assert(xOpen("y")(11L) == xFiles && xOpen("w")(23L) == xFiles,
+      "sanity: single-column sort must leave the other axes unpruned")
+    // the z layout skips files on ALL THREE axes: each file covers a
+    // bounded box (~half of x/y, ~quarter of w at 16 files over 15 z bits,
+    // plus range-boundary straddle), so a point predicate opens at most
+    // ~3/4 of the files on the worst axis instead of all of them
+    val zOpens = Seq("x" -> 7L, "y" -> 11L, "w" -> 23L).map { case (a, v) =>
+      val opened = zOpen(a)(v)
+      assert(opened <= zFiles * 3 / 4,
+        s"axis $a: z-layout must skip files ($opened of $zFiles opened)")
+      opened
+    }
+    assert(zOpens.max < xFiles,
+      s"z worst axis ${zOpens.max} must beat the unpruned layout's $xFiles")
+  }
+
   test("aggState store: fold across runs == one-shot recompute, exactly") {
     import spark.implicits._
     val dir = tmpDir("aggstate") + "/s"
@@ -617,6 +671,57 @@ class ScaleOpsSpec extends SparkSpec {
     val got = ScaleOps.asofJoin(left, right, Seq("k"), "t", Seq("payload"))
       .collect().map(r => r.getAs[Long]("lid") -> Option(r.getAs[String]("asof_payload"))).toMap
     assert(got(1L).contains("real"), "null-ts build row must be invisible to the as-of match")
+  }
+
+  test("planJoin routes broadcast/salted/plain from the forecast; autoJoin is route-invariant") {
+    import spark.implicits._
+    // hot-key fixture: 50% of large rows on key 1, rest uniform over 2..20
+    val hot = (1 to 2000).map { i =>
+      (if (i % 2 == 0) 1L else (i % 19 + 2).toLong, i.toLong)
+    }.toDF("k", "v")
+    val uniform = (1 to 2000).map(i => ((i % 20 + 1).toLong, i.toLong)).toDF("k", "v")
+    val small = (1 to 20).map(i => (i.toLong, s"dim$i")).toDF("k", "payload")
+
+    // decisions: small side under the limit -> broadcast; above the limit
+    // the hot fixture trips the share test, the uniform one does not
+    assert(ScaleOps.planJoin(hot, small, "k").route == "broadcast")
+    val saltedRoute = ScaleOps.planJoin(hot, small, "k",
+      broadcastRowLimit = 0L, reducers = 32)
+    assert(saltedRoute.route == "salted", saltedRoute.toString)
+    assert(saltedRoute.salt >= 2 && saltedRoute.salt <= 64)
+    assert(ScaleOps.planJoin(uniform, small, "k",
+      broadcastRowLimit = 0L, reducers = 32).route == "plain")
+    // empty large side must not NPE on the null max
+    assert(ScaleOps.planJoin(hot.where(lit(false)), small, "k",
+      broadcastRowLimit = 0L).route == "plain")
+
+    // all three routes are bitwise-identical on the skewed fixture
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("payload").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+        .collect().map(_.toString).sorted.toSeq
+    val plain = agg(hot.join(small, Seq("k")))
+    val (bdf, br) = ScaleOps.autoJoin(hot, small, "k")
+    assert(br.route == "broadcast" && agg(bdf) == plain)
+    val (sdf, sr) = ScaleOps.autoJoin(hot, small, "k",
+      broadcastRowLimit = 0L, reducers = 32)
+    assert(sr.route == "salted" && agg(sdf) == plain)
+    // the salted route's plan actually carries the salt fan-out
+    assert(sdf.queryExecution.analyzed.toString.contains("__salt"),
+      "salted route must widen the join key with the salt")
+    val (pdf, pr) = ScaleOps.autoJoin(uniform, small, "k",
+      broadcastRowLimit = 0L, reducers = 32)
+    assert(pr.route == "plain" &&
+      agg(pdf) == agg(uniform.join(small, Seq("k"))))
+
+    // left joins survive routing (unmatched large rows keep null payload)
+    val withOrphans = hot.union(Seq((999L, 0L)).toDF("k", "v"))
+    val (ldf, _) = ScaleOps.autoJoin(withOrphans, small, "k", joinType = "left",
+      broadcastRowLimit = 0L, reducers = 32)
+    assert(agg(ldf) == agg(withOrphans.join(small, Seq("k"), "left")))
+    // right/full are rejected loudly (salting would duplicate small rows)
+    intercept[IllegalArgumentException] {
+      ScaleOps.autoJoin(hot, small, "k", joinType = "full")
+    }
   }
 
   test("deleteKeys removes exactly the matched rows, survivors untouched") {
