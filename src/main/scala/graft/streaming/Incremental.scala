@@ -175,6 +175,64 @@ object Incremental {
       .start()
   }
 
+  /** Dead-letter quarantine for `foreachBatch` bodies — the delivery
+    * semantics the reference gets from RabbitMQ's manual-ack +
+    * nack-no-requeue poison handling (cleaner/cleaner.py:246-316: a batch
+    * whose processing throws is NOT requeued — it leaves the stream so one
+    * poison message cannot wedge the consumer forever). Structured
+    * Streaming's default is the opposite: a foreachBatch exception fails
+    * the query, and a restart replays the SAME batch into the same
+    * exception — a poison batch halts the pipeline permanently.
+    *
+    * This wrapper retries the body `attempts` times (transient faults —
+    * an FS hiccup, an executor loss — succeed on retry), then QUARANTINES:
+    * the batch's rows land in `deadLetterDir/batch=<id>/` with an
+    * `_error.txt` sidecar (exception + timestamp + row count) and the
+    * wrapper returns normally, so the checkpoint commits past the poison
+    * batch and the stream keeps draining. The quarantine write is
+    * OVERWRITE, keyed to the batch id — a crash between quarantine and
+    * checkpoint commit replays into an identical rewrite, not a duplicate
+    * (the streamingVectorIndex replay discipline). Operators re-drive a
+    * fixed batch from the dead-letter directory (it holds the full rows),
+    * exactly like a queue's DLX.
+    *
+    * If even the quarantine write fails (the input itself is unreadable),
+    * the LAST error is rethrown — a batch that can neither process nor
+    * persist must fail the query loudly rather than vanish.
+    */
+  def withDeadLetter(deadLetterDir: String, attempts: Int = 2)(
+      body: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
+    require(attempts >= 1, "attempts must be >= 1")
+    (batch: DataFrame, batchId: Long) => {
+      var lastErr: Throwable = null
+      var done = false
+      var i = 0
+      while (!done && i < attempts) {
+        try { body(batch, batchId); done = true }
+        catch { case scala.util.control.NonFatal(e) => lastErr = e }
+        i += 1
+      }
+      if (!done) {
+        try {
+          val dir = s"$deadLetterDir/batch=$batchId"
+          batch.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
+          val fs = new org.apache.hadoop.fs.Path(dir)
+            .getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+          val out = fs.create(new org.apache.hadoop.fs.Path(dir, "_error.txt"), true)
+          try out.write(
+            (s"batch=$batchId\nquarantined_at_ms=${System.currentTimeMillis()}\n" +
+              s"error=${lastErr.getClass.getName}: ${Option(lastErr.getMessage).getOrElse("")}\n")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+        } catch {
+          case scala.util.control.NonFatal(qe) =>
+            lastErr.addSuppressed(qe)
+            throw lastErr
+        }
+      }
+    }
+  }
+
   /** Streaming ANN index maintenance — the vector-side sibling of
     * [[streamingDedup]]: embedding vectors land as JSON files
     * `(vec_id, embedding[])`; each micro-batch is IVFPQ-encoded

@@ -410,6 +410,60 @@ class StreamingSpec extends SparkSpec {
         s""""keys":${want.size},"batches":$batches,"c":16,"k":5,"match":true}\n""")
   }
 
+  test("withDeadLetter: a poison batch is quarantined and the stream drains past it") {
+    val dir = tmpDir("dlq-in")
+    val chk = tmpDir("dlq-chk")
+    val dlq = tmpDir("dlq-out") + "/dead"
+    val processed = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val attemptsSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+    // three single-file batches; the middle one is poison
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/a.json"),
+      """{"id":1,"v":"ok"}""" + "\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/b.json"),
+      """{"id":2,"v":"poison"}""" + "\n" + """{"id":3,"v":"ok"}""" + "\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/c.json"),
+      """{"id":4,"v":"ok"}""" + "\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    val body = Incremental.withDeadLetter(dlq, attempts = 2) { (b, _) =>
+      attemptsSeen.incrementAndGet()
+      if (b.where(col("v") === "poison").count() > 0)
+        throw new RuntimeException("poison batch")
+      val ids = b.select("id").collect().map(_.getLong(0))
+      processed.synchronized { processed ++= ids }
+      ()
+    }
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(dir)
+      .writeStream.option("checkpointLocation", chk)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch(body)
+      .start()
+    q.awaitTermination(180000)
+    // the stream drained: both healthy batches processed, poison skipped
+    assert(processed.synchronized(processed.sorted.toSeq) == Seq(1L, 4L),
+      s"healthy batches must process: $processed")
+    assert(attemptsSeen.get() == 4, "poison batch must be retried once (2 attempts)")
+    // the quarantine holds the FULL poison batch + an error sidecar
+    val dlqDirs = new java.io.File(dlq).listFiles().filter(_.getName.startsWith("batch="))
+    assert(dlqDirs.length == 1, s"exactly one quarantined batch: ${dlqDirs.mkString(",")}")
+    val rows = spark.read.parquet(dlqDirs(0).getPath)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows == Seq(2L, 3L), "the whole poison batch is re-drivable from the DLQ")
+    val sidecar = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dlqDirs(0).getPath, "_error.txt"))
+    assert(sidecar.contains("RuntimeException") && sidecar.contains("poison batch"))
+    // transient failures do NOT quarantine: fail once, succeed on retry
+    val flaky = new java.util.concurrent.atomic.AtomicInteger(0)
+    val dlq2 = tmpDir("dlq-out2") + "/dead"
+    import spark.implicits._
+    Incremental.withDeadLetter(dlq2, attempts = 2) { (_, _) =>
+      if (flaky.incrementAndGet() == 1) throw new RuntimeException("transient")
+    }.apply(Seq((9L, "x")).toDF("id", "v"), 7L)
+    assert(flaky.get() == 2 && !new java.io.File(dlq2).exists(),
+      "a retry-recovered batch must not be quarantined")
+  }
+
   test("streamingSessions: gap-split sessions close on data; tails close on event-time timeout") {
     val dir = tmpDir("sess-ev")
     val chk = tmpDir("sess-chk")
