@@ -496,4 +496,22 @@ class PlanAuditSpec extends SparkSpec {
         s"posting tier must key on postings (shingle):\n${plan2.take(3000)}")
     } finally spark.conf.unset("graft.payloadPairBound")
   }
+
+  test("t20: LM scoring has no corpus-global window; every window is a __pid range slice") {
+    // The perplexity pipeline's only windows belong to the w14 ranking
+    // discipline (partitioned by (__pid, lang) — bounded range slices). A
+    // Window partitioned by bare `lang` would sort a whole language's
+    // documents in one task; a Window with no partition would sort the
+    // corpus. Both are the shapes this pin rejects.
+    val df = Registry.byName("t20_lm_perplexity").fn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val windowSpecs = plan.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windowSpecs.nonEmpty, "expected the ranking window in the plan")
+    windowSpecs.foreach(w =>
+      assert(w.contains("__pid"),
+        s"every t20 window must partition by the range-slice id:\n$w"))
+    // and no join plans a cartesian/BNLJ (the count tables join by key)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"count-table joins must be keyed:\n${plan.take(3000)}")
+  }
 }

@@ -343,4 +343,88 @@ class PropertiesSpec extends SparkSpec {
         s"forms diverged on ${pairs.take(8)}...")
     }
   }
+
+  test("property: LangModel scoreDocs == driver-side backoff reference on random corpora") {
+    // small vocab with a rarity gradient so every backoff branch fires:
+    // frequent words hit bigrams, mid words hit unigram backoff, and the
+    // 'x'-words are train-OOV in most samples
+    val wordGen = Gen.frequency(
+      5 -> Gen.oneOf("a", "b"), 3 -> Gen.oneOf("c", "d", "e"),
+      1 -> Gen.oneOf("x1", "x2", "x3"))
+    val docGen = Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, wordGen))
+    val corpusGen = Gen.listOfN(9, docGen)
+    def bl(x: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    forAllSeeded(corpusGen, n = 6) { docsRaw =>
+      val docs = docsRaw.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val train = docs.filter(_._1 % 3 == 0).map(_._2)
+      if (train.flatten.nonEmpty) {
+        // driver reference: the LangModel scaladoc rule, verbatim
+        val uni = train.flatten.groupBy(identity).map { case (w, l) => w -> l.size.toLong }
+        val big = train.flatMap(t => t.sliding(2).filter(_.size == 2).map(p => (p(0), p(1))))
+          .groupBy(identity).map { case (p, l) => p -> l.size.toLong }
+        val tb = bl(uni.values.sum)
+        val want = docs.map { case (id, t) =>
+          val bits = t.zipWithIndex.map { case (w, i) =>
+            if (i == 0) uni.get(w).map(c => tb - bl(c)).getOrElse(tb + 8)
+            else big.get((t(i - 1), w)) match {
+              case Some(cb) => bl(uni(t(i - 1))) - bl(cb)
+              case None => uni.get(w).map(cw => 2 + tb - bl(cw)).getOrElse(2 + tb + 8)
+            }
+          }.sum.toLong
+          id -> ((t.size.toLong, bits))
+        }.toMap
+        val tok = docs.toDF("doc_id", "t")
+        val m = graft.ext.LangModel.train(tok.where(col("doc_id") % 3 === 0).select("t"))
+        val got = graft.ext.LangModel.scoreDocs(tok, m, Seq("doc_id"))
+          .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+        assert(got == want, s"LM diverged: ${got.toSeq.diff(want.toSeq)} on $docs")
+      }
+    }
+  }
+
+  test("property: autoJoin output == plain join under every forecast route") {
+    val rowsGen = Gen.listOfN(80, Gen.zip(
+      Gen.frequency(4 -> Gen.const(1L), 1 -> Gen.choose(2L, 6L)), // skew toward key 1
+      Gen.choose(0, 999)))
+    forAllSeeded(rowsGen, n = 5) { rows =>
+      val large = rows.toDF("k", "v")
+      val small = (1L to 6L).map(k => (k, s"d$k")).toDF("k", "p")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select("k", "v", "p").collect().map(_.toString).sorted.toSeq
+      val want = canon(large.join(small, Seq("k")))
+      // the three routes, each forced via thresholds
+      val (b, br) = graft.ops.ScaleOps.autoJoin(large, small, "k")
+      val (s1, sr) = graft.ops.ScaleOps.autoJoin(large, small, "k",
+        broadcastRowLimit = 0L, skewFactor = 0.1, reducers = 8)
+      val (p, pr) = graft.ops.ScaleOps.autoJoin(large, small, "k",
+        broadcastRowLimit = 0L, skewFactor = 1e9, reducers = 8)
+      assert(br.route == "broadcast" && sr.route == "salted" && pr.route == "plain")
+      assert(canon(b) == want && canon(s1) == want && canon(p) == want,
+        s"routes diverged on ${rows.take(6)}...")
+    }
+  }
+
+  test("property: zOrderColumnN == driver interleave reference; bijective per sample") {
+    val gen = for {
+      nCols <- Gen.choose(2, 4)
+      bits <- Gen.choose(3, 5)
+      rows <- Gen.listOfN(24, Gen.listOfN(nCols, Gen.choose(0L, (1L << bits) - 1)))
+    } yield (nCols, bits, rows)
+    def ref(vals: Seq[Long], bits: Int): Long =
+      (for { i <- 0 until bits; j <- vals.indices }
+        yield ((vals(j) >> i) & 1L) << (i * vals.size + j)).sum
+    forAllSeeded(gen, n = 6) { case (nCols, bits, rows) =>
+      val cols = (0 until nCols).map(j => s"c$j")
+      val schema = StructType(cols.map(c => StructField(c, org.apache.spark.sql.types.LongType)))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(Row.fromSeq(_)), 2), schema)
+      val got = df.withColumn("z", graft.ops.ScaleOps.zOrderColumnN(cols, bits))
+        .collect().map(r => (cols.map(c => r.getAs[Long](c)), r.getAs[Long]("z")))
+      got.foreach { case (vals, z) =>
+        assert(z == ref(vals, bits), s"interleave diverged at $vals: $z != ${ref(vals, bits)}")
+      }
+      // injective: distinct coordinate tuples -> distinct keys
+      assert(got.map(_._2).distinct.length == rows.distinct.length)
+    }
+  }
 }
