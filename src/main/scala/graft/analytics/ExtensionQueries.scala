@@ -3446,6 +3446,70 @@ object ExtensionQueries {
              |FROM e GROUP BY label ORDER BY label""".stripMargin)
     ),
     Q(
+      "e10_kmeans_lloyd",
+      "Distributed Lloyd k-means over the embedding table " +
+        "(ext/Clustering.lloydInt) — the per-corpus clustering pass d9's " +
+        "SemDeDup cells and n3's IVF coarse quantizer stand in for with " +
+        "fixed centroids: k=4 seeded from vec_id<4, TWO Lloyd rounds, " +
+        "then the final assignment. Exactness: vectors quantize once to " +
+        "floor(x*1e4) BIGINTs, distances are exact integer " +
+        "sum-of-squared-diffs folds with centroids inlined as literals " +
+        "(scan-side codegen, no window/join in assignment), centroid " +
+        "updates are exact (cell, dim) BIGINT sums divided on the driver " +
+        "with TRUNCATING integer division (DuckDB `//` and Spark `div` " +
+        "both truncate toward zero — floorDiv would diverge on negative " +
+        "sums; k x dim bounded state — the shape every production " +
+        "k-means uses), empty cells keep their " +
+        "centroid, ties go to the lowest cell. The oracle replays both " +
+        "rounds as CTEs; per cell: size, exact integer inertia, and the " +
+        "centroid's L1 mass as the centroid fingerprint",
+      (s, d) => {
+        val q = embeddings(s, d).selectExpr("vec_id",
+          "transform(CAST(embedding AS array<double>), x -> CAST(floor(x * 10000) AS BIGINT)) AS q")
+          .localCheckpoint(eager = false) // feeds init + every Lloyd pass
+        val init = q.where(col("vec_id") < 4).orderBy("vec_id")
+          .collect().map(_.getAs[scala.collection.Seq[Long]]("q").toArray)
+        val (cents, assigned) = graft.ext.Clustering.lloydInt(q, "q", init, iters = 2)
+        assigned.groupBy(col("cell").cast("long").as("cell"))
+          .agg(count(lit(1)).as("n_vectors"), sum("dist").cast("long").as("inertia"))
+          .withColumn("centroid_l1", expr(
+            s"element_at(array(${cents.map(_.map(math.abs).sum).mkString("L, ")}L), " +
+              "CAST(cell AS INT) + 1)"))
+          .orderBy("cell")
+      },
+      Some {
+        def distCte(name: String, cTab: String) =
+          s"""$name AS (SELECT v.vec_id, v.q, c.cell,
+             |  list_reduce(list_transform(list_zip(v.q, c.c), p -> (p[1] - p[2]) * (p[1] - p[2])), (a, x) -> a + x) AS dist
+             |  FROM v, $cTab c)""".stripMargin
+        def pick(name: String, dTab: String) =
+          s"""$name AS (SELECT vec_id, q, cell, dist FROM
+             |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM $dTab)
+             |  WHERE rn = 1)""".stripMargin
+        def update(uName: String, cNew: String, aTab: String, cPrev: String) =
+          s"""$uName AS (SELECT cell, i, CAST(SUM(q[i]) // COUNT(*) AS BIGINT) AS cd
+             |  FROM (SELECT cell, q, unnest(generate_series(1, len(q))) AS i FROM $aTab)
+             |  GROUP BY cell, i),
+             |$cNew AS (SELECT $cPrev.cell AS cell, COALESCE(u.c, $cPrev.c) AS c
+             |  FROM $cPrev LEFT JOIN (SELECT cell, list(cd ORDER BY i) AS c FROM $uName GROUP BY cell) u USING (cell))""".stripMargin
+        s"""WITH v AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 10000) AS BIGINT)) AS q FROM embeddings),
+           |c0 AS (SELECT vec_id AS cell, q AS c FROM v WHERE vec_id < 4),
+           |${distCte("d1", "c0")},
+           |${pick("a1", "d1")},
+           |${update("u1", "c1", "a1", "c0")},
+           |${distCte("d2", "c1")},
+           |${pick("a2", "d2")},
+           |${update("u2", "c2", "a2", "c1")},
+           |${distCte("d3", "c2")},
+           |${pick("a3", "d3")},
+           |l1 AS (SELECT cell, CAST(list_reduce(list_transform(c, x -> abs(x)), (a, x) -> a + x) AS BIGINT) AS centroid_l1 FROM c2)
+           |SELECT a3.cell AS cell, COUNT(*) AS n_vectors, CAST(SUM(a3.dist) AS BIGINT) AS inertia,
+           |  MIN(l1.centroid_l1) AS centroid_l1
+           |FROM a3 JOIN l1 USING (cell)
+           |GROUP BY a3.cell ORDER BY cell""".stripMargin
+      }
+    ),
+    Q(
       "n13_filtered_ann",
       "Filtered vector search (the vector-DB serving primitive: nearest " +
         "neighbors SATISFYING a metadata predicate — here same-label): the " +

@@ -233,6 +233,41 @@ object Incremental {
     }
   }
 
+  /** Streaming upsert into a [[graft.ops.ManifestStore]] table: arriving
+    * JSON files land as micro-batches, each batch first-write-wins-upserted
+    * through the manifest's atomic CAS commit. The two at-least-once
+    * hazards of a parquet-directory streaming sink disappear structurally:
+    * a batch REPLAYED after a crash re-upserts keys that already committed
+    * (anti-join drops them — zero duplicates, the ST4 discipline), and a
+    * crash DURING the upsert leaves only an unpublished segment no reader
+    * can see (vacuum reclaims it) — there is no torn-append window at all,
+    * which the plain GoldWriter path can only approximate with staleness
+    * heuristics. Readers resolve the table through
+    * [[graft.ops.ManifestStore.read]] at any moment, mid-stream included.
+    */
+  def streamingManifestUpsert(
+      spark: SparkSession,
+      srcPath: String,
+      schema: StructType,
+      tablePath: String,
+      key: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 16)
+      .json(srcPath)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.ops.ManifestStore.upsert(spark, batch, tablePath, key)
+          ()
+        }
+      }
+      .start()
+
   /** Streaming ANN index maintenance — the vector-side sibling of
     * [[streamingDedup]]: embedding vectors land as JSON files
     * `(vec_id, embedding[])`; each micro-batch is IVFPQ-encoded
