@@ -112,6 +112,36 @@ class ManifestStoreSpec extends SparkSpec {
     assert(ManifestStore.read(spark, path).collect().map(_.toString).sorted.toSeq == before)
   }
 
+  test("rewriteAll CAS: a racer's commit between read and publish is retried in, never dropped") {
+    val path = tmpDir("mstore7") + "/t"
+    ManifestStore.append(spark, (1 to 40).map(i => (i.toLong, s"v$i")).toDF("k", "v"), path)
+    ManifestStore.append(spark, (41 to 80).map(i => (i.toLong, s"v$i")).toDF("k", "v"), path)
+    val base = ManifestStore.current(spark, path).get
+    // simulate a racer that wins the NEXT version while our compaction is
+    // between its snapshot read and its publish: write the racer's segment
+    // and hand-publish v(base+1) referencing it
+    val racerSeg = s"seg-racer-${java.util.UUID.randomUUID()}"
+    Seq((999L, "racer")).toDF("k", "v").write.parquet(s"$path/$racerSeg")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(path,
+      f"_manifest/v${base.version + 1}%012d.manifest")
+    val out = fs.create(target, false)
+    out.write(("graft-manifest v1\n" + (base.segments :+ racerSeg).mkString("\n") + "\n")
+      .getBytes("UTF-8"))
+    out.close()
+    // our compaction's FIRST publish attempt targets the taken v(base+1):
+    // the CAS must fail, re-read the racer's snapshot, and compact a table
+    // that INCLUDES the racer's row
+    val snap = ManifestStore.compact(spark, path, partitions = 1)
+    assert(snap.version == base.version + 2, "the retry lands on the next free slot")
+    val rows = ManifestStore.read(spark, path)
+      .collect().map(r => r.getLong(0)).sorted.toSeq
+    assert(rows == ((1L to 80L) :+ 999L).sorted,
+      "the racer's concurrent commit must survive the compaction")
+    assert(snap.segments.size == 1)
+  }
+
   test("deleteKeys: atomic rewrite; a crashed rewrite (no publish) changes nothing") {
     val path = tmpDir("mstore6") + "/t"
     ManifestStore.append(spark,
