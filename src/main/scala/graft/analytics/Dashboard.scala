@@ -277,4 +277,83 @@ object Dashboard {
       }
     rows.toDF("partition", "files", "bytes").orderBy("partition")
   }
+
+  /** Self-contained HTML report over the Gold table — the engine-side
+    * analog of the reference's PDF export
+    * (streamlit_frontend.py:1768-1983), which assembles title/metadata,
+    * the Gold summary (row count, latest data date, latest run), recent
+    * pipeline runs, and data-quality metrics into one document. Every
+    * number here comes from the SAME oracle-gated query library the
+    * dashboard uses ([[qualityMetrics]], [[runHistory]], [[rateBy]]); the
+    * renderer is plain string assembly — no dependencies, no charting
+    * (layout is a display concern; the DATA assembly is the engine's job).
+    *
+    * `generatedAt` is caller-supplied so report bytes are deterministic
+    * (replays and specs get identical output). Table sections are
+    * row-capped by construction (runHistory top-k, rateBy's dimension
+    * cardinality); cell text is HTML-escaped — corr ids and category
+    * values are external inputs.
+    *
+    * Scale: four aggregate queries, each a partial-aggregating scan of
+    * Gold; the report itself is O(sections x capped rows) driver strings.
+    */
+  def reportHtml(gold: DataFrame, generatedAt: String): String = {
+    def esc(s: String): String =
+      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        .replace("\"", "&quot;")
+    def table(df: DataFrame, cap: Int = 50): String = {
+      val cols = df.columns
+      val head = cols.map(c => s"<th>${esc(c)}</th>").mkString
+      val body = df.limit(cap).collect().map { r =>
+        cols.indices.map { i =>
+          val v = if (r.isNullAt(i)) "" else String.valueOf(r.get(i))
+          s"<td>${esc(v)}</td>"
+        }.mkString("<tr>", "", "</tr>")
+      }.mkString("\n")
+      s"<table border='1' cellspacing='0' cellpadding='4'><tr>$head</tr>\n$body</table>"
+    }
+    val summary = gold.agg(
+      count(lit(1)).as("rows"),
+      max("crash_date").as("latest_data_date"),
+      max("inserted_at").as("latest_run_at")).collect()(0)
+    val latestCorr = gold
+      .orderBy(desc("inserted_at"), desc("corr_id")).select("corr_id")
+      .limit(1).collect().headOption.map(_.getString(0)).getOrElse("-")
+    val sb = new StringBuilder
+    sb.append("<!DOCTYPE html><html><head><meta charset='utf-8'>")
+      .append("<title>Crash ETL Pipeline Report</title></head><body>\n")
+      .append("<h1>Chicago Crash ETL Pipeline Report</h1>\n")
+      .append(s"<p>Generated: ${esc(generatedAt)}</p>\n")
+      .append("<h2>Gold Table Summary</h2>\n")
+      .append(s"<p><b>Total rows:</b> ${summary.getLong(0)}<br/>")
+      .append(s"<b>Latest data date:</b> ${esc(String.valueOf(summary.get(1)))}<br/>")
+      .append(s"<b>Latest run:</b> ${esc(latestCorr)} at ")
+      .append(s"${esc(String.valueOf(summary.get(2)))}</p>\n")
+      .append("<h2>Schema</h2>\n")
+      .append(gold.schema.fields.map(f =>
+        s"<li>${esc(f.name)}: ${esc(f.dataType.simpleString)}</li>")
+        .mkString("<ul>", "\n", "</ul>\n"))
+      .append("<h2>Recent Pipeline Runs</h2>\n")
+      .append(table(runHistory(gold))).append('\n')
+      .append("<h2>Data Quality Metrics</h2>\n")
+      .append(table(qualityMetrics(gold))).append('\n')
+      .append("<h2>Hit &amp; Run Rate by Weather</h2>\n")
+      .append(table(rateBy(gold, "weather_condition"))).append('\n')
+      .append("</body></html>\n")
+    sb.toString
+  }
+
+  /** Render [[reportHtml]] and write it through the Hadoop FS (works on
+    * local, HDFS, object-store paths alike). Returns the byte count.
+    */
+  def writeReport(spark: SparkSession, gold: DataFrame, outPath: String,
+      generatedAt: String): Long = {
+    val bytes = reportHtml(gold, generatedAt)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val p = new org.apache.hadoop.fs.Path(outPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(bytes) finally out.close()
+    bytes.length.toLong
+  }
 }

@@ -21,6 +21,29 @@ class DashboardSpec extends SparkSpec {
     .withColumn("num_units", lit(2))
     .withColumn("crash_date", to_date($"inserted_at"))
 
+  test("reportHtml assembles summary/runs/quality/rates; deterministic and escaped") {
+    // a hostile corr id must come out escaped, not as markup
+    val g = gold.withColumn("corr_id",
+      when($"corr_id" === "run-2", lit("<evil>&run")).otherwise($"corr_id"))
+    val html = Dashboard.reportHtml(g, "2026-08-14 12:00:00")
+    assert(html == Dashboard.reportHtml(g, "2026-08-14 12:00:00"), "deterministic bytes")
+    assert(html.contains("<h2>Gold Table Summary</h2>"))
+    assert(html.contains("<b>Total rows:</b> 4"))
+    assert(html.contains("Generated: 2026-08-14 12:00:00"))
+    assert(html.contains("<h2>Recent Pipeline Runs</h2>"))
+    assert(html.contains("<h2>Data Quality Metrics</h2>"))
+    assert(html.contains("&lt;evil&gt;&amp;run") && !html.contains("<evil>"),
+      "cell text must be HTML-escaped")
+    assert(html.contains("CLEAR") && html.contains("RAIN"), "rate section rendered")
+    assert(html.contains("crash_record_id: string"), "schema listed")
+    // write-through: bytes land at the path and round-trip
+    val out = tmpDir("report") + "/report.html"
+    val n = Dashboard.writeReport(spark, g, out, "2026-08-14 12:00:00")
+    val back = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out)), "UTF-8")
+    assert(back == html && n == html.getBytes("UTF-8").length.toLong)
+  }
+
   test("rateBy computes sum/count -> percentage per dimension (A5 workhorse)") {
     val r = Dashboard.rateBy(gold, "weather_condition").collect()
     val m = r.map(x => x.getString(0) -> x.getDouble(3)).toMap
