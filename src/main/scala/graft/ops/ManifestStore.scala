@@ -133,6 +133,28 @@ object ManifestStore {
     Some(seg)
   }
 
+  /** Fail fast when a commit's columns diverge from the table's: a
+    * multi-segment read resolves its schema from ONE segment's files, so a
+    * mismatched segment would silently null-fill (or break) every column
+    * the two sides don't share — the DedupStore pinned-schema posture,
+    * applied at the only place new files can enter the table. Types are
+    * compared by column NAME set + per-name dataType; nullability is not a
+    * conflict (parquet unions it fine).
+    */
+  private def requireCompatible(spark: SparkSession, path: String,
+      snap: Snapshot, df: DataFrame): Unit = {
+    if (snap.segments.isEmpty) return
+    val existing = readAt(spark, path, snap).schema
+    val have = existing.fields.map(f => f.name -> f.dataType).toMap
+    val incoming = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    require(incoming.keySet == have.keySet &&
+      incoming.forall { case (n, t) => have(n) == t },
+      s"ManifestStore: batch schema ${df.schema.simpleString} is incompatible " +
+        s"with table $path ${existing.simpleString} — a mismatched segment " +
+        "would silently null-fill columns on read. Align the batch (or " +
+        "rewriteAll to migrate the table schema).")
+  }
+
   /** Read the table at its latest snapshot (empty-schema error only for a
     * table that was never initialized with data — commit something first).
     */
@@ -157,6 +179,7 @@ object ManifestStore {
   def append(spark: SparkSession, df: DataFrame, path: String): Snapshot = {
     val root = new Path(path)
     val fs = fsOf(spark, root)
+    current(spark, path).foreach(requireCompatible(spark, path, _, df))
     writeSegment(spark, root, df) match {
       case None => current(spark, path).getOrElse(Snapshot(0L, Nil))
       case Some(seg) =>
@@ -190,6 +213,7 @@ object ManifestStore {
       .dedupKeepFirst(batch.where(col(key).isNotNull), key, tiebreak)
       .cache()
     try {
+      current(spark, path).foreach(requireCompatible(spark, path, _, batch))
       val nBatch = deduped.count()
       // dropped = within-batch duplicate keys + null-key rows (one count)
       val nDropped = batch.count() - nBatch

@@ -119,8 +119,11 @@ object MetricsHttp {
       sb.toString
     }
 
+    private[MetricsHttp] var pool: java.util.concurrent.ExecutorService = _
+
     def stop(): Unit = {
       http.stop(0)
+      if (pool != null) pool.shutdown()
       spark.sparkContext.removeSparkListener(listener)
     }
   }
@@ -146,7 +149,16 @@ object MetricsHttp {
         try out.write(body) finally ex.close()
       }
     })
-    http.setExecutor(null)
+    // a tiny dedicated pool: with the default same-thread dispatch, one
+    // slow/stalled scraper would head-of-line-block every later scrape
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-metrics-http")
+        t.setDaemon(true)
+        t
+      })
+    srv.pool = pool
+    http.setExecutor(pool)
     http.start()
     srv
   }

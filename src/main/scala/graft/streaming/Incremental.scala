@@ -199,8 +199,15 @@ object Incremental {
     * If even the quarantine write fails (the input itself is unreadable),
     * the LAST error is rethrown — a batch that can neither process nor
     * persist must fail the query loudly rather than vanish.
+    *
+    * `retryDelayMs` spaces the retries (default 0 keeps tests instant):
+    * the transient faults retries exist for — an FS hiccup, a recovering
+    * dependency — rarely clear in the microseconds between two
+    * back-to-back attempts, so production callers should give them a
+    * beat (e.g. 1-5 s).
     */
-  def withDeadLetter(deadLetterDir: String, attempts: Int = 2)(
+  def withDeadLetter(deadLetterDir: String, attempts: Int = 2,
+      retryDelayMs: Long = 0L)(
       body: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
     require(attempts >= 1, "attempts must be >= 1")
     (batch: DataFrame, batchId: Long) => {
@@ -208,6 +215,7 @@ object Incremental {
       var done = false
       var i = 0
       while (!done && i < attempts) {
+        if (i > 0 && retryDelayMs > 0) Thread.sleep(retryDelayMs)
         try { body(batch, batchId); done = true }
         catch { case scala.util.control.NonFatal(e) => lastErr = e }
         i += 1

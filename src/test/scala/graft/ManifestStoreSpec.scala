@@ -112,6 +112,28 @@ class ManifestStoreSpec extends SparkSpec {
     assert(ManifestStore.read(spark, path).collect().map(_.toString).sorted.toSeq == before)
   }
 
+  test("schema guard: a mismatched append/upsert fails loudly before writing anything") {
+    val path = tmpDir("mstore8") + "/t"
+    ManifestStore.append(spark, Seq((1L, "a")).toDF("k", "v"), path)
+    // wrong column set
+    val e1 = intercept[IllegalArgumentException] {
+      ManifestStore.append(spark, Seq((2L, 5)).toDF("k", "other"), path)
+    }
+    assert(e1.getMessage.contains("incompatible"))
+    // same names, wrong type
+    val e2 = intercept[IllegalArgumentException] {
+      ManifestStore.upsert(spark, Seq((2L, 7)).toDF("k", "v"), path, "k")
+    }
+    assert(e2.getMessage.contains("incompatible"))
+    // nothing leaked into the table or the data tree beyond the one segment
+    assert(ManifestStore.read(spark, path).count() == 1)
+    val segs = new java.io.File(path).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("seg-"))
+    assert(segs == 1, "a rejected commit must not write a segment")
+    // a compatible batch still commits
+    assert(ManifestStore.upsert(spark, Seq((2L, "b")).toDF("k", "v"), path, "k").inserted == 1)
+  }
+
   test("rewriteAll CAS: a racer's commit between read and publish is retried in, never dropped") {
     val path = tmpDir("mstore7") + "/t"
     ManifestStore.append(spark, (1 to 40).map(i => (i.toLong, s"v$i")).toDF("k", "v"), path)
