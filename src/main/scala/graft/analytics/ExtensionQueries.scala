@@ -2721,6 +2721,116 @@ object ExtensionQueries {
       })
     ),
     Q(
+      "x3_quality_lane",
+      "Composed QUALITY lane — the CCNet/Gopher curation order run as one " +
+        "pipeline over one tokenized scan: the t13 rule funnel first " +
+        "(cheap integer-ratio gates drop the worst docs before any LM " +
+        "cost), then the t20 bigram LM scores only the SURVIVORS and the " +
+        "per-lang head/middle/tail tranches are cut over the post-funnel " +
+        "population (the tranche boundaries of a composed lane differ " +
+        "from standalone t20 — that recalibration is the point of gating " +
+        "the composition, not just the pieces). Accounting per (lang, " +
+        "stage) over held-out docs: dropped | head | middle | tail with " +
+        "doc/token masses and exact-bit perplexity (NULL for dropped). " +
+        "Shares one localCheckpoint of the tokenized corpus across " +
+        "funnel + train + scoring; the tranche cut stays on the w14 " +
+        "ranking discipline",
+      (s, d) => {
+        val sp = documents(s, d)
+          .selectExpr("doc_id", "lang", graft.ext.MinHash.splitExpr)
+          .localCheckpoint(eager = false) // funnel + LM train + scoring share it
+        val stats = sp.selectExpr("doc_id", "lang", "explode(t) AS term")
+          .groupBy("doc_id", "lang", "term").agg(count(lit(1)).as("tf"))
+          .groupBy("doc_id", "lang")
+          .agg(sum(col("tf")).as("ntok"), count(lit(1)).as("nuniq"),
+            sum(length(col("term")) * col("tf")).as("nalpha"), max(col("tf")).as("maxtf"))
+          .withColumn("pass", expr(
+            "NOT ((ntok < 30 OR ntok > 80) OR (nalpha * 10 < ntok * 42 OR nalpha > ntok * 10) " +
+              "OR (nuniq * 5 < ntok * 2) OR (maxtf * 8 > ntok))"))
+        val held = stats.where(col("doc_id") % 10 =!= 0)
+        val m = graft.ext.LangModel.train(
+          sp.where(col("doc_id") % 10 === 0).select("t"))
+        val surv = sp.join(held.where(col("pass")).select("doc_id"), Seq("doc_id"))
+        val dd = graft.ext.LangModel.scoreDocs(surv, m, Seq("doc_id", "lang"))
+          .withColumn("bpt", expr("CAST(bits AS DOUBLE) / n_tokens"))
+        val rn = graft.ops.ScaleOps.groupedGlobalRowNumber(
+          dd, Seq("lang"), Seq("bpt", "doc_id"))
+        val cnt = rn.groupBy("lang").agg(count(lit(1)).as("nd"))
+        val scored = rn.join(broadcast(cnt), Seq("lang"))
+          .withColumn("tile", expr(
+            """CASE WHEN rn <= (nd DIV 3 + 1) * (nd % 3)
+              |     THEN (rn - 1) DIV (nd DIV 3 + 1) + 1
+              |     ELSE nd % 3 + (rn - (nd DIV 3 + 1) * (nd % 3) - 1) DIV (nd DIV 3) + 1
+              |END""".stripMargin))
+          .selectExpr("lang",
+            "CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS stage",
+            "n_tokens", "bits")
+        val dropped = held.where(!col("pass"))
+          .selectExpr("lang", "'dropped' AS stage", "ntok AS n_tokens",
+            "CAST(NULL AS BIGINT) AS bits")
+        scored.unionByName(dropped)
+          .groupBy("lang", "stage")
+          .agg(count(lit(1)).as("docs"),
+            sum("n_tokens").cast("long").as("tokens"),
+            expr("round(CAST(SUM(bits) AS DOUBLE) / SUM(n_tokens), 9)")
+              .as("bits_per_token"))
+          .orderBy("lang", "stage")
+      },
+      Some("""WITH sp AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS t FROM documents),
+             |st AS (SELECT doc_id, lang, ntok, nuniq, nalpha, maxtf,
+             |  NOT ((ntok < 30 OR ntok > 80) OR (nalpha * 10 < ntok * 42 OR nalpha > ntok * 10)
+             |    OR (nuniq * 5 < ntok * 2) OR (maxtf * 8 > ntok)) AS pass
+             |  FROM (
+             |    SELECT doc_id, lang, SUM(tf) AS ntok, COUNT(*) AS nuniq,
+             |      SUM(length(term) * tf) AS nalpha, MAX(tf) AS maxtf
+             |    FROM (SELECT doc_id, lang, term, COUNT(*) AS tf
+             |          FROM (SELECT doc_id, lang, unnest(t) AS term FROM sp)
+             |          GROUP BY 1, 2, 3)
+             |    GROUP BY 1, 2)),
+             |tr AS (SELECT t FROM sp WHERE doc_id % 10 = 0),
+             |uni AS (SELECT u.w AS w, COUNT(*) AS cw
+             |        FROM (SELECT unnest(t) AS w FROM tr) u GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(cw) AS BIGINT) AS tt FROM uni),
+             |trb AS (SELECT t[i] AS c1, t[i + 1] AS w2
+             |        FROM tr, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) s),
+             |big AS (SELECT c1, w2, COUNT(*) AS cb FROM trb GROUP BY 1, 2),
+             |bigc AS (SELECT b.c1, b.w2, b.cb, u.cw AS cc FROM big b JOIN uni u ON u.w = b.c1),
+             |he AS (SELECT sp.doc_id AS doc_id, sp.lang AS lang, sp.t AS t
+             |       FROM sp JOIN st USING (doc_id)
+             |       WHERE sp.doc_id % 10 <> 0 AND st.pass),
+             |po AS (SELECT doc_id, lang, i, t[i] AS w,
+             |         CASE WHEN i > 1 THEN t[i - 1] END AS c
+             |       FROM he, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) s),
+             |sc AS (SELECT p.doc_id, p.lang,
+             |  CASE WHEN p.i = 1 THEN
+             |         CASE WHEN u.cw IS NOT NULL THEN length(bin(tt)) - length(bin(u.cw))
+             |              ELSE length(bin(tt)) + 8 END
+             |       WHEN b.cb IS NOT NULL THEN length(bin(b.cc)) - length(bin(b.cb))
+             |       WHEN u.cw IS NOT NULL THEN 2 + length(bin(tt)) - length(bin(u.cw))
+             |       ELSE 2 + length(bin(tt)) + 8 END AS s
+             |  FROM po p
+             |  LEFT JOIN bigc b ON b.c1 = p.c AND b.w2 = p.w
+             |  LEFT JOIN uni u ON u.w = p.w
+             |  CROSS JOIN tot),
+             |dd AS (SELECT doc_id, lang, COUNT(*) AS n, CAST(SUM(s) AS BIGINT) AS sb
+             |       FROM sc GROUP BY 1, 2),
+             |rk AS (SELECT lang, n, sb, ntile(3) OVER
+             |         (PARTITION BY lang ORDER BY CAST(sb AS DOUBLE) / n, doc_id) AS tile
+             |       FROM dd),
+             |u AS (
+             |  SELECT lang,
+             |    CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS stage,
+             |    n AS n_tokens, sb AS bits
+             |  FROM rk
+             |  UNION ALL
+             |  SELECT lang, 'dropped' AS stage, ntok AS n_tokens, CAST(NULL AS BIGINT) AS bits
+             |  FROM st WHERE doc_id % 10 <> 0 AND NOT pass)
+             |SELECT lang, stage, COUNT(*) AS docs,
+             |  CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+             |  round(CAST(SUM(bits) AS DOUBLE) / CAST(SUM(n_tokens) AS BIGINT), 9) AS bits_per_token
+             |FROM u GROUP BY 1, 2 ORDER BY lang, stage""".stripMargin)
+    ),
+    Q(
       "p13_hash_split",
       "Deterministic train/val/test split by content-stable hash bucket (md5 of the id -> 0..255 -> 80/10/10): membership is a pure function of the key, so re-runs, backfills and distributed workers all agree without coordination — the split op every training pipeline needs",
       (s, d) =>
