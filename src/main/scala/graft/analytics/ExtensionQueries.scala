@@ -3522,6 +3522,85 @@ object ExtensionQueries {
              |FROM rk GROUP BY 1, 2 ORDER BY lang, tranche""".stripMargin)
     ),
     Q(
+      "t21_dsir_select",
+      "DSIR-style data selection with importance resampling (Xie et al. " +
+        "2023) — the domain-selection step beside the quality lanes (t13 " +
+        "asks 'is it good', t20 'is it fluent', t21 'is it ON-" +
+        "DISTRIBUTION'): hash every document's unigram+bigram bag into " +
+        "256 md5 buckets, train target (en reference sample, doc_id % 5 " +
+        "= 0) vs raw-pool bucket distributions, weight each pool doc by " +
+        "the exact-integer-bit log-likelihood ratio sum (add-one " +
+        "smoothing; length(bin(c)) bit-length — bitwise in both " +
+        "engines), keep the global top quarter by weight per feature. " +
+        "The model is a 256-int LUT + scalar bias inlined into the " +
+        "scoring scan (O(buckets) driver state, ZERO scoring joins — " +
+        "DSIR's hashing is exactly what makes the model scan-side at " +
+        "100 TB where t20's count TABLES must join); the global cut " +
+        "rides groupedGlobalRowNumber so no single task sorts the " +
+        "corpus. Accounting per (lang, bucket): the en-heavy 'selected' " +
+        "quarter demonstrates the selector recovers the target domain",
+      (s, d) => {
+        val sp = documents(s, d)
+          .selectExpr("doc_id", "lang", graft.ext.MinHash.splitExpr)
+          .localCheckpoint(eager = false) // target, pool-train, scoring share it
+        val isTarget = col("lang") === "en" && col("doc_id") % 5 === 0
+        val m = graft.ext.Dsir.train(
+          sp.where(isTarget).select("t"), sp.where(!isTarget).select("t"))
+        val dd = graft.ext.Dsir.score(sp.where(!isTarget), m, Seq("doc_id", "lang"))
+          .withColumn("negw", -(col("w_bits").cast("double") / col("n_feats")))
+          .withColumn("g", lit(0))
+        val rn = graft.ops.ScaleOps.groupedGlobalRowNumber(
+          dd, Seq("g"), Seq("negw", "doc_id"))
+        val cnt = rn.groupBy("g").agg(count(lit(1)).as("nd"))
+        rn.join(broadcast(cnt), Seq("g"))
+          .selectExpr("lang",
+            "CASE WHEN rn * 4 <= nd THEN 'selected' ELSE 'rest' END AS bucket",
+            "n_feats", "w_bits")
+          .groupBy("lang", "bucket")
+          .agg(count(lit(1)).as("docs"),
+            sum("n_feats").cast("long").as("feats"),
+            sum("w_bits").cast("long").as("total_w_bits"),
+            expr("round(CAST(SUM(w_bits) AS DOUBLE) / SUM(n_feats), 9)")
+              .as("w_bits_per_feat"))
+          .orderBy("lang", "bucket")
+      },
+      Some("""WITH sp AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS t FROM documents),
+             |tgt AS (SELECT t FROM sp WHERE lang = 'en' AND doc_id % 5 = 0),
+             |pool AS (SELECT doc_id, lang, t FROM sp WHERE NOT (lang = 'en' AND doc_id % 5 = 0)),
+             |tfe AS (SELECT unnest(t) AS f FROM tgt
+             |        UNION ALL
+             |        SELECT t[i] || ' ' || t[i + 1]
+             |        FROM tgt, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) s),
+             |tb AS (SELECT (instr('0123456789abcdef', substring(md5(f), 1, 1)) - 1) * 16 +
+             |         instr('0123456789abcdef', substring(md5(f), 2, 1)) - 1 AS b, COUNT(*) AS c
+             |       FROM tfe GROUP BY 1),
+             |pfe AS (SELECT doc_id, lang, unnest(t) AS f FROM pool
+             |        UNION ALL
+             |        SELECT doc_id, lang, t[i] || ' ' || t[i + 1]
+             |        FROM pool, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) s),
+             |pb AS (SELECT doc_id, lang,
+             |         (instr('0123456789abcdef', substring(md5(f), 1, 1)) - 1) * 16 +
+             |         instr('0123456789abcdef', substring(md5(f), 2, 1)) - 1 AS b
+             |       FROM pfe),
+             |rb AS (SELECT b, COUNT(*) AS c FROM pb GROUP BY 1),
+             |tot AS (SELECT length(bin(CAST((SELECT SUM(c) FROM rb) AS BIGINT) + 1)) -
+             |               length(bin(CAST((SELECT SUM(c) FROM tb) AS BIGINT) + 1)) AS bias),
+             |sc AS (SELECT p.doc_id, p.lang,
+             |         length(bin(COALESCE(t.c, 0) + 1)) - length(bin(COALESCE(r.c, 0) + 1)) + tot.bias AS s
+             |       FROM pb p LEFT JOIN tb t ON t.b = p.b LEFT JOIN rb r ON r.b = p.b CROSS JOIN tot),
+             |dd AS (SELECT doc_id, lang, COUNT(*) AS nf, CAST(SUM(s) AS BIGINT) AS w
+             |       FROM sc GROUP BY 1, 2),
+             |rk AS (SELECT lang, nf, w,
+             |         row_number() OVER (ORDER BY -(CAST(w AS DOUBLE) / nf), doc_id) AS rn,
+             |         COUNT(*) OVER () AS nd
+             |       FROM dd)
+             |SELECT lang, CASE WHEN rn * 4 <= nd THEN 'selected' ELSE 'rest' END AS bucket,
+             |  COUNT(*) AS docs, CAST(SUM(nf) AS BIGINT) AS feats,
+             |  CAST(SUM(w) AS BIGINT) AS total_w_bits,
+             |  round(CAST(SUM(w) AS DOUBLE) / CAST(SUM(nf) AS BIGINT), 9) AS w_bits_per_feat
+             |FROM rk GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin)
+    ),
+    Q(
       "e8_embedding_audit",
       "Embedding-table health audit: per label — vector count, dimension " +
         "consistency (a ragged table breaks every downstream kernel), " +
