@@ -382,6 +382,50 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: Dsir train+score == a JVM md5 reference on random corpora") {
+    // independent third engine for the bucket hash: JVM MessageDigest md5
+    // (vs Spark's md5() and the oracle's DuckDB md5()) — a divergence in
+    // the hex-digit bucket idiom shows up here without DuckDB in the loop
+    val wordGen = Gen.frequency(
+      5 -> Gen.oneOf("alpha", "beta"), 3 -> Gen.oneOf("c", "dd", "eee"),
+      1 -> Gen.oneOf("x1", "x2", "x3"))
+    val docGen = Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, wordGen))
+    val corpusGen = Gen.listOfN(10, docGen)
+    def bl(x: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    def bucket(f: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(f.getBytes("UTF-8"))
+      d(0) & 0xff // first two hex digits = first byte
+    }
+    def feats(t: List[String]): List[String] =
+      t ++ t.sliding(2).filter(_.size == 2).map(p => s"${p(0)} ${p(1)}")
+    forAllSeeded(corpusGen, n = 6) { docsRaw =>
+      val docs = docsRaw.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val (tgtDocs, poolDocs) = docs.partition(_._1 % 3 == 0)
+      if (tgtDocs.nonEmpty && poolDocs.nonEmpty) {
+        val ct = tgtDocs.flatMap(d => feats(d._2)).groupBy(bucket)
+          .map { case (b, l) => b -> l.size.toLong }
+        val cr = poolDocs.flatMap(d => feats(d._2)).groupBy(bucket)
+          .map { case (b, l) => b -> l.size.toLong }
+        val bias = bl(cr.values.sum + 1) - bl(ct.values.sum + 1)
+        val want = poolDocs.map { case (id, t) =>
+          val fs = feats(t)
+          id -> ((fs.size.toLong, fs.map(f =>
+            (bl(ct.getOrElse(bucket(f), 0L) + 1) -
+              bl(cr.getOrElse(bucket(f), 0L) + 1) + bias).toLong).sum))
+        }.toMap
+        val tok = docs.toDF("doc_id", "t")
+        val m = graft.ext.Dsir.train(
+          tok.where(col("doc_id") % 3 === 0).select("t"),
+          tok.where(col("doc_id") % 3 =!= 0).select("t"))
+        val got = graft.ext.Dsir.score(
+          tok.where(col("doc_id") % 3 =!= 0), m, Seq("doc_id"))
+          .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+        assert(got == want, s"DSIR diverged: ${got.toSeq.diff(want.toSeq)} on $docs")
+      }
+    }
+  }
+
   test("property: autoJoin output == plain join under every forecast route") {
     val rowsGen = Gen.listOfN(80, Gen.zip(
       Gen.frequency(4 -> Gen.const(1L), 1 -> Gen.choose(2L, 6L)), // skew toward key 1
