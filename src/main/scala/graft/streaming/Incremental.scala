@@ -380,6 +380,53 @@ object Incremental {
       .start()
   }
 
+  /** Streaming DSIR importance scoring — the selection-side sibling of
+    * [[streamingDecontaminate]]: documents land as JSON files
+    * `(doc_id, lang, text)`, each micro-batch is tokenized and scored
+    * against a FIXED trained [[graft.ext.Dsir.Model]], and per-doc weights
+    * land in a `batch=<id>` parquet directory (overwrite — foreachBatch is
+    * at-least-once, so a crash-replayed batch rewrites its own directory
+    * instead of double-appending; the streamingVectorIndex discipline).
+    * Because the model is an O(buckets) literal LUT riding the scan, the
+    * per-batch work is STATELESS pure scan+aggregate — no state store, no
+    * stream-static join, nothing that grows with corpus or stream length —
+    * which is what makes DSIR the selection operator you can afford to run
+    * ON INGEST rather than as a corpus-wide batch pass. Downstream
+    * selection (the t21 top-fraction cut) stays a batch decision over the
+    * accumulated scores: a global quantile is not meaningfully defined
+    * per micro-batch.
+    */
+  def streamingDsirScore(
+      spark: SparkSession,
+      docsPath: String,
+      model: graft.ext.Dsir.Model,
+      outPath: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("lang", StringType),
+      StructField("text", StringType)))
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 16)
+      .json(docsPath)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ext.Dsir.score(
+            batch.selectExpr("doc_id", "lang", graft.ext.MinHash.splitExpr),
+            model, Seq("doc_id", "lang"))
+            .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Open-session state carried between micro-batches by
     * [[streamingSessions]].
     */

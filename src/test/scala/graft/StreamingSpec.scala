@@ -342,6 +342,49 @@ class StreamingSpec extends SparkSpec {
         s""""docs":${corpus.count()},"flagged":${streamed.size},"waves":2,"match":true}\n""")
   }
 
+  test("streamingDsirScore: union of waves == batch Dsir.score, replay-safe") {
+    val docsDir = tmpDir("dsir-docs")
+    val out = tmpDir("dsir-out") + "/scores"
+    val chk = tmpDir("dsir-chk")
+    val sf = "/root/testdata/sf0.001"
+    val sp = graft.analytics.Tables.documents(spark, sf)
+      .selectExpr("doc_id", "lang", "text", graft.ext.MinHash.splitExpr)
+      .localCheckpoint()
+    val isTarget = col("lang") === "en" && col("doc_id") % 5 === 0
+    val m = graft.ext.Dsir.train(
+      sp.where(isTarget).select("t"), sp.where(!isTarget).select("t"))
+    val pool = sp.where(!isTarget)
+
+    def land(name: String, dfj: org.apache.spark.sql.DataFrame): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$docsDir/$name"),
+        dfj.selectExpr("doc_id", "lang", "text").toJSON.collect().mkString("", "\n", "\n"))
+    land("w1.json", pool.where(col("doc_id") < 250))
+    graft.streaming.Incremental
+      .streamingDsirScore(spark, docsDir, m, out, chk)
+      .awaitTermination(180000)
+    land("w2.json", pool.where(col("doc_id") >= 250))
+    graft.streaming.Incremental
+      .streamingDsirScore(spark, docsDir, m, out, chk)
+      .awaitTermination(180000)
+
+    def canon(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.select("doc_id", "n_feats", "w_bits").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = canon(spark.read.parquet(out))
+    val want = canon(graft.ext.Dsir.score(pool, m, Seq("doc_id", "lang")))
+    assert(streamed == want,
+      s"streamed=${streamed.size} batch=${want.size} diff=${streamed.diff(want).take(3)}")
+    assert(want.nonEmpty)
+
+    // replay idempotence: draining with no new files changes nothing
+    val before = spark.read.parquet(out).count()
+    graft.streaming.Incremental
+      .streamingDsirScore(spark, docsDir, m, out, chk)
+      .awaitTermination(180000)
+    assert(spark.read.parquet(out).count() == before, "an empty drain must be a no-op")
+  }
+
   test("streamingHeavyHitters: MG state folds across micro-batches == batch sketch") {
     val dir = tmpDir("hh-in")
     val chk = tmpDir("hh-chk")
