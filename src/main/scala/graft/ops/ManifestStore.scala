@@ -1,8 +1,9 @@
 package graft.ops
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Atomic-commit parquet table: write-new-files, then atomically publish a
   * MANIFEST listing the table's live segments; readers resolve every scan
@@ -42,23 +43,51 @@ import org.apache.spark.sql.functions._
   *    mutate or delete referenced files — [[vacuum]] only deletes segments
   *    unreferenced by the LATEST manifest and older than a grace period
   *    (choose it to exceed any plausible query runtime).
+  *  - **Manifest-level data skipping**: a commit may record per-segment
+  *    min/max stats for declared columns (`statsCols`); [[readWhere]]
+  *    prunes non-overlapping segments from the manifest ALONE — zero
+  *    filesystem reads for the skipped data, not even the parquet footers
+  *    a file-level stats prune still opens. At 100 TB the difference is a
+  *    planner that touches O(segments) manifest lines vs O(files) footer
+  *    round-trips; combined with [[cluster]]'s Z-order layout a selective
+  *    predicate on ANY clustered axis skips most of the table before Spark
+  *    ever lists a data file. Stat-less segments (older commits, undeclared
+  *    columns) are NEVER pruned — skipping is always conservative.
   *
   * Scale notes: a manifest is O(segments) lines of text — compaction keeps
   * it short; the commit path adds zero Spark jobs beyond the data write
-  * (one tiny filesystem rename); [[upsert]]'s conflict scan reads only the
-  * key column of the manifest-resolved files (Catalyst prunes), identical
-  * cost to the path-based upsert it hardens.
+  * plus, when `statsCols` is declared, ONE column-pruned aggregation over
+  * the freshly written segment (reads only the stats columns, hot in the
+  * page cache); [[upsert]]'s conflict scan reads only the key column of
+  * the manifest-resolved files (Catalyst prunes), identical cost to the
+  * path-based upsert it hardens.
   */
 object ManifestStore {
 
   private val ManifestDir = "_manifest"
   private val Header = "graft-manifest v1"
+  private val HeaderV2 = "graft-manifest v2"
   private val MaxRetries = 50
+  private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
 
-  /** One resolved table state: dense `version` and the segment directories
-    * (relative to the table root) that constitute it.
+  /** Per-segment, per-column min/max in a type-tagged string encoding
+    * (`typ` in long/double/decimal/string/date/ts — the normalization
+    * [[statsTyp]] applies at write). `None` min/max = the column is
+    * entirely NULL in that segment, which any interval predicate excludes.
     */
-  final case class Snapshot(version: Long, segments: Seq[String])
+  final case class ColStats(typ: String, min: Option[String], max: Option[String])
+
+  /** One live segment: directory name (relative to the table root) plus
+    * whatever stats its committing writer declared (possibly none).
+    */
+  final case class SegmentEntry(name: String, stats: Map[String, ColStats])
+
+  /** One resolved table state: dense `version` and the segment entries
+    * that constitute it. `segments` keeps the original name-only view.
+    */
+  final case class Snapshot(version: Long, entries: Seq[SegmentEntry]) {
+    def segments: Seq[String] = entries.map(_.name)
+  }
 
   final case class UpsertReport(inserted: Long, batchDuplicates: Long,
       existingConflicts: Long, version: Long)
@@ -91,14 +120,38 @@ object ManifestStore {
     }
   }
 
-  private def readManifest(fs: FileSystem, p: Path): Seq[String] = {
+  private def b64(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(s.getBytes(Utf8))
+  private def unb64(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s), Utf8)
+
+  /** v2 line: `name<TAB>b64(col)|typ|b64(min)|b64(max)<TAB>…`; a bare name
+    * (v1, or a stats-free commit) parses to an entry with empty stats.
+    */
+  private def fmtEntry(e: SegmentEntry): String =
+    (e.name +: e.stats.toSeq.sortBy(_._1).map { case (c, st) =>
+      Seq(b64(c), st.typ, st.min.map(b64).getOrElse(""), st.max.map(b64).getOrElse(""))
+        .mkString("|")
+    }).mkString("\t")
+
+  private def parseEntry(line: String): SegmentEntry = {
+    val parts = line.split('\t')
+    SegmentEntry(parts.head, parts.tail.iterator.map { f =>
+      val Array(c, t, mn, mx) = f.split("\\|", -1)
+      unb64(c) -> ColStats(t,
+        Some(mn).filter(_.nonEmpty).map(unb64),
+        Some(mx).filter(_.nonEmpty).map(unb64))
+    }.toMap)
+  }
+
+  private def readManifest(fs: FileSystem, p: Path): Seq[SegmentEntry] = {
     val in = fs.open(p)
     val lines = try
       scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
     finally in.close()
-    require(lines.headOption.contains(Header),
+    require(lines.headOption.exists(h => h == Header || h == HeaderV2),
       s"$p is not a graft manifest (header ${lines.headOption})")
-    lines.tail.filter(_.nonEmpty)
+    lines.tail.filter(_.nonEmpty).map(parseEntry)
   }
 
   /** Write the manifest body to a tmp name, then atomically rename into the
@@ -106,14 +159,14 @@ object ManifestStore {
     * first); the caller re-reads and retries.
     */
   private def tryPublish(fs: FileSystem, root: Path, v: Long,
-      segments: Seq[String]): Boolean = {
+      entries: Seq[SegmentEntry]): Boolean = {
     val target = manifestPath(root, v)
     if (fs.exists(target)) return false // cheap pre-check; rename still decides
     val tmp = new Path(root,
       s"$ManifestDir/.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, false)
-    try out.write((Header +: segments).mkString("", "\n", "\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write((HeaderV2 +: entries.map(fmtEntry)).mkString("", "\n", "\n")
+      .getBytes(Utf8))
     finally out.close()
     val won = try fs.rename(tmp, target)
     catch { case _: java.io.IOException => false }
@@ -121,16 +174,57 @@ object ManifestStore {
     won
   }
 
-  /** Write `df` into a fresh (not yet referenced) segment directory.
-    * Returns the relative segment name, or None when `df` is empty — an
-    * empty spark parquet write has no schema-bearing files, and an empty
-    * commit would be a no-op anyway.
+  /** Normalized stats type tag + the aggregation-ready column for a field:
+    * integrals/booleans → long, floats → double, decimals stay decimal
+    * (string-encoded AFTER the min/max so numeric order is preserved),
+    * dates → epoch days, timestamps → epoch micros, strings raw. Fails
+    * fast on non-orderable/nested types — declare only atomic stats cols.
     */
-  private def writeSegment(spark: SparkSession, root: Path, df: DataFrame): Option[String] = {
+  private def statsTyp(f: StructField): (String, Column) = f.dataType match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      ("long", col(f.name).cast(LongType))
+    case BooleanType => ("long", col(f.name).cast(LongType))
+    case FloatType | DoubleType => ("double", col(f.name).cast(DoubleType))
+    case _: DecimalType => ("decimal", col(f.name))
+    case StringType => ("string", col(f.name))
+    case DateType => ("date", expr(s"unix_date(${f.name})").cast(LongType))
+    case TimestampType => ("ts", expr(s"unix_micros(${f.name})"))
+    case t => throw new IllegalArgumentException(
+      s"ManifestStore statsCols: ${f.name} has non-orderable type ${t.simpleString}")
+  }
+
+  /** One column-pruned min/max aggregation over the just-written segment
+    * (reads ONLY `statsCols`; the files are hot — this is the entire extra
+    * cost of stats-bearing commits).
+    */
+  private def segmentStats(spark: SparkSession, segPath: String,
+      statsCols: Seq[String]): Map[String, ColStats] = {
+    if (statsCols.isEmpty) return Map.empty
+    val df = spark.read.parquet(segPath)
+    val fields = statsCols.map(c => df.schema.fields.find(_.name == c).getOrElse(
+      throw new IllegalArgumentException(s"statsCols: no column $c in segment schema")))
+    val typed = fields.map(statsTyp)
+    val aggs = typed.zipWithIndex.flatMap { case ((_, c), i) =>
+      Seq(min(c).cast(StringType).as(s"mn_$i"), max(c).cast(StringType).as(s"mx_$i")) }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    statsCols.zipWithIndex.map { case (name, i) =>
+      name -> ColStats(typed(i)._1,
+        Option(row.getString(2 * i)), Option(row.getString(2 * i + 1)))
+    }.toMap
+  }
+
+  /** Write `df` into a fresh (not yet referenced) segment directory.
+    * Returns the segment entry (stats attached when `statsCols` declared),
+    * or None when `df` is empty — an empty spark parquet write has no
+    * schema-bearing files, and an empty commit would be a no-op anyway.
+    */
+  private def writeSegment(spark: SparkSession, root: Path, df: DataFrame,
+      statsCols: Seq[String]): Option[SegmentEntry] = {
     if (df.isEmpty) return None
     val seg = s"seg-${java.util.UUID.randomUUID()}"
-    df.write.parquet(new Path(root, seg).toString)
-    Some(seg)
+    val segPath = new Path(root, seg).toString
+    df.write.parquet(segPath)
+    Some(SegmentEntry(seg, segmentStats(spark, segPath, statsCols)))
   }
 
   /** Fail fast when a commit's columns diverge from the table's: a
@@ -172,22 +266,116 @@ object ManifestStore {
     spark.read.parquet(snap.segments.map(s => new Path(root, s).toString): _*)
   }
 
+  /** Typed comparison key for a stats string (see [[statsTyp]] tags). */
+  private def statKey(typ: String, s: String): Any = typ match {
+    case "long" | "date" | "ts" => s.toLong
+    case "double" => s.toDouble
+    case "decimal" => new java.math.BigDecimal(s)
+    case "string" => s
+    case t => throw new IllegalStateException(s"unknown stats type tag $t")
+  }
+
+  /** Normalize a caller-supplied bound to the segment's stats key space. */
+  private def boundKey(typ: String, v: Any): Any = (typ, v) match {
+    case ("long", n: java.lang.Number) => n.longValue
+    case ("long", b: java.lang.Boolean) => if (b) 1L else 0L
+    case ("double", n: java.lang.Number) => n.doubleValue
+    case ("decimal", n: java.math.BigDecimal) => n
+    case ("decimal", n: scala.math.BigDecimal) => n.bigDecimal
+    case ("decimal", n: java.lang.Number) => new java.math.BigDecimal(n.toString)
+    case ("string", s: String) => s
+    case ("date", d: java.time.LocalDate) => d.toEpochDay
+    case ("date", d: java.sql.Date) => d.toLocalDate.toEpochDay
+    case ("date", s: String) => java.time.LocalDate.parse(s).toEpochDay
+    case ("ts", t: java.sql.Timestamp) =>
+      val i = t.toInstant; i.getEpochSecond * 1000000L + i.getNano / 1000L
+    case ("ts", i: java.time.Instant) =>
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    case ("ts", n: java.lang.Number) => n.longValue
+    case _ => throw new IllegalArgumentException(
+      s"readWhere bound ${v.getClass.getName} is not convertible to stats type $typ")
+  }
+
+  /** `a <= b` in the typed key space; strings compare as unsigned UTF-8
+    * bytes — Spark's binary string order, NOT java's UTF-16 code-unit
+    * order (they diverge above the BMP).
+    */
+  private def leq(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: java.lang.Long, y: java.lang.Long) => x <= y
+    case (x: java.lang.Double, y: java.lang.Double) => java.lang.Double.compare(x, y) <= 0
+    case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y) <= 0
+    case (x: String, y: String) =>
+      val (ab, bb) = (x.getBytes(Utf8), y.getBytes(Utf8))
+      val n = math.min(ab.length, bb.length)
+      var i = 0
+      while (i < n) {
+        val c = (ab(i) & 0xff) - (bb(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      ab.length <= bb.length
+    case _ => throw new IllegalStateException(s"incomparable stats keys $a / $b")
+  }
+
+  /** The segments a conjunction of closed intervals `(col, lo, hi)` can
+    * touch, decided from manifest stats alone. Conservative by
+    * construction: a segment with no stats for a bounded column is always
+    * kept; one whose recorded `[min,max]` misses the interval — or whose
+    * column is entirely NULL — is skipped.
+    */
+  def prunedEntries(snap: Snapshot, bounds: Seq[(String, Any, Any)]): Seq[SegmentEntry] =
+    snap.entries.filter { e =>
+      bounds.forall { case (c, lo, hi) =>
+        e.stats.get(c) match {
+          case None => true // no stats recorded — cannot prune
+          case Some(ColStats(_, None, None)) => false // all-NULL column
+          case Some(ColStats(typ, mn, mx)) =>
+            val (l, h) = (boundKey(typ, lo), boundKey(typ, hi))
+            mn.forall(m => leq(statKey(typ, m), h)) &&
+              mx.forall(m => leq(l, statKey(typ, m)))
+        }
+      }
+    }
+
+  /** Stats-pruned scan: keep only the segments whose manifest min/max
+    * overlap EVERY `(col, lo, hi)` closed interval, then apply the exact
+    * `BETWEEN` predicates to the survivors — so the result is exactly
+    * `read(path).where(conjunction)`, but segments the manifest rules out
+    * cost nothing (no listing, no footer read). Returns the table's empty
+    * slice (schema intact) when every segment is pruned.
+    */
+  def readWhere(spark: SparkSession, path: String,
+      bounds: Seq[(String, Any, Any)]): DataFrame = {
+    require(bounds.nonEmpty, "readWhere needs at least one (col, lo, hi) bound")
+    val snap = current(spark, path).getOrElse(
+      throw new IllegalStateException(s"no manifest at $path — not a ManifestStore table"))
+    val kept = prunedEntries(snap, bounds)
+    val pred = bounds.map { case (c, lo, hi) => col(c).between(lit(lo), lit(hi)) }
+      .reduce(_ && _)
+    if (kept.isEmpty) readAt(spark, path, snap).where(lit(false))
+    else {
+      val root = new Path(path)
+      spark.read.parquet(kept.map(e => new Path(root, e.name).toString): _*).where(pred)
+    }
+  }
+
   /** Append `df` as one new segment + one commit. Safe under concurrent
     * appenders: the segment list only grows, so a CAS loser just re-reads
     * the winner's list and re-publishes with its own segment added.
     */
-  def append(spark: SparkSession, df: DataFrame, path: String): Snapshot = {
+  def append(spark: SparkSession, df: DataFrame, path: String,
+      statsCols: Seq[String] = Nil): Snapshot = {
     val root = new Path(path)
     val fs = fsOf(spark, root)
     current(spark, path).foreach(requireCompatible(spark, path, _, df))
-    writeSegment(spark, root, df) match {
+    writeSegment(spark, root, df, statsCols) match {
       case None => current(spark, path).getOrElse(Snapshot(0L, Nil))
-      case Some(seg) =>
+      case Some(entry) =>
         var attempt = 0
         while (attempt < MaxRetries) {
           val base = current(spark, path).getOrElse(Snapshot(0L, Nil))
-          if (tryPublish(fs, root, base.version + 1, base.segments :+ seg))
-            return Snapshot(base.version + 1, base.segments :+ seg)
+          if (tryPublish(fs, root, base.version + 1, base.entries :+ entry))
+            return Snapshot(base.version + 1, base.entries :+ entry)
           attempt += 1
         }
         throw new IllegalStateException(
@@ -205,7 +393,7 @@ object ManifestStore {
     * ([[vacuum]] reclaims them).
     */
   def upsert(spark: SparkSession, batch: DataFrame, path: String,
-      key: String): UpsertReport = {
+      key: String, statsCols: Seq[String] = Nil): UpsertReport = {
     val root = new Path(path)
     val fs = fsOf(spark, root)
     val tiebreak = batch.columns.filter(_ != key).sorted.map(col).toSeq
@@ -228,8 +416,8 @@ object ManifestStore {
           val nFresh = freshC.count()
           if (nFresh == 0L)
             return UpsertReport(0L, nDropped, nBatch, base.version)
-          writeSegment(spark, root, freshC) match {
-            case Some(seg) if tryPublish(fs, root, base.version + 1, base.segments :+ seg) =>
+          writeSegment(spark, root, freshC, statsCols) match {
+            case Some(entry) if tryPublish(fs, root, base.version + 1, base.entries :+ entry) =>
               return UpsertReport(nFresh, nDropped, nBatch - nFresh, base.version + 1)
             case _ => () // lost the race: recompute against the winner
           }
@@ -249,7 +437,8 @@ object ManifestStore {
     * `make` recomputes from the fresh snapshot.
     */
   def rewriteAll(spark: SparkSession, path: String,
-      make: DataFrame => DataFrame, retries: Int = 5): Snapshot = {
+      make: DataFrame => DataFrame, retries: Int = 5,
+      statsCols: Seq[String] = Nil): Snapshot = {
     val root = new Path(path)
     val fs = fsOf(spark, root)
     var attempt = 0
@@ -257,11 +446,11 @@ object ManifestStore {
       val base = current(spark, path).getOrElse(
         throw new IllegalStateException(s"no manifest at $path"))
       require(base.segments.nonEmpty, s"nothing to rewrite at $path")
-      val seg = writeSegment(spark, root, make(readAt(spark, path, base)))
+      val entry = writeSegment(spark, root, make(readAt(spark, path, base)), statsCols)
       // an empty rewrite result (e.g. deleteKeys removed every row) commits
       // an empty segment list — readers then see an explicitly empty table
-      if (tryPublish(fs, root, base.version + 1, seg.toSeq))
-        return Snapshot(base.version + 1, seg.toSeq)
+      if (tryPublish(fs, root, base.version + 1, entry.toSeq))
+        return Snapshot(base.version + 1, entry.toSeq)
       attempt += 1
     }
     throw new IllegalStateException(
@@ -273,8 +462,9 @@ object ManifestStore {
     * swap, no window where a reader can see doubled or missing rows — the
     * old segments stay live for in-flight readers until [[vacuum]].
     */
-  def compact(spark: SparkSession, path: String, partitions: Int): Snapshot =
-    rewriteAll(spark, path, df => df.repartition(partitions))
+  def compact(spark: SparkSession, path: String, partitions: Int,
+      statsCols: Seq[String] = Nil): Snapshot =
+    rewriteAll(spark, path, df => df.repartition(partitions), statsCols = statsCols)
 
   /** GDPR-style key deletion, rebased onto the manifest protocol: rewrite
     * without the matched keys, atomically. Returns (deleted, remaining).
@@ -290,12 +480,97 @@ object ManifestStore {
     (before - after, after)
   }
 
+  /** Z-order clustered rewrite: lay the whole table out as `segments`
+    * EXACTLY-balanced, contiguous rank slices of the Morton key over
+    * `axes` ([[ScaleOps.zOrderColumnN]]; a single axis degenerates to a
+    * plain range cluster), record `statsCols` min/max per segment, and
+    * publish ONE manifest. Each segment then covers a bounded
+    * hyper-rectangle of EVERY axis, so [[readWhere]] on ANY clustered
+    * column prunes most of the table from the manifest alone — the
+    * manifest-level twin of the f25 file-level pruning pin, and the layout
+    * maintenance job a 100 TB table runs beside [[compact]]. Slice
+    * assignment is `floor(rank * segments / total)` over the exact global
+    * z-key rank ([[ScaleOps.groupedGlobalRowNumber]] — range exchange +
+    * O(partitions) driver offsets), NOT `repartitionByRange` alone: the
+    * sampled boundaries of a range exchange wobble run to run and can
+    * leave segments straddling z-octants, while exact ranks make the
+    * layout deterministic and the segments balanced to within one row
+    * (z-key ties break arbitrarily, which can only exchange equal-key
+    * rows between adjacent slices — stats are unaffected). One data job
+    * (range exchange + rank + write) plus one tiny grouped stats
+    * aggregation; crash/race posture identical to [[rewriteAll]] (staged
+    * data is invisible until the CAS publish; losers are vacuumed).
+    */
+  def cluster(spark: SparkSession, path: String, axes: Seq[String],
+      segments: Int, statsCols: Seq[String] = Nil, bits: Int = 16,
+      retries: Int = 5): Snapshot = {
+    require(axes.nonEmpty, "cluster needs at least one axis")
+    require(segments >= 1, "cluster needs at least one segment")
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    var attempt = 0
+    while (attempt < retries) {
+      val base = current(spark, path).getOrElse(
+        throw new IllegalStateException(s"no manifest at $path"))
+      require(base.segments.nonEmpty, s"nothing to cluster at $path")
+      val df = readAt(spark, path, base)
+      val zkey = if (axes.size == 1) col(axes.head)
+        else ScaleOps.zOrderColumnN(axes, bits)
+      val total = df.count()
+      val stageId = java.util.UUID.randomUUID().toString
+      val stage = new Path(root, s"stage-$stageId")
+      ScaleOps.groupedGlobalRowNumber(df.withColumn("zk", zkey), Nil, Seq("zk"))
+        .withColumn("zseg", ((col("rn") - 1) * segments / total).cast(IntegerType))
+        .sortWithinPartitions("zk")
+        .drop("rn", "zk")
+        .write.partitionBy("zseg").parquet(stage.toString)
+      // per-segment stats in ONE grouped aggregation over the staged tree
+      // (zseg comes back as the partition-directory column)
+      val statsBySeg: Map[Int, Map[String, ColStats]] =
+        if (statsCols.isEmpty) Map.empty
+        else {
+          val staged = spark.read.parquet(stage.toString)
+          val fields = statsCols.map(c => staged.schema.fields.find(_.name == c)
+            .getOrElse(throw new IllegalArgumentException(s"statsCols: no column $c")))
+          val typed = fields.map(statsTyp)
+          val aggs = typed.zipWithIndex.flatMap { case ((_, c), i) =>
+            Seq(min(c).cast(StringType).as(s"mn_$i"),
+              max(c).cast(StringType).as(s"mx_$i")) }
+          staged.groupBy(col("zseg")).agg(aggs.head, aggs.tail: _*).collect().map { row =>
+            row.getAs[Int]("zseg") -> statsCols.zipWithIndex.map { case (name, i) =>
+              name -> ColStats(typed(i)._1,
+                Option(row.getAs[String](s"mn_$i")), Option(row.getAs[String](s"mx_$i")))
+            }.toMap
+          }.toMap
+        }
+      // promote each staged zseg directory to a root-level segment
+      val entries = fs.listStatus(stage).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("zseg="))
+        .sortBy(_.getPath.getName.stripPrefix("zseg=").toInt)
+        .map { st =>
+          val k = st.getPath.getName.stripPrefix("zseg=").toInt
+          val seg = s"seg-$stageId-$k"
+          require(fs.rename(st.getPath, new Path(root, seg)),
+            s"cluster: failed to promote staged segment ${st.getPath}")
+          SegmentEntry(seg, statsBySeg.getOrElse(k, Map.empty))
+        }
+      try fs.delete(stage, true) catch { case _: java.io.IOException => () }
+      require(entries.nonEmpty, s"cluster: staged write produced no segments at $path")
+      if (tryPublish(fs, root, base.version + 1, entries))
+        return Snapshot(base.version + 1, entries)
+      attempt += 1 // CAS lost: promoted segments are invisible; vacuum reclaims
+    }
+    throw new IllegalStateException(
+      s"ManifestStore.cluster: lost the publish race $retries times at $path")
+  }
+
   /** Reclaim invisible data: segment directories not referenced by the
     * LATEST manifest (crashed or race-losing writers' orphans, superseded
-    * rewrite inputs), manifest tmp files, and superseded manifest versions
-    * — all only when older than `graceMs`, which must exceed any plausible
-    * in-flight reader's runtime (their snapshots reference those files).
-    * Returns the number of segment directories removed.
+    * rewrite inputs), crashed [[cluster]] staging trees, manifest tmp
+    * files, and superseded manifest versions — all only when older than
+    * `graceMs`, which must exceed any plausible in-flight reader's runtime
+    * (their snapshots reference those files). Returns the number of
+    * segment directories removed.
     */
   def vacuum(spark: SparkSession, path: String, graceMs: Long): Int = {
     val root = new Path(path)
@@ -306,7 +581,9 @@ object ManifestStore {
     var removed = 0
     fs.listStatus(root).foreach { st =>
       val name = st.getPath.getName
-      if (st.isDirectory && name.startsWith("seg-") && !live.contains(name) &&
+      val orphanSeg = name.startsWith("seg-") && !live.contains(name)
+      val crashedStage = name.startsWith("stage-")
+      if (st.isDirectory && (orphanSeg || crashedStage) &&
         st.getModificationTime < cutoff) {
         fs.delete(st.getPath, true)
         removed += 1

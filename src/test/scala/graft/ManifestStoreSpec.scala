@@ -164,6 +164,120 @@ class ManifestStoreSpec extends SparkSpec {
     assert(snap.segments.size == 1)
   }
 
+  test("manifest stats: readWhere prunes non-overlapping segments and matches the full-scan filter") {
+    val path = tmpDir("mstore9") + "/t"
+    // three segments with disjoint year ranges + a string lane + a date col
+    def seg(y0: Int, y1: Int, lane: String): Unit = ManifestStore.append(spark,
+      (y0 to y1).map(i =>
+        (i.toLong, lane, java.sql.Date.valueOf(java.time.LocalDate.of(2000 + i % 20, 1, 1))))
+        .toDF("year", "lane", "d"),
+      path, statsCols = Seq("year", "lane", "d"))
+    seg(2000, 2005, "alpha")
+    seg(2006, 2011, "beta")
+    seg(2012, 2017, "gamma")
+    val snap = ManifestStore.current(spark, path).get
+    assert(snap.entries.forall(_.stats.keySet == Set("year", "lane", "d")),
+      "every commit declared stats for all three columns")
+
+    // long bounds: one segment overlaps [2007, 2009]
+    val kept = ManifestStore.prunedEntries(snap, Seq(("year", 2007, 2009)))
+    assert(kept.size == 1, s"expected 1 surviving segment, got ${kept.size}")
+    val got = ManifestStore.readWhere(spark, path, Seq(("year", 2007, 2009)))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(2007L, 2008L, 2009L))
+
+    // string bounds prune in UTF-8 binary order
+    assert(ManifestStore.prunedEntries(snap, Seq(("lane", "b", "c"))).size == 1)
+    assert(ManifestStore.readWhere(spark, path, Seq(("lane", "b", "c"))).count() == 6)
+
+    // date bounds via LocalDate
+    val dKept = ManifestStore.prunedEntries(snap,
+      Seq(("d", java.time.LocalDate.of(2012, 1, 1), java.time.LocalDate.of(2017, 12, 31))))
+    assert(dKept.size < 3, "date stats must prune at least one segment")
+
+    // a conjunction that no segment satisfies → empty result, schema intact
+    val none = ManifestStore.readWhere(spark, path,
+      Seq(("year", 2007, 2009), ("lane", "g", "h")))
+    assert(none.count() == 0 && none.columns.toSeq == Seq("year", "lane", "d"))
+
+    // exactness contract: readWhere == read().where(same predicate)
+    val want = ManifestStore.read(spark, path)
+      .where(col("year").between(2004, 2013)).collect().map(_.toString).sorted.toSeq
+    val have = ManifestStore.readWhere(spark, path, Seq(("year", 2004, 2013)))
+      .collect().map(_.toString).sorted.toSeq
+    assert(have == want)
+  }
+
+  test("manifest stats: stat-less (v1 / undeclared) segments are never pruned; all-NULL columns are") {
+    val path = tmpDir("mstore10") + "/t"
+    // one stats-free commit (the pre-stats format) + one with stats
+    ManifestStore.append(spark,
+      Seq((Option(1L), "a"), (Option(2L), "b")).toDF("k", "v"), path)
+    ManifestStore.append(spark,
+      Seq((Option(100L), "x")).toDF("k", "v"), path, statsCols = Seq("k"))
+    // and one whose stats column is entirely NULL
+    ManifestStore.append(spark,
+      Seq((Option.empty[Long], "nn")).toDF("k", "v"), path, statsCols = Seq("k"))
+    val snap = ManifestStore.current(spark, path).get
+    assert(snap.entries.size == 3)
+    // bounds that exclude the statted segment: the stat-less one must remain
+    // (conservative), the all-NULL one must be skipped (no value can match)
+    val kept = ManifestStore.prunedEntries(snap, Seq(("k", 1, 2)))
+    assert(kept.size == 1 && kept.head.stats.isEmpty,
+      s"only the conservative stat-less segment survives: $kept")
+    assert(ManifestStore.readWhere(spark, path, Seq(("k", 1, 2))).count() == 2)
+    assert(ManifestStore.readWhere(spark, path, Seq(("k", 50, 200))).count() == 1)
+    // hand-published v1 manifests (rewriteAll CAS spec writes one) parse as
+    // stat-less entries — covered above by construction of the first append
+  }
+
+  test("cluster: z-order layout prunes from the manifest alone on EVERY axis") {
+    val path = tmpDir("mstore11") + "/t"
+    // 512 rows per (x,y,z) octant of [0, 4096)^3: exactly octant-balanced,
+    // so the rank slices align exactly with z-order octants and the
+    // per-axis pruning outcome is deterministic
+    val rows = for { o <- 0 until 8; r <- 0 until 512 } yield {
+      val s1 = (r * 2654435761L) % 2048
+      val s2 = (r * 40503L + 17) % 2048
+      val s3 = (r * 69621L + 5) % 2048
+      ((o * 512 + r).toLong,
+        ((o >> 0) & 1) * 2048L + s1, ((o >> 1) & 1) * 2048L + s2,
+        ((o >> 2) & 1) * 2048L + s3)
+    }
+    ManifestStore.append(spark, rows.toDF("id", "x", "y", "z"), path)
+    val snap = ManifestStore.cluster(spark, path, Seq("x", "y", "z"),
+      segments = 8, statsCols = Seq("x", "y", "z"), bits = 12)
+    assert(snap.entries.size == 8, s"expected 8 clustered segments, got ${snap.entries.size}")
+    assert(snap.entries.forall(_.stats.keySet == Set("x", "y", "z")))
+    // exact balance: the rank-slice assignment puts exactly 512 rows in
+    // each segment (no range-sampling wobble)
+    val sizes = snap.entries.map(e =>
+      spark.read.parquet(s"$path/${e.name}").count())
+    assert(sizes.forall(_ == 512L), s"segments must be exactly balanced: $sizes")
+    // a half-domain slice on EACH axis keeps exactly its 4 octants — the
+    // z-order guarantee (a single-column sort prunes only its own axis)
+    for (axis <- Seq("x", "y", "z")) {
+      val kept = ManifestStore.prunedEntries(snap, Seq((axis, 0, 2047)))
+      assert(kept.size == 4, s"axis $axis: kept ${kept.size} of 8 segments")
+      val got = ManifestStore.readWhere(spark, path, Seq((axis, 0, 2047)))
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val want = ManifestStore.read(spark, path)
+        .where(col(axis).between(0, 2047)).collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == want, s"axis $axis: pruned read must equal the full-scan filter")
+    }
+    // content is identical to the pre-cluster table
+    assert(ManifestStore.read(spark, path).collect().map(_.toString).sorted.toSeq ==
+      rows.map(r => s"[${r._1},${r._2},${r._3},${r._4}]").sorted)
+    // crashed-cluster staging trees are vacuumed
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(path, "stage-crashed"))
+    Thread.sleep(30)
+    assert(ManifestStore.vacuum(spark, path, graceMs = 10) >= 1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path, "stage-crashed")))
+    assert(ManifestStore.read(spark, path).count() == 4096)
+  }
+
   test("deleteKeys: atomic rewrite; a crashed rewrite (no publish) changes nothing") {
     val path = tmpDir("mstore6") + "/t"
     ManifestStore.append(spark,
