@@ -266,6 +266,41 @@ object ManifestStore {
     spark.read.parquet(snap.segments.map(s => new Path(root, s).toString): _*)
   }
 
+  /** Every committed version still resolvable, ascending. Superseded
+    * versions remain readable until [[vacuum]] trims their manifests (and
+    * the segments only they reference) past the grace period — so the
+    * grace period IS the time-travel retention window. O(versions)
+    * manifest-directory listing, no data reads.
+    */
+  def history(spark: SparkSession, path: String): Seq[Long] = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    val dir = new Path(root, ManifestDir)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq.flatMap(s => versionOf(s.getPath.getName)).sorted
+  }
+
+  /** The snapshot committed as `version`, if its manifest survives
+    * ([[vacuum]] may have trimmed it). Rewrites never mutate referenced
+    * files, so a resolvable old snapshot reads exactly the bytes its
+    * committer published.
+    */
+  def snapshotAt(spark: SparkSession, path: String, version: Long): Option[Snapshot] = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    val p = manifestPath(root, version)
+    if (!fs.exists(p)) None else Some(Snapshot(version, readManifest(fs, p)))
+  }
+
+  /** Time travel: the table exactly as committed at `version`. Fails with
+    * a retention message once [[vacuum]] has reclaimed that version.
+    */
+  def readVersion(spark: SparkSession, path: String, version: Long): DataFrame =
+    readAt(spark, path, snapshotAt(spark, path, version).getOrElse(
+      throw new IllegalStateException(
+        s"version $version at $path is not resolvable — never committed, or " +
+          "vacuumed past the retention window")))
+
   /** Typed comparison key for a stats string (see [[statsTyp]] tags). */
   private def statKey(typ: String, s: String): Any = typ match {
     case "long" | "date" | "ts" => s.toLong
@@ -569,8 +604,10 @@ object ManifestStore {
     * rewrite inputs), crashed [[cluster]] staging trees, manifest tmp
     * files, and superseded manifest versions — all only when older than
     * `graceMs`, which must exceed any plausible in-flight reader's runtime
-    * (their snapshots reference those files). Returns the number of
-    * segment directories removed.
+    * (their snapshots reference those files). `graceMs` is therefore also
+    * the [[readVersion]] time-travel retention window: versions whose
+    * manifests (and exclusively-referenced segments) age past it stop
+    * resolving. Returns the number of segment directories removed.
     */
   def vacuum(spark: SparkSession, path: String, graceMs: Long): Int = {
     val root = new Path(path)

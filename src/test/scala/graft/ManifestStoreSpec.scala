@@ -26,6 +26,34 @@ class ManifestStoreSpec extends SparkSpec {
     assert(s3.version == 2L)
   }
 
+  test("time travel: every surviving version reads exactly as committed; vacuum sets retention") {
+    val path = tmpDir("mstoreTT") + "/t"
+    ManifestStore.append(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path)
+    ManifestStore.append(spark, Seq((3L, "c")).toDF("k", "v"), path)
+    // v3 rewrites the table down to one row — old versions must still read
+    ManifestStore.deleteKeys(spark, path, "k", Seq(1L, 2L).toDF("k"))
+    assert(ManifestStore.history(spark, path) == Seq(1L, 2L, 3L))
+    assert(ManifestStore.readVersion(spark, path, 1L)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    assert(ManifestStore.readVersion(spark, path, 2L)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(ManifestStore.readVersion(spark, path, 3L)
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // never-committed version fails with the retention message
+    val ex = intercept[IllegalStateException] {
+      ManifestStore.readVersion(spark, path, 99L)
+    }
+    assert(ex.getMessage.contains("not resolvable"))
+    // vacuum past grace trims superseded versions AND their segments;
+    // the latest version keeps reading
+    Thread.sleep(30)
+    ManifestStore.vacuum(spark, path, graceMs = 10)
+    assert(ManifestStore.history(spark, path) == Seq(3L),
+      "superseded manifests must age out with their segments")
+    assert(ManifestStore.snapshotAt(spark, path, 2L).isEmpty)
+    assert(ManifestStore.readVersion(spark, path, 3L).count() == 1L)
+  }
+
   test("crash between data write and publish: the segment is invisible; vacuum reclaims it") {
     val path = tmpDir("mstore2") + "/t"
     ManifestStore.append(spark, Seq((1L, "a")).toDF("k", "v"), path)
