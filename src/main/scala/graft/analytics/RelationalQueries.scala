@@ -1717,6 +1717,60 @@ object RelationalQueries {
              |ORDER BY event_id""".stripMargin)
     ),
     Q(
+      "j12_merge_cdc",
+      "MERGE INTO, end-to-end through the atomic-commit store " +
+        "(ManifestStore.merge): the target table (order stats per " +
+        "customer over non-%3 orderkeys, written to a scratch manifest " +
+        "table as TWO segments with key stats) absorbs a CDC batch (the " +
+        "%3 slice) — matched keys UPDATE, matched keys with total < 50000 " +
+        "DELETE, unmatched INSERT regardless of the delete predicate " +
+        "(Delta MERGE scoping). Copy-on-write at segment granularity: " +
+        "manifest min/max stats on the key prune untouchable segments, " +
+        "one key-only probe finds the segments that hold matches, and " +
+        "ONLY those rewrite — the others republish verbatim. The oracle " +
+        "replays the merge algebra (anti ∪ matched-surviving ∪ inserts) " +
+        "in SQL, so the store's physical path must agree with the " +
+        "declarative semantics row for row",
+      (s, d) => {
+        import graft.ops.ManifestStore
+        def stats(df: DataFrame) = df
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_ord"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        val o = orders(s, d)
+        val target = stats(o.where(col("o_orderkey") % 3 =!= 0))
+        val source = stats(o.where(col("o_orderkey") % 3 === 0))
+        // scratch table under java.io.tmpdir; segments are a few MB of
+        // aggregated rows and the dir is OS-reclaimed — the point is that
+        // the MERGE physically executes through the manifest protocol
+        val scratch = java.nio.file.Files
+          .createTempDirectory("graft-j12-").toString + "/t"
+        val half = target.where(col("o_custkey") % 2 === 0)
+        ManifestStore.append(s, half, scratch, statsCols = Seq("o_custkey"))
+        ManifestStore.append(s, target.exceptAll(half), scratch,
+          statsCols = Seq("o_custkey"))
+        ManifestStore.merge(s, source, scratch, "o_custkey",
+          deleteWhen = Some(col("total") < 50000), statsCols = Seq("o_custkey"))
+        ManifestStore.read(s, scratch)
+          .select("o_custkey", "n_ord", "total")
+          .orderBy("o_custkey")
+      },
+      Some("""WITH t AS (SELECT o_custkey, COUNT(*) AS n_ord,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |  FROM orders WHERE o_orderkey % 3 <> 0 GROUP BY 1),
+             |s AS (SELECT o_custkey, COUNT(*) AS n_ord,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |  FROM orders WHERE o_orderkey % 3 = 0 GROUP BY 1)
+             |SELECT o_custkey, n_ord, total FROM (
+             |  SELECT * FROM t WHERE NOT EXISTS (SELECT 1 FROM s WHERE s.o_custkey = t.o_custkey)
+             |  UNION ALL
+             |  SELECT * FROM s WHERE EXISTS (SELECT 1 FROM t WHERE t.o_custkey = s.o_custkey)
+             |    AND NOT (total < 50000)
+             |  UNION ALL
+             |  SELECT * FROM s WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.o_custkey = s.o_custkey))
+             |ORDER BY o_custkey""".stripMargin)
+    ),
+    Q(
       "w13_sliding_window",
       "Sliding (hopping) windows — 1-hour windows every 15 minutes, each " +
         "event in exactly 4 — via Spark's native window(ts, slide) " +

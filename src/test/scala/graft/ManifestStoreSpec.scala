@@ -26,6 +26,63 @@ class ManifestStoreSpec extends SparkSpec {
     assert(s3.version == 2L)
   }
 
+  test("merge: update/delete/insert semantics with segment-granular copy-on-write") {
+    val path = tmpDir("mstoreMerge") + "/t"
+    // three appends => three segments with disjoint key ranges, key stats on
+    ManifestStore.append(spark, Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "v", "x"),
+      path, statsCols = Seq("k"))
+    ManifestStore.append(spark, Seq((10L, "c", 30), (11L, "d", 40)).toDF("k", "v", "x"),
+      path, statsCols = Seq("k"))
+    ManifestStore.append(spark, Seq((20L, "e", 50)).toDF("k", "v", "x"),
+      path, statsCols = Seq("k"))
+    val before = ManifestStore.current(spark, path).get
+    assert(before.entries.size == 3)
+    // source: update k=10, delete k=11 (x<0 flag), insert k=30 — and an
+    // insert that ALSO satisfies the delete predicate (k=31): Delta
+    // semantics say deleteWhen scopes to MATCHED only, so it still inserts
+    val src = Seq((10L, "C", 99), (11L, "dead", -1), (30L, "f", 60), (31L, "g", -7))
+      .toDF("k", "v", "x")
+    val r = ManifestStore.merge(spark, src, path, "k",
+      deleteWhen = Some(col("x") < 0), statsCols = Seq("k"))
+    assert(r.updated == 1L && r.deleted == 1L && r.inserted == 2L)
+    // copy-on-write: only the [10,11] segment held matched keys; the other
+    // two manifest entries republish verbatim (same segment names)
+    assert(r.segmentsRewritten == 1 && r.segmentsTotal == 3)
+    val after = ManifestStore.current(spark, path).get
+    val kept = before.entries.map(_.name).toSet.intersect(after.entries.map(_.name).toSet)
+    assert(kept.size == 2, "untouched segments must keep their identity")
+    val rows = ManifestStore.read(spark, path)
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getInt(2))).sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, "a", 10), (2L, "b", 20), (10L, "C", 99),
+      (20L, "e", 50), (30L, "f", 60), (31L, "g", -7)))
+    // time travel still reads the pre-merge table
+    assert(ManifestStore.readVersion(spark, path, before.version)
+      .where(col("k") === 10L).head().getString(1) == "c")
+    // merging into an empty dir = all inserts
+    val p2 = tmpDir("mstoreMerge") + "/t2"
+    val r2 = ManifestStore.merge(spark, src, p2, "k", Some(col("x") < 0))
+    assert(r2.inserted == 4L && r2.updated == 0L && r2.deleted == 0L)
+    // dedup keep-first per key + null keys dropped, like upsert
+    val r3 = ManifestStore.merge(spark,
+      Seq((Some(30L), "z", 1), (Some(30L), "zz", 2), (None: Option[Long], "n", 3))
+        .toDF("k", "v", "x"), path, "k")
+    assert(r3.updated == 1L && r3.inserted == 0L && r3.deleted == 0L)
+    assert(ManifestStore.read(spark, path).where(col("k") === 30L).head().getString(1) == "z")
+  }
+
+  test("merge that deletes every row of a touched segment publishes without it") {
+    val path = tmpDir("mstoreMergeDel") + "/t"
+    ManifestStore.append(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path)
+    ManifestStore.append(spark, Seq((3L, "c")).toDF("k", "v"), path)
+    val r = ManifestStore.merge(spark, Seq((3L, "x")).toDF("k", "v"), path, "k",
+      deleteWhen = Some(lit(true)))
+    assert(r.deleted == 1L && r.updated == 0L && r.inserted == 0L)
+    assert(r.segmentsRewritten == 1)
+    assert(ManifestStore.current(spark, path).get.entries.size == 1,
+      "an emptied segment must not leave an empty manifest entry")
+    assert(ManifestStore.read(spark, path).count() == 2L)
+  }
+
   test("time travel: every surviving version reads exactly as committed; vacuum sets retention") {
     val path = tmpDir("mstoreTT") + "/t"
     ManifestStore.append(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path)
