@@ -67,6 +67,7 @@ object ManifestStore {
   private val ManifestDir = "_manifest"
   private val Header = "graft-manifest v1"
   private val HeaderV2 = "graft-manifest v2"
+  private val HeaderV3 = "graft-manifest v3" // v2 + a `schema<TAB>b64(json)` line
   private val MaxRetries = 50
   private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
 
@@ -85,7 +86,8 @@ object ManifestStore {
   /** One resolved table state: dense `version` and the segment entries
     * that constitute it. `segments` keeps the original name-only view.
     */
-  final case class Snapshot(version: Long, entries: Seq[SegmentEntry]) {
+  final case class Snapshot(version: Long, entries: Seq[SegmentEntry],
+      schema: Option[StructType] = None) {
     def segments: Seq[String] = entries.map(_.name)
   }
 
@@ -123,7 +125,8 @@ object ManifestStore {
     if (versions.isEmpty) None
     else {
       val v = versions.max
-      Some(Snapshot(v, readManifest(fs, manifestPath(root, v))))
+      val (entries, schema) = readManifest(fs, manifestPath(root, v))
+      Some(Snapshot(v, entries, schema))
     }
   }
 
@@ -151,14 +154,18 @@ object ManifestStore {
     }.toMap)
   }
 
-  private def readManifest(fs: FileSystem, p: Path): Seq[SegmentEntry] = {
+  private def readManifest(fs: FileSystem, p: Path): (Seq[SegmentEntry], Option[StructType]) = {
     val in = fs.open(p)
     val lines = try
       scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
     finally in.close()
-    require(lines.headOption.exists(h => h == Header || h == HeaderV2),
+    require(lines.headOption.exists(h => h == Header || h == HeaderV2 || h == HeaderV3),
       s"$p is not a graft manifest (header ${lines.headOption})")
-    lines.tail.filter(_.nonEmpty).map(parseEntry)
+    val body = lines.tail.filter(_.nonEmpty)
+    val (schemaLines, entryLines) = body.partition(_.startsWith("schema\t"))
+    val schema = schemaLines.headOption.map(l =>
+      DataType.fromJson(unb64(l.split("\t", 2)(1))).asInstanceOf[StructType])
+    (entryLines.map(parseEntry), schema)
   }
 
   /** Write the manifest body to a tmp name, then atomically rename into the
@@ -166,14 +173,17 @@ object ManifestStore {
     * first); the caller re-reads and retries.
     */
   private def tryPublish(fs: FileSystem, root: Path, v: Long,
-      entries: Seq[SegmentEntry]): Boolean = {
+      entries: Seq[SegmentEntry], schema: Option[StructType] = None): Boolean = {
     val target = manifestPath(root, v)
     if (fs.exists(target)) return false // cheap pre-check; rename still decides
     val tmp = new Path(root,
       s"$ManifestDir/.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, false)
-    try out.write((HeaderV2 +: entries.map(fmtEntry)).mkString("", "\n", "\n")
-      .getBytes(Utf8))
+    val lines = schema match {
+      case Some(sch) => HeaderV3 +: s"schema\t${b64(sch.json)}" +: entries.map(fmtEntry)
+      case None => HeaderV2 +: entries.map(fmtEntry)
+    }
+    try out.write(lines.mkString("", "\n", "\n").getBytes(Utf8))
     finally out.close()
     val won = try fs.rename(tmp, target)
     catch { case _: java.io.IOException => false }
@@ -243,18 +253,26 @@ object ManifestStore {
     * conflict (parquet unions it fine).
     */
   private def requireCompatible(spark: SparkSession, path: String,
-      snap: Snapshot, df: DataFrame): Unit = {
+      snap: Snapshot, df: DataFrame, allowNew: Boolean = false): Unit = {
     if (snap.segments.isEmpty) return
-    val existing = readAt(spark, path, snap).schema
+    val existing = tableSchema(spark, path, snap)
     val have = existing.fields.map(f => f.name -> f.dataType).toMap
     val incoming = df.schema.fields.map(f => f.name -> f.dataType).toMap
-    require(incoming.keySet == have.keySet &&
-      incoming.forall { case (n, t) => have(n) == t },
+    val sharedOk = incoming.forall { case (n, t) => have.get(n).forall(_ == t) }
+    val shapeOk = if (allowNew) sharedOk else sharedOk && incoming.keySet == have.keySet
+    require(shapeOk,
       s"ManifestStore: batch schema ${df.schema.simpleString} is incompatible " +
         s"with table $path ${existing.simpleString} — a mismatched segment " +
-        "would silently null-fill columns on read. Align the batch (or " +
-        "rewriteAll to migrate the table schema).")
+        "would silently null-fill columns on read. Align the batch, append " +
+        "with mergeSchema = true (add-column evolution), or rewriteAll to " +
+        "migrate the table schema.")
   }
+
+  /** The table's authoritative schema at `snap`: the manifest-recorded one
+    * when present, else resolved from the segment footers.
+    */
+  private def tableSchema(spark: SparkSession, path: String, snap: Snapshot): StructType =
+    snap.schema.getOrElse(readAt(spark, path, snap).schema)
 
   /** Read the table at its latest snapshot (empty-schema error only for a
     * table that was never initialized with data — commit something first).
@@ -265,12 +283,24 @@ object ManifestStore {
     readAt(spark, path, snap)
   }
 
-  /** Read a SPECIFIC snapshot (time travel / in-flight consistency). */
+  /** Read a SPECIFIC snapshot (time travel / in-flight consistency). A
+    * snapshot that records a table schema (a [[append]] `mergeSchema`
+    * commit) is read THROUGH it: segments written before a column existed
+    * null-fill it, and the schema is deterministic instead of resolved
+    * from whichever segment's footer Spark samples first.
+    */
   def readAt(spark: SparkSession, path: String, snap: Snapshot): DataFrame = {
     require(snap.segments.nonEmpty,
       s"manifest v${snap.version} at $path lists no segments (empty table has no schema)")
     val root = new Path(path)
-    spark.read.parquet(snap.segments.map(s => new Path(root, s).toString): _*)
+    readSegs(spark, snap, snap.segments.map(s => new Path(root, s).toString))
+  }
+
+  /** Scan `paths` under `snap`'s recorded schema when it has one. */
+  private def readSegs(spark: SparkSession, snap: Snapshot,
+      paths: Seq[String]): DataFrame = snap.schema match {
+    case Some(sch) => spark.read.schema(sch).parquet(paths: _*)
+    case None => spark.read.parquet(paths: _*)
   }
 
   /** Every committed version still resolvable, ascending. Superseded
@@ -296,7 +326,10 @@ object ManifestStore {
     val root = new Path(path)
     val fs = fsOf(spark, root)
     val p = manifestPath(root, version)
-    if (!fs.exists(p)) None else Some(Snapshot(version, readManifest(fs, p)))
+    if (!fs.exists(p)) None else {
+      val (entries, schema) = readManifest(fs, p)
+      Some(Snapshot(version, entries, schema))
+    }
   }
 
   /** Time travel: the table exactly as committed at `version`. Fails with
@@ -397,7 +430,7 @@ object ManifestStore {
     if (kept.isEmpty) readAt(spark, path, snap).where(lit(false))
     else {
       val root = new Path(path)
-      spark.read.parquet(kept.map(e => new Path(root, e.name).toString): _*).where(pred)
+      readSegs(spark, snap, kept.map(e => new Path(root, e.name).toString)).where(pred)
     }
   }
 
@@ -406,18 +439,32 @@ object ManifestStore {
     * the winner's list and re-publishes with its own segment added.
     */
   def append(spark: SparkSession, df: DataFrame, path: String,
-      statsCols: Seq[String] = Nil): Snapshot = {
+      statsCols: Seq[String] = Nil, mergeSchema: Boolean = false): Snapshot = {
     val root = new Path(path)
     val fs = fsOf(spark, root)
-    current(spark, path).foreach(requireCompatible(spark, path, _, df))
+    current(spark, path).foreach(requireCompatible(spark, path, _, df, allowNew = mergeSchema))
     writeSegment(spark, root, df, statsCols) match {
       case None => current(spark, path).getOrElse(Snapshot(0L, Nil))
       case Some(entry) =>
         var attempt = 0
         while (attempt < MaxRetries) {
           val base = current(spark, path).getOrElse(Snapshot(0L, Nil))
-          if (tryPublish(fs, root, base.version + 1, base.entries :+ entry))
-            return Snapshot(base.version + 1, base.entries :+ entry)
+          // add-column evolution: the manifest records the UNION schema
+          // (table columns first, new ones appended); every read from now
+          // on resolves through it, null-filling older segments. Without
+          // mergeSchema the base's recorded schema (if any) carries over.
+          val schema =
+            if (!mergeSchema) base.schema
+            else {
+              val existing =
+                if (base.entries.isEmpty) new StructType()
+                else tableSchema(spark, path, base)
+              val known = existing.fieldNames.toSet
+              Some(StructType(existing.fields ++
+                df.schema.fields.filterNot(f => known(f.name))))
+            }
+          if (tryPublish(fs, root, base.version + 1, base.entries :+ entry, schema))
+            return Snapshot(base.version + 1, base.entries :+ entry, schema)
           attempt += 1
         }
         throw new IllegalStateException(
@@ -459,7 +506,8 @@ object ManifestStore {
           if (nFresh == 0L)
             return UpsertReport(0L, nDropped, nBatch, base.version)
           writeSegment(spark, root, freshC, statsCols) match {
-            case Some(entry) if tryPublish(fs, root, base.version + 1, base.entries :+ entry) =>
+            case Some(entry) if tryPublish(fs, root, base.version + 1,
+                base.entries :+ entry, base.schema) =>
               return UpsertReport(nFresh, nDropped, nBatch - nFresh, base.version + 1)
             case _ => () // lost the race: recompute against the winner
           }
@@ -488,11 +536,16 @@ object ManifestStore {
       val base = current(spark, path).getOrElse(
         throw new IllegalStateException(s"no manifest at $path"))
       require(base.segments.nonEmpty, s"nothing to rewrite at $path")
-      val entry = writeSegment(spark, root, make(readAt(spark, path, base)), statsCols)
+      val made = make(readAt(spark, path, base))
+      val entry = writeSegment(spark, root, made, statsCols)
+      // a rewrite replaces every segment, so the rewrite OUTPUT's schema is
+      // authoritative — keep recording one iff the base recorded one (make
+      // may legitimately migrate the schema, e.g. a column drop)
+      val schema = base.schema.map(_ => made.schema)
       // an empty rewrite result (e.g. deleteKeys removed every row) commits
       // an empty segment list — readers then see an explicitly empty table
-      if (tryPublish(fs, root, base.version + 1, entry.toSeq))
-        return Snapshot(base.version + 1, entry.toSeq)
+      if (tryPublish(fs, root, base.version + 1, entry.toSeq, schema))
+        return Snapshot(base.version + 1, entry.toSeq, schema)
       attempt += 1
     }
     throw new IllegalStateException(
@@ -592,7 +645,7 @@ object ManifestStore {
         val (touchedE, untouchedE) = base.entries.partition(e => touched(e.name))
         val touchedRows =
           if (touchedE.isEmpty) readAt(spark, path, base).where(lit(false))
-          else spark.read.parquet(touchedE.map(e => new Path(root, e.name).toString): _*)
+          else readSegs(spark, base, touchedE.map(e => new Path(root, e.name).toString))
         // matched keys can only live in touched segments, so every join
         // below runs against the touched slice, never the whole table
         val tk = touchedRows.select(col(key)).distinct().withColumn("__m", lit(1))
@@ -611,7 +664,7 @@ object ManifestStore {
             .unionByName(applied)
           val entry = writeSegment(spark, root, newData, statsCols)
           val next = untouchedE ++ entry.toSeq
-          if (tryPublish(fs, root, base.version + 1, next))
+          if (tryPublish(fs, root, base.version + 1, next, base.schema))
             return MergeReport(m - del, del, n - m, touchedE.size,
               base.entries.size, base.version + 1)
         } finally s2.unpersist()
@@ -698,8 +751,8 @@ object ManifestStore {
         }
       try fs.delete(stage, true) catch { case _: java.io.IOException => () }
       require(entries.nonEmpty, s"cluster: staged write produced no segments at $path")
-      if (tryPublish(fs, root, base.version + 1, entries))
-        return Snapshot(base.version + 1, entries)
+      if (tryPublish(fs, root, base.version + 1, entries, base.schema))
+        return Snapshot(base.version + 1, entries, base.schema)
       attempt += 1 // CAS lost: promoted segments are invisible; vacuum reclaims
     }
     throw new IllegalStateException(

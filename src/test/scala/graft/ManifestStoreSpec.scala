@@ -26,6 +26,41 @@ class ManifestStoreSpec extends SparkSpec {
     assert(s3.version == 2L)
   }
 
+  test("schema evolution: mergeSchema append records the union schema; old segments null-fill") {
+    val path = tmpDir("mstoreEvo") + "/t"
+    ManifestStore.append(spark, Seq((1L, "a")).toDF("k", "v"), path)
+    // without mergeSchema an add-column batch still fails fast
+    intercept[IllegalArgumentException] {
+      ManifestStore.append(spark, Seq((2L, "b", 1.5)).toDF("k", "v", "score"), path)
+    }
+    // with it: the manifest records the union schema...
+    val s2 = ManifestStore.append(spark,
+      Seq((2L, "b", 1.5)).toDF("k", "v", "score"), path, mergeSchema = true)
+    assert(s2.schema.map(_.fieldNames.toSeq).contains(Seq("k", "v", "score")))
+    // ...reads resolve through it — the pre-evolution segment null-fills,
+    // DETERMINISTICALLY (not footer-sampling-order dependent)
+    val rows = ManifestStore.read(spark, path).orderBy("k")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(rows.toSeq == Seq((1L, None), (2L, Some(1.5))))
+    // a type CONFLICT on a shared column is still rejected even with mergeSchema
+    intercept[IllegalArgumentException] {
+      ManifestStore.append(spark, Seq((3L, "c", "oops")).toDF("k", "v", "score"),
+        path, mergeSchema = true)
+    }
+    // a batch OMITTING an evolved column is fine under mergeSchema
+    ManifestStore.append(spark, Seq((4L, "d")).toDF("k", "v"), path, mergeSchema = true)
+    assert(ManifestStore.read(spark, path).where(col("k") === 4L).head().isNullAt(2))
+    // downstream verbs carry the recorded schema: upsert, merge, compact
+    ManifestStore.upsert(spark, Seq((5L, "e", 2.5)).toDF("k", "v", "score"), path, "k")
+    ManifestStore.merge(spark, Seq((1L, "A", 9.0)).toDF("k", "v", "score"), path, "k")
+    val snapC = ManifestStore.compact(spark, path, partitions = 1)
+    assert(snapC.schema.isDefined, "rewrite must keep recording the schema")
+    val all = ManifestStore.read(spark, path).orderBy("k").collect()
+    assert(all.length == 4 && all.head.getString(1) == "A" && all.head.getDouble(2) == 9.0)
+    // time travel on the PRE-evolution version still reads the old 2-col shape
+    assert(ManifestStore.readVersion(spark, path, 1L).columns.toSeq == Seq("k", "v"))
+  }
+
   test("merge: update/delete/insert semantics with segment-granular copy-on-write") {
     val path = tmpDir("mstoreMerge") + "/t"
     // three appends => three segments with disjoint key ranges, key stats on
