@@ -2555,6 +2555,55 @@ object RelationalQueries {
             s"CAST(${cols(t)} AS BIGINT) AS n_cols"
         }.mkString("", "\nUNION ALL ", "\nORDER BY tbl")
       }
+    ),
+    Q(
+      "a28_expectations",
+      "Declarative data-quality suite in ONE pass (Expectations.run, the " +
+        "Deequ-style generalization of a13/a14's fixed integrity probes " +
+        "and cleaner/cleaner.py's ad-hoc validation block): seven " +
+        "constraints over documents — not-null + unique key, language " +
+        "whitelist, length range, source-format regex, a cross-column " +
+        "Satisfies and a minimum-length rule — compile to a SINGLE " +
+        "aggregation (conditional counts + one count_distinct), so N " +
+        "checks on 100 TB cost one scan, not N. The aggregate row " +
+        "unpivots via stack into the (check_id, col_name, total, violations, " +
+        "pass) report; the whitelist/range/regex rows are deliberately " +
+        "violated by the fixture so both verdict paths are exercised",
+      (s, d) => {
+        import graft.ops.Expectations._
+        run(documents(s, d), Seq(
+          NotNull("doc_id"),
+          Unique("doc_id"),
+          InSet("lang", Seq("en", "fr", "de")),
+          InRange("n_chars", 1, 500),
+          MatchesRegex("source", "src[0-9]"),
+          Satisfies("text", "len_eq_n_chars",
+            length(col("text")).cast("long") === col("n_chars")),
+          Satisfies("text", "min_len", length(col("text")) >= 60)))
+      },
+      Some {
+        val d = "FROM documents"
+        def row(id: String, c: String, viol: String) =
+          s"SELECT '$id' AS check_id, '$c' AS col_name, " +
+            s"CAST((SELECT COUNT(*) $d) AS BIGINT) AS total, " +
+            s"CAST(($viol) AS BIGINT) AS violations, " +
+            s"($viol) = 0 AS pass"
+        Seq(
+          row("not_null", "doc_id", s"SELECT COUNT(*) $d WHERE doc_id IS NULL"),
+          row("unique", "doc_id",
+            s"(SELECT COUNT(*) $d) - (SELECT COUNT(DISTINCT doc_id) $d)"),
+          row("in_set", "lang",
+            s"SELECT COUNT(*) $d WHERE NOT (lang IN ('en','fr','de'))"),
+          row("in_range", "n_chars",
+            s"SELECT COUNT(*) $d WHERE NOT (n_chars BETWEEN 1 AND 500)"),
+          row("matches_regex", "source",
+            s"SELECT COUNT(*) $d WHERE NOT regexp_full_match(source, 'src[0-9]')"),
+          row("satisfies_len_eq_n_chars", "text",
+            s"SELECT COUNT(*) $d WHERE text IS NOT NULL AND NOT (LENGTH(text) = n_chars)"),
+          row("satisfies_min_len", "text",
+            s"SELECT COUNT(*) $d WHERE text IS NOT NULL AND NOT (LENGTH(text) >= 60)"))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY check_id, col_name")
+      }
     )
   )
 }

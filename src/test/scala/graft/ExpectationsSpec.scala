@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Expectations
+import graft.ops.Expectations._
+
+class ExpectationsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def report(checks: Seq[Check]) = {
+    val df = Seq(
+      (Some(1L), Some("en"), Some(10L)),
+      (Some(1L), Some("en"), Some(20L)), // dup key
+      (Some(2L), Some("xx"), Some(-5L)), // bad lang, out of range
+      (None, None, None) // nulls everywhere
+    ).toDF("id", "lang", "n")
+    Expectations.run(df, checks).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+  }
+
+  test("every check kind counts its violations; non-NotNull checks pass NULLs") {
+    val rows = report(Seq(
+      NotNull("id"), Unique("id"), InSet("lang", Seq("en", "fr")),
+      InRange("n", 0, 100), MatchesRegex("lang", "[a-z]{2}"),
+      Satisfies("n", "even", col("n") % 2 === 0)))
+    val byCheck = rows.map(r => (r._1, r._2) -> (r._4, r._5)).toMap
+    assert(rows.forall(_._3 == 4L), "total is the table row count on every report row")
+    assert(byCheck(("not_null", "id")) == (1L, false))
+    // 4 rows, 2 distinct non-null ids => 2 surplus (the dup AND the null row)
+    assert(byCheck(("unique", "id")) == (2L, false))
+    // null lang passes set/regex checks; 'xx' fails the set, passes the regex
+    assert(byCheck(("in_set", "lang")) == (1L, false))
+    assert(byCheck(("matches_regex", "lang")) == (0L, true))
+    // null n passes the range; -5 fails it; evens: 10,20 pass, -5 odd fails
+    assert(byCheck(("in_range", "n")) == (1L, false))
+    assert(byCheck(("satisfies_even", "n")) == (1L, false))
+  }
+
+  test("report is ordered, one aggregation wide; duplicate checks rejected") {
+    val rows = report(Seq(Unique("id"), NotNull("id"), NotNull("lang")))
+    assert(rows.map(r => (r._1, r._2)).toSeq ==
+      Seq(("not_null", "id"), ("not_null", "lang"), ("unique", "id")))
+    intercept[IllegalArgumentException] {
+      report(Seq(NotNull("id"), NotNull("id")))
+    }
+    // the whole suite is ONE Aggregate over ONE scan: the plan contains a
+    // single generator over a single-row aggregate, no join/union fan-out
+    val df = Seq((1L, "a")).toDF("id", "lang")
+    val plan = Expectations.run(df,
+      Seq(NotNull("id"), InSet("lang", Seq("a")), Satisfies("id", "pos", col("id") > 0)))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Union") && !plan.contains("Join"),
+      s"expected one-pass plan, got:\n$plan")
+  }
+}
