@@ -1738,8 +1738,11 @@ object RelationalQueries {
           .agg(count(lit(1)).as("n_ord"),
             sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
         val o = orders(s, d)
-        val target = stats(o.where(col("o_orderkey") % 3 =!= 0))
-        val source = stats(o.where(col("o_orderkey") % 3 === 0))
+        // the keyed tables are small aggregates — coalesce to one partition
+        // per segment so the store round-trips don't pay 32 empty tasks per
+        // job (the table-format cost being measured is commits, not tasks)
+        val target = stats(o.where(col("o_orderkey") % 3 =!= 0)).coalesce(1)
+        val source = stats(o.where(col("o_orderkey") % 3 === 0)).coalesce(1)
         // scratch table under java.io.tmpdir; segments are a few MB of
         // aggregated rows and the dir is OS-reclaimed — the point is that
         // the MERGE physically executes through the manifest protocol
