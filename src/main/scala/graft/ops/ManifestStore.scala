@@ -581,8 +581,14 @@ object ManifestStore {
     * (replaces) the target row — unless `deleteWhen` holds on the source
     * row, in which case the target row is DELETED; a source row with no
     * match INSERTS (regardless of `deleteWhen`, which scopes to MATCHED
-    * only). Source rows are deduplicated keep-first per key and null keys
-    * dropped, so the merge is deterministic for any input.
+    * only) — unless `insertWhen` is given, which gates the not-matched
+    * clause (`WHEN NOT MATCHED AND pred THEN INSERT`): CDC appliers pass
+    * `insertWhen = !deleteWhen` so a replayed delete event cannot
+    * resurrect its row as an insert, making the merge of any fixed batch
+    * idempotent under at-least-once replay. NULL predicate results act as
+    * false on both clauses (a null neither deletes nor inserts). Source
+    * rows are deduplicated keep-first per key and null keys dropped, so
+    * the merge is deterministic for any input.
     *
     * The 100 TB property is the copy-on-write granularity: only segments
     * that actually CONTAIN a matched key are rewritten; every other
@@ -603,22 +609,27 @@ object ManifestStore {
     */
   def merge(spark: SparkSession, source: DataFrame, path: String,
       key: String, deleteWhen: Option[Column] = None,
-      statsCols: Seq[String] = Nil): MergeReport = {
+      statsCols: Seq[String] = Nil,
+      insertWhen: Option[Column] = None): MergeReport = {
     val root = new Path(path)
     val fs = fsOf(spark, root)
     val tiebreak = source.columns.filter(_ != key).sorted.map(col).toSeq
+    // NULL predicate results act as false (SQL CHECK posture): a null
+    // deleteWhen doesn't delete, a null insertWhen doesn't insert
+    val delPred = coalesce(deleteWhen.getOrElse(lit(false)), lit(false))
+    val insPred = coalesce(insertWhen.getOrElse(lit(true)), lit(false))
     val sourceD = graft.silver.Transformer
       .dedupKeepFirst(source.where(col(key).isNotNull), key, tiebreak)
       .cache()
     try {
       current(spark, path) match {
         case None =>
-          // empty table: every source row is an insert
-          val snap = append(spark, sourceD, path, statsCols)
-          return MergeReport(0L, 0L, sourceD.count(), 0, 0, snap.version)
+          // empty table: unmatched by definition — the insert clause gates
+          val toInsert = sourceD.where(insPred)
+          val snap = append(spark, toInsert, path, statsCols)
+          return MergeReport(0L, 0L, toInsert.count(), 0, 0, snap.version)
         case Some(s) => requireCompatible(spark, path, s, source)
       }
-      val delPred = deleteWhen.getOrElse(lit(false))
       var attempt = 0
       while (attempt < MaxRetries) {
         val base = current(spark, path).getOrElse(Snapshot(0L, Nil))
@@ -652,12 +663,15 @@ object ManifestStore {
         val s2 = sourceD.join(tk, Seq(key), "left").cache()
         try {
           val c = s2.agg(
-            count(lit(1)).as("n"),
             count(col("__m")).as("m"),
-            count(when(col("__m").isNotNull && delPred, lit(1))).as("del")).head()
-          val (n, m, del) = (c.getLong(0), c.getLong(1), c.getLong(2))
-          // survivors of touched segments + updates + inserts, one segment
-          val applied = s2.where(!(col("__m").isNotNull && delPred)).drop("__m")
+            count(when(col("__m").isNotNull && delPred, lit(1))).as("del"),
+            count(when(col("__m").isNull && insPred, lit(1))).as("ins")).head()
+          val (m, del, ins) = (c.getLong(0), c.getLong(1), c.getLong(2))
+          // survivors of touched segments + updates + gated inserts — one
+          // new segment
+          val applied = s2
+            .where(when(col("__m").isNotNull, !delPred).otherwise(insPred))
+            .drop("__m")
           val newData = touchedRows
             .join(sourceD.select(key), Seq(key), "left_anti")
             .select(applied.columns.map(col): _*)
@@ -665,7 +679,7 @@ object ManifestStore {
           val entry = writeSegment(spark, root, newData, statsCols)
           val next = untouchedE ++ entry.toSeq
           if (tryPublish(fs, root, base.version + 1, next, base.schema))
-            return MergeReport(m - del, del, n - m, touchedE.size,
+            return MergeReport(m - del, del, ins, touchedE.size,
               base.entries.size, base.version + 1)
         } finally s2.unpersist()
         attempt += 1 // lost the race: recompute against the winner

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -271,6 +271,49 @@ object Incremental {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           graft.ops.ManifestStore.upsert(spark, batch, tablePath, key)
+          ()
+        }
+      }
+      .start()
+
+  /** Streaming CDC apply — [[streamingManifestUpsert]]'s full-MERGE
+    * sibling: each micro-batch of change rows merges through
+    * [[graft.ops.ManifestStore.merge]]'s segment-granular copy-on-write
+    * commit (matched rows update, matched rows satisfying `deleteWhen`
+    * delete). The not-matched insert clause is gated with
+    * `insertWhen = NOT deleteWhen`, which is what makes at-least-once
+    * replay safe: re-merging an already-applied batch re-updates rows to
+    * the same values, re-deletes nothing (the keys are gone and, being
+    * delete-flagged, cannot re-insert), and re-inserts only rows already
+    * present (which become same-value updates) — the table converges to
+    * the same state however many times a batch replays. A crash DURING a
+    * merge leaves only unpublished segments no reader sees (vacuum
+    * reclaims); readers resolve a consistent snapshot mid-stream, and the
+    * copy-on-write touched-set means each micro-batch rewrites only the
+    * segments its keys live in, not the table.
+    */
+  def streamingMerge(
+      spark: SparkSession,
+      srcPath: String,
+      schema: StructType,
+      tablePath: String,
+      key: String,
+      deleteWhen: Column,
+      checkpoint: String,
+      statsCols: Seq[String] = Nil,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 16)
+      .json(srcPath)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.ops.ManifestStore.merge(spark, batch, tablePath, key,
+            deleteWhen = Some(deleteWhen), statsCols = statsCols,
+            insertWhen = Some(!coalesce(deleteWhen, lit(false))))
           ()
         }
       }

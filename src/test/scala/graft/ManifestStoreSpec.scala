@@ -103,6 +103,14 @@ class ManifestStoreSpec extends SparkSpec {
         .toDF("k", "v", "x"), path, "k")
     assert(r3.updated == 1L && r3.inserted == 0L && r3.deleted == 0L)
     assert(ManifestStore.read(spark, path).where(col("k") === 30L).head().getString(1) == "z")
+    // insertWhen gates the not-matched clause (CDC: a delete event for an
+    // absent key must NOT resurrect as an insert)
+    val r4 = ManifestStore.merge(spark,
+      Seq((40L, "ins", 1), (41L, "del-evt", -1)).toDF("k", "v", "x"), path, "k",
+      deleteWhen = Some(col("x") < 0), insertWhen = Some(col("x") >= 0))
+    assert(r4.inserted == 1L && r4.updated == 0L && r4.deleted == 0L)
+    val ks = ManifestStore.read(spark, path).select("k").collect().map(_.getLong(0)).toSet
+    assert(ks.contains(40L) && !ks.contains(41L))
   }
 
   test("merge that deletes every row of a touched segment publishes without it") {

@@ -492,6 +492,48 @@ class StreamingSpec extends SparkSpec {
       "a no-op replay publishes no new versions")
   }
 
+  test("streamingMerge: CDC updates/deletes apply; checkpoint-loss replay converges (deletes don't resurrect)") {
+    import graft.ops.ManifestStore
+    val src = tmpDir("smg-in")
+    val chk = tmpDir("smg-chk")
+    val table = tmpDir("smg-t") + "/t"
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("op", StringType)))
+    def drain(): Unit = {
+      val q = Incremental.streamingMerge(spark, src, schema, table, "id",
+        deleteWhen = col("op") === "d", checkpoint = chk)
+      q.awaitTermination(180000)
+    }
+    // wave 1: three inserts
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$src/a.json"),
+      """{"id":1,"v":"a","op":"u"}""" + "\n" +
+        """{"id":2,"v":"b","op":"u"}""" + "\n" +
+        """{"id":3,"v":"c","op":"u"}""" + "\n")
+    drain()
+    assert(ManifestStore.read(spark, table).count() == 3)
+    // wave 2: update id=1, delete id=2, insert id=4, and a delete for a key
+    // that never existed (must NOT insert)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$src/b.json"),
+      """{"id":1,"v":"A","op":"u"}""" + "\n" +
+        """{"id":2,"v":"b","op":"d"}""" + "\n" +
+        """{"id":4,"v":"d","op":"u"}""" + "\n" +
+        """{"id":9,"v":"ghost","op":"d"}""" + "\n")
+    drain()
+    val want = Map(1L -> "A", 3L -> "c", 4L -> "d")
+    def table_(): Map[Long, String] = ManifestStore.read(spark, table)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(table_() == want, s"CDC apply: ${table_()}")
+    // checkpoint loss: every batch replays. The delete events in wave 2
+    // find no match AND are insert-gated out — id=2 stays deleted, the
+    // replayed updates rewrite the same values
+    java.nio.file.Files.walk(java.nio.file.Paths.get(chk))
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.delete(p))
+    drain()
+    assert(table_() == want, s"replay must converge, got ${table_()}")
+  }
+
   test("withDeadLetter: a poison batch is quarantined and the stream drains past it") {
     val dir = tmpDir("dlq-in")
     val chk = tmpDir("dlq-chk")
