@@ -648,9 +648,14 @@ object ManifestStore {
         val candPaths = candidates.map(e => new Path(root, e.name).toString)
         val touched: Set[String] =
           if (candPaths.isEmpty) Set.empty
+          // segment identity = the data file's immediate parent directory
+          // (anchored to end-of-path — NOT a bare first-match, which a
+          // "seg-" substring in the TABLE's own path would fool, and not a
+          // fixed-width uuid pattern, which cluster's `seg-<uuid>-<k>`
+          // names would silently fail)
           else spark.read.parquet(candPaths: _*)
             .select(col(key),
-              regexp_extract(input_file_name(), "(seg-[0-9a-f\\-]{36})", 1).as("__seg"))
+              regexp_extract(input_file_name(), "/(seg-[^/]+)/[^/]*$", 1).as("__seg"))
             .join(sourceD.select(key), Seq(key), "left_semi")
             .select("__seg").distinct().collect().map(_.getString(0)).toSet
         val (touchedE, untouchedE) = base.entries.partition(e => touched(e.name))

@@ -113,6 +113,29 @@ class ManifestStoreSpec extends SparkSpec {
     assert(ks.contains(40L) && !ks.contains(41L))
   }
 
+  test("merge on a CLUSTERED table: cluster's seg-<uuid>-<k> names still resolve the touched set") {
+    // regression pin: the touched-set probe extracts the segment from
+    // input_file_name; a fixed-width uuid pattern would truncate cluster's
+    // suffixed names, compute an empty touched set, and DUPLICATE keys.
+    // The table path itself contains a "seg-" component to pin the
+    // end-of-path anchor too.
+    val path = tmpDir("mstoreMergeClu") + "/seg-decoy/t"
+    ManifestStore.append(spark,
+      (1L to 40L).map(i => (i, i % 7, s"v$i")).toDF("k", "g", "v"), path)
+    ManifestStore.cluster(spark, path, axes = Seq("k", "g"), segments = 4,
+      statsCols = Seq("k"))
+    assert(ManifestStore.current(spark, path).get.segments.forall(_.count(_ == '-') >= 2))
+    val r = ManifestStore.merge(spark,
+      Seq((1L, 0L, "UPD"), (100L, 0L, "NEW")).toDF("k", "g", "v"), path, "k",
+      statsCols = Seq("k"))
+    assert(r.updated == 1L && r.inserted == 1L)
+    assert(r.segmentsRewritten == 1 && r.segmentsTotal == 4,
+      s"clustered touched set must resolve: $r")
+    val rows = ManifestStore.read(spark, path)
+    assert(rows.count() == 41L, "no duplicated keys after merging a clustered table")
+    assert(rows.where(col("k") === 1L).collect().map(_.getString(2)).toSeq == Seq("UPD"))
+  }
+
   test("merge that deletes every row of a touched segment publishes without it") {
     val path = tmpDir("mstoreMergeDel") + "/t"
     ManifestStore.append(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path)
