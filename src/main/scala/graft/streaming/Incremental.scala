@@ -241,6 +241,46 @@ object Incremental {
     }
   }
 
+  /** Streaming data-quality gate — [[withDeadLetter]]'s sibling for
+    * batches that are readable but WRONG: evaluate an
+    * [[graft.ops.Expectations]] suite on each micro-batch (ONE extra
+    * aggregation over the batch, however many checks), and only a batch
+    * passing every check reaches `body`. A failing batch is quarantined to
+    * `quarantineDir/batch=<id>/` with an `_expectations.txt` sidecar
+    * carrying the failing report rows, and the wrapper returns normally so
+    * the checkpoint commits past it — bad upstream data cannot poison the
+    * table OR wedge the stream. The quarantine write is OVERWRITE keyed to
+    * the batch id, so at-least-once replay re-quarantines identically (the
+    * [[withDeadLetter]] discipline); operators inspect the sidecar, fix
+    * the feed, and re-drive the quarantined rows. Compose inside
+    * [[withDeadLetter]] for both failure classes: `withDeadLetter(dlq) {
+    * withExpectations(checks, qdir) { apply } }`.
+    */
+  def withExpectations(checks: Seq[graft.ops.Expectations.Check],
+      quarantineDir: String)(
+      body: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
+    require(checks.nonEmpty, "withExpectations needs at least one check")
+    (batch: DataFrame, batchId: Long) => {
+      val failing = graft.ops.Expectations.run(batch, checks)
+        .where(!col("pass")).collect()
+      if (failing.isEmpty) body(batch, batchId)
+      else {
+        val dir = s"$quarantineDir/batch=$batchId"
+        batch.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+        val out = fs.create(new org.apache.hadoop.fs.Path(dir, "_expectations.txt"), true)
+        val lines = failing.map(r =>
+          s"check=${r.getString(0)} col=${r.getString(1)} total=${r.getLong(2)} " +
+            s"violations=${r.getLong(3)}").mkString("\n")
+        try out.write(
+          (s"batch=$batchId\nquarantined_at_ms=${System.currentTimeMillis()}\n" +
+            lines + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
+    }
+  }
+
   /** Streaming upsert into a [[graft.ops.ManifestStore]] table: arriving
     * JSON files land as micro-batches, each batch first-write-wins-upserted
     * through the manifest's atomic CAS commit. The two at-least-once

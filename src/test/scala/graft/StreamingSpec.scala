@@ -534,6 +534,45 @@ class StreamingSpec extends SparkSpec {
     assert(table_() == want, s"replay must converge, got ${table_()}")
   }
 
+  test("withExpectations: a failing batch quarantines with its report; passing batches apply") {
+    import graft.ops.Expectations._
+    val dir = tmpDir("exq-in")
+    val chk = tmpDir("exq-chk")
+    val qd = tmpDir("exq-out") + "/quarantine"
+    val applied = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // batch a: clean; batch b: null id + out-of-set v — fails the suite
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/a.json"),
+      """{"id":1,"v":"ok"}""" + "\n" + """{"id":2,"v":"ok"}""" + "\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/b.json"),
+      """{"v":"bogus"}""" + "\n" + """{"id":4,"v":"ok"}""" + "\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    val body = Incremental.withExpectations(
+      Seq(NotNull("id"), InSet("v", Seq("ok"))), qd) { (b, _) =>
+      val ids = b.select("id").collect().map(_.getLong(0))
+      applied.synchronized { applied ++= ids }
+      ()
+    }
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(dir)
+      .writeStream.option("checkpointLocation", chk)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch(body)
+      .start()
+    q.awaitTermination(180000)
+    assert(applied.synchronized(applied.sorted.toSeq) == Seq(1L, 2L),
+      s"only the clean batch applies: $applied")
+    val qDirs = new java.io.File(qd).listFiles().filter(_.getName.startsWith("batch="))
+    assert(qDirs.length == 1, s"exactly one quarantined batch: ${qDirs.mkString(",")}")
+    // the quarantine holds the FULL failing batch (good rows ride along —
+    // the unit of replay is the batch) + the failing report as sidecar
+    assert(spark.read.parquet(qDirs(0).getPath).count() == 2)
+    val sidecar = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(qDirs(0).getPath, "_expectations.txt"))
+    assert(sidecar.contains("check=not_null col=id") && sidecar.contains("violations=1"))
+    assert(sidecar.contains("check=in_set col=v"))
+  }
+
   test("withDeadLetter: a poison batch is quarantined and the stream drains past it") {
     val dir = tmpDir("dlq-in")
     val chk = tmpDir("dlq-chk")
