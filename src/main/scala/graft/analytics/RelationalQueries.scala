@@ -2607,6 +2607,39 @@ object RelationalQueries {
             s"SELECT COUNT(*) $d WHERE text IS NOT NULL AND NOT (LENGTH(text) >= 60)"))
           .mkString("", "\nUNION ALL\n", "\nORDER BY check_id, col_name")
       }
+    ),
+    Q(
+      "a29_expectations_by_group",
+      "Per-group data-quality report (Expectations.runBy): the a28 suite " +
+        "keyed by language — ONE scan + a row-per-group shuffle however " +
+        "many checks, each group's total/violations/pass its own verdict. " +
+        "This is the shape that catches one bad upstream feed hiding " +
+        "inside a healthy global aggregate (per-lang length ranges and " +
+        "format rules differ by construction in the fixture, so verdicts " +
+        "genuinely split by group)",
+      (s, d) => {
+        import graft.ops.Expectations._
+        runBy(documents(s, d), Seq("lang"), Seq(
+          InRange("n_chars", 1, 300),
+          MatchesRegex("source", "src1?[0-9]"),
+          Satisfies("text", "min_len", length(col("text")) >= 60)))
+      },
+      Some {
+        def row(id: String, c: String, viol: String) =
+          s"""SELECT lang, '$id' AS check_id, '$c' AS col_name,
+             |CAST(COUNT(*) AS BIGINT) AS total,
+             |CAST(COUNT(*) FILTER (WHERE $viol) AS BIGINT) AS violations,
+             |COUNT(*) FILTER (WHERE $viol) = 0 AS pass
+             |FROM documents GROUP BY lang""".stripMargin
+        Seq(
+          row("in_range", "n_chars", "NOT (n_chars BETWEEN 1 AND 300)"),
+          row("matches_regex", "source",
+            "NOT regexp_full_match(source, 'src1?[0-9]')"),
+          row("satisfies_min_len", "text",
+            "text IS NOT NULL AND NOT (LENGTH(text) >= 60)"))
+          .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+            "\n) ORDER BY lang, check_id, col_name")
+      }
     )
   )
 }

@@ -96,4 +96,36 @@ object Expectations {
         (col("violations") === 0L).as("pass"))
       .orderBy("check_id", "col_name")
   }
+
+  /** [[run]] per group: the same one-pass compilation, but the aggregation
+    * keys on `groupCols` — a per-source / per-partition / per-day quality
+    * report over a 100 TB table still costs ONE scan + one
+    * row-per-group-sized shuffle (partial aggregation applies to every
+    * conditional count). Returns (groupCols..., check_id, col_name, total,
+    * violations, pass) ordered by (groupCols..., check_id, col_name); each
+    * group's `total` is ITS row count, so `pass` verdicts are per-group —
+    * the shape that catches one bad upstream feed hiding inside a healthy
+    * global aggregate.
+    */
+  def runBy(df: DataFrame, groupCols: Seq[String], checks: Seq[Check]): DataFrame = {
+    require(groupCols.nonEmpty, "runBy needs at least one group column")
+    require(checks.nonEmpty, "Expectations.runBy needs at least one check")
+    val keys = checks.map(c => s"${c.id}:${c.column}")
+    require(keys.distinct.size == keys.size,
+      s"duplicate checks in suite: ${keys.diff(keys.distinct).mkString(", ")}")
+    val aggs = count(lit(1)).as("__total") +:
+      checks.zipWithIndex.map { case (c, i) => violations(c).as(s"__v$i") }
+    val grouped = df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val stackArgs = checks.zipWithIndex.flatMap { case (c, i) =>
+      Seq(lit(c.id), lit(c.column), col(s"__v$i"))
+    }
+    grouped
+      .select(groupCols.map(col) ++ Seq(
+        stack((lit(checks.size) +: stackArgs): _*)
+          .as(Seq("check_id", "col_name", "violations")),
+        col("__total").as("total")): _*)
+      .select(groupCols.map(col) ++ Seq(col("check_id"), col("col_name"),
+        col("total"), col("violations"), (col("violations") === 0L).as("pass")): _*)
+      .orderBy((groupCols ++ Seq("check_id", "col_name")).map(col): _*)
+  }
 }

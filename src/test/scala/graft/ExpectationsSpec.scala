@@ -37,6 +37,23 @@ class ExpectationsSpec extends SparkSpec {
     assert(byCheck(("satisfies_even", "n")) == (1L, false))
   }
 
+  test("runBy: per-group verdicts split where the global aggregate would hide a bad feed") {
+    val df = Seq(
+      ("feedA", Some(10L)), ("feedA", Some(20L)),
+      ("feedB", Some(10L)), ("feedB", None) // feedB smuggles a null
+    ).toDF("src", "n")
+    val rows = Expectations.runBy(df, Seq("src"),
+      Seq(NotNull("n"), InRange("n", 0, 100)))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(4), r.getBoolean(5)))
+    assert(rows.toSeq == Seq(
+      ("feedA", "in_range", 0L, true), ("feedA", "not_null", 0L, true),
+      ("feedB", "in_range", 0L, true), ("feedB", "not_null", 1L, false)))
+    // per-group totals are the group's own row count
+    val totals = Expectations.runBy(df, Seq("src"), Seq(NotNull("n")))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(totals == Map("feedA" -> 2L, "feedB" -> 2L))
+  }
+
   test("report is ordered, one aggregation wide; duplicate checks rejected") {
     val rows = report(Seq(Unique("id"), NotNull("id"), NotNull("lang")))
     assert(rows.map(r => (r._1, r._2)).toSeq ==
