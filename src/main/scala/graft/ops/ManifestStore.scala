@@ -434,6 +434,40 @@ object ManifestStore {
     }
   }
 
+  /** Stats-pruned point lookup: the rows whose `keyCol` is in `values`,
+    * reading ONLY the segments whose recorded [min,max] could contain at
+    * least one requested value (no stats on a segment => it is always
+    * read, conservative like [[readWhere]]). On a [[cluster]]-ed table a
+    * k-key lookup touches O(k) segments of a 100 TB table from the
+    * manifest alone — the reader-side twin of [[merge]]'s touched-set
+    * probe. `values` rides an isin literal list, so keep it
+    * driver-bounded (thousands, not millions — join against [[read]] for
+    * bulk probes).
+    */
+  def readForKeys(spark: SparkSession, path: String, keyCol: String,
+      values: Seq[Any]): DataFrame = {
+    require(values.nonEmpty, "readForKeys needs at least one value")
+    val snap = current(spark, path).getOrElse(
+      throw new IllegalStateException(s"no manifest at $path — not a ManifestStore table"))
+    val kept = snap.entries.filter { e =>
+      e.stats.get(keyCol) match {
+        case None => true // no stats recorded — cannot prune
+        case Some(ColStats(_, None, None)) => false // all-NULL column
+        case Some(ColStats(typ, mn, mx)) => values.exists { v =>
+          val k = boundKey(typ, v)
+          mn.forall(m => leq(statKey(typ, m), k)) &&
+            mx.forall(m => leq(k, statKey(typ, m)))
+        }
+      }
+    }
+    val pred = col(keyCol).isin(values: _*)
+    if (kept.isEmpty) readAt(spark, path, snap).where(lit(false))
+    else {
+      val root = new Path(path)
+      readSegs(spark, snap, kept.map(e => new Path(root, e.name).toString)).where(pred)
+    }
+  }
+
   /** Append `df` as one new segment + one commit. Safe under concurrent
     * appenders: the segment list only grows, so a CAS loser just re-reads
     * the winner's list and re-publishes with its own segment added.

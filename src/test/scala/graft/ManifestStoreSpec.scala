@@ -113,6 +113,29 @@ class ManifestStoreSpec extends SparkSpec {
     assert(ks.contains(40L) && !ks.contains(41L))
   }
 
+  test("readForKeys: point lookups read only the segments whose stats can hold a value") {
+    val path = tmpDir("mstorePoint") + "/t"
+    ManifestStore.append(spark, Seq((1L, "a"), (5L, "b")).toDF("k", "v"),
+      path, statsCols = Seq("k"))
+    ManifestStore.append(spark, Seq((10L, "c"), (15L, "d")).toDF("k", "v"),
+      path, statsCols = Seq("k"))
+    ManifestStore.append(spark, Seq((20L, "e")).toDF("k", "v"),
+      path, statsCols = Seq("k"))
+    // values hit segments 1 and 3; segment 2's [10,15] cannot hold them —
+    // result identical to a full-scan filter, but only 2 segments read
+    val got = ManifestStore.readForKeys(spark, path, "k", Seq(5L, 20L, 99L))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(got.toSeq == Seq((5L, "b"), (20L, "e")))
+    val snap = ManifestStore.current(spark, path).get
+    val kept = snap.entries.count { e =>
+      val s = e.stats("k")
+      Seq(5L, 20L, 99L).exists(v => s.min.get.toLong <= v && v <= s.max.get.toLong)
+    }
+    assert(kept == 2, "the middle segment must be prunable from stats alone")
+    // no keys in range at all => empty slice, schema intact, zero reads
+    assert(ManifestStore.readForKeys(spark, path, "k", Seq(99L)).count() == 0L)
+  }
+
   test("merge on a CLUSTERED table: cluster's seg-<uuid>-<k> names still resolve the touched set") {
     // regression pin: the touched-set probe extracts the segment from
     // input_file_name; a fixed-width uuid pattern would truncate cluster's
