@@ -42,6 +42,17 @@ object Expectations {
     * "missing" from "duplicated".
     */
   final case class Unique(column: String) extends Check { val id = "unique" }
+  /** A COMPOSITE key must be unique: violations = total − distinct
+    * fully-non-null tuples, so rows with a NULL in any key column count as
+    * violations (pair with [[NotNull]] per column to separate "missing
+    * part of key" from "duplicated key"). The report's `col_name` is the
+    * comma-joined column list.
+    */
+  final case class UniqueTogether(columns: Seq[String]) extends Check {
+    require(columns.size >= 2, "UniqueTogether needs >= 2 columns (use Unique for one)")
+    val id = "unique_together"
+    val column: String = columns.mkString(",")
+  }
   /** Non-null values must fall in the CLOSED interval [lo, hi]. */
   final case class InRange(column: String, lo: Double, hi: Double) extends Check {
     val id = "in_range"
@@ -62,6 +73,8 @@ object Expectations {
   private def violations(c: Check): Column = c match {
     case NotNull(col0) => count(when(col(col0).isNull, lit(1)))
     case Unique(col0) => count(lit(1)) - count_distinct(col(col0))
+    case UniqueTogether(cols0) =>
+      count(lit(1)) - count_distinct(col(cols0.head), cols0.tail.map(col): _*)
     case InRange(col0, lo, hi) =>
       count(when(!col(col0).between(lit(lo), lit(hi)), lit(1)))
     case InSet(col0, vs) => count(when(!col(col0).isin(vs: _*), lit(1)))

@@ -37,6 +37,19 @@ class ExpectationsSpec extends SparkSpec {
     assert(byCheck(("satisfies_even", "n")) == (1L, false))
   }
 
+  test("UniqueTogether: composite-key surplus, any-null tuples count as violations") {
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(1L), Some("b")),
+      (Some(1L), Some("b")), // dup composite
+      (Some(2L), None) // null part of key
+    ).toDF("k1", "k2")
+    val r = Expectations.run(df, Seq(UniqueTogether(Seq("k1", "k2")))).head()
+    assert(r.getString(1) == "k1,k2")
+    // 4 rows, 2 distinct fully-non-null tuples => 2 violations
+    assert(r.getLong(3) == 2L && !r.getBoolean(4))
+    intercept[IllegalArgumentException] { UniqueTogether(Seq("k1")) }
+  }
+
   test("runBy: per-group verdicts split where the global aggregate would hide a bad feed") {
     val df = Seq(
       ("feedA", Some(10L)), ("feedA", Some(20L)),
