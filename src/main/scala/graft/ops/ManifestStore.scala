@@ -687,7 +687,8 @@ object ManifestStore {
           // "seg-" substring in the TABLE's own path would fool, and not a
           // fixed-width uuid pattern, which cluster's `seg-<uuid>-<k>`
           // names would silently fail)
-          else spark.read.parquet(candPaths: _*)
+          else readSegs(spark, base, candPaths) // recorded schema: a key
+            // column added by evolution null-fills in older segments
             .select(col(key),
               regexp_extract(input_file_name(), "/(seg-[^/]+)/[^/]*$", 1).as("__seg"))
             .join(sourceD.select(key), Seq(key), "left_semi")

@@ -234,6 +234,32 @@ class ManifestStoreSpec extends SparkSpec {
     assert(ManifestStore.current(spark, path).get.version == 8L, "versions are dense")
   }
 
+  test("concurrent merges: CAS losers recompute against the winner, nothing is lost") {
+    val path = tmpDir("mstoreMergeRace") + "/t"
+    ManifestStore.append(spark,
+      (1L to 8L).map(i => (i, "old")).toDF("k", "v"), path)
+    // 4 racing merges on disjoint key slices: each updates 2 keys and
+    // inserts 1. Every CAS loser must recompute its touched set against
+    // the winner's snapshot and still land all of its verbs.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val futures = (0 until 4).map { i =>
+      pool.submit(new java.util.concurrent.Callable[ManifestStore.MergeReport] {
+        def call(): ManifestStore.MergeReport = ManifestStore.merge(spark,
+          Seq((2L * i + 1, s"upd$i"), (2L * i + 2, s"upd$i"), (100L + i, s"new$i"))
+            .toDF("k", "v"), path, "k")
+      })
+    }
+    val reports = futures.map(_.get())
+    pool.shutdown()
+    assert(reports.forall(r => r.updated == 2L && r.inserted == 1L), s"$reports")
+    assert(reports.map(_.version).toSet.size == 4, "versions must be distinct")
+    val rows = ManifestStore.read(spark, path)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.size == 12, s"8 updated + 4 inserted, none lost: $rows")
+    assert((1L to 8L).forall(k => rows(k).startsWith("upd")), s"every update landed: $rows")
+    assert((0 until 4).forall(i => rows(100L + i) == s"new$i"))
+  }
+
   test("upsert: first-write-wins without a lock — racing writers cannot double-insert") {
     val path = tmpDir("mstore4") + "/t"
     // batch with internal dups and a null key: both dropped, deterministically
