@@ -468,6 +468,36 @@ object ManifestStore {
     }
   }
 
+  /** Table health introspection — the maintenance dashboard's one-stop
+    * view: one row per live segment with its row count (ONE parquet
+    * footer-metadata job over the whole table, grouped by file's parent
+    * segment — no column pages read), on-disk bytes and file count (FS
+    * metadata), and which stats columns the segment recorded (the
+    * [[readWhere]]/[[merge]] prunability signal: a segment listed with
+    * empty `stats_cols` is never skippable). Drives the compact/cluster
+    * decision the way a27's catalog stats drive query planning.
+    */
+  def describe(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val snap = current(spark, path).getOrElse(
+      throw new IllegalStateException(s"no manifest at $path — not a ManifestStore table"))
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    val meta = snap.entries.map { e =>
+      val sum = fs.getContentSummary(new Path(root, e.name))
+      (e.name, sum.getLength, sum.getFileCount,
+        e.stats.keys.toSeq.sorted.mkString(","))
+    }.toDF("segment", "bytes", "files", "stats_cols")
+    val rows = readAt(spark, path, snap)
+      .groupBy(regexp_extract(input_file_name(), "/(seg-[^/]+)/[^/]*$", 1).as("segment"))
+      .agg(count(lit(1)).as("rows"))
+    meta.join(rows, Seq("segment"), "left")
+      .select(col("segment"), coalesce(col("rows"), lit(0L)).as("rows"),
+        col("bytes"), col("files"), col("stats_cols"),
+        lit(snap.version).as("version"))
+      .orderBy("segment")
+  }
+
   /** Append `df` as one new segment + one commit. Safe under concurrent
     * appenders: the segment list only grows, so a CAS loser just re-reads
     * the winner's list and re-publishes with its own segment added.

@@ -234,6 +234,20 @@ class ManifestStoreSpec extends SparkSpec {
     assert(ManifestStore.current(spark, path).get.version == 8L, "versions are dense")
   }
 
+  test("describe: per-segment rows/bytes/stats coverage from one metadata job") {
+    val path = tmpDir("mstoreDesc") + "/t"
+    ManifestStore.append(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      path, statsCols = Seq("k"))
+    ManifestStore.append(spark, Seq((3L, "c")).toDF("k", "v"), path)
+    val d = ManifestStore.describe(spark, path).collect()
+    assert(d.length == 2)
+    assert(d.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L), "per-segment row counts")
+    assert(d.forall(_.getLong(2) > 0L), "bytes from FS metadata")
+    // stats coverage identifies the unprunable segment
+    assert(d.map(_.getString(4)).sorted.toSeq == Seq("", "k"))
+    assert(d.forall(_.getLong(5) == 2L), "current version on every row")
+  }
+
   test("concurrent merges: CAS losers recompute against the winner, nothing is lost") {
     val path = tmpDir("mstoreMergeRace") + "/t"
     ManifestStore.append(spark,
