@@ -1,0 +1,172 @@
+package graft.ops
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo,
+  Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual,
+  Literal}
+import org.apache.spark.sql.execution.datasources.{FileIndex,
+  HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.unsafe.types.UTF8String
+
+import ManifestStore.{ColStats, Snapshot}
+
+/** Catalyst-integrated manifest scan: [[readCatalyst]] plans a
+  * ManifestStore table through a custom [[FileIndex]], so an ORDINARY
+  * DataFrame filter — `readCatalyst(...).where($"k" > 5)` — prunes
+  * segments from the manifest's recorded min/max stats INSIDE the
+  * planner, with no special readWhere call site. Spark's own vectorized
+  * parquet reader, predicate pushdown, and column pruning all apply
+  * unchanged; the only custom piece is file LISTING, which is where
+  * manifest-level skipping belongs. `readWhere` remains for callers that
+  * want explicit bounds; this is the path a SQL view over the table
+  * would use.
+  *
+  * Pruning is CONSERVATIVE by construction, mirroring
+  * [[ManifestStore.prunedEntries]]: only simple comparisons against
+  * literals (`= > >= < <= IN` and conjunctions) on stats-bearing columns
+  * tighten the interval; anything else contributes no bound. Because the
+  * listing only ever SHRINKS the file set for predicates Spark still
+  * re-evaluates row-by-row (they remain dataFilters), a missed bound
+  * costs I/O, never correctness. One-sided predicates keep the other end
+  * unbounded — the interval logic here is Option-ended where
+  * readWhere's public API takes closed intervals.
+  *
+  * The index lists each segment directory ONCE at construction
+  * (O(segments) metadata calls, no data reads) and serves every
+  * `listFiles` from memory — at 100 TB the planner never re-lists the
+  * data tree, the property object stores need.
+  */
+object ManifestRead {
+
+  /** The table at its latest snapshot as a Catalyst-planned DataFrame
+    * with manifest-stats file skipping. Snapshot-isolated like every
+    * manifest read: the plan holds vN's file list even if vN+1 commits.
+    */
+  def readCatalyst(spark: SparkSession, path: String): DataFrame = {
+    val snap = ManifestStore.current(spark, path).getOrElse(
+      throw new IllegalStateException(s"no manifest at $path — not a ManifestStore table"))
+    val schema = snap.schema.getOrElse(ManifestStore.readAt(spark, path, snap).schema)
+    val index = new ManifestFileIndex(spark, path, snap)
+    val rel = HadoopFsRelation(index, new StructType(), schema, None,
+      new ParquetFileFormat(), Map.empty)(spark)
+    spark.baseRelationToDataFrame(rel)
+  }
+
+  /** Option-ended interval per column, conjunction-tightened. */
+  private type Bound = (Option[Any], Option[Any])
+
+  final class ManifestFileIndex(spark: SparkSession, tablePath: String,
+      snap: Snapshot) extends FileIndex {
+    private val root = new Path(tablePath)
+    private val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    private val segFiles: Map[String, Array[FileStatus]] = snap.entries.map { e =>
+      e.name -> hfs.listStatus(new Path(root, e.name)).filter(s => s.isFile && {
+        val n = s.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      })
+    }.toMap
+
+    override def rootPaths: Seq[Path] = Seq(root)
+    override def partitionSchema: StructType = new StructType()
+    override def inputFiles: Array[String] =
+      snap.entries.flatMap(e => segFiles(e.name)).map(_.getPath.toString).toArray
+    override def refresh(): Unit = ()
+    override def sizeInBytes: Long =
+      snap.entries.flatMap(e => segFiles(e.name)).map(_.getLen).sum
+
+    override def listFiles(partitionFilters: Seq[Expression],
+        dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+      val bounds = scala.collection.mutable.Map.empty[String, Bound]
+      dataFilters.foreach(collect(_, bounds))
+      val kept =
+        if (bounds.isEmpty) snap.entries
+        else snap.entries.filter { e =>
+          bounds.forall { case (c, (lo, hi)) =>
+            e.stats.get(c) match {
+              case None => true // no stats — cannot prune
+              case Some(ColStats(_, None, None)) => false // all-NULL column
+              case Some(ColStats(typ, mn, mx)) =>
+                overlaps(typ, mn, mx, lo, hi)
+            }
+          }
+        }
+      Seq(PartitionDirectory(InternalRow.empty,
+        kept.flatMap(e => segFiles(e.name)).toArray))
+    }
+
+    /** [lo,hi] (Option-ended) intersects the segment's recorded [mn,mx]?
+      * Conversion failures (a bound value the stats type can't key) keep
+      * the segment — never prune on a shaky comparison.
+      */
+    private def overlaps(typ: String, mn: Option[String], mx: Option[String],
+        lo: Option[Any], hi: Option[Any]): Boolean =
+      try {
+        val loK = lo.map(v => ManifestStore.boundKey(typ, v))
+        val hiK = hi.map(v => ManifestStore.boundKey(typ, v))
+        hiK.forall(h => mn.forall(m => ManifestStore.leq(ManifestStore.statKey(typ, m), h))) &&
+          loK.forall(l => mx.forall(m => ManifestStore.leq(l, ManifestStore.statKey(typ, m))))
+      } catch { case scala.util.control.NonFatal(_) => true }
+
+    /** Catalyst literal → the external value space [[ManifestStore.boundKey]]
+      * accepts. Dates/timestamps ride as their internal integers (boundKey
+      * takes Numbers for both); strings unwrap UTF8String.
+      */
+    private def ext(v: Any): Any = v match {
+      case s: UTF8String => s.toString
+      case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+      case other => other
+    }
+
+    private def tighten(bounds: scala.collection.mutable.Map[String, Bound],
+        col: String, lo: Option[Any], hi: Option[Any]): Unit = {
+      // later conjuncts only ever NARROW: replace an unbounded end, keep
+      // the existing end otherwise (comparing typed ends here would need
+      // the stats type; one bound per end is enough for the common shapes)
+      val (l0, h0) = bounds.getOrElse(col, (None, None))
+      bounds(col) = (l0.orElse(lo), h0.orElse(hi))
+    }
+
+    private def collect(e: Expression,
+        bounds: scala.collection.mutable.Map[String, Bound]): Unit = e match {
+      case And(l, r) => collect(l, bounds); collect(r, bounds)
+      case EqualTo(a: Attribute, Literal(v, _)) if v != null =>
+        tighten(bounds, a.name, Some(ext(v)), Some(ext(v)))
+      case EqualTo(Literal(v, _), a: Attribute) if v != null =>
+        tighten(bounds, a.name, Some(ext(v)), Some(ext(v)))
+      case GreaterThan(a: Attribute, Literal(v, _)) if v != null =>
+        tighten(bounds, a.name, Some(ext(v)), None)
+      case GreaterThanOrEqual(a: Attribute, Literal(v, _)) if v != null =>
+        tighten(bounds, a.name, Some(ext(v)), None)
+      case LessThan(a: Attribute, Literal(v, _)) if v != null =>
+        tighten(bounds, a.name, None, Some(ext(v)))
+      case LessThanOrEqual(a: Attribute, Literal(v, _)) if v != null =>
+        tighten(bounds, a.name, None, Some(ext(v)))
+      case GreaterThan(Literal(v, _), a: Attribute) if v != null =>
+        tighten(bounds, a.name, None, Some(ext(v)))
+      case GreaterThanOrEqual(Literal(v, _), a: Attribute) if v != null =>
+        tighten(bounds, a.name, None, Some(ext(v)))
+      case LessThan(Literal(v, _), a: Attribute) if v != null =>
+        tighten(bounds, a.name, Some(ext(v)), None)
+      case LessThanOrEqual(Literal(v, _), a: Attribute) if v != null =>
+        tighten(bounds, a.name, Some(ext(v)), None)
+      case In(a: Attribute, vs) if vs.nonEmpty && vs.forall {
+        case Literal(v, _) => v != null
+        case _ => false
+      } =>
+        // conservative: the values' envelope [min, max] — exactness is
+        // readForKeys' job, the planner only needs a sound interval
+        val exts = vs.collect { case Literal(v, _) => ext(v) }
+        // order within the envelope is decided later in the stats typ key
+        // space; here any total preorder works for picking envelope ends,
+        // so reuse overlaps() per end by passing ALL values through lo/hi:
+        // simplest sound choice — one bound pair per value is wrong (AND),
+        // so spread to nothing unless single-valued
+        if (exts.size == 1) tighten(bounds, a.name, Some(exts.head), Some(exts.head))
+      case _ => () // no bound — the row-level filter still applies
+    }
+  }
+}

@@ -342,7 +342,7 @@ object ManifestStore {
           "vacuumed past the retention window")))
 
   /** Typed comparison key for a stats string (see [[statsTyp]] tags). */
-  private def statKey(typ: String, s: String): Any = typ match {
+  private[ops] def statKey(typ: String, s: String): Any = typ match {
     case "long" | "date" | "ts" => s.toLong
     case "double" => s.toDouble
     case "decimal" => new java.math.BigDecimal(s)
@@ -351,7 +351,7 @@ object ManifestStore {
   }
 
   /** Normalize a caller-supplied bound to the segment's stats key space. */
-  private def boundKey(typ: String, v: Any): Any = (typ, v) match {
+  private[ops] def boundKey(typ: String, v: Any): Any = (typ, v) match {
     case ("long", n: java.lang.Number) => n.longValue
     case ("long", b: java.lang.Boolean) => if (b) 1L else 0L
     case ("double", n: java.lang.Number) => n.doubleValue
@@ -362,6 +362,7 @@ object ManifestStore {
     case ("date", d: java.time.LocalDate) => d.toEpochDay
     case ("date", d: java.sql.Date) => d.toLocalDate.toEpochDay
     case ("date", s: String) => java.time.LocalDate.parse(s).toEpochDay
+    case ("date", n: java.lang.Number) => n.longValue // epoch days (Catalyst internal)
     case ("ts", t: java.sql.Timestamp) =>
       val i = t.toInstant; i.getEpochSecond * 1000000L + i.getNano / 1000L
     case ("ts", i: java.time.Instant) =>
@@ -375,7 +376,7 @@ object ManifestStore {
     * bytes — Spark's binary string order, NOT java's UTF-16 code-unit
     * order (they diverge above the BMP).
     */
-  private def leq(a: Any, b: Any): Boolean = (a, b) match {
+  private[ops] def leq(a: Any, b: Any): Boolean = (a, b) match {
     case (x: java.lang.Long, y: java.lang.Long) => x <= y
     case (x: java.lang.Double, y: java.lang.Double) => java.lang.Double.compare(x, y) <= 0
     case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y) <= 0

@@ -234,6 +234,41 @@ class ManifestStoreSpec extends SparkSpec {
     assert(ManifestStore.current(spark, path).get.version == 8L, "versions are dense")
   }
 
+  test("readCatalyst: ordinary DataFrame filters prune segments inside the planner") {
+    import graft.ops.ManifestRead
+    val path = tmpDir("mstoreCat") + "/t"
+    ManifestStore.append(spark, Seq((1L, "a"), (5L, "b")).toDF("k", "v"),
+      path, statsCols = Seq("k"))
+    ManifestStore.append(spark, Seq((10L, "c"), (15L, "d")).toDF("k", "v"),
+      path, statsCols = Seq("k"))
+    ManifestStore.append(spark, Seq((20L, "e"), (25L, "f")).toDF("k", "v"),
+      path, statsCols = Seq("k"))
+    val df = ManifestRead.readCatalyst(spark, path)
+    assert(df.count() == 6L, "unfiltered read sees the whole table")
+    // a PLAIN where() — no readWhere call — must skip the two segments
+    // whose [min,max] can't hold the interval
+    val q = df.where(col("k") >= 10L && col("k") <= 15L)
+    val got = q.collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(10L, 15L))
+    val scanNode = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    val allFiles = ManifestRead.readCatalyst(spark, path)
+      .queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get
+    q.collect()
+    assert(scanNode.metrics("numFiles").value < allFiles.relation.location.inputFiles.length,
+      s"planner-level skipping must read fewer files: " +
+        s"${scanNode.metrics("numFiles").value} of ${allFiles.relation.location.inputFiles.length}")
+    // unsupported predicates fall back to a full (still correct) scan
+    assert(ManifestRead.readCatalyst(spark, path)
+      .where(col("v").contains("e")).collect().map(_.getString(1)).toSeq == Seq("e"))
+    // equality + one-sided bounds prune too
+    assert(ManifestRead.readCatalyst(spark, path).where(col("k") === 25L).count() == 1L)
+    assert(ManifestRead.readCatalyst(spark, path).where(col("k") > 19L).count() == 2L)
+  }
+
   test("describe: per-segment rows/bytes/stats coverage from one metadata job") {
     val path = tmpDir("mstoreDesc") + "/t"
     ManifestStore.append(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
