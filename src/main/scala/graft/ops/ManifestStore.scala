@@ -499,6 +499,83 @@ object ManifestStore {
       .orderBy("segment")
   }
 
+  /** What [[maintain]] decided and (when `apply`) did. */
+  final case class MaintenanceReport(action: String, reason: String,
+      segmentsBefore: Int, segmentsAfter: Int, applied: Boolean)
+
+  /** Maintenance advisor + executor — the j11/w20 router pattern applied
+    * to table layout: decide from O(segments) MANIFEST + FS metadata (no
+    * data reads) whether the table needs compaction, and optionally run
+    * it. Advises `compact` when the live segment count exceeds
+    * `maxSegments` or the MEDIAN segment falls below
+    * `targetSegmentBytes / 4` (a small-file table wastes a task +
+    * footer round-trip per tiny file at every scan); sizes the rewrite at
+    * `ceil(totalBytes / targetSegmentBytes)` partitions. Advises `none`
+    * otherwise. Stats columns are re-declared on the rewrite so
+    * compaction never DOWNGRADES prunability ([[merge]]/[[readWhere]]
+    * keep working); pair with [[cluster]] when orderedness on specific
+    * axes matters more than file count — this advisor never silently
+    * destroys a clustered layout (it reports `cluster-risk` instead of
+    * compacting when every segment carries stats on the same columns and
+    * their ranges are pairwise disjoint on some axis).
+    */
+  def maintain(spark: SparkSession, path: String,
+      targetSegmentBytes: Long = 128L << 20, maxSegments: Int = 64,
+      apply: Boolean = false, statsCols: Seq[String] = Nil): MaintenanceReport = {
+    val snap = current(spark, path).getOrElse(
+      throw new IllegalStateException(s"no manifest at $path — not a ManifestStore table"))
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    val sizes = snap.entries.map(e =>
+      fs.getContentSummary(new Path(root, e.name)).getLength).sorted
+    val n = snap.entries.size
+    if (n == 0)
+      return MaintenanceReport("none", "empty table", 0, 0, applied = false)
+    val total = sizes.sum
+    val median = sizes(n / 2)
+    // a clustered layout: every segment recorded the same stats columns
+    // and some axis is pairwise non-overlapping in segment order — blind
+    // compaction would destroy that pruning structure
+    val sharedStats = snap.entries.map(_.stats.keySet)
+      .reduce(_ intersect _)
+    val looksClustered = n > 1 && sharedStats.exists { c =>
+      val ranges = snap.entries.flatMap { e =>
+        val s = e.stats(c)
+        for (mn <- s.min; mx <- s.max)
+          yield (statKey(s.typ, mn), statKey(s.typ, mx), s.typ)
+      }
+      // sort by the TYPED min key (leq), never toString — "10" < "2"
+      // would misorder numeric ranges and fail this protection open
+      ranges.size == n && ranges
+        .sortWith((a, b) => leq(a._1, b._1) && a._1 != b._1)
+        .sliding(2).forall {
+          case Seq((_, aMax, _), (bMin, _, _)) => leq(aMax, bMin) && aMax != bMin
+          case _ => true
+        }
+    }
+    val needs =
+      if (n > maxSegments) Some(s"$n segments > maxSegments=$maxSegments")
+      else if (median < targetSegmentBytes / 4 && n > 1)
+        Some(s"median segment ${median}B < target/4=${targetSegmentBytes / 4}B")
+      else None
+    needs match {
+      case None =>
+        MaintenanceReport("none", "layout within budget", n, n, applied = false)
+      case Some(reason) if looksClustered =>
+        MaintenanceReport("cluster-risk",
+          s"$reason, but the layout is range-clustered — re-cluster instead " +
+            "of compacting to keep prunability", n, n, applied = false)
+      case Some(reason) =>
+        val parts = math.max(1, math.ceil(total.toDouble / targetSegmentBytes).toInt)
+        if (!apply)
+          MaintenanceReport("compact", reason, n, parts, applied = false)
+        else {
+          val after = compact(spark, path, parts, statsCols = statsCols)
+          MaintenanceReport("compact", reason, n, after.entries.size, applied = true)
+        }
+    }
+  }
+
   /** Append `df` as one new segment + one commit. Safe under concurrent
     * appenders: the segment list only grows, so a CAS loser just re-reads
     * the winner's list and re-publishes with its own segment added.

@@ -234,6 +234,34 @@ class ManifestStoreSpec extends SparkSpec {
     assert(ManifestStore.current(spark, path).get.version == 8L, "versions are dense")
   }
 
+  test("maintain: advises from metadata alone, executes on demand, protects clustered layouts") {
+    val path = tmpDir("mstoreMaint") + "/t"
+    // 6 tiny appended segments: a small-file table
+    (1 to 6).foreach(i =>
+      ManifestStore.append(spark, Seq((i.toLong, s"v$i")).toDF("k", "v"), path))
+    val advice = ManifestStore.maintain(spark, path, targetSegmentBytes = 1 << 20)
+    assert(advice.action == "compact" && !advice.applied && advice.segmentsBefore == 6)
+    // executing folds the table into the advised segment count
+    val run = ManifestStore.maintain(spark, path, targetSegmentBytes = 1 << 20,
+      apply = true)
+    assert(run.applied && run.segmentsAfter == 1)
+    assert(ManifestStore.current(spark, path).get.entries.size == 1)
+    assert(ManifestStore.read(spark, path).count() == 6L)
+    assert(ManifestStore.maintain(spark, path).action == "none",
+      "a compacted table is within budget")
+    // range-clustered layout under the same small-file pressure: advise
+    // re-clustering, never a blind compact that destroys prunability
+    val p2 = tmpDir("mstoreMaint") + "/t2"
+    ManifestStore.append(spark, (1L to 40L).map(i => (i, s"v$i")).toDF("k", "v"), p2)
+    ManifestStore.cluster(spark, p2, axes = Seq("k"), segments = 4,
+      statsCols = Seq("k"))
+    val clu = ManifestStore.maintain(spark, p2, targetSegmentBytes = 1 << 20,
+      maxSegments = 2, apply = true)
+    assert(clu.action == "cluster-risk" && !clu.applied, s"$clu")
+    assert(ManifestStore.current(spark, p2).get.entries.size == 4,
+      "the clustered layout must survive")
+  }
+
   test("readCatalyst: ordinary DataFrame filters prune segments inside the planner") {
     import graft.ops.ManifestRead
     val path = tmpDir("mstoreCat") + "/t"
