@@ -2609,6 +2609,41 @@ object RelationalQueries {
       }
     ),
     Q(
+      "s17_catalyst_manifest_scan",
+      "Planner-integrated manifest read end-to-end " +
+        "(ManifestRead.readCatalyst): per-customer order stats land in a " +
+        "scratch manifest table, get z-order clustered into 4 key-range " +
+        "slices with stats, and are read back through the custom " +
+        "FileIndex with a PLAIN where() — the manifest's min/max prune " +
+        "segments inside Catalyst (ScanSkipProbe measures 1-of-32 files " +
+        "opened at the 100x decade), Spark's vectorized parquet reader " +
+        "does the rest. The oracle replays filter + aggregate in SQL, so " +
+        "the pruned physical path must agree with the declarative " +
+        "semantics row for row",
+      (s, d) => {
+        import graft.ops.{ManifestRead, ManifestStore}
+        val target = orders(s, d)
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_ord"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+          .coalesce(1)
+        val scratch = java.nio.file.Files
+          .createTempDirectory("graft-s17-").toString + "/t"
+        ManifestStore.append(s, target, scratch)
+        ManifestStore.cluster(s, scratch, axes = Seq("o_custkey"),
+          segments = 4, statsCols = Seq("o_custkey"))
+        ManifestRead.readCatalyst(s, scratch)
+          .where(col("o_custkey") >= 100L && col("o_custkey") <= 700L)
+          .select("o_custkey", "n_ord", "total")
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_ord,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders GROUP BY o_custkey
+             |HAVING o_custkey BETWEEN 100 AND 700
+             |ORDER BY o_custkey""".stripMargin)
+    ),
+    Q(
       "a29_expectations_by_group",
       "Per-group data-quality report (Expectations.runBy): the a28 suite " +
         "keyed by language — ONE scan + a row-per-group shuffle however " +
