@@ -49,6 +49,11 @@ object ManifestRead {
   def readCatalyst(spark: SparkSession, path: String): DataFrame = {
     val snap = ManifestStore.current(spark, path).getOrElse(
       throw new IllegalStateException(s"no manifest at $path — not a ManifestStore table"))
+    // outstanding merge-on-read deletes need the per-sequence anti-join
+    // view, which a single file-backed relation can't express — fall back
+    // to the assembled read (correct, unpruned) until a compaction
+    // materializes the deletes and restores the planner-integrated path
+    if (snap.deletes.nonEmpty) return ManifestStore.readAt(spark, path, snap)
     val schema = snap.schema.getOrElse(ManifestStore.readAt(spark, path, snap).schema)
     val index = new ManifestFileIndex(spark, path, snap)
     val rel = HadoopFsRelation(index, new StructType(), schema, None,

@@ -68,6 +68,7 @@ object ManifestStore {
   private val Header = "graft-manifest v1"
   private val HeaderV2 = "graft-manifest v2"
   private val HeaderV3 = "graft-manifest v3" // v2 + a `schema<TAB>b64(json)` line
+  private val HeaderV4 = "graft-manifest v4" // v3 + seq-stamped seg/del lines
   private val MaxRetries = 50
   private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
 
@@ -79,15 +80,30 @@ object ManifestStore {
   final case class ColStats(typ: String, min: Option[String], max: Option[String])
 
   /** One live segment: directory name (relative to the table root) plus
-    * whatever stats its committing writer declared (possibly none).
+    * whatever stats its committing writer declared (possibly none), and
+    * `seq` — the manifest version that first committed it (0 for pre-v4
+    * manifests). Sequence numbers decide which merge-on-read delete files
+    * apply to which segments.
     */
-  final case class SegmentEntry(name: String, stats: Map[String, ColStats])
+  final case class SegmentEntry(name: String, stats: Map[String, ColStats],
+      seq: Long = 0L)
 
-  /** One resolved table state: dense `version` and the segment entries
-    * that constitute it. `segments` keeps the original name-only view.
+  /** A merge-on-read delete sidecar ([[deleteKeysMergeOnRead]]): a parquet
+    * file of `keyCol` values published at version `seq`. It suppresses
+    * matching rows in every segment with `segment.seq < seq` — segments
+    * committed AFTER the delete are untouched, so a later re-insert of a
+    * deleted key is visible (the Iceberg-v2 sequence rule). Rewrites
+    * ([[compact]]/[[cluster]]/[[deleteKeys]]) materialize and drop these.
+    */
+  final case class DeleteFile(name: String, keyCol: String, seq: Long)
+
+  /** One resolved table state: dense `version`, the segment entries that
+    * constitute it, and any outstanding merge-on-read delete files.
+    * `segments` keeps the original name-only view.
     */
   final case class Snapshot(version: Long, entries: Seq[SegmentEntry],
-      schema: Option[StructType] = None) {
+      schema: Option[StructType] = None,
+      deletes: Seq[DeleteFile] = Nil) {
     def segments: Seq[String] = entries.map(_.name)
   }
 
@@ -125,8 +141,8 @@ object ManifestStore {
     if (versions.isEmpty) None
     else {
       val v = versions.max
-      val (entries, schema) = readManifest(fs, manifestPath(root, v))
-      Some(Snapshot(v, entries, schema))
+      val (entries, schema, deletes) = readManifest(fs, manifestPath(root, v))
+      Some(Snapshot(v, entries, schema, deletes))
     }
   }
 
@@ -154,18 +170,31 @@ object ManifestStore {
     }.toMap)
   }
 
-  private def readManifest(fs: FileSystem, p: Path): (Seq[SegmentEntry], Option[StructType]) = {
+  private def readManifest(fs: FileSystem, p: Path)
+      : (Seq[SegmentEntry], Option[StructType], Seq[DeleteFile]) = {
     val in = fs.open(p)
     val lines = try
       scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
     finally in.close()
-    require(lines.headOption.exists(h => h == Header || h == HeaderV2 || h == HeaderV3),
-      s"$p is not a graft manifest (header ${lines.headOption})")
+    val header = lines.headOption
+    require(header.exists(h =>
+      h == Header || h == HeaderV2 || h == HeaderV3 || h == HeaderV4),
+      s"$p is not a graft manifest (header $header)")
     val body = lines.tail.filter(_.nonEmpty)
-    val (schemaLines, entryLines) = body.partition(_.startsWith("schema\t"))
+    val (schemaLines, rest) = body.partition(_.startsWith("schema\t"))
     val schema = schemaLines.headOption.map(l =>
       DataType.fromJson(unb64(l.split("\t", 2)(1))).asInstanceOf[StructType])
-    (entryLines.map(parseEntry), schema)
+    if (header.contains(HeaderV4)) {
+      val segs = rest.filter(_.startsWith("seg\t")).map { l =>
+        val Array(_, seq, e) = l.split("\t", 3)
+        parseEntry(e).copy(seq = seq.toLong)
+      }
+      val dels = rest.filter(_.startsWith("del\t")).map { l =>
+        val Array(_, seq, kc, name) = l.split("\t", 4)
+        DeleteFile(name, unb64(kc), seq.toLong)
+      }
+      (segs, schema, dels)
+    } else (rest.map(parseEntry), schema, Nil) // pre-v4: seq 0, no deletes
   }
 
   /** Write the manifest body to a tmp name, then atomically rename into the
@@ -173,16 +202,19 @@ object ManifestStore {
     * first); the caller re-reads and retries.
     */
   private def tryPublish(fs: FileSystem, root: Path, v: Long,
-      entries: Seq[SegmentEntry], schema: Option[StructType] = None): Boolean = {
+      entries: Seq[SegmentEntry], schema: Option[StructType] = None,
+      deletes: Seq[DeleteFile] = Nil): Boolean = {
     val target = manifestPath(root, v)
     if (fs.exists(target)) return false // cheap pre-check; rename still decides
     val tmp = new Path(root,
       s"$ManifestDir/.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, false)
-    val lines = schema match {
-      case Some(sch) => HeaderV3 +: s"schema\t${b64(sch.json)}" +: entries.map(fmtEntry)
-      case None => HeaderV2 +: entries.map(fmtEntry)
-    }
+    // always v4 going forward (v1-v3 manifests stay readable); every
+    // entry rides with the seq its committer stamped
+    val lines = HeaderV4 +:
+      (schema.map(sch => s"schema\t${b64(sch.json)}").toSeq ++
+        entries.map(e => s"seg\t${e.seq}\t${fmtEntry(e)}") ++
+        deletes.map(d => s"del\t${d.seq}\t${b64(d.keyCol)}\t${d.name}"))
     try out.write(lines.mkString("", "\n", "\n").getBytes(Utf8))
     finally out.close()
     val won = try fs.rename(tmp, target)
@@ -292,15 +324,45 @@ object ManifestStore {
   def readAt(spark: SparkSession, path: String, snap: Snapshot): DataFrame = {
     require(snap.segments.nonEmpty,
       s"manifest v${snap.version} at $path lists no segments (empty table has no schema)")
-    val root = new Path(path)
-    readSegs(spark, snap, snap.segments.map(s => new Path(root, s).toString))
+    assemble(spark, new Path(path), snap, snap.entries)
   }
 
-  /** Scan `paths` under `snap`'s recorded schema when it has one. */
+  /** Scan `paths` under `snap`'s recorded schema when it has one. RAW:
+    * merge-on-read deletes are NOT applied — use [[assemble]] for the
+    * logical table view.
+    */
   private def readSegs(spark: SparkSession, snap: Snapshot,
       paths: Seq[String]): DataFrame = snap.schema match {
     case Some(sch) => spark.read.schema(sch).parquet(paths: _*)
     case None => spark.read.parquet(paths: _*)
+  }
+
+  /** The LOGICAL view of `entries` under `snap`: recorded schema applied,
+    * merge-on-read delete files anti-joined by the sequence rule — a
+    * delete at seq D suppresses keys only in segments with seq < D, so
+    * segments grouped by their position among the delete seqs each get
+    * exactly their applicable delete set (re-inserted keys in newer
+    * segments survive). With no outstanding deletes this is exactly the
+    * raw scan.
+    */
+  private def assemble(spark: SparkSession, root: Path, snap: Snapshot,
+      entries: Seq[SegmentEntry]): DataFrame = {
+    def paths(es: Seq[SegmentEntry]) = es.map(e => new Path(root, e.name).toString)
+    if (snap.deletes.isEmpty || entries.isEmpty)
+      return readSegs(spark, snap, paths(entries))
+    val delSeqs = snap.deletes.map(_.seq).distinct.sorted
+    entries.groupBy(e => delSeqs.count(_ > e.seq)).toSeq
+      .map { case (_, es) =>
+        val applicable = snap.deletes.filter(d => es.head.seq < d.seq)
+        applicable.groupBy(_.keyCol).foldLeft(readSegs(spark, snap, paths(es))) {
+          case (df, (kc, ds)) =>
+            val keys = ds.map(d => spark.read
+                .parquet(new Path(root, d.name).toString).select(col(kc)))
+              .reduce(_ unionByName _).distinct()
+            df.join(keys, Seq(kc), "left_anti")
+        }
+      }
+      .reduce(_ unionByName _)
   }
 
   /** Every committed version still resolvable, ascending. Superseded
@@ -327,8 +389,8 @@ object ManifestStore {
     val fs = fsOf(spark, root)
     val p = manifestPath(root, version)
     if (!fs.exists(p)) None else {
-      val (entries, schema) = readManifest(fs, p)
-      Some(Snapshot(version, entries, schema))
+      val (entries, schema, deletes) = readManifest(fs, p)
+      Some(Snapshot(version, entries, schema, deletes))
     }
   }
 
@@ -429,10 +491,7 @@ object ManifestStore {
     val pred = bounds.map { case (c, lo, hi) => col(c).between(lit(lo), lit(hi)) }
       .reduce(_ && _)
     if (kept.isEmpty) readAt(spark, path, snap).where(lit(false))
-    else {
-      val root = new Path(path)
-      readSegs(spark, snap, kept.map(e => new Path(root, e.name).toString)).where(pred)
-    }
+    else assemble(spark, new Path(path), snap, kept).where(pred)
   }
 
   /** Stats-pruned point lookup: the rows whose `keyCol` is in `values`,
@@ -463,10 +522,7 @@ object ManifestStore {
     }
     val pred = col(keyCol).isin(values: _*)
     if (kept.isEmpty) readAt(spark, path, snap).where(lit(false))
-    else {
-      val root = new Path(path)
-      readSegs(spark, snap, kept.map(e => new Path(root, e.name).toString)).where(pred)
-    }
+    else assemble(spark, new Path(path), snap, kept).where(pred)
   }
 
   /** Table health introspection — the maintenance dashboard's one-stop
@@ -489,7 +545,10 @@ object ManifestStore {
       (e.name, sum.getLength, sum.getFileCount,
         e.stats.keys.toSeq.sorted.mkString(","))
     }.toDF("segment", "bytes", "files", "stats_cols")
-    val rows = readAt(spark, path, snap)
+    // PHYSICAL layout view: raw per-file rows — outstanding MOR deletes
+    // are layout debt, not data, so they do not shrink these counts
+    val rows = readSegs(spark, snap,
+        snap.entries.map(e => new Path(root, e.name).toString))
       .groupBy(regexp_extract(input_file_name(), "/(seg-[^/]+)/[^/]*$", 1).as("segment"))
       .agg(count(lit(1)).as("rows"))
     meta.join(rows, Seq("segment"), "left")
@@ -554,7 +613,10 @@ object ManifestStore {
         }
     }
     val needs =
-      if (n > maxSegments) Some(s"$n segments > maxSegments=$maxSegments")
+      if (snap.deletes.nonEmpty)
+        Some(s"${snap.deletes.size} outstanding merge-on-read delete " +
+          "file(s) — every scan pays their anti-join until materialized")
+      else if (n > maxSegments) Some(s"$n segments > maxSegments=$maxSegments")
       else if (median < targetSegmentBytes / 4 && n > 1)
         Some(s"median segment ${median}B < target/4=${targetSegmentBytes / 4}B")
       else None
@@ -605,8 +667,11 @@ object ManifestStore {
               Some(StructType(existing.fields ++
                 df.schema.fields.filterNot(f => known(f.name))))
             }
-          if (tryPublish(fs, root, base.version + 1, base.entries :+ entry, schema))
-            return Snapshot(base.version + 1, base.entries :+ entry, schema)
+          val stamped = entry.copy(seq = base.version + 1)
+          if (tryPublish(fs, root, base.version + 1, base.entries :+ stamped,
+              schema, base.deletes))
+            return Snapshot(base.version + 1, base.entries :+ stamped,
+              schema, base.deletes)
           attempt += 1
         }
         throw new IllegalStateException(
@@ -649,7 +714,8 @@ object ManifestStore {
             return UpsertReport(0L, nDropped, nBatch, base.version)
           writeSegment(spark, root, freshC, statsCols) match {
             case Some(entry) if tryPublish(fs, root, base.version + 1,
-                base.entries :+ entry, base.schema) =>
+                base.entries :+ entry.copy(seq = base.version + 1),
+                base.schema, base.deletes) =>
               return UpsertReport(nFresh, nDropped, nBatch - nFresh, base.version + 1)
             case _ => () // lost the race: recompute against the winner
           }
@@ -680,12 +746,15 @@ object ManifestStore {
       require(base.segments.nonEmpty, s"nothing to rewrite at $path")
       val made = make(readAt(spark, path, base))
       val entry = writeSegment(spark, root, made, statsCols)
+        .map(_.copy(seq = base.version + 1))
       // a rewrite replaces every segment, so the rewrite OUTPUT's schema is
       // authoritative — keep recording one iff the base recorded one (make
       // may legitimately migrate the schema, e.g. a column drop)
       val schema = base.schema.map(_ => made.schema)
       // an empty rewrite result (e.g. deleteKeys removed every row) commits
-      // an empty segment list — readers then see an explicitly empty table
+      // an empty segment list — readers then see an explicitly empty table.
+      // readAt applied any outstanding merge-on-read deletes, so the
+      // rewrite MATERIALIZES them: publish with none.
       if (tryPublish(fs, root, base.version + 1, entry.toSeq, schema))
         return Snapshot(base.version + 1, entry.toSeq, schema)
       attempt += 1
@@ -715,6 +784,45 @@ object ManifestStore {
     val snap = current(spark, path).get
     val after = if (snap.segments.isEmpty) 0L else readAt(spark, path, snap).count()
     (before - after, after)
+  }
+
+  /** Merge-on-read key deletion — [[deleteKeys]]' O(batch) sibling: the
+    * keys land in a `del-<uuid>` parquet sidecar and ONE manifest commit
+    * publishes it; no segment is rewritten, so deleting a handful of keys
+    * from a 100 TB table costs the key batch, not the touched segments
+    * (GDPR per-user erasure at scale: publish now, materialize at the
+    * next [[compact]]/[[cluster]]/[[deleteKeys]], all of which fold
+    * outstanding deletes in and drop them). Readers apply the sidecar by
+    * the SEQUENCE rule: the delete (published at version V) suppresses
+    * matching keys only in segments committed BEFORE V, so a later
+    * re-insert of a deleted key — [[upsert]] or [[merge]] — is visible,
+    * not swallowed. The trade is per-read anti-join cost while deletes
+    * are outstanding ([[maintain]]'s compaction clears the debt);
+    * [[ManifestRead.readCatalyst]] falls back to the assembled view when
+    * deletes are outstanding.
+    */
+  def deleteKeysMergeOnRead(spark: SparkSession, path: String, keyCol: String,
+      keys: DataFrame): Snapshot = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    val keyVals = keys.select(col(keys.columns.head).as(keyCol)).distinct()
+    if (keyVals.isEmpty)
+      return current(spark, path).getOrElse(
+        throw new IllegalStateException(s"no manifest at $path"))
+    val name = s"del-${java.util.UUID.randomUUID()}"
+    keyVals.coalesce(1).write.parquet(new Path(root, name).toString)
+    var attempt = 0
+    while (attempt < MaxRetries) {
+      val base = current(spark, path).getOrElse(
+        throw new IllegalStateException(s"no manifest at $path"))
+      val v = base.version + 1
+      val dels = base.deletes :+ DeleteFile(name, keyCol, v)
+      if (tryPublish(fs, root, v, base.entries, base.schema, dels))
+        return Snapshot(v, base.entries, base.schema, dels)
+      attempt += 1 // CAS lost: the sidecar is still valid, re-stamp and retry
+    }
+    throw new IllegalStateException(
+      s"ManifestStore.deleteKeysMergeOnRead: lost the publish race $MaxRetries times at $path")
   }
 
   /** MERGE INTO, segment-granular copy-on-write — the missing verb beside
@@ -802,9 +910,11 @@ object ManifestStore {
             .join(sourceD.select(key), Seq(key), "left_semi")
             .select("__seg").distinct().collect().map(_.getString(0)).toSet
         val (touchedE, untouchedE) = base.entries.partition(e => touched(e.name))
+        // LOGICAL view: outstanding merge-on-read deletes apply, so a
+        // MOR-deleted key is correctly unmatched (the source row inserts)
         val touchedRows =
           if (touchedE.isEmpty) readAt(spark, path, base).where(lit(false))
-          else readSegs(spark, base, touchedE.map(e => new Path(root, e.name).toString))
+          else assemble(spark, root, base, touchedE)
         // matched keys can only live in touched segments, so every join
         // below runs against the touched slice, never the whole table
         val tk = touchedRows.select(col(key)).distinct().withColumn("__m", lit(1))
@@ -825,8 +935,12 @@ object ManifestStore {
             .select(applied.columns.map(col): _*)
             .unionByName(applied)
           val entry = writeSegment(spark, root, newData, statsCols)
+            .map(_.copy(seq = base.version + 1))
           val next = untouchedE ++ entry.toSeq
-          if (tryPublish(fs, root, base.version + 1, next, base.schema))
+          // outstanding MOR deletes stay published: they still filter the
+          // untouched segments, and the new segment's seq exceeds every
+          // delete seq so rewritten/inserted rows are immune
+          if (tryPublish(fs, root, base.version + 1, next, base.schema, base.deletes))
             return MergeReport(m - del, del, ins, touchedE.size,
               base.entries.size, base.version + 1)
         } finally s2.unpersist()
@@ -909,7 +1023,7 @@ object ManifestStore {
           val seg = s"seg-$stageId-$k"
           require(fs.rename(st.getPath, new Path(root, seg)),
             s"cluster: failed to promote staged segment ${st.getPath}")
-          SegmentEntry(seg, statsBySeg.getOrElse(k, Map.empty))
+          SegmentEntry(seg, statsBySeg.getOrElse(k, Map.empty), base.version + 1)
         }
       try fs.delete(stage, true) catch { case _: java.io.IOException => () }
       require(entries.nonEmpty, s"cluster: staged write produced no segments at $path")
@@ -935,12 +1049,13 @@ object ManifestStore {
     val root = new Path(path)
     val fs = fsOf(spark, root)
     val snap = current(spark, path).getOrElse(return 0)
-    val live = snap.segments.toSet
+    val live = snap.segments.toSet ++ snap.deletes.map(_.name)
     val cutoff = System.currentTimeMillis() - graceMs
     var removed = 0
     fs.listStatus(root).foreach { st =>
       val name = st.getPath.getName
-      val orphanSeg = name.startsWith("seg-") && !live.contains(name)
+      val orphanSeg = (name.startsWith("seg-") || name.startsWith("del-")) &&
+        !live.contains(name)
       val crashedStage = name.startsWith("stage-")
       if (st.isDirectory && (orphanSeg || crashedStage) &&
         st.getModificationTime < cutoff) {

@@ -234,6 +234,59 @@ class ManifestStoreSpec extends SparkSpec {
     assert(ManifestStore.current(spark, path).get.version == 8L, "versions are dense")
   }
 
+  test("merge-on-read delete: O(batch) publish, sequence-correct re-inserts, compaction materializes") {
+    val path = tmpDir("mstoreMor") + "/t"
+    ManifestStore.append(spark, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), path)
+    val before = ManifestStore.current(spark, path).get
+    // O(batch): the segment list is untouched, one sidecar + one commit
+    val snap = ManifestStore.deleteKeysMergeOnRead(spark, path, "k", Seq(2L).toDF("k"))
+    assert(snap.entries.map(_.name) == before.entries.map(_.name),
+      "a MOR delete must rewrite no segment")
+    assert(snap.deletes.size == 1 && snap.deletes.head.keyCol == "k")
+    assert(ManifestStore.read(spark, path).collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 3L), "the deleted key is hidden immediately")
+    // readWhere / readForKeys see the logical view too
+    assert(ManifestStore.readWhere(spark, path, Seq(("k", 1L, 3L)))
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    assert(ManifestStore.readForKeys(spark, path, "k", Seq(2L)).count() == 0L)
+    // sequence rule: re-inserting the deleted key lands in a NEWER segment
+    // than the delete, so it is visible — the delete cannot swallow it
+    val up = ManifestStore.upsert(spark, Seq((2L, "B")).toDF("k", "v"), path, "k")
+    assert(up.inserted == 1L, "a MOR-deleted key must be re-insertable")
+    assert(ManifestStore.read(spark, path).where(col("k") === 2L)
+      .head().getString(1) == "B")
+    // merge sees the logical view: the still-deleted key 9 doesn't exist;
+    // updates against live keys work with the delete outstanding
+    ManifestStore.deleteKeysMergeOnRead(spark, path, "k", Seq(3L).toDF("k"))
+    val mr = ManifestStore.merge(spark, Seq((3L, "C3"), (1L, "A")).toDF("k", "v"), path, "k")
+    assert(mr.updated == 1L && mr.inserted == 1L,
+      s"MOR-deleted key must merge as an insert, live key as an update: $mr")
+    // maintain flags the delete debt; compaction materializes it
+    assert(ManifestStore.maintain(spark, path).action == "compact")
+    ManifestStore.compact(spark, path, partitions = 1)
+    val after = ManifestStore.current(spark, path).get
+    assert(after.deletes.isEmpty, "a rewrite must drop materialized deletes")
+    val rows = ManifestStore.read(spark, path)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows == Map(1L -> "A", 2L -> "B", 3L -> "C3"), s"$rows")
+    // readCatalyst with outstanding deletes degrades to the correct
+    // assembled view (and returns to the planner-integrated path after)
+    val p2 = tmpDir("mstoreMor") + "/t2"
+    ManifestStore.append(spark, Seq((1L, "x"), (2L, "y")).toDF("k", "v"), p2)
+    ManifestStore.deleteKeysMergeOnRead(spark, p2, "k", Seq(1L).toDF("k"))
+    assert(graft.ops.ManifestRead.readCatalyst(spark, p2)
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // vacuum keeps live sidecars, reclaims orphaned ones
+    val fs = new org.apache.hadoop.fs.Path(p2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(p2, "del-orphan"))
+    Thread.sleep(30)
+    ManifestStore.vacuum(spark, p2, graceMs = 10)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(p2, "del-orphan")))
+    assert(ManifestStore.read(spark, p2).count() == 1L,
+      "the live sidecar must survive vacuum")
+  }
+
   test("maintain: advises from metadata alone, executes on demand, protects clustered layouts") {
     val path = tmpDir("mstoreMaint") + "/t"
     // 6 tiny appended segments: a small-file table
