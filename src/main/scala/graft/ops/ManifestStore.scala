@@ -786,6 +786,72 @@ object ManifestStore {
     (before - after, after)
   }
 
+  /** Change data feed, derived from manifest diffs alone — no change
+    * files, no format additions: for every version in `(fromExclusive,
+    * toInclusive]` the consecutive snapshots are diffed, and MONOTONE
+    * commits stream as events — segments added ([[append]]/[[upsert]])
+    * emit their rows as `insert`s, delete sidecars added
+    * ([[deleteKeysMergeOnRead]]) emit their keys as `delete`s (non-key
+    * columns null — a key-only sidecar carries no row payload). Columns:
+    * the table's, plus `_change_type` and `_commit_version`. A version
+    * that REMOVED a segment (merge/compact/cluster/COW delete — any
+    * rewrite) cannot be expressed as row events from the manifest and
+    * THROWS with the version number: the consumer full-refreshes from
+    * that snapshot and resumes the feed after it (the same contract as a
+    * Delta table without CDF enabled). Versions must still resolve —
+    * [[vacuum]]'s grace period bounds how far back a feed can start.
+    *
+    * Scale shape: the feed reads ONLY the segments/sidecars the range
+    * added — cost tracks the change volume, never the table.
+    */
+  def changes(spark: SparkSession, path: String,
+      fromExclusive: Long, toInclusive: Long): DataFrame = {
+    require(fromExclusive < toInclusive,
+      s"empty change range ($fromExclusive, $toInclusive]")
+    val root = new Path(path)
+    def snapOf(v: Long): Snapshot = snapshotAt(spark, path, v).getOrElse(
+      throw new IllegalStateException(
+        s"version $v at $path is not resolvable — vacuumed past retention? " +
+          "The change feed needs every version in range."))
+    val schema = {
+      val s = snapOf(toInclusive)
+      s.schema.getOrElse(readAt(spark, path, s).schema)
+    }
+    val perVersion = (fromExclusive until toInclusive).map { v0 =>
+      val (a, b) = (snapOf(v0), snapOf(v0 + 1))
+      val aNames = a.entries.map(_.name).toSet
+      val removed = aNames -- b.entries.map(_.name).toSet
+      require(removed.isEmpty,
+        s"version ${v0 + 1} at $path rewrote segments (${removed.take(3).mkString(", ")}…) — " +
+          "row-level changes are not derivable from the manifest; full-refresh " +
+          s"from snapshot ${v0 + 1} and resume the feed after it")
+      val addedSegs = b.entries.filterNot(e => aNames(e.name))
+      val aDels = a.deletes.map(_.name).toSet
+      val addedDels = b.deletes.filterNot(d => aDels(d.name))
+      val inserts =
+        if (addedSegs.isEmpty) Nil
+        else Seq(readSegs(spark, b, addedSegs.map(e => new Path(root, e.name).toString))
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(v0 + 1)))
+      val deletes = addedDels.map { d =>
+        val keys = spark.read.parquet(new Path(root, d.name).toString)
+        schema.fields.foldLeft(keys) { (df, f) =>
+          if (df.columns.contains(f.name)) df
+          else df.withColumn(f.name, lit(null).cast(f.dataType))
+        }.select(schema.fieldNames.map(col): _*)
+          .withColumn("_change_type", lit("delete"))
+          .withColumn("_commit_version", lit(v0 + 1))
+      }
+      inserts ++ deletes
+    }
+    val all = perVersion.flatten
+    if (all.isEmpty)
+      readAt(spark, path, snapOf(toInclusive)).where(lit(false))
+        .withColumn("_change_type", lit(""))
+        .withColumn("_commit_version", lit(0L))
+    else all.reduce(_ unionByName _)
+  }
+
   /** Merge-on-read key deletion — [[deleteKeys]]' O(batch) sibling: the
     * keys land in a `del-<uuid>` parquet sidecar and ONE manifest commit
     * publishes it; no segment is rewritten, so deleting a handful of keys

@@ -234,6 +234,43 @@ class ManifestStoreSpec extends SparkSpec {
     assert(ManifestStore.current(spark, path).get.version == 8L, "versions are dense")
   }
 
+  test("change feed: monotone commits replay exactly; rewrites break it loudly") {
+    val path = tmpDir("mstoreCdf") + "/t"
+    ManifestStore.append(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path) // v1
+    ManifestStore.upsert(spark, Seq((3L, "c"), (2L, "dup")).toDF("k", "v"), path, "k") // v2
+    ManifestStore.deleteKeysMergeOnRead(spark, path, "k", Seq(1L).toDF("k")) // v3
+    ManifestStore.upsert(spark, Seq((1L, "A2")).toDF("k", "v"), path, "k") // v4 re-insert
+    val feed = ManifestStore.changes(spark, path, fromExclusive = 1L, toInclusive = 4L)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3))).sorted
+    //            (k, _change_type, _commit_version); v is column 1
+    assert(feed.toSeq == Seq((1L, "delete", 3L), (1L, "insert", 4L), (3L, "insert", 2L)),
+      s"feed: ${feed.toSeq}")
+    // a consumer folding the feed onto snapshot v1 reconstructs read()
+    val base = scala.collection.mutable.Map(
+      ManifestStore.readVersion(spark, path, 1L)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq: _*)
+    ManifestStore.changes(spark, path, 1L, 4L)
+      .orderBy("_commit_version")
+      .collect().foreach { r =>
+        if (r.getString(2) == "insert") base(r.getLong(0)) = r.getString(1)
+        else base.remove(r.getLong(0))
+      }
+    val now = ManifestStore.read(spark, path)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(base.toMap == now, s"fold=${base.toMap} table=$now")
+    // a rewrite inside the range breaks the feed with the version named
+    ManifestStore.compact(spark, path, partitions = 1) // v5
+    val ex = intercept[IllegalArgumentException] {
+      ManifestStore.changes(spark, path, 4L, 5L).collect()
+    }
+    assert(ex.getMessage.contains("version 5") && ex.getMessage.contains("full-refresh"))
+    // and the feed resumes cleanly after the rewrite snapshot
+    ManifestStore.upsert(spark, Seq((9L, "z")).toDF("k", "v"), path, "k") // v6
+    val after = ManifestStore.changes(spark, path, 5L, 6L)
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(after.toSeq == Seq((9L, "insert")))
+  }
+
   test("merge-on-read delete: O(batch) publish, sequence-correct re-inserts, compaction materializes") {
     val path = tmpDir("mstoreMor") + "/t"
     ManifestStore.append(spark, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), path)
