@@ -809,10 +809,12 @@ object ManifestStore {
     require(fromExclusive < toInclusive,
       s"empty change range ($fromExclusive, $toInclusive]")
     val root = new Path(path)
-    def snapOf(v: Long): Snapshot = snapshotAt(spark, path, v).getOrElse(
-      throw new IllegalStateException(
-        s"version $v at $path is not resolvable — vacuumed past retention? " +
-          "The change feed needs every version in range."))
+    def snapOf(v: Long): Snapshot =
+      if (v == 0L) Snapshot(0L, Nil) // before the first commit: empty table
+      else snapshotAt(spark, path, v).getOrElse(
+        throw new IllegalStateException(
+          s"version $v at $path is not resolvable — vacuumed past retention? " +
+            "The change feed needs every version in range."))
     val schema = {
       val s = snapOf(toInclusive)
       s.schema.getOrElse(readAt(spark, path, s).schema)
@@ -850,6 +852,40 @@ object ManifestStore {
         .withColumn("_change_type", lit(""))
         .withColumn("_commit_version", lit(0L))
     else all.reduce(_ unionByName _)
+  }
+
+  /** Cursor-tracked incremental consumption of the [[changes]] feed: reads
+    * the last-consumed version from `cursorPath` (0 when absent — the
+    * feed starts at the table's first version), applies the pending
+    * change batch, then advances the cursor with a write-tmp-rename (the
+    * manifest publish discipline). At-least-once by construction: a crash
+    * AFTER apply but BEFORE the cursor advance re-delivers the same batch
+    * — `apply` must be idempotent (the foreachBatch contract every sink
+    * in this engine already meets). Returns the versions consumed (empty
+    * = nothing new). A rewrite in range propagates [[changes]]' loud
+    * failure: reset the cursor to the rewrite version after
+    * full-refreshing downstream.
+    */
+  def pollChanges(spark: SparkSession, path: String, cursorPath: String)(
+      apply: DataFrame => Unit): Seq[Long] = {
+    val cur = new Path(cursorPath)
+    val fs = fsOf(spark, cur)
+    val from =
+      if (!fs.exists(cur)) 0L
+      else {
+        val in = fs.open(cur)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+        finally in.close()
+      }
+    val to = current(spark, path).map(_.version).getOrElse(0L)
+    if (to <= from) return Nil
+    apply(changes(spark, path, from, to))
+    val tmp = new Path(cur.getParent, s".${cur.getName}.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write(to.toString.getBytes(Utf8)) finally out.close()
+    if (fs.exists(cur)) fs.delete(cur, false)
+    require(fs.rename(tmp, cur), s"pollChanges: failed to advance cursor $cursorPath")
+    ((from + 1) to to)
   }
 
   /** Merge-on-read key deletion — [[deleteKeys]]' O(batch) sibling: the

@@ -271,6 +271,33 @@ class ManifestStoreSpec extends SparkSpec {
     assert(after.toSeq == Seq((9L, "insert")))
   }
 
+  test("pollChanges: cursor-tracked incremental consumption, crash redelivery, no-op drain") {
+    val path = tmpDir("mstorePoll") + "/t"
+    val cursor = tmpDir("mstorePoll") + "/cursor"
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    def drain(): Seq[Long] = ManifestStore.pollChanges(spark, path, cursor) { df =>
+      seen ++= df.collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3)))
+    }
+    ManifestStore.append(spark, Seq((1L, "a")).toDF("k", "v"), path) // v1
+    ManifestStore.upsert(spark, Seq((2L, "b")).toDF("k", "v"), path, "k") // v2
+    assert(drain() == Seq(1L, 2L))
+    assert(seen.sorted.toSeq == Seq((1L, "insert", 1L), (2L, "insert", 2L)))
+    assert(drain().isEmpty, "nothing new => no-op, apply not called")
+    ManifestStore.deleteKeysMergeOnRead(spark, path, "k", Seq(1L).toDF("k")) // v3
+    assert(drain() == Seq(3L))
+    assert(seen.last == ((1L, "delete", 3L)))
+    // crash between apply and cursor advance = redelivery: simulate by
+    // rolling the cursor back one version
+    val fs = new org.apache.hadoop.fs.Path(cursor)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(cursor), false)
+    val out = fs.create(new org.apache.hadoop.fs.Path(cursor), true)
+    out.write("2".getBytes("UTF-8")); out.close()
+    val n0 = seen.size
+    assert(drain() == Seq(3L), "rolled-back cursor redelivers the batch")
+    assert(seen.size == n0 + 1 && seen.last == ((1L, "delete", 3L)))
+  }
+
   test("merge-on-read delete: O(batch) publish, sequence-correct re-inserts, compaction materializes") {
     val path = tmpDir("mstoreMor") + "/t"
     ManifestStore.append(spark, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), path)
