@@ -46,15 +46,38 @@ object ManifestRead {
     * with manifest-stats file skipping. Snapshot-isolated like every
     * manifest read: the plan holds vN's file list even if vN+1 commits.
     */
-  def readCatalyst(spark: SparkSession, path: String): DataFrame = {
-    val snap = ManifestStore.current(spark, path).getOrElse(
-      throw new IllegalStateException(s"no manifest at $path — not a ManifestStore table"))
+  def readCatalyst(spark: SparkSession, path: String): DataFrame =
+    readCatalystAt(spark, path, ManifestStore.current(spark, path).getOrElse(
+      throw new IllegalStateException(s"no manifest at $path — not a ManifestStore table")))
+
+  /** [[readCatalyst]] pinned to a specific resolvable version — planner-
+    * integrated time travel.
+    */
+  def readCatalystVersion(spark: SparkSession, path: String, version: Long): DataFrame =
+    readCatalystAt(spark, path, ManifestStore.snapshotAt(spark, path, version).getOrElse(
+      throw new IllegalStateException(
+        s"version $version at $path is not resolvable — never committed, or " +
+          "vacuumed past the retention window")))
+
+  /** Register the table as a temp view, so plain `spark.sql` queries get
+    * the planner-integrated manifest scan (and its segment skipping).
+    */
+  def registerView(spark: SparkSession, path: String, viewName: String): Unit =
+    readCatalyst(spark, path).createOrReplaceTempView(viewName)
+
+  private def readCatalystAt(spark: SparkSession, path: String,
+      snap: Snapshot): DataFrame = {
     // outstanding merge-on-read deletes need the per-sequence anti-join
     // view, which a single file-backed relation can't express — fall back
     // to the assembled read (correct, unpruned) until a compaction
     // materializes the deletes and restores the planner-integrated path
     if (snap.deletes.nonEmpty) return ManifestStore.readAt(spark, path, snap)
-    val schema = snap.schema.getOrElse(ManifestStore.readAt(spark, path, snap).schema)
+    // top-level nullable: segments written before a schema evolution lack
+    // the evolved columns, and the vectorized reader null-fills a missing
+    // column only when the data schema doesn't mark it required
+    val schema = StructType(
+      snap.schema.getOrElse(ManifestStore.readAt(spark, path, snap).schema)
+        .fields.map(_.copy(nullable = true)))
     val index = new ManifestFileIndex(spark, path, snap)
     val rel = HadoopFsRelation(index, new StructType(), schema, None,
       new ParquetFileFormat(), Map.empty)(spark)

@@ -664,8 +664,12 @@ object ManifestStore {
                 if (base.entries.isEmpty) new StructType()
                 else tableSchema(spark, path, base)
               val known = existing.fieldNames.toSet
-              Some(StructType(existing.fields ++
-                df.schema.fields.filterNot(f => known(f.name))))
+              // nullable: evolved columns are ABSENT in older segments, so
+              // the recorded schema must allow the null-fill (a required
+              // column would make the vectorized reader refuse those files)
+              Some(StructType((existing.fields ++
+                df.schema.fields.filterNot(f => known(f.name)))
+                .map(_.copy(nullable = true))))
             }
           val stamped = entry.copy(seq = base.version + 1)
           if (tryPublish(fs, root, base.version + 1, base.entries :+ stamped,

@@ -412,6 +412,18 @@ class ManifestStoreSpec extends SparkSpec {
     // equality + one-sided bounds prune too
     assert(ManifestRead.readCatalyst(spark, path).where(col("k") === 25L).count() == 1L)
     assert(ManifestRead.readCatalyst(spark, path).where(col("k") > 19L).count() == 2L)
+    // planner-integrated time travel + SQL view
+    assert(ManifestRead.readCatalystVersion(spark, path, 1L).count() == 2L)
+    ManifestRead.registerView(spark, path, "mstore_cat_view")
+    assert(spark.sql("SELECT COUNT(*) FROM mstore_cat_view WHERE k >= 10 AND k <= 15")
+      .head().getLong(0) == 2L)
+    // an evolved table reads through the recorded schema on this path too
+    ManifestStore.append(spark, Seq((30L, "g", 7.5)).toDF("k", "v", "w"), path,
+      mergeSchema = true)
+    val evolved = ManifestRead.readCatalyst(spark, path)
+    assert(evolved.columns.toSeq == Seq("k", "v", "w"))
+    assert(evolved.where(col("k") === 1L).head().isNullAt(2),
+      "pre-evolution segments null-fill through the FileIndex read")
   }
 
   test("describe: per-segment rows/bytes/stats coverage from one metadata job") {
