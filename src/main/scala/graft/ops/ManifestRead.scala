@@ -84,8 +84,12 @@ object ManifestRead {
     spark.baseRelationToDataFrame(rel)
   }
 
-  /** Option-ended interval per column, conjunction-tightened. */
-  private type Bound = (Option[Any], Option[Any])
+  /** Per-column prune state, conjunction-tightened: an Option-ended
+    * interval plus an optional IN-list value set (point-set pruning, the
+    * readForKeys semantics inside the planner).
+    */
+  private final case class Bound(lo: Option[Any] = None, hi: Option[Any] = None,
+      in: Option[Seq[Any]] = None)
 
   final class ManifestFileIndex(spark: SparkSession, tablePath: String,
       snap: Snapshot) extends FileIndex {
@@ -113,12 +117,14 @@ object ManifestRead {
       val kept =
         if (bounds.isEmpty) snap.entries
         else snap.entries.filter { e =>
-          bounds.forall { case (c, (lo, hi)) =>
+          bounds.forall { case (c, b) =>
             e.stats.get(c) match {
               case None => true // no stats — cannot prune
               case Some(ColStats(_, None, None)) => false // all-NULL column
               case Some(ColStats(typ, mn, mx)) =>
-                overlaps(typ, mn, mx, lo, hi)
+                overlaps(typ, mn, mx, b.lo, b.hi) &&
+                  b.in.forall(vs => vs.exists(v =>
+                    overlaps(typ, mn, mx, Some(v), Some(v))))
             }
           }
         }
@@ -150,50 +156,46 @@ object ManifestRead {
     }
 
     private def tighten(bounds: scala.collection.mutable.Map[String, Bound],
-        col: String, lo: Option[Any], hi: Option[Any]): Unit = {
-      // later conjuncts only ever NARROW: replace an unbounded end, keep
-      // the existing end otherwise (comparing typed ends here would need
-      // the stats type; one bound per end is enough for the common shapes)
-      val (l0, h0) = bounds.getOrElse(col, (None, None))
-      bounds(col) = (l0.orElse(lo), h0.orElse(hi))
+        col: String, lo: Option[Any] = None, hi: Option[Any] = None,
+        in: Option[Seq[Any]] = None): Unit = {
+      // later conjuncts only ever NARROW: fill an unset end/list, keep the
+      // existing one otherwise (comparing typed ends here would need the
+      // stats type; one bound per end is enough for the common shapes)
+      val b = bounds.getOrElse(col, Bound())
+      bounds(col) = Bound(b.lo.orElse(lo), b.hi.orElse(hi), b.in.orElse(in))
     }
 
     private def collect(e: Expression,
         bounds: scala.collection.mutable.Map[String, Bound]): Unit = e match {
       case And(l, r) => collect(l, bounds); collect(r, bounds)
       case EqualTo(a: Attribute, Literal(v, _)) if v != null =>
-        tighten(bounds, a.name, Some(ext(v)), Some(ext(v)))
+        tighten(bounds, a.name, lo = Some(ext(v)), hi = Some(ext(v)))
       case EqualTo(Literal(v, _), a: Attribute) if v != null =>
-        tighten(bounds, a.name, Some(ext(v)), Some(ext(v)))
+        tighten(bounds, a.name, lo = Some(ext(v)), hi = Some(ext(v)))
       case GreaterThan(a: Attribute, Literal(v, _)) if v != null =>
-        tighten(bounds, a.name, Some(ext(v)), None)
+        tighten(bounds, a.name, lo = Some(ext(v)))
       case GreaterThanOrEqual(a: Attribute, Literal(v, _)) if v != null =>
-        tighten(bounds, a.name, Some(ext(v)), None)
+        tighten(bounds, a.name, lo = Some(ext(v)))
       case LessThan(a: Attribute, Literal(v, _)) if v != null =>
-        tighten(bounds, a.name, None, Some(ext(v)))
+        tighten(bounds, a.name, hi = Some(ext(v)))
       case LessThanOrEqual(a: Attribute, Literal(v, _)) if v != null =>
-        tighten(bounds, a.name, None, Some(ext(v)))
+        tighten(bounds, a.name, hi = Some(ext(v)))
       case GreaterThan(Literal(v, _), a: Attribute) if v != null =>
-        tighten(bounds, a.name, None, Some(ext(v)))
+        tighten(bounds, a.name, hi = Some(ext(v)))
       case GreaterThanOrEqual(Literal(v, _), a: Attribute) if v != null =>
-        tighten(bounds, a.name, None, Some(ext(v)))
+        tighten(bounds, a.name, hi = Some(ext(v)))
       case LessThan(Literal(v, _), a: Attribute) if v != null =>
-        tighten(bounds, a.name, Some(ext(v)), None)
+        tighten(bounds, a.name, lo = Some(ext(v)))
       case LessThanOrEqual(Literal(v, _), a: Attribute) if v != null =>
-        tighten(bounds, a.name, Some(ext(v)), None)
+        tighten(bounds, a.name, lo = Some(ext(v)))
       case In(a: Attribute, vs) if vs.nonEmpty && vs.forall {
         case Literal(v, _) => v != null
         case _ => false
       } =>
-        // conservative: the values' envelope [min, max] — exactness is
-        // readForKeys' job, the planner only needs a sound interval
-        val exts = vs.collect { case Literal(v, _) => ext(v) }
-        // order within the envelope is decided later in the stats typ key
-        // space; here any total preorder works for picking envelope ends,
-        // so reuse overlaps() per end by passing ALL values through lo/hi:
-        // simplest sound choice — one bound pair per value is wrong (AND),
-        // so spread to nothing unless single-valued
-        if (exts.size == 1) tighten(bounds, a.name, Some(exts.head), Some(exts.head))
+        // point-set pruning: keep a segment iff AT LEAST ONE value can sit
+        // in its [min,max] — evaluated per segment in the stats key space
+        tighten(bounds, a.name,
+          in = Some(vs.collect { case Literal(v, _) => ext(v) }))
       case _ => () // no bound — the row-level filter still applies
     }
   }

@@ -412,6 +412,17 @@ class ManifestStoreSpec extends SparkSpec {
     // equality + one-sided bounds prune too
     assert(ManifestRead.readCatalyst(spark, path).where(col("k") === 25L).count() == 1L)
     assert(ManifestRead.readCatalyst(spark, path).where(col("k") > 19L).count() == 2L)
+    // IN-list point-set pruning: values in segments 1 and 3 — the middle
+    // segment's [10,15] holds neither, so the scan opens fewer files
+    val inQ = ManifestRead.readCatalyst(spark, path).where(col("k").isin(5L, 20L))
+    assert(inQ.collect().map(_.getLong(0)).sorted.toSeq == Seq(5L, 20L))
+    val inScan = inQ.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    inQ.collect()
+    assert(inScan.metrics("numFiles").value <
+      allFiles.relation.location.inputFiles.length,
+      "IN-list pruning must open fewer files")
     // planner-integrated time travel + SQL view
     assert(ManifestRead.readCatalystVersion(spark, path, 1L).count() == 2L)
     ManifestRead.registerView(spark, path, "mstore_cat_view")
