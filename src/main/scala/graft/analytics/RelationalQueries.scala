@@ -2644,6 +2644,41 @@ object RelationalQueries {
              |ORDER BY o_custkey""".stripMargin)
     ),
     Q(
+      "s18_mor_delete_scan",
+      "Merge-on-read deletion end-to-end " +
+        "(ManifestStore.deleteKeysMergeOnRead): per-customer order stats " +
+        "land in a scratch manifest table as two segments; the low-value " +
+        "keys are MOR-deleted — one sidecar + one commit, ZERO segment " +
+        "rewrites (the O(batch) GDPR path) — and the read-back assembles " +
+        "the logical view by anti-joining the sidecar under the sequence " +
+        "rule. The oracle replays the deletion as a HAVING filter, so the " +
+        "sidecar-assembled physical path must agree with declarative " +
+        "semantics row for row",
+      (s, d) => {
+        import graft.ops.ManifestStore
+        val target = orders(s, d)
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_ord"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+          .coalesce(1)
+        val scratch = java.nio.file.Files
+          .createTempDirectory("graft-s18-").toString + "/t"
+        ManifestStore.append(s, target.where(col("o_custkey") % 2 === 0), scratch)
+        ManifestStore.append(s, target.where(col("o_custkey") % 2 =!= 0), scratch)
+        val doomed = ManifestStore.read(s, scratch)
+          .where(col("total") < 100000.0).select("o_custkey")
+        ManifestStore.deleteKeysMergeOnRead(s, scratch, "o_custkey", doomed)
+        ManifestStore.read(s, scratch)
+          .select("o_custkey", "n_ord", "total")
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_ord,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders GROUP BY o_custkey
+             |HAVING NOT (total < 100000.0)
+             |ORDER BY o_custkey""".stripMargin)
+    ),
+    Q(
       "a29_expectations_by_group",
       "Per-group data-quality report (Expectations.runBy): the a28 suite " +
         "keyed by language — ONE scan + a row-per-group shuffle however " +
