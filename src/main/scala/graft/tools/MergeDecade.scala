@@ -64,6 +64,14 @@ object MergeDecade {
     val (rep, tMerge) = timed(ManifestStore.merge(spark, src, path, "event_id",
       statsCols = Seq("event_id")))
     val mergeBytes = segBytes(newSegs(pre))
+    // deletion-path decade: MOR (sidecar + one commit) vs COW (rewrite)
+    val delKeys = ev.where(col("event_id").between(lo + width, lo + width + width / 8))
+      .select("event_id")
+    val nDel = delKeys.count()
+    val preM = ManifestStore.current(spark, path).get.segments.toSet
+    val (morSnap, tMor) = timed(
+      ManifestStore.deleteKeysMergeOnRead(spark, path, "event_id", delKeys))
+    val morBytes = segBytes(morSnap.deletes.map(_.name)) + segBytes(newSegs(preM))
     val preC = ManifestStore.current(spark, path).get.segments.toSet
     val (_, tCompact) = timed(ManifestStore.compact(spark, path, segments,
       statsCols = Seq("event_id")))
@@ -72,6 +80,7 @@ object MergeDecade {
       f"segRewritten=${rep.segmentsRewritten}%d/${rep.segmentsTotal}%d " +
       f"updated=${rep.updated}%d inserted=${rep.inserted}%d " +
       f"mergeSec=$tMerge%.2f mergeMB=${mergeBytes / 1e6}%.1f " +
+      f"morDelKeys=$nDel%d morDelSec=$tMor%.2f morDelMB=${morBytes / 1e6}%.2f " +
       f"fullRewriteSec=$tCompact%.2f fullRewriteMB=${compactBytes / 1e6}%.1f")
     spark.stop()
   }
