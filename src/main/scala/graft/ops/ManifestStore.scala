@@ -272,7 +272,16 @@ object ManifestStore {
     if (df.isEmpty) return None
     val seg = s"seg-${java.util.UUID.randomUUID()}"
     val segPath = new Path(root, seg).toString
-    df.write.parquet(segPath)
+    // declared stats columns also get parquet BLOOM FILTERS: manifest
+    // min/max skip whole segments at listing time, the blooms then skip
+    // row groups INSIDE surviving files on point predicates (=, IN) —
+    // Spark's parquet reader consults them automatically. ~0.1% space for
+    // the default bloom size; ranges overlapping across segments (the
+    // un-clustered case min/max can't help) is exactly where they pay.
+    val withBlooms = statsCols.foldLeft(df.write) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+    }
+    withBlooms.parquet(segPath)
     Some(SegmentEntry(seg, segmentStats(spark, segPath, statsCols)))
   }
 

@@ -113,6 +113,28 @@ class ManifestStoreSpec extends SparkSpec {
     assert(ks.contains(40L) && !ks.contains(41L))
   }
 
+  test("statsCols segments carry parquet bloom filters; undeclared columns don't") {
+    val path = tmpDir("mstoreBloom") + "/t"
+    ManifestStore.append(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      path, statsCols = Seq("k"))
+    val seg = ManifestStore.current(spark, path).get.segments.head
+    val conf = spark.sparkContext.hadoopConfiguration
+    val segDir = new org.apache.hadoop.fs.Path(path, seg)
+    val file = segDir.getFileSystem(conf).listStatus(segDir)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet")).head.getPath
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    try {
+      val cols = reader.getFooter.getBlocks.get(0).getColumns
+      import scala.jdk.CollectionConverters._
+      val byName = cols.asScala.map(c => c.getPath.toDotString -> c).toMap
+      assert(byName("k").getBloomFilterOffset >= 0L,
+        "declared stats column must carry a bloom filter")
+      assert(byName("v").getBloomFilterOffset < 0L,
+        "undeclared columns must not pay for blooms")
+    } finally reader.close()
+  }
+
   test("readForKeys: point lookups read only the segments whose stats can hold a value") {
     val path = tmpDir("mstorePoint") + "/t"
     ManifestStore.append(spark, Seq((1L, "a"), (5L, "b")).toDF("k", "v"),
