@@ -210,6 +210,16 @@ object GoldWriter {
       val s = lock.toUri.getScheme
       s == null || s == "file"
     }
+    // java.nio CREATE_NEW (unlike fs.create) does NOT create missing parent
+    // directories, and its NoSuchFileException would be indistinguishable
+    // from "lock held" below — the very first upsert into a fresh table
+    // root would spin for the full waitMs. Make the parent exist up front.
+    if (isLocal) {
+      val parent = java.nio.file.Paths.get(lock.toUri.getPath).getParent
+      if (parent != null)
+        try java.nio.file.Files.createDirectories(parent)
+        catch { case _: java.io.IOException => () }
+    }
     def tryCreate(): Boolean =
       if (isLocal) {
         // O_EXCL create — atomic on a local filesystem, unlike

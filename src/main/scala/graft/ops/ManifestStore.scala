@@ -34,10 +34,13 @@ import org.apache.spark.sql.types._
   *    small `_manifest/` directory to find the max version; data files are
   *    addressed BY NAME from the manifest, so eventually-consistent object
   *    listings of the data tree can neither hide a committed file nor
-  *    surface an uncommitted one. (The publish itself needs atomic
-  *    rename-no-replace — true on local/HDFS, emulated elsewhere; stores
-  *    without it need a coordinator, the same boundary GoldWriter
-  *    documents.)
+  *    surface an uncommitted one. (The publish itself needs ONE atomic
+  *    install-if-absent primitive, isolated behind the [[Publisher]] seam:
+  *    hard-link CAS on `file://` — POSIX rename(2), and therefore Hadoop's
+  *    RawLocalFileSystem.rename, silently REPLACES an existing destination,
+  *    so rename is NOT a CAS there — rename-no-replace on HDFS where that
+  *    IS the documented contract, and a claim-marker protocol for stores
+  *    with neither; see [[Publisher.forScheme]] for the full contract.)
   *  - **Snapshot isolation for readers**: a scan planned against vN keeps
   *    reading vN's files even while vN+1 commits, because rewrites never
   *    mutate or delete referenced files — [[vacuum]] only deletes segments
@@ -128,16 +131,38 @@ object ManifestStore {
       scala.util.Try(name.stripPrefix("v").stripSuffix(".manifest").toLong).toOption
     else None
 
+  /** List committed versions from the `_manifest/` directory, first
+    * completing any pending [[Publisher.ExclusiveMarker]] claims — a claim
+    * without its manifest is a crashed winner's durable intent, which any
+    * reader finishes (zero cost when no claims exist, i.e. on every
+    * rename/hard-link-published table).
+    */
+  private def listVersions(fs: FileSystem, root: Path): Seq[Long] = {
+    val dir = new Path(root, ManifestDir)
+    if (!fs.exists(dir)) return Nil
+    var statuses = fs.listStatus(dir).toSeq
+    val names = statuses.map(_.getPath.getName).toSet
+    val pending = statuses.filter { st =>
+      val n = st.getPath.getName
+      n.endsWith(".claim") && !names.contains(n.stripSuffix(".claim") + ".manifest")
+    }
+    if (pending.nonEmpty) {
+      pending.foreach { st =>
+        Publisher.completeClaim(fs, st.getPath,
+          new Path(dir, st.getPath.getName.stripSuffix(".claim") + ".manifest"))
+      }
+      statuses = fs.listStatus(dir).toSeq
+    }
+    statuses.flatMap(s => versionOf(s.getPath.getName))
+  }
+
   /** Latest committed snapshot, or None for an uninitialized table. Lists
     * only the `_manifest/` directory (never the data tree).
     */
   def current(spark: SparkSession, path: String): Option[Snapshot] = {
     val root = new Path(path)
     val fs = fsOf(spark, root)
-    val dir = new Path(root, ManifestDir)
-    if (!fs.exists(dir)) return None
-    val versions = fs.listStatus(dir).toSeq
-      .flatMap(s => versionOf(s.getPath.getName))
+    val versions = listVersions(fs, root)
     if (versions.isEmpty) None
     else {
       val v = versions.max
@@ -197,15 +222,180 @@ object ManifestStore {
     } else (rest.map(parseEntry), schema, Nil) // pre-v4: seq 0, no deletes
   }
 
-  /** Write the manifest body to a tmp name, then atomically rename into the
-    * dense version slot. False = the slot was taken (a racer committed
-    * first); the caller re-reads and retries.
+  /** The ONE filesystem operation the whole commit protocol's exclusivity
+    * rests on, isolated as a seam: atomically install a fully-written temp
+    * file as `target` IFF `target` does not exist, reporting whether this
+    * caller won. Every table verb (append/upsert/merge/rewriteAll/cluster/
+    * deleteKeysMergeOnRead) inherits whichever primitive runs here, so the
+    * FS contract lives in exactly one place — pick with
+    * [[Publisher.forScheme]] (the default) or pin via [[publisherOverride]].
+    */
+  sealed trait Publisher {
+    /** Install `tmp` as `target` iff `target` is absent; true = won. A
+      * loser must leave `target` exactly as the winner published it.
+      */
+    def publish(fs: FileSystem, tmp: Path, target: Path): Boolean
+  }
+
+  object Publisher {
+    private def quietDelete(fs: FileSystem, p: Path): Unit =
+      try fs.delete(p, false) catch { case _: java.io.IOException => () }
+
+    /** HDFS-family primitive: `FileSystem.rename` is atomic and FAILS when
+      * the destination exists — the documented HDFS rename contract. NOT
+      * safe on `file://` (RawLocalFileSystem.rename is java.io.File#renameTo
+      * = POSIX rename(2), which silently REPLACES the destination, so two
+      * racers can both "win" and the loser's commit is silently orphaned)
+      * and not safe on S3-style stores (rename is a non-atomic copy+delete).
+      */
+    case object RenameNoReplace extends Publisher {
+      def publish(fs: FileSystem, tmp: Path, target: Path): Boolean = {
+        val won = try fs.rename(tmp, target)
+        catch { case _: java.io.IOException => false }
+        if (!won) quietDelete(fs, tmp)
+        won
+      }
+    }
+
+    /** `file://` primitive: `java.nio.Files.createLink` — link(2) fails
+      * with EEXIST when the target exists, an atomic no-replace guarantee
+      * POSIX actually makes (unlike rename(2), which replaces). The tmp
+      * file is unlinked after the outcome either way; the manifest bytes
+      * survive under the target name iff we won.
+      */
+    case object LocalHardLink extends Publisher {
+      def publish(fs: FileSystem, tmp: Path, target: Path): Boolean = {
+        val t = java.nio.file.Paths.get(target.toUri.getPath)
+        val s = java.nio.file.Paths.get(tmp.toUri.getPath)
+        val won =
+          try { java.nio.file.Files.createLink(t, s); true }
+          catch { case _: java.io.IOException => false }
+        try java.nio.file.Files.deleteIfExists(s)
+        catch { case _: java.io.IOException => () }
+        won
+      }
+    }
+
+    /** Marker protocol for stores with atomic create-exclusive but NO
+      * atomic no-replace rename: the race is decided by exclusive creation
+      * of a `v{N}.claim` marker recording the temp file's name — a
+      * write-ahead intent — and the claim winner then installs
+      * tmp→target with a plain, replace-tolerant rename (exactly one
+      * claimant reaches the install, so replace semantics cannot lose a
+      * commit). A writer that crashes between claim and install is
+      * repaired by ANY later reader or committer completing the recorded
+      * intent ([[completeClaim]], wired into version listing): the
+      * manifest content was durable in tmp BEFORE the claim existed, so
+      * completion is always possible until [[vacuum]]'s grace expires.
+      * Claims persist beside their manifests (vacuum trims both) so a
+      * decided version slot can never be re-claimed. For stores where even
+      * create-exclusive is emulated (S3 without conditional writes), plug
+      * a conditional-put publisher into this seam (If-None-Match PUT) or
+      * front commits with a coordinator — that boundary is now explicit
+      * code, not an implied rename assumption.
+      */
+    case object ExclusiveMarker extends Publisher {
+      /** The protocol's one requirement: claim creation must be ATOMIC
+        * create-if-absent. Hadoop's RawLocalFileSystem implements
+        * `create(overwrite = false)` as a non-atomic exists-then-create,
+        * so on `file://` the claim goes through java.nio CREATE_NEW
+        * (O_EXCL) — the GoldWriter lock idiom; other schemes use the
+        * filesystem's own exclusive create.
+        */
+      private def claimExclusive(fs: FileSystem, claim: Path, tmpName: String): Boolean = {
+        val bytes = tmpName.getBytes(Utf8)
+        val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+        if (scheme == "file") {
+          try {
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(claim.toUri.getPath), bytes,
+              java.nio.file.StandardOpenOption.CREATE_NEW,
+              java.nio.file.StandardOpenOption.WRITE)
+            true
+          } catch { case _: java.io.IOException => false }
+        } else {
+          try {
+            val out = fs.create(claim, false)
+            try out.write(bytes) finally out.close()
+            true
+          } catch { case _: java.io.IOException => false }
+        }
+      }
+
+      def publish(fs: FileSystem, tmp: Path, target: Path): Boolean = {
+        val claim = claimOf(target)
+        val claimed = claimExclusive(fs, claim, tmp.getName)
+        if (!claimed) {
+          // a racer owns the slot; help a crashed winner finish, then lose
+          completeClaim(fs, claim, target)
+          quietDelete(fs, tmp)
+          false
+        } else {
+          val renamed = try fs.rename(tmp, target)
+          catch { case _: java.io.IOException => false }
+          // a helper may have completed our durable intent before we did —
+          // target present means OUR manifest is installed (we own the claim)
+          renamed || fs.exists(target)
+        }
+      }
+    }
+
+    private[ops] def claimOf(target: Path): Path =
+      new Path(target.getParent,
+        target.getName.stripSuffix(".manifest") + ".claim")
+
+    /** Finish a claimed-but-uninstalled commit (the [[ExclusiveMarker]]
+      * crash window): rename the claim's recorded tmp into the target. A
+      * claim whose tmp AND target are both gone is dead (the tmp was
+      * durable before the claim, so only vacuum/manual deletion removes
+      * it) — deleting it reopens the slot so the version sequence cannot
+      * wedge.
+      */
+    private[ops] def completeClaim(fs: FileSystem, claim: Path, target: Path): Unit =
+      try {
+        if (fs.exists(target)) return
+        val in = fs.open(claim)
+        val tmpName = try
+          scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+        val tmp = new Path(claim.getParent, tmpName)
+        if (tmpName.nonEmpty && fs.exists(tmp)) {
+          try fs.rename(tmp, target) catch { case _: java.io.IOException => () }
+        } else if (!fs.exists(target)) {
+          quietDelete(fs, claim) // dead claim: unwedge the version sequence
+        }
+      } catch { case _: java.io.IOException => () }
+
+    /** Scheme-keyed default: `file://` gets the hard-link CAS (POSIX rename
+      * replaces — the rename "CAS" is a silent-lost-commit bug there), the
+      * HDFS family gets rename-no-replace (its documented contract), and
+      * any OTHER scheme gets the marker protocol — never assume rename
+      * semantics an object store doesn't document.
+      */
+    def forScheme(fs: FileSystem): Publisher =
+      Option(fs.getUri.getScheme).getOrElse("file") match {
+        case "file" => LocalHardLink
+        case "hdfs" | "viewfs" | "webhdfs" | "swebhdfs" => RenameNoReplace
+        case _ => ExclusiveMarker
+      }
+  }
+
+  /** Pin a specific publish primitive (tests exercise each; a deployment
+    * with a conditional-put-capable store pins its own [[Publisher]]).
+    * None = [[Publisher.forScheme]] decides per filesystem.
+    */
+  @volatile var publisherOverride: Option[Publisher] = None
+
+  /** Write the manifest body to a tmp name, then atomically install it
+    * into the dense version slot via the scheme's [[Publisher]]. False =
+    * the slot was taken (a racer committed first); the caller re-reads and
+    * retries.
     */
   private def tryPublish(fs: FileSystem, root: Path, v: Long,
       entries: Seq[SegmentEntry], schema: Option[StructType] = None,
       deletes: Seq[DeleteFile] = Nil): Boolean = {
     val target = manifestPath(root, v)
-    if (fs.exists(target)) return false // cheap pre-check; rename still decides
+    if (fs.exists(target)) return false // cheap pre-check; the publisher decides
     val tmp = new Path(root,
       s"$ManifestDir/.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, false)
@@ -217,10 +407,7 @@ object ManifestStore {
         deletes.map(d => s"del\t${d.seq}\t${b64(d.keyCol)}\t${d.name}"))
     try out.write(lines.mkString("", "\n", "\n").getBytes(Utf8))
     finally out.close()
-    val won = try fs.rename(tmp, target)
-    catch { case _: java.io.IOException => false }
-    if (!won) { try fs.delete(tmp, false) catch { case _: java.io.IOException => () } }
-    won
+    publisherOverride.getOrElse(Publisher.forScheme(fs)).publish(fs, tmp, target)
   }
 
   /** Normalized stats type tag + the aggregation-ready column for a field:
@@ -383,9 +570,7 @@ object ManifestStore {
   def history(spark: SparkSession, path: String): Seq[Long] = {
     val root = new Path(path)
     val fs = fsOf(spark, root)
-    val dir = new Path(root, ManifestDir)
-    if (!fs.exists(dir)) Nil
-    else fs.listStatus(dir).toSeq.flatMap(s => versionOf(s.getPath.getName)).sorted
+    listVersions(fs, root).sorted
   }
 
   /** The snapshot committed as `version`, if its manifest survives
@@ -397,6 +582,8 @@ object ManifestStore {
     val root = new Path(path)
     val fs = fsOf(spark, root)
     val p = manifestPath(root, version)
+    // a marker-published table may hold this version as a pending claim
+    if (!fs.exists(p)) Publisher.completeClaim(fs, Publisher.claimOf(p), p)
     if (!fs.exists(p)) None else {
       val (entries, schema, deletes) = readManifest(fs, p)
       Some(Snapshot(version, entries, schema, deletes))
@@ -832,6 +1019,17 @@ object ManifestStore {
       val s = snapOf(toInclusive)
       s.schema.getOrElse(readAt(spark, path, s).schema)
     }
+    // every per-version frame is null-padded to the feed's OWN schema (the
+    // toInclusive one): a range spanning a mergeSchema append reads early
+    // versions under their narrower schemas, and a strict union across
+    // them would otherwise throw on the column-set mismatch — evolution is
+    // a monotone commit the feed supports, so pad exactly like the
+    // delete branch always has
+    def padTo(df: DataFrame): DataFrame =
+      schema.fields.foldLeft(df) { (d, f) =>
+        if (d.columns.contains(f.name)) d
+        else d.withColumn(f.name, lit(null).cast(f.dataType))
+      }.select(schema.fieldNames.map(col): _*)
     val perVersion = (fromExclusive until toInclusive).map { v0 =>
       val (a, b) = (snapOf(v0), snapOf(v0 + 1))
       val aNames = a.entries.map(_.name).toSet
@@ -845,15 +1043,12 @@ object ManifestStore {
       val addedDels = b.deletes.filterNot(d => aDels(d.name))
       val inserts =
         if (addedSegs.isEmpty) Nil
-        else Seq(readSegs(spark, b, addedSegs.map(e => new Path(root, e.name).toString))
+        else Seq(padTo(
+          readSegs(spark, b, addedSegs.map(e => new Path(root, e.name).toString)))
           .withColumn("_change_type", lit("insert"))
           .withColumn("_commit_version", lit(v0 + 1)))
       val deletes = addedDels.map { d =>
-        val keys = spark.read.parquet(new Path(root, d.name).toString)
-        schema.fields.foldLeft(keys) { (df, f) =>
-          if (df.columns.contains(f.name)) df
-          else df.withColumn(f.name, lit(null).cast(f.dataType))
-        }.select(schema.fieldNames.map(col): _*)
+        padTo(spark.read.parquet(new Path(root, d.name).toString))
           .withColumn("_change_type", lit("delete"))
           .withColumn("_commit_version", lit(v0 + 1))
       }
@@ -867,15 +1062,24 @@ object ManifestStore {
     else all.reduce(_ unionByName _)
   }
 
-  /** Cursor-tracked incremental consumption of the [[changes]] feed: reads
-    * the last-consumed version from `cursorPath` (0 when absent — the
-    * feed starts at the table's first version), applies the pending
-    * change batch, then advances the cursor with a write-tmp-rename (the
-    * manifest publish discipline). At-least-once by construction: a crash
-    * AFTER apply but BEFORE the cursor advance re-delivers the same batch
-    * — `apply` must be idempotent (the foreachBatch contract every sink
-    * in this engine already meets). Returns the versions consumed (empty
-    * = nothing new). A rewrite in range propagates [[changes]]' loud
+  /** Cursor-tracked incremental consumption of the [[changes]] feed (one
+    * consumer per cursor): reads the last-consumed version, applies the
+    * pending change batch, then advances the cursor by CREATING a new
+    * generation file `<cursor>.g<n>` — the previous generation is never
+    * touched until the new one is durable, so there is no torn-advance
+    * window at all: a crash mid-advance leaves a garbage/absent new
+    * generation and the reader falls back to the previous one
+    * (re-delivery, never a reset to version 0 — which, after early
+    * versions vacuum, would permanently wedge the consumer). A flat
+    * `cursorPath` file, when present, OVERRIDES the generation chain: it
+    * is either a pre-migration legacy cursor or an explicit operator
+    * action (full-refresh reset, deliberate rollback for redelivery) —
+    * the next successful poll folds it into a new generation and removes
+    * it. At-least-once by construction: a
+    * crash AFTER apply but BEFORE the advance re-delivers the same batch —
+    * `apply` must be idempotent (the foreachBatch contract every sink in
+    * this engine already meets). Returns the versions consumed (empty =
+    * nothing new). A rewrite in range propagates [[changes]]' loud
     * failure: reset the cursor to the rewrite version after
     * full-refreshing downstream.
     */
@@ -883,21 +1087,46 @@ object ManifestStore {
       apply: DataFrame => Unit): Seq[Long] = {
     val cur = new Path(cursorPath)
     val fs = fsOf(spark, cur)
-    val from =
-      if (!fs.exists(cur)) 0L
-      else {
-        val in = fs.open(cur)
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+    val parent = cur.getParent
+    val base = cur.getName
+    def genOf(name: String): Option[Long] =
+      if (name.startsWith(base + ".g"))
+        scala.util.Try(name.stripPrefix(base + ".g").toLong).toOption
+      else None
+    def readLong(p: Path): Option[Long] =
+      try {
+        val in = fs.open(p)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close()
-      }
+        scala.util.Try(s.toLong).toOption
+      } catch { case _: java.io.IOException => None }
+    val gens: Seq[(Long, Path)] =
+      if (parent == null || !fs.exists(parent)) Nil
+      else fs.listStatus(parent).toSeq
+        .flatMap(st => genOf(st.getPath.getName).map(_ -> st.getPath))
+    // newest PARSEABLE generation: a torn advance's garbage file is skipped
+    val genVal = gens.sortBy(-_._1).iterator
+      .map { case (_, p) => readLong(p) }
+      .collectFirst { case Some(v) => v }
+    val legacy = if (fs.exists(cur)) readLong(cur) else None
+    // an explicit flat cursor (legacy, or an operator reset/rollback) wins
+    val from = legacy.orElse(genVal).getOrElse(0L)
     val to = current(spark, path).map(_.version).getOrElse(0L)
     if (to <= from) return Nil
     apply(changes(spark, path, from, to))
-    val tmp = new Path(cur.getParent, s".${cur.getName}.tmp-${java.util.UUID.randomUUID()}")
-    val out = fs.create(tmp, false)
+    val nextGen = gens.map(_._1).maxOption.getOrElse(0L) + 1L
+    val np = new Path(parent, s"$base.g$nextGen")
+    val out = fs.create(np, false)
     try out.write(to.toString.getBytes(Utf8)) finally out.close()
-    if (fs.exists(cur)) fs.delete(cur, false)
-    require(fs.rename(tmp, cur), s"pollChanges: failed to advance cursor $cursorPath")
+    // best-effort trim AFTER the new generation is durable: keep the
+    // superseded generation as the torn-write fallback, drop older ones
+    // and the migrated legacy flat file
+    val prevGen = gens.map(_._1).maxOption.getOrElse(0L)
+    gens.filter(_._1 < prevGen).foreach { case (_, p) =>
+      try fs.delete(p, false) catch { case _: java.io.IOException => () }
+    }
+    if (legacy.isDefined)
+      try fs.delete(cur, false) catch { case _: java.io.IOException => () }
     ((from + 1) to to)
   }
 
@@ -952,8 +1181,20 @@ object ManifestStore {
     * resurrect its row as an insert, making the merge of any fixed batch
     * idempotent under at-least-once replay. NULL predicate results act as
     * false on both clauses (a null neither deletes nor inserts). Source
-    * rows are deduplicated keep-first per key and null keys dropped, so
-    * the merge is deterministic for any input.
+    * rows are deduplicated to ONE event per key and null keys dropped, so
+    * the merge is deterministic for any input — but WHICH event survives
+    * matters when a batch carries several events for one key (an update
+    * then a delete): pass `seqCol` (an event-order column — log offset,
+    * commit LSN, event timestamp) and the LAST event per key by it wins,
+    * the only safe semantics for a CDC applier. Without `seqCol` the
+    * survivor is the deterministic-but-ARBITRARY lexicographic keep-first
+    * over the non-key columns — fine for idempotent re-merges of snapshot
+    * batches, unsafe for unordered multi-event CDC batches (a delete can
+    * be dropped or a dead row kept depending on how unrelated values
+    * sort). NULL `seqCol` values order before any non-null one (a
+    * sequence-less event never beats a sequenced one); equal sequences
+    * fall back to the lexicographic tiebreak so the result stays
+    * deterministic.
     *
     * The 100 TB property is the copy-on-write granularity: only segments
     * that actually CONTAIN a matched key are rewritten; every other
@@ -975,10 +1216,17 @@ object ManifestStore {
   def merge(spark: SparkSession, source: DataFrame, path: String,
       key: String, deleteWhen: Option[Column] = None,
       statsCols: Seq[String] = Nil,
-      insertWhen: Option[Column] = None): MergeReport = {
+      insertWhen: Option[Column] = None,
+      seqCol: Option[String] = None): MergeReport = {
     val root = new Path(path)
     val fs = fsOf(spark, root)
-    val tiebreak = source.columns.filter(_ != key).sorted.map(col).toSeq
+    seqCol.foreach(c => require(source.columns.contains(c),
+      s"merge seqCol $c is not a source column"))
+    // keep-LAST by event order when seqCol is given (desc, nulls last =
+    // a null sequence never wins), lexicographic tiebreak either way
+    val tiebreak = seqCol.map(c => col(c).desc_nulls_last).toSeq ++
+      source.columns.filter(c => c != key && !seqCol.contains(c))
+        .sorted.map(col).toSeq
     // NULL predicate results act as false (SQL CHECK posture): a null
     // deleteWhen doesn't delete, a null insertWhen doesn't insert
     val delPred = coalesce(deleteWhen.getOrElse(lit(false)), lit(false))
@@ -1181,7 +1429,14 @@ object ManifestStore {
     val mdir = new Path(root, ManifestDir)
     fs.listStatus(mdir).foreach { st =>
       val name = st.getPath.getName
-      val stale = versionOf(name).exists(_ < snap.version) || name.startsWith(".tmp-")
+      // a marker-protocol claim ages out with its manifest (never sooner:
+      // a live version's claim is what makes its slot un-re-claimable)
+      val claimV =
+        if (name.endsWith(".claim"))
+          versionOf(name.stripSuffix(".claim") + ".manifest")
+        else None
+      val stale = versionOf(name).exists(_ < snap.version) ||
+        claimV.exists(_ < snap.version) || name.startsWith(".tmp-")
       if (stale && st.getModificationTime < cutoff) fs.delete(st.getPath, false)
     }
     removed

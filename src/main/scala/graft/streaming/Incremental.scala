@@ -341,7 +341,8 @@ object Incremental {
       deleteWhen: Column,
       checkpoint: String,
       statsCols: Seq[String] = Nil,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      seqCol: Option[String] = None): StreamingQuery =
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 16)
@@ -351,9 +352,15 @@ object Incremental {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
+          // seqCol: a micro-batch holding SEVERAL events for one key (update
+          // then delete) must apply the LAST by event order — without it the
+          // per-key survivor is arbitrary, which is unsafe for CDC (see
+          // ManifestStore.merge's seqCol contract); pass the log offset /
+          // event timestamp column whenever the feed can collide in-batch
           graft.ops.ManifestStore.merge(spark, batch, tablePath, key,
             deleteWhen = Some(deleteWhen), statsCols = statsCols,
-            insertWhen = Some(!coalesce(deleteWhen, lit(false))))
+            insertWhen = Some(!coalesce(deleteWhen, lit(false))),
+            seqCol = seqCol)
           ()
         }
       }

@@ -18,7 +18,18 @@ import graft.ops.ManifestStore
 class ManifestStoreModelSpec extends SparkSpec {
   import spark.implicits._
 
-  test("30-op random interleaving of all verbs matches the reference model after every op") {
+  // the sweep runs once per commit PRIMITIVE: the default (hard-link CAS on
+  // file://) and the claim-marker protocol for stores with no atomic rename
+  // — every verb inherits the publish seam, so both must pass unmodified
+  for ((label, pub) <- Seq(
+    ("default publisher", None),
+    ("ExclusiveMarker publisher", Some(ManifestStore.Publisher.ExclusiveMarker))))
+  test(s"30-op random interleaving of all verbs matches the reference model after every op [$label]") {
+    ManifestStore.publisherOverride = pub
+    try sweep() finally ManifestStore.publisherOverride = None
+  }
+
+  private def sweep(): Unit = {
     val path = tmpDir("mstoreModel") + "/t"
     val rnd = new scala.util.Random(42)
     val model = scala.collection.mutable.Map.empty[Long, String]
