@@ -4,15 +4,15 @@ import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo,
-  Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual,
-  Literal}
+  Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull,
+  LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.execution.datasources.{FileIndex,
   HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.unsafe.types.UTF8String
 
-import ManifestStore.{ColStats, Snapshot}
+import ManifestStore.Snapshot
 
 /** Catalyst-integrated manifest scan: [[readCatalyst]] plans a
   * ManifestStore table through a custom [[FileIndex]], so an ORDINARY
@@ -35,10 +35,14 @@ import ManifestStore.{ColStats, Snapshot}
   * unbounded — the interval logic here is Option-ended where
   * readWhere's public API takes closed intervals.
   *
-  * The index lists each segment directory ONCE at construction
-  * (O(segments) metadata calls, no data reads) and serves every
-  * `listFiles` from memory — at 100 TB the planner never re-lists the
-  * data tree, the property object stores need.
+  * The index makes ZERO filesystem metadata calls for v5 manifests: each
+  * segment's file names and sizes were stamped into the manifest at
+  * commit time ([[ManifestStore.SegmentEntry.files]]), so constructing
+  * the index and planning a query cost O(segments) in-memory work and no
+  * object-store round-trips at all — the coefficient that otherwise
+  * dominates planning at 10⁵ segments. Pre-v5 entries (older commits)
+  * fall back to one lazy `listStatus` per segment, paid only for the
+  * segments a query actually keeps after pruning.
   */
 object ManifestRead {
 
@@ -86,29 +90,44 @@ object ManifestRead {
 
   /** Per-column prune state, conjunction-tightened: an Option-ended
     * interval plus an optional IN-list value set (point-set pruning, the
-    * readForKeys semantics inside the planner).
+    * readForKeys semantics inside the planner), plus the two null-shape
+    * probes `IS NULL` / `IS NOT NULL` (pruned against the v5 per-column
+    * null counts / all-NULL encodings).
     */
   private final case class Bound(lo: Option[Any] = None, hi: Option[Any] = None,
-      in: Option[Seq[Any]] = None)
+      in: Option[Seq[Any]] = None, isNull: Boolean = false,
+      notNull: Boolean = false)
 
   final class ManifestFileIndex(spark: SparkSession, tablePath: String,
       snap: Snapshot) extends FileIndex {
     private val root = new Path(tablePath)
     private val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    private val segFiles: Map[String, Array[FileStatus]] = snap.entries.map { e =>
-      e.name -> hfs.listStatus(new Path(root, e.name)).filter(s => s.isFile && {
-        val n = s.getPath.getName
-        !n.startsWith("_") && !n.startsWith(".")
-      })
-    }.toMap
+    // pre-v5 fallback only: entries without a recorded file list pay one
+    // lazy listStatus each, and only when a query actually keeps them
+    private val legacyFiles =
+      scala.collection.concurrent.TrieMap.empty[String, Array[FileStatus]]
+    private def filesOf(e: ManifestStore.SegmentEntry): Array[FileStatus] =
+      if (e.files.nonEmpty) {
+        val segDir = new Path(root, e.name)
+        e.files.map { case (name, len) =>
+          new FileStatus(len, false, 1, 128L << 20, 0L,
+            hfs.makeQualified(new Path(segDir, name)))
+        }.toArray
+      } else legacyFiles.getOrElseUpdate(e.name,
+        hfs.listStatus(new Path(root, e.name)).filter(s => s.isFile && {
+          val n = s.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        }))
 
     override def rootPaths: Seq[Path] = Seq(root)
     override def partitionSchema: StructType = new StructType()
     override def inputFiles: Array[String] =
-      snap.entries.flatMap(e => segFiles(e.name)).map(_.getPath.toString).toArray
+      snap.entries.flatMap(e => filesOf(e)).map(_.getPath.toString).toArray
     override def refresh(): Unit = ()
     override def sizeInBytes: Long =
-      snap.entries.flatMap(e => segFiles(e.name)).map(_.getLen).sum
+      snap.entries.map(e =>
+        if (e.files.nonEmpty) e.files.map(_._2).sum
+        else filesOf(e).map(_.getLen).sum).sum
 
     override def listFiles(partitionFilters: Seq[Expression],
         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
@@ -120,16 +139,27 @@ object ManifestRead {
           bounds.forall { case (c, b) =>
             e.stats.get(c) match {
               case None => true // no stats — cannot prune
-              case Some(ColStats(_, None, None)) => false // all-NULL column
-              case Some(ColStats(typ, mn, mx)) =>
-                overlaps(typ, mn, mx, b.lo, b.hi) &&
-                  b.in.forall(vs => vs.exists(v =>
-                    overlaps(typ, mn, mx, Some(v), Some(v))))
+              case Some(st) =>
+                val allNull = st.min.isEmpty && st.max.isEmpty
+                // value constraints (interval / IN-list): an all-NULL
+                // column satisfies none of them
+                val valueOk =
+                  if (b.lo.isEmpty && b.hi.isEmpty && b.in.isEmpty) true
+                  else if (allNull) false
+                  else overlaps(st.typ, st.min, st.max, b.lo, b.hi) &&
+                    b.in.forall(vs => vs.exists(v =>
+                      overlaps(st.typ, st.min, st.max, Some(v), Some(v))))
+                // IS NULL: a segment with a recorded null count of ZERO
+                // cannot produce a row (conservative: unknown count keeps)
+                val isNullOk = !b.isNull || !st.nulls.contains(0L)
+                // IS NOT NULL: an all-NULL column cannot produce a row
+                val notNullOk = !b.notNull || !allNull
+                valueOk && isNullOk && notNullOk
             }
           }
         }
       Seq(PartitionDirectory(InternalRow.empty,
-        kept.flatMap(e => segFiles(e.name)).toArray))
+        kept.flatMap(e => filesOf(e)).toArray))
     }
 
     /** [lo,hi] (Option-ended) intersects the segment's recorded [mn,mx]?
@@ -157,17 +187,21 @@ object ManifestRead {
 
     private def tighten(bounds: scala.collection.mutable.Map[String, Bound],
         col: String, lo: Option[Any] = None, hi: Option[Any] = None,
-        in: Option[Seq[Any]] = None): Unit = {
+        in: Option[Seq[Any]] = None, isNull: Boolean = false,
+        notNull: Boolean = false): Unit = {
       // later conjuncts only ever NARROW: fill an unset end/list, keep the
       // existing one otherwise (comparing typed ends here would need the
       // stats type; one bound per end is enough for the common shapes)
       val b = bounds.getOrElse(col, Bound())
-      bounds(col) = Bound(b.lo.orElse(lo), b.hi.orElse(hi), b.in.orElse(in))
+      bounds(col) = Bound(b.lo.orElse(lo), b.hi.orElse(hi), b.in.orElse(in),
+        b.isNull || isNull, b.notNull || notNull)
     }
 
     private def collect(e: Expression,
         bounds: scala.collection.mutable.Map[String, Bound]): Unit = e match {
       case And(l, r) => collect(l, bounds); collect(r, bounds)
+      case IsNull(a: Attribute) => tighten(bounds, a.name, isNull = true)
+      case IsNotNull(a: Attribute) => tighten(bounds, a.name, notNull = true)
       case EqualTo(a: Attribute, Literal(v, _)) if v != null =>
         tighten(bounds, a.name, lo = Some(ext(v)), hi = Some(ext(v)))
       case EqualTo(Literal(v, _), a: Attribute) if v != null =>

@@ -72,6 +72,8 @@ object ManifestStore {
   private val HeaderV2 = "graft-manifest v2"
   private val HeaderV3 = "graft-manifest v3" // v2 + a `schema<TAB>b64(json)` line
   private val HeaderV4 = "graft-manifest v4" // v3 + seq-stamped seg/del lines
+  private val HeaderV5 = "graft-manifest v5" // v4 + per-segment file lists,
+  // row counts and per-column null counts (rows:/files: fields, 5-part stats)
   private val MaxRetries = 50
   private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
 
@@ -79,17 +81,26 @@ object ManifestStore {
     * (`typ` in long/double/decimal/string/date/ts — the normalization
     * [[statsTyp]] applies at write). `None` min/max = the column is
     * entirely NULL in that segment, which any interval predicate excludes.
+    * `nulls` (v5+) is the column's null count — nulls=0 prunes `IS NULL`
+    * probes from the manifest alone.
     */
-  final case class ColStats(typ: String, min: Option[String], max: Option[String])
+  final case class ColStats(typ: String, min: Option[String], max: Option[String],
+      nulls: Option[Long] = None)
 
   /** One live segment: directory name (relative to the table root) plus
     * whatever stats its committing writer declared (possibly none), and
     * `seq` — the manifest version that first committed it (0 for pre-v4
     * manifests). Sequence numbers decide which merge-on-read delete files
-    * apply to which segments.
+    * apply to which segments. v5 manifests additionally stamp the
+    * segment's data `files` (name + byte length, relative to the segment
+    * dir) at commit time — planning a read then makes ZERO filesystem
+    * metadata calls on the data tree (the listing was already paid, once,
+    * by the committer whose page cache was hot) — and `rows`, the segment
+    * row count ([[describe]]'s physical view without a footer job).
     */
   final case class SegmentEntry(name: String, stats: Map[String, ColStats],
-      seq: Long = 0L)
+      seq: Long = 0L, files: Seq[(String, Long)] = Nil,
+      rows: Option[Long] = None)
 
   /** A merge-on-read delete sidecar ([[deleteKeysMergeOnRead]]): a parquet
     * file of `keyCol` values published at version `seq`. It suppresses
@@ -176,23 +187,46 @@ object ManifestStore {
   private def unb64(s: String): String =
     new String(java.util.Base64.getDecoder.decode(s), Utf8)
 
-  /** v2 line: `name<TAB>b64(col)|typ|b64(min)|b64(max)<TAB>…`; a bare name
+  /** Entry line: `name<TAB>field…` where a field is either
+    * `rows:<n>` (v5), `files:<b64(name)>|<len>[,…]` (v5), or a stats block
+    * `b64(col)|typ|b64(min)|b64(max)[|nulls]` (4 parts pre-v5, 5 in v5) —
+    * the prefixes are unambiguous because base64 has no `:`. A bare name
     * (v1, or a stats-free commit) parses to an entry with empty stats.
     */
-  private def fmtEntry(e: SegmentEntry): String =
-    (e.name +: e.stats.toSeq.sortBy(_._1).map { case (c, st) =>
-      Seq(b64(c), st.typ, st.min.map(b64).getOrElse(""), st.max.map(b64).getOrElse(""))
+  private def fmtEntry(e: SegmentEntry): String = {
+    val rowF = e.rows.map(r => s"rows:$r").toSeq
+    val fileF =
+      if (e.files.isEmpty) Nil
+      else Seq("files:" + e.files.map { case (n, l) => s"${b64(n)}|$l" }.mkString(","))
+    val statF = e.stats.toSeq.sortBy(_._1).map { case (c, st) =>
+      Seq(b64(c), st.typ, st.min.map(b64).getOrElse(""), st.max.map(b64).getOrElse(""),
+        st.nulls.map(_.toString).getOrElse(""))
         .mkString("|")
-    }).mkString("\t")
+    }
+    (e.name +: (rowF ++ fileF ++ statF)).mkString("\t")
+  }
 
   private def parseEntry(line: String): SegmentEntry = {
     val parts = line.split('\t')
-    SegmentEntry(parts.head, parts.tail.iterator.map { f =>
-      val Array(c, t, mn, mx) = f.split("\\|", -1)
-      unb64(c) -> ColStats(t,
-        Some(mn).filter(_.nonEmpty).map(unb64),
-        Some(mx).filter(_.nonEmpty).map(unb64))
-    }.toMap)
+    var rows: Option[Long] = None
+    var files: Seq[(String, Long)] = Nil
+    val stats = Map.newBuilder[String, ColStats]
+    parts.tail.foreach { f =>
+      if (f.startsWith("rows:")) rows = Some(f.stripPrefix("rows:").toLong)
+      else if (f.startsWith("files:"))
+        files = f.stripPrefix("files:").split(',').toSeq.map { x =>
+          val Array(n, l) = x.split("\\|", -1)
+          (unb64(n), l.toLong)
+        }
+      else {
+        val a = f.split("\\|", -1) // 4 parts pre-v5, 5 from v5 on
+        stats += unb64(a(0)) -> ColStats(a(1),
+          Some(a(2)).filter(_.nonEmpty).map(unb64),
+          Some(a(3)).filter(_.nonEmpty).map(unb64),
+          if (a.length > 4 && a(4).nonEmpty) Some(a(4).toLong) else None)
+      }
+    }
+    SegmentEntry(parts.head, stats.result(), 0L, files, rows)
   }
 
   private def readManifest(fs: FileSystem, p: Path)
@@ -203,13 +237,14 @@ object ManifestStore {
     finally in.close()
     val header = lines.headOption
     require(header.exists(h =>
-      h == Header || h == HeaderV2 || h == HeaderV3 || h == HeaderV4),
+      h == Header || h == HeaderV2 || h == HeaderV3 || h == HeaderV4 ||
+        h == HeaderV5),
       s"$p is not a graft manifest (header $header)")
     val body = lines.tail.filter(_.nonEmpty)
     val (schemaLines, rest) = body.partition(_.startsWith("schema\t"))
     val schema = schemaLines.headOption.map(l =>
       DataType.fromJson(unb64(l.split("\t", 2)(1))).asInstanceOf[StructType])
-    if (header.contains(HeaderV4)) {
+    if (header.contains(HeaderV4) || header.contains(HeaderV5)) {
       val segs = rest.filter(_.startsWith("seg\t")).map { l =>
         val Array(_, seq, e) = l.split("\t", 3)
         parseEntry(e).copy(seq = seq.toLong)
@@ -399,9 +434,9 @@ object ManifestStore {
     val tmp = new Path(root,
       s"$ManifestDir/.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, false)
-    // always v4 going forward (v1-v3 manifests stay readable); every
+    // always v5 going forward (v1-v4 manifests stay readable); every
     // entry rides with the seq its committer stamped
-    val lines = HeaderV4 +:
+    val lines = HeaderV5 +:
       (schema.map(sch => s"schema\t${b64(sch.json)}").toSeq ++
         entries.map(e => s"seg\t${e.seq}\t${fmtEntry(e)}") ++
         deletes.map(d => s"del\t${d.seq}\t${b64(d.keyCol)}\t${d.name}"))
@@ -429,30 +464,48 @@ object ManifestStore {
       s"ManifestStore statsCols: ${f.name} has non-orderable type ${t.simpleString}")
   }
 
-  /** One column-pruned min/max aggregation over the just-written segment
-    * (reads ONLY `statsCols`; the files are hot — this is the entire extra
-    * cost of stats-bearing commits).
+  /** One column-pruned aggregation over the just-written segment (reads
+    * ONLY `statsCols`; the files are hot — this is the entire extra cost
+    * of stats-bearing commits): per-column min/max/null-count plus the
+    * segment row count, all in the SAME Aggregate.
     */
   private def segmentStats(spark: SparkSession, segPath: String,
-      statsCols: Seq[String]): Map[String, ColStats] = {
-    if (statsCols.isEmpty) return Map.empty
+      statsCols: Seq[String]): (Map[String, ColStats], Option[Long]) = {
+    if (statsCols.isEmpty) return (Map.empty, None)
     val df = spark.read.parquet(segPath)
     val fields = statsCols.map(c => df.schema.fields.find(_.name == c).getOrElse(
       throw new IllegalArgumentException(s"statsCols: no column $c in segment schema")))
     val typed = fields.map(statsTyp)
-    val aggs = typed.zipWithIndex.flatMap { case ((_, c), i) =>
-      Seq(min(c).cast(StringType).as(s"mn_$i"), max(c).cast(StringType).as(s"mx_$i")) }
+    val aggs = count(lit(1)).as("rows") +:
+      typed.zipWithIndex.flatMap { case ((_, c), i) =>
+        Seq(min(c).cast(StringType).as(s"mn_$i"), max(c).cast(StringType).as(s"mx_$i"),
+          count(col(statsCols(i))).as(s"nn_$i")) }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
-    statsCols.zipWithIndex.map { case (name, i) =>
+    val rows = row.getLong(0)
+    val stats = statsCols.zipWithIndex.map { case (name, i) =>
       name -> ColStats(typed(i)._1,
-        Option(row.getString(2 * i)), Option(row.getString(2 * i + 1)))
+        Option(row.getString(3 * i + 1)), Option(row.getString(3 * i + 2)),
+        Some(rows - row.getLong(3 * i + 3)))
     }.toMap
+    (stats, Some(rows))
   }
 
+  /** The segment's data files (name + length, relative to the segment
+    * dir), listed ONCE at commit time while the committer's metadata is
+    * hot — every later read plans from this recorded list with zero FS
+    * calls on the data tree.
+    */
+  private def listSegmentFiles(fs: FileSystem, segPath: Path): Seq[(String, Long)] =
+    fs.listStatus(segPath).toSeq.filter { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }.map(s => (s.getPath.getName, s.getLen)).sortBy(_._1)
+
   /** Write `df` into a fresh (not yet referenced) segment directory.
-    * Returns the segment entry (stats attached when `statsCols` declared),
-    * or None when `df` is empty — an empty spark parquet write has no
-    * schema-bearing files, and an empty commit would be a no-op anyway.
+    * Returns the segment entry (stats attached when `statsCols` declared;
+    * file list always stamped), or None when `df` is empty — an empty
+    * spark parquet write has no schema-bearing files, and an empty commit
+    * would be a no-op anyway.
     */
   private def writeSegment(spark: SparkSession, root: Path, df: DataFrame,
       statsCols: Seq[String]): Option[SegmentEntry] = {
@@ -469,7 +522,9 @@ object ManifestStore {
       w.option(s"parquet.bloom.filter.enabled#$c", "true")
     }
     withBlooms.parquet(segPath)
-    Some(SegmentEntry(seg, segmentStats(spark, segPath, statsCols)))
+    val (stats, rows) = segmentStats(spark, segPath, statsCols)
+    val files = listSegmentFiles(fsOf(spark, root), new Path(root, seg))
+    Some(SegmentEntry(seg, stats, 0L, files, rows))
   }
 
   /** Fail fast when a commit's columns diverge from the table's: a
@@ -662,8 +717,8 @@ object ManifestStore {
       bounds.forall { case (c, lo, hi) =>
         e.stats.get(c) match {
           case None => true // no stats recorded — cannot prune
-          case Some(ColStats(_, None, None)) => false // all-NULL column
-          case Some(ColStats(typ, mn, mx)) =>
+          case Some(ColStats(_, None, None, _)) => false // all-NULL column
+          case Some(ColStats(typ, mn, mx, _)) =>
             val (l, h) = (boundKey(typ, lo), boundKey(typ, hi))
             mn.forall(m => leq(statKey(typ, m), h)) &&
               mx.forall(m => leq(l, statKey(typ, m)))
@@ -708,8 +763,8 @@ object ManifestStore {
     val kept = snap.entries.filter { e =>
       e.stats.get(keyCol) match {
         case None => true // no stats recorded — cannot prune
-        case Some(ColStats(_, None, None)) => false // all-NULL column
-        case Some(ColStats(typ, mn, mx)) => values.exists { v =>
+        case Some(ColStats(_, None, None, _)) => false // all-NULL column
+        case Some(ColStats(typ, mn, mx, _)) => values.exists { v =>
           val k = boundKey(typ, v)
           mn.forall(m => leq(statKey(typ, m), k)) &&
             mx.forall(m => leq(k, statKey(typ, m)))
@@ -737,19 +792,32 @@ object ManifestStore {
     val root = new Path(path)
     val fs = fsOf(spark, root)
     val meta = snap.entries.map { e =>
-      val sum = fs.getContentSummary(new Path(root, e.name))
-      (e.name, sum.getLength, sum.getFileCount,
-        e.stats.keys.toSeq.sorted.mkString(","))
-    }.toDF("segment", "bytes", "files", "stats_cols")
+      // v5 entries carry their file list and row count — zero FS calls;
+      // pre-v5 entries fall back to a content summary per segment
+      val (bytes, nFiles) =
+        if (e.files.nonEmpty) (e.files.map(_._2).sum, e.files.size.toLong)
+        else {
+          val sum = fs.getContentSummary(new Path(root, e.name))
+          (sum.getLength, sum.getFileCount)
+        }
+      val nulls = e.stats.toSeq.sortBy(_._1)
+        .flatMap { case (c, st) => st.nulls.map(n => s"$c=$n") }.mkString(",")
+      (e.name, bytes, nFiles, e.stats.keys.toSeq.sorted.mkString(","),
+        e.rows, nulls)
+    }.toDF("segment", "bytes", "files", "stats_cols", "manifest_rows", "null_counts")
     // PHYSICAL layout view: raw per-file rows — outstanding MOR deletes
-    // are layout debt, not data, so they do not shrink these counts
-    val rows = readSegs(spark, snap,
-        snap.entries.map(e => new Path(root, e.name).toString))
-      .groupBy(regexp_extract(input_file_name(), "/(seg-[^/]+)/[^/]*$", 1).as("segment"))
-      .agg(count(lit(1)).as("rows"))
-    meta.join(rows, Seq("segment"), "left")
-      .select(col("segment"), coalesce(col("rows"), lit(0L)).as("rows"),
-        col("bytes"), col("files"), col("stats_cols"),
+    // are layout debt, not data, so they do not shrink these counts. Only
+    // segments WITHOUT a recorded row count pay the footer job.
+    val need = snap.entries.filter(_.rows.isEmpty)
+    val footer =
+      if (need.isEmpty) Seq.empty[(String, Long)].toDF("segment", "footer_rows")
+      else readSegs(spark, snap, need.map(e => new Path(root, e.name).toString))
+        .groupBy(regexp_extract(input_file_name(), "/(seg-[^/]+)/[^/]*$", 1).as("segment"))
+        .agg(count(lit(1)).as("footer_rows"))
+    meta.join(footer, Seq("segment"), "left")
+      .select(col("segment"),
+        coalesce(col("manifest_rows"), col("footer_rows"), lit(0L)).as("rows"),
+        col("bytes"), col("files"), col("stats_cols"), col("null_counts"),
         lit(snap.version).as("version"))
       .orderBy("segment")
   }
@@ -782,7 +850,8 @@ object ManifestStore {
     val root = new Path(path)
     val fs = fsOf(spark, root)
     val sizes = snap.entries.map(e =>
-      fs.getContentSummary(new Path(root, e.name)).getLength).sorted
+      if (e.files.nonEmpty) e.files.map(_._2).sum
+      else fs.getContentSummary(new Path(root, e.name)).getLength).sorted
     val n = snap.entries.size
     if (n == 0)
       return MaintenanceReport("none", "empty table", 0, 0, applied = false)
@@ -849,24 +918,23 @@ object ManifestStore {
         var attempt = 0
         while (attempt < MaxRetries) {
           val base = current(spark, path).getOrElse(Snapshot(0L, Nil))
-          // add-column evolution: the manifest records the UNION schema
-          // (table columns first, new ones appended); every read from now
-          // on resolves through it, null-filling older segments. Without
-          // mergeSchema the base's recorded schema (if any) carries over.
-          val schema =
-            if (!mergeSchema) base.schema
-            else {
-              val existing =
-                if (base.entries.isEmpty) new StructType()
-                else tableSchema(spark, path, base)
-              val known = existing.fieldNames.toSet
-              // nullable: evolved columns are ABSENT in older segments, so
-              // the recorded schema must allow the null-fill (a required
-              // column would make the vectorized reader refuse those files)
-              Some(StructType((existing.fields ++
-                df.schema.fields.filterNot(f => known(f.name)))
-                .map(_.copy(nullable = true))))
-            }
+          // EVERY commit records the table schema (v5 discipline): the
+          // union schema — table columns first, new ones appended (only
+          // mergeSchema admits new ones past requireCompatible) — so reads
+          // never resolve schema from data-file footers: combined with the
+          // recorded file lists, planning a read makes zero data-tree FS
+          // calls. nullable: evolved columns are ABSENT in older segments,
+          // so the recorded schema must allow the null-fill (a required
+          // column would make the vectorized reader refuse those files).
+          val schema = {
+            val existing =
+              if (base.entries.isEmpty) new StructType()
+              else tableSchema(spark, path, base)
+            val known = existing.fieldNames.toSet
+            Some(StructType((existing.fields ++
+              df.schema.fields.filterNot(f => known(f.name)))
+              .map(_.copy(nullable = true))))
+          }
           val stamped = entry.copy(seq = base.version + 1)
           if (tryPublish(fs, root, base.version + 1, base.entries :+ stamped,
               schema, base.deletes))
@@ -912,10 +980,14 @@ object ManifestStore {
           val nFresh = freshC.count()
           if (nFresh == 0L)
             return UpsertReport(0L, nDropped, nBatch, base.version)
+          // v5: every commit records the table schema (first commit: the
+          // batch's, nullable-relaxed) so reads never touch data footers
+          val schema = base.schema.orElse(Some(StructType(
+            freshC.schema.fields.map(_.copy(nullable = true)))))
           writeSegment(spark, root, freshC, statsCols) match {
             case Some(entry) if tryPublish(fs, root, base.version + 1,
                 base.entries :+ entry.copy(seq = base.version + 1),
-                base.schema, base.deletes) =>
+                schema, base.deletes) =>
               return UpsertReport(nFresh, nDropped, nBatch - nFresh, base.version + 1)
             case _ => () // lost the race: recompute against the winner
           }
@@ -948,9 +1020,9 @@ object ManifestStore {
       val entry = writeSegment(spark, root, made, statsCols)
         .map(_.copy(seq = base.version + 1))
       // a rewrite replaces every segment, so the rewrite OUTPUT's schema is
-      // authoritative — keep recording one iff the base recorded one (make
-      // may legitimately migrate the schema, e.g. a column drop)
-      val schema = base.schema.map(_ => made.schema)
+      // authoritative — always recorded (v5), nullable-relaxed (make may
+      // legitimately migrate the schema, e.g. a column drop)
+      val schema = Some(StructType(made.schema.fields.map(_.copy(nullable = true))))
       // an empty rewrite result (e.g. deleteKeys removed every row) commits
       // an empty segment list — readers then see an explicitly empty table.
       // readAt applied any outstanding merge-on-read deletes, so the
@@ -1358,23 +1430,28 @@ object ManifestStore {
         .sortWithinPartitions("zk")
         .drop("rn", "zk")
         .write.partitionBy("zseg").parquet(stage.toString)
-      // per-segment stats in ONE grouped aggregation over the staged tree
-      // (zseg comes back as the partition-directory column)
-      val statsBySeg: Map[Int, Map[String, ColStats]] =
+      // per-segment stats (min/max/null-count + row count) in ONE grouped
+      // aggregation over the staged tree (zseg comes back as the
+      // partition-directory column)
+      val statsBySeg: Map[Int, (Map[String, ColStats], Option[Long])] =
         if (statsCols.isEmpty) Map.empty
         else {
           val staged = spark.read.parquet(stage.toString)
           val fields = statsCols.map(c => staged.schema.fields.find(_.name == c)
             .getOrElse(throw new IllegalArgumentException(s"statsCols: no column $c")))
           val typed = fields.map(statsTyp)
-          val aggs = typed.zipWithIndex.flatMap { case ((_, c), i) =>
-            Seq(min(c).cast(StringType).as(s"mn_$i"),
-              max(c).cast(StringType).as(s"mx_$i")) }
+          val aggs = count(lit(1)).as("rows") +:
+            typed.zipWithIndex.flatMap { case ((_, c), i) =>
+              Seq(min(c).cast(StringType).as(s"mn_$i"),
+                max(c).cast(StringType).as(s"mx_$i"),
+                count(col(statsCols(i))).as(s"nn_$i")) }
           staged.groupBy(col("zseg")).agg(aggs.head, aggs.tail: _*).collect().map { row =>
-            row.getAs[Int]("zseg") -> statsCols.zipWithIndex.map { case (name, i) =>
+            val rows = row.getAs[Long]("rows")
+            row.getAs[Int]("zseg") -> (statsCols.zipWithIndex.map { case (name, i) =>
               name -> ColStats(typed(i)._1,
-                Option(row.getAs[String](s"mn_$i")), Option(row.getAs[String](s"mx_$i")))
-            }.toMap
+                Option(row.getAs[String](s"mn_$i")), Option(row.getAs[String](s"mx_$i")),
+                Some(rows - row.getAs[Long](s"nn_$i")))
+            }.toMap, Some(rows): Option[Long])
           }.toMap
         }
       // promote each staged zseg directory to a root-level segment
@@ -1386,12 +1463,17 @@ object ManifestStore {
           val seg = s"seg-$stageId-$k"
           require(fs.rename(st.getPath, new Path(root, seg)),
             s"cluster: failed to promote staged segment ${st.getPath}")
-          SegmentEntry(seg, statsBySeg.getOrElse(k, Map.empty), base.version + 1)
+          val (stats, rows) = statsBySeg.getOrElse(k, (Map.empty[String, ColStats], None))
+          SegmentEntry(seg, stats, base.version + 1,
+            listSegmentFiles(fs, new Path(root, seg)), rows)
         }
       try fs.delete(stage, true) catch { case _: java.io.IOException => () }
       require(entries.nonEmpty, s"cluster: staged write produced no segments at $path")
-      if (tryPublish(fs, root, base.version + 1, entries, base.schema))
-        return Snapshot(base.version + 1, entries, base.schema)
+      // v5: record the schema even when the base predates schema recording
+      val schema = base.schema.orElse(Some(StructType(
+        df.schema.fields.map(_.copy(nullable = true)))))
+      if (tryPublish(fs, root, base.version + 1, entries, schema))
+        return Snapshot(base.version + 1, entries, schema)
       attempt += 1 // CAS lost: promoted segments are invisible; vacuum reclaims
     }
     throw new IllegalStateException(

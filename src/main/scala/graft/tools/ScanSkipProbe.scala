@@ -10,8 +10,11 @@ import graft.ops.{ManifestRead, ManifestStore}
   * table from the events fixture, run the SAME selective interval filter
   * through (a) the Catalyst-integrated manifest index and (b) a plain
   * whole-table read, and print wall time + the files the scan actually
-  * opened (numFiles metric). The interesting number at scale is (a)'s
-  * file count tracking the SLICE while (b) tracks the table.
+  * opened (numFiles metric) + the filesystem METADATA calls each path
+  * made on the data tree ([[CountingFs]] meter) — at object-store scale
+  * the listStatus round-trips are the planning bottleneck the manifest's
+  * recorded file lists exist to kill, so the probe reports them beside
+  * bytes.
   * Usage: `sbt "runMain graft.tools.ScanSkipProbe <sfDir> [segments=32]"`.
   */
 object ScanSkipProbe {
@@ -25,12 +28,13 @@ object ScanSkipProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    CountingFs.install(spark)
 
     val ev = graft.analytics.Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"))
       .where(col("event_id").isNotNull)
-    val path = java.nio.file.Files.createTempDirectory("graft-skipprobe-")
-      .toString + "/t"
+    val path = "countfs:" + java.nio.file.Files
+      .createTempDirectory("graft-skipprobe-").toString + "/t"
     ManifestStore.append(spark, ev, path)
     ManifestStore.cluster(spark, path, axes = Seq("event_id"),
       segments = segments, statsCols = Seq("event_id"))
@@ -40,23 +44,30 @@ object ScanSkipProbe {
     // an interval inside ONE slice's key range
     val (qLo, qHi) = (lo + width / 4, lo + width / 2)
 
-    def timedCount(df: org.apache.spark.sql.DataFrame): (Long, Double, Long) = {
+    // (rows, wall sec, files planned, data-tree listStatus, data-tree getFileStatus)
+    def timedCount(mk: => org.apache.spark.sql.DataFrame): (Long, Double, Long, Int, Int) = {
+      CountingFs.start()
       val t0 = System.nanoTime()
-      val q = df.where(col("event_id").between(qLo, qHi))
-      q.collect() // execute THIS plan so its scan metrics populate
+      val q = mk.where(col("event_id").between(qLo, qHi))
+      q.collect() // execute THIS plan so its scan partitions materialize
       val sec = (System.nanoTime() - t0) / 1e9
+      val calls = CountingFs.stop()
       val files = q.queryExecution.executedPlan.collectLeaves().collectFirst {
         case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-          f.metrics("numFiles").value
+          f.inputRDDs().head.partitions.map(
+            _.asInstanceOf[org.apache.spark.sql.execution.datasources.FilePartition]
+              .files.length.toLong).sum
       }.getOrElse(-1L)
-      (q.count(), sec, files)
+      val segCalls = calls.filter(_._2.contains("/seg-"))
+      (q.count(), sec, files,
+        segCalls.count(_._1 == "listStatus"), segCalls.count(_._1 == "getFileStatus"))
     }
-    val (nCat, tCat, fCat) = timedCount(ManifestRead.readCatalyst(spark, path))
-    val (nAll, tAll, fAll) = timedCount(ManifestStore.read(spark, path))
+    val (nCat, tCat, fCat, lsCat, gsCat) = timedCount(ManifestRead.readCatalyst(spark, path))
+    val (nAll, tAll, fAll, lsAll, gsAll) = timedCount(ManifestStore.read(spark, path))
     require(nCat == nAll, s"pruned read must match full read: $nCat vs $nAll")
     println(f"SCANSKIP sf=$dir segments=$segments rows=$nCat%d " +
-      f"catalystSec=$tCat%.2f catalystFiles=$fCat%d " +
-      f"fullSec=$tAll%.2f fullFiles=$fAll%d")
+      f"catalystSec=$tCat%.2f catalystFiles=$fCat%d catalystListStatus=$lsCat%d catalystGetFileStatus=$gsCat%d " +
+      f"fullSec=$tAll%.2f fullFiles=$fAll%d fullListStatus=$lsAll%d fullGetFileStatus=$gsAll%d")
     spark.stop()
   }
 }

@@ -466,11 +466,14 @@ class ManifestStoreSpec extends SparkSpec {
     ManifestStore.append(spark, Seq((3L, "c")).toDF("k", "v"), path)
     val d = ManifestStore.describe(spark, path).collect()
     assert(d.length == 2)
-    assert(d.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L), "per-segment row counts")
-    assert(d.forall(_.getLong(2) > 0L), "bytes from FS metadata")
+    assert(d.map(_.getAs[Long]("rows")).sorted.toSeq == Seq(1L, 2L),
+      "per-segment row counts")
+    assert(d.forall(_.getAs[Long]("bytes") > 0L), "bytes from recorded file lists")
     // stats coverage identifies the unprunable segment
-    assert(d.map(_.getString(4)).sorted.toSeq == Seq("", "k"))
-    assert(d.forall(_.getLong(5) == 2L), "current version on every row")
+    assert(d.map(_.getAs[String]("stats_cols")).sorted.toSeq == Seq("", "k"))
+    assert(d.map(_.getAs[String]("null_counts")).sorted.toSeq == Seq("", "k=0"),
+      "v5 null counts surface per stats column")
+    assert(d.forall(_.getAs[Long]("version") == 2L), "current version on every row")
   }
 
   test("concurrent merges: CAS losers recompute against the winner, nothing is lost") {
