@@ -2710,6 +2710,46 @@ object RelationalQueries {
           .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
             "\n) ORDER BY lang, check_id, col_name")
       }
+    ),
+    Q(
+      "sql3_manifest_insert",
+      "Pure-SQL write surface for manifest tables " +
+        "(sources/ManifestTableProvider, DSv2 with V1 shims — the analog " +
+        "of the reference writing its Gold table with plain DuckDB SQL, " +
+        "cleaner/duckdb_writer.py:141-207): CREATE TABLE ... USING " +
+        "graft-manifest, two INSERT INTO commits (append: one segment + " +
+        "one CAS publish each, stats via the statscols option), one " +
+        "INSERT OVERWRITE (rewriteAll), then a filtered aggregate " +
+        "SELECT back through the same catalog table — the read rides the " +
+        "zero-listing manifest FileIndex, so the WHERE prunes segments " +
+        "from recorded stats. The oracle replays the final table algebra " +
+        "over the raw parquet, so the whole SQL write/read lifecycle must " +
+        "agree with declarative semantics row for row",
+      (s, d) => {
+        val scratch = java.nio.file.Files
+          .createTempDirectory("graft-sql3-").toString + "/t"
+        nation(s, d).createOrReplaceTempView("sql3_nation")
+        s.sql("DROP TABLE IF EXISTS sql3_tab")
+        s.sql("CREATE TABLE sql3_tab (n_nationkey INT, n_name STRING, " +
+          s"n_regionkey INT) USING `graft-manifest` " +
+          s"OPTIONS (path '$scratch', statscols 'n_nationkey')")
+        s.sql("INSERT INTO sql3_tab SELECT n_nationkey, n_name, n_regionkey " +
+          "FROM sql3_nation WHERE n_regionkey < 3")
+        s.sql("INSERT INTO sql3_tab SELECT n_nationkey, n_name, n_regionkey " +
+          "FROM sql3_nation WHERE n_regionkey >= 3")
+        s.sql("INSERT OVERWRITE sql3_tab SELECT n_nationkey, n_name, " +
+          "n_regionkey FROM sql3_nation WHERE n_nationkey % 2 = 0")
+        s.sql("""SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n,
+                |CAST(SUM(CAST(n_nationkey AS BIGINT)) AS BIGINT) AS key_sum,
+                |MIN(n_name) AS first_name
+                |FROM sql3_tab WHERE n_nationkey >= 2
+                |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+      },
+      Some("""SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n,
+             |CAST(SUM(CAST(n_nationkey AS BIGINT)) AS BIGINT) AS key_sum,
+             |MIN(n_name) AS first_name
+             |FROM nation WHERE n_nationkey % 2 = 0 AND n_nationkey >= 2
+             |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
     )
   )
 }

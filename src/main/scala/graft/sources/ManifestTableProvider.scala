@@ -1,0 +1,170 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, SQLContext}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite,
+  Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder,
+  SupportsPushDownFilters, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo,
+  SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter,
+  InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.ops.{ManifestRead, ManifestStore}
+
+/** SQL surface for [[ManifestStore]] tables — the piece that makes the
+  * table format usable from pure SQL the way the reference's Gold table
+  * is from DuckDB (reference: cleaner/duckdb_writer.py:141-207 writes the
+  * Gold table with plain SQL INSERTs):
+  *
+  * {{{
+  *   CREATE TABLE t (k BIGINT, v STRING) USING `graft-manifest`
+  *     OPTIONS (path '/data/t' [, statscols 'k'])
+  *   INSERT INTO t SELECT ...        -- ManifestStore.append: one segment
+  *                                   -- + one CAS commit, safe under racers
+  *   INSERT OVERWRITE t SELECT ...   -- ManifestStore.rewriteAll
+  *   SELECT ... FROM t WHERE k > 5   -- the zero-listing manifest FileIndex,
+  *                                   -- segment-pruned from recorded stats
+  * }}}
+  *
+  * Implementation shape: a DSv2 [[TableProvider]] whose read and write
+  * both delegate through Spark's V1 shims — [[V1Scan]] hands Catalyst a
+  * filter-pushed DataFrame built on [[ManifestRead.readCatalyst]] (so SQL
+  * reads get the same manifest-stats segment pruning as the API path;
+  * pushed filters are re-applied row-level by Spark, so a missed
+  * translation costs I/O, never correctness), and [[V1Write]] maps
+  * INSERT INTO → `append` and INSERT OVERWRITE → `rewriteAll`, inheriting
+  * the CAS commit protocol — racing SQL INSERTs serialize exactly like
+  * racing API appenders (losers re-read and re-publish; nothing is lost).
+  * The `statscols` option declares min/max/null-count stats columns for
+  * every SQL-committed segment.
+  */
+class ManifestTableProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-manifest"
+
+  private def pathOf(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(throw new IllegalArgumentException(
+      "graft-manifest table needs a path option: OPTIONS (path '...')"))
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val spark = SparkSession.active
+    val path = pathOf(options)
+    ManifestStore.current(spark, path).filter(_.segments.nonEmpty)
+      .map(s => StructType(s.schema
+        .getOrElse(ManifestStore.readAt(spark, path, s).schema)
+        .fields.map(_.copy(nullable = true))))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no manifest table at $path yet — declare columns in CREATE TABLE " +
+          "to initialize a new one"))
+  }
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val path = Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-manifest table needs a path option: OPTIONS (path '...')"))
+    val statsCols = Option(properties.get("statscols")).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    new ManifestTable(path, schema, statsCols)
+  }
+}
+
+final class ManifestTable(path: String, declared: StructType,
+    statsCols: Seq[String]) extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = s"graft-manifest `$path`"
+  override def schema(): StructType = declared
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  /** The prunable subset of v1 filters as a Column predicate — exactly the
+    * shapes [[graft.ops.ManifestRead]]'s FileIndex can turn into segment
+    * skipping. Untranslated filters stay residual (Spark re-evaluates all
+    * of them row-level anyway).
+    */
+  private def translate(f: Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+    case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sources.LessThan(a, v) => Some(col(a) < lit(v))
+    case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case sources.In(a, vs) if vs.nonEmpty && !vs.contains(null) =>
+      Some(col(a).isin(vs.toSeq: _*))
+    case sources.IsNull(a) => Some(col(a).isNull)
+    case sources.IsNotNull(a) => Some(col(a).isNotNull)
+    case sources.And(l, r) =>
+      for (lc <- translate(l); rc <- translate(r)) yield lc && rc
+    case _ => None
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownFilters {
+      private var pushed: Array[Filter] = Array.empty
+
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        pushed = filters.filter(f => translate(f).isDefined)
+        filters // all stay residual: pushdown here only PRUNES, never filters
+      }
+      override def pushedFilters(): Array[Filter] = pushed
+
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = declared
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T = {
+          val pushedPred = pushed.flatMap(translate).reduceOption(_ && _)
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = context
+            override def schema: StructType = declared
+            override def buildScan(): RDD[Row] = {
+              val spark = context.sparkSession
+              val base =
+                if (ManifestStore.current(spark, path).exists(_.segments.nonEmpty))
+                  ManifestRead.readCatalyst(spark, path)
+                else // created but never written: a schema-correct empty table
+                  spark.createDataFrame(
+                    spark.sparkContext.emptyRDD[Row], declared)
+              pushedPred.foldLeft(base)(_ where _)
+                .select(declared.fieldNames.map(col).toSeq: _*)
+                .rdd
+            }
+          }.asInstanceOf[T]
+        }
+      }
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwriteArg: Boolean): Unit = {
+              val spark = data.sparkSession
+              // INSERT resolves by position; commit under the table's names
+              val aligned = data.toDF(declared.fieldNames.toSeq: _*)
+              val doOverwrite = overwrite || overwriteArg
+              if (doOverwrite &&
+                ManifestStore.current(spark, path).exists(_.segments.nonEmpty)) {
+                ManifestStore.rewriteAll(spark, path, _ => aligned,
+                  statsCols = statsCols)
+              } else {
+                ManifestStore.append(spark, aligned, path, statsCols = statsCols)
+              }
+              ()
+            }
+          }
+      }
+    }
+}
