@@ -914,36 +914,136 @@ object ManifestStore {
     current(spark, path).foreach(requireCompatible(spark, path, _, df, allowNew = mergeSchema))
     writeSegment(spark, root, df, statsCols) match {
       case None => current(spark, path).getOrElse(Snapshot(0L, Nil))
+      case Some(entry) => commitAppend(spark, fs, root, path, entry, df.schema)
+    }
+  }
+
+  /** The append CAS loop over an already-staged segment — shared by
+    * [[append]] and [[appendChecked]] (whose gate runs between staging
+    * and this publish).
+    */
+  private def commitAppend(spark: SparkSession, fs: FileSystem, root: Path,
+      path: String, entry: SegmentEntry, dfSchema: StructType): Snapshot = {
+    var attempt = 0
+    while (attempt < MaxRetries) {
+      val base = current(spark, path).getOrElse(Snapshot(0L, Nil))
+      // EVERY commit records the table schema (v5 discipline): the
+      // union schema — table columns first, new ones appended (only
+      // mergeSchema admits new ones past requireCompatible) — so reads
+      // never resolve schema from data-file footers: combined with the
+      // recorded file lists, planning a read makes zero data-tree FS
+      // calls. nullable: evolved columns are ABSENT in older segments,
+      // so the recorded schema must allow the null-fill (a required
+      // column would make the vectorized reader refuse those files).
+      val schema = {
+        val existing =
+          if (base.entries.isEmpty) new StructType()
+          else tableSchema(spark, path, base)
+        val known = existing.fieldNames.toSet
+        Some(StructType((existing.fields ++
+          dfSchema.fields.filterNot(f => known(f.name)))
+          .map(_.copy(nullable = true))))
+      }
+      val stamped = entry.copy(seq = base.version + 1)
+      if (tryPublish(fs, root, base.version + 1, base.entries :+ stamped,
+          schema, base.deletes))
+        return Snapshot(base.version + 1, base.entries :+ stamped,
+          schema, base.deletes)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"ManifestStore.append: lost the publish race $MaxRetries times at $path")
+  }
+
+  /** What a gated commit did: either the publish happened (`published`,
+    * `version` is the new snapshot's) or the batch was quarantined to
+    * `quarantine` (table version UNCHANGED) with the failing
+    * (check_id, col_name, violations) rows.
+    */
+  final case class GatedReport(published: Boolean, version: Long,
+      quarantine: Option[String], violations: Seq[(String, String, Long)])
+
+  private def quarantineSidecar(fs: FileSystem, dest: Path,
+      violations: Seq[(String, String, Long)]): Unit = {
+    val out = fs.create(new Path(dest, "_expectations.txt"), true)
+    val lines = violations.map { case (id, c, v) =>
+      s"check=$id col=$c violations=$v" }.mkString("\n")
+    try out.write((s"quarantined_at_ms=${System.currentTimeMillis()}\n" +
+      lines + "\n").getBytes(Utf8))
+    finally out.close()
+  }
+
+  /** Expectations-gated append — integrity checks ON write, the shape the
+    * reference runs inside its Gold writer (cleaner/duckdb_writer.py:
+    * 228-288 validates before committing): stage the segment (invisible),
+    * evaluate the [[Expectations]] suite over the STAGED files (one
+    * aggregation, reading bytes that are hot from the write), and publish
+    * only if every check passes. A failing batch never becomes a table
+    * version: the staged segment is RENAMED into
+    * `quarantineDir/batch=<id>/` (zero re-write — it holds exactly the
+    * batch's rows) with an `_expectations.txt` sidecar listing the
+    * failing checks, re-drivable after repair exactly like
+    * [[graft.streaming.Incremental.withDeadLetter]]'s layout. An empty
+    * batch trivially passes (no-op commit).
+    */
+  def appendChecked(spark: SparkSession, df: DataFrame, path: String,
+      checks: Seq[Expectations.Check], quarantineDir: String,
+      statsCols: Seq[String] = Nil, mergeSchema: Boolean = false): GatedReport = {
+    require(checks.nonEmpty, "appendChecked needs at least one check")
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    current(spark, path).foreach(requireCompatible(spark, path, _, df, allowNew = mergeSchema))
+    writeSegment(spark, root, df, statsCols) match {
+      case None =>
+        GatedReport(published = true,
+          current(spark, path).map(_.version).getOrElse(0L), None, Nil)
       case Some(entry) =>
-        var attempt = 0
-        while (attempt < MaxRetries) {
-          val base = current(spark, path).getOrElse(Snapshot(0L, Nil))
-          // EVERY commit records the table schema (v5 discipline): the
-          // union schema — table columns first, new ones appended (only
-          // mergeSchema admits new ones past requireCompatible) — so reads
-          // never resolve schema from data-file footers: combined with the
-          // recorded file lists, planning a read makes zero data-tree FS
-          // calls. nullable: evolved columns are ABSENT in older segments,
-          // so the recorded schema must allow the null-fill (a required
-          // column would make the vectorized reader refuse those files).
-          val schema = {
-            val existing =
-              if (base.entries.isEmpty) new StructType()
-              else tableSchema(spark, path, base)
-            val known = existing.fieldNames.toSet
-            Some(StructType((existing.fields ++
-              df.schema.fields.filterNot(f => known(f.name)))
-              .map(_.copy(nullable = true))))
-          }
-          val stamped = entry.copy(seq = base.version + 1)
-          if (tryPublish(fs, root, base.version + 1, base.entries :+ stamped,
-              schema, base.deletes))
-            return Snapshot(base.version + 1, base.entries :+ stamped,
-              schema, base.deletes)
-          attempt += 1
+        val staged = spark.read.parquet(new Path(root, entry.name).toString)
+        val failing = Expectations.run(staged, checks).where(!col("pass"))
+          .collect().map(r => (r.getString(0), r.getString(1), r.getLong(3))).toSeq
+        if (failing.isEmpty) {
+          val snap = commitAppend(spark, fs, root, path, entry, df.schema)
+          GatedReport(published = true, snap.version, None, Nil)
+        } else {
+          val dest = new Path(quarantineDir,
+            s"batch=${entry.name.stripPrefix("seg-")}")
+          fs.mkdirs(new Path(quarantineDir))
+          require(fs.rename(new Path(root, entry.name), dest),
+            s"appendChecked: failed to quarantine ${entry.name} to $dest")
+          quarantineSidecar(fs, dest, failing)
+          GatedReport(published = false,
+            current(spark, path).map(_.version).getOrElse(0L),
+            Some(dest.toString), failing)
         }
-        throw new IllegalStateException(
-          s"ManifestStore.append: lost the publish race $MaxRetries times at $path")
+    }
+  }
+
+  /** Expectations-gated MERGE: the suite runs over the SOURCE batch (one
+    * aggregation) before any staging; a failing batch is persisted to
+    * `quarantineDir/batch=<id>/` with the `_expectations.txt` sidecar and
+    * the table version is untouched. Returns Left(gated report) when
+    * quarantined, Right(merge report) when the merge ran.
+    */
+  def mergeChecked(spark: SparkSession, source: DataFrame, path: String,
+      key: String, checks: Seq[Expectations.Check], quarantineDir: String,
+      deleteWhen: Option[Column] = None, statsCols: Seq[String] = Nil,
+      insertWhen: Option[Column] = None, seqCol: Option[String] = None)
+      : Either[GatedReport, MergeReport] = {
+    require(checks.nonEmpty, "mergeChecked needs at least one check")
+    val failing = Expectations.run(source, checks).where(!col("pass"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(3))).toSeq
+    if (failing.isEmpty)
+      Right(merge(spark, source, path, key, deleteWhen, statsCols, insertWhen, seqCol))
+    else {
+      val fs = fsOf(spark, new Path(quarantineDir))
+      val dest = new Path(quarantineDir,
+        s"batch=${java.util.UUID.randomUUID()}")
+      source.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(dest.toString)
+      quarantineSidecar(fs, dest, failing)
+      Left(GatedReport(published = false,
+        current(spark, path).map(_.version).getOrElse(0L),
+        Some(dest.toString), failing))
     }
   }
 
