@@ -58,7 +58,16 @@ import org.apache.spark.sql.types._
   *    columns) are NEVER pruned — skipping is always conservative.
   *
   * Scale notes: a manifest is O(segments) lines of text — compaction keeps
-  * it short; the commit path adds zero Spark jobs beyond the data write
+  * it short, and the coefficient is MEASURED (SCALE.md session-13,
+  * `tools/ManifestDecade`): at 10 000 live segments the manifest is
+  * ~2 MB, `current()` parses it in ~16 ms, planning stays flat (~40 ms,
+  * zero data-tree FS calls with v5 recorded file lists) and commit
+  * latency is dominated by the segment write, not the manifest rewrite —
+  * flat is fine to 10⁴ segments, and [[maintain]]'s default
+  * `maxSegments = 64` advises compaction ~150× below that bound. If a
+  * deployment needs 10⁵+ live segments, chunk at the
+  * `readManifest`/`tryPublish` seam (one header version bump). The
+  * commit path adds zero Spark jobs beyond the data write
   * plus, when `statsCols` is declared, ONE column-pruned aggregation over
   * the freshly written segment (reads only the stats columns, hot in the
   * page cache); [[upsert]]'s conflict scan reads only the key column of
