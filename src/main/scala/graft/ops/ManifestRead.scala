@@ -71,21 +71,44 @@ object ManifestRead {
 
   private def readCatalystAt(spark: SparkSession, path: String,
       snap: Snapshot): DataFrame = {
-    // outstanding merge-on-read deletes need the per-sequence anti-join
-    // view, which a single file-backed relation can't express — fall back
-    // to the assembled read (correct, unpruned) until a compaction
-    // materializes the deletes and restores the planner-integrated path
-    if (snap.deletes.nonEmpty) return ManifestStore.readAt(spark, path, snap)
     // top-level nullable: segments written before a schema evolution lack
     // the evolved columns, and the vectorized reader null-fills a missing
     // column only when the data schema doesn't mark it required
     val schema = StructType(
       snap.schema.getOrElse(ManifestStore.readAt(spark, path, snap).schema)
         .fields.map(_.copy(nullable = true)))
-    val index = new ManifestFileIndex(spark, path, snap)
-    val rel = HadoopFsRelation(index, new StructType(), schema, None,
-      new ParquetFileFormat(), Map.empty)(spark)
-    spark.baseRelationToDataFrame(rel)
+    def planEntries(entries: Seq[ManifestStore.SegmentEntry]): DataFrame = {
+      val index = new ManifestFileIndex(spark, path,
+        snap.copy(entries = entries, deletes = Nil))
+      val rel = HadoopFsRelation(index, new StructType(), schema, None,
+        new ParquetFileFormat(), Map.empty)(spark)
+      spark.baseRelationToDataFrame(rel)
+    }
+    if (snap.deletes.isEmpty) return planEntries(snap.entries)
+    // outstanding merge-on-read deletes: the sequence rule says a delete
+    // at seq D suppresses keys only in segments with seq < D, so segments
+    // group by their position among the delete seqs and each group
+    // anti-joins exactly its applicable sidecars — HERE each group is
+    // still a planner-integrated relation, so ordinary where() filters
+    // keep pruning segments (Catalyst pushes predicates through the union
+    // and the anti-join's left side); the sidecars are O(delete batch)
+    // and broadcast
+    val delSeqs = snap.deletes.map(_.seq).distinct.sorted
+    val root = new org.apache.hadoop.fs.Path(path)
+    snap.entries.groupBy(e => delSeqs.count(_ > e.seq)).toSeq
+      .map { case (_, es) =>
+        val applicable = snap.deletes.filter(d => es.head.seq < d.seq)
+        applicable.groupBy(_.keyCol).foldLeft(planEntries(es)) {
+          case (df, (kc, ds)) =>
+            val keys = ds.map(d => spark.read
+                .parquet(new org.apache.hadoop.fs.Path(root, d.name).toString)
+                .select(org.apache.spark.sql.functions.col(kc)))
+              .reduce(_ unionByName _).distinct()
+            df.join(org.apache.spark.sql.functions.broadcast(keys),
+              Seq(kc), "left_anti")
+        }
+      }
+      .reduce(_ unionByName _)
   }
 
   /** Per-column prune state, conjunction-tightened: an Option-ended

@@ -1323,8 +1323,9 @@ object ManifestStore {
     * re-insert of a deleted key — [[upsert]] or [[merge]] — is visible,
     * not swallowed. The trade is per-read anti-join cost while deletes
     * are outstanding ([[maintain]]'s compaction clears the debt);
-    * [[ManifestRead.readCatalyst]] falls back to the assembled view when
-    * deletes are outstanding.
+    * [[ManifestRead.readCatalyst]] keeps planner-integrated segment
+    * pruning UNDER the anti-joins (one pruned relation per
+    * sequence-group, sidecars broadcast).
     */
   def deleteKeysMergeOnRead(spark: SparkSession, path: String, keyCol: String,
       keys: DataFrame): Snapshot = {

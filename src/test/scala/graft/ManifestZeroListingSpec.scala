@@ -144,4 +144,60 @@ class ManifestZeroListingSpec extends SparkSpec {
     assert(rowsBySeg.map(_._1).sorted == Seq(2L, 2L, 2L))
     assert(rowsBySeg.map(_._2).sorted == Seq("k=0,x=0", "k=0,x=1", "k=0,x=2"))
   }
+
+  /** Data files the executed plan enumerated across ALL file scans,
+    * counting only table segments (the MOR sidecar's own tiny scan is
+    * excluded by path). Unwraps AQE nodes — the anti-join makes the plan
+    * adaptive, which hides the scans from a plain collect.
+    */
+  private def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      allScans(a.executedPlan)
+    case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      allScans(s.plan)
+    case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+    case other => other.children.flatMap(allScans)
+  }
+
+  private def segFilesPlanned(df: org.apache.spark.sql.DataFrame): Int = {
+    df.collect()
+    allScans(df.queryExecution.executedPlan).map { f =>
+      f.inputRDDs().head.partitions.map(
+        _.asInstanceOf[org.apache.spark.sql.execution.datasources.FilePartition]
+          .files.count(_.urlEncodedPath.contains("/seg-"))).sum
+    }.sum
+  }
+
+  test("readCatalyst with outstanding MOR deletes: sequence rule applied AND segment pruning kept") {
+    val path = tmpDir("morCat") + "/t"
+    // three single-file segments with disjoint key ranges
+    ManifestStore.append(spark, Seq((1L, "a"), (5L, "b")).toDF("k", "v").coalesce(1),
+      path, statsCols = Seq("k"))
+    ManifestStore.append(spark, Seq((10L, "c"), (15L, "d")).toDF("k", "v").coalesce(1),
+      path, statsCols = Seq("k"))
+    ManifestStore.append(spark, Seq((20L, "e"), (25L, "f")).toDF("k", "v").coalesce(1),
+      path, statsCols = Seq("k"))
+    ManifestStore.deleteKeysMergeOnRead(spark, path, "k", Seq(5L, 20L).toDF("k"))
+    // a re-insert AFTER the delete must stay visible (seq rule)
+    ManifestStore.upsert(spark, Seq((5L, "B2")).toDF("k", "v"), path, "k",
+      statsCols = Seq("k"))
+
+    // the planner-integrated read agrees with the assembled view exactly
+    val cat = ManifestRead.readCatalyst(spark, path)
+    val catRows = cat.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val refRows = ManifestStore.read(spark, path)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(catRows == refRows)
+    assert(catRows == Map(1L -> "a", 10L -> "c", 15L -> "d", 25L -> "f", 5L -> "B2"))
+
+    // ordinary where() still prunes segments UNDER the anti-joins: the
+    // [10,15] probe must not open the other three segments' files
+    val q = ManifestRead.readCatalyst(spark, path)
+      .where(col("k") >= 10L && col("k") <= 15L)
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq == Seq(10L, 15L))
+    val planned = segFilesPlanned(q)
+    assert(planned == 1,
+      s"MOR-outstanding read must still prune segments: planned $planned of 4")
+  }
 }
