@@ -1590,6 +1590,44 @@ object ManifestStore {
       s"ManifestStore.cluster: lost the publish race $retries times at $path")
   }
 
+  /** RESTORE — the time-travel WRITE verb (Delta's RESTORE TABLE ...
+    * VERSION AS OF): make `version`'s content the current table state
+    * again by publishing a NEW commit whose entries, schema and
+    * outstanding deletes are the target snapshot's, VERBATIM — zero data
+    * I/O (segments are immutable and still on disk while the version
+    * resolves), one manifest publish, the ordinary CAS crash/race
+    * posture. History is never rewritten: versions after the restored
+    * one stay resolvable for time travel until [[vacuum]] ages them out,
+    * and the segments only they reference become ordinary orphans the
+    * next vacuum reclaims. Same retention contract as [[readVersion]]:
+    * the target must still resolve (and its segments must be within the
+    * grace window — a restore after vacuum reclaimed them would publish
+    * dangling entries, which is why the retention window and the restore
+    * horizon are the SAME knob). Restoring the current version is a
+    * no-op returning the current snapshot.
+    */
+  def restore(spark: SparkSession, path: String, version: Long): Snapshot = {
+    val target = snapshotAt(spark, path, version).getOrElse(
+      throw new IllegalStateException(
+        s"version $version at $path is not resolvable — never committed, or " +
+          "vacuumed past the retention window"))
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    var attempt = 0
+    while (attempt < MaxRetries) {
+      val base = current(spark, path).getOrElse(
+        throw new IllegalStateException(s"no manifest at $path"))
+      if (base.version == version) return base
+      if (tryPublish(fs, root, base.version + 1, target.entries,
+          target.schema.orElse(base.schema), target.deletes))
+        return Snapshot(base.version + 1, target.entries,
+          target.schema.orElse(base.schema), target.deletes)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"ManifestStore.restore: lost the publish race $MaxRetries times at $path")
+  }
+
   /** Reclaim invisible data: segment directories not referenced by the
     * LATEST manifest (crashed or race-losing writers' orphans, superseded
     * rewrite inputs), crashed [[cluster]] staging trees, manifest tmp

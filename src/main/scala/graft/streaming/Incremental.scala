@@ -760,6 +760,46 @@ object Incremental {
     streamingGold(spark, bronzePath, goldPath, checkpoint, corrId,
       vehicles, people, Trigger.ProcessingTime(interval))
 
+  /** Scheduled table-format maintenance — the daemon leg of
+    * [[graft.ops.ManifestStore.maintain]], the cron analog of
+    * [[scheduledGold]] (reference: scheduler/scheduler.py's cron loop):
+    * every `interval` tick runs the metadata-only advisor with
+    * `apply = true` (compacting when the layout drifts past budget or
+    * merge-on-read delete debt is outstanding, refusing to destroy a
+    * clustered layout) and then [[graft.ops.ManifestStore.vacuum]]s
+    * orphans past `graceMs`. The driver of the tick is a 1-row/s rate
+    * stream — the batch CONTENT is ignored; the checkpoint makes the
+    * daemon restartable like every other query here. Maintenance verbs
+    * are CAS commits, so a tick racing a live writer just retries —
+    * running this beside active appenders is safe by construction.
+    */
+  def scheduledMaintain(
+      spark: SparkSession,
+      tablePath: String,
+      checkpoint: String,
+      interval: String,
+      targetSegmentBytes: Long = 128L << 20,
+      maxSegments: Int = 64,
+      graceMs: Long = 24L * 3600 * 1000,
+      statsCols: Seq[String] = Nil,
+      trigger: Option[Trigger] = None): StreamingQuery =
+    spark.readStream
+      .format("rate").option("rowsPerSecond", 1)
+      .load()
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger.getOrElse(Trigger.ProcessingTime(interval)))
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        if (graft.ops.ManifestStore.current(spark, tablePath)
+            .exists(_.segments.nonEmpty)) {
+          graft.ops.ManifestStore.maintain(spark, tablePath,
+            targetSegmentBytes, maxSegments, apply = true, statsCols)
+          graft.ops.ManifestStore.vacuum(spark, tablePath, graceMs)
+          ()
+        }
+      }
+      .start()
+
   /** Streaming materialized-aggregate maintenance — the stream leg of
     * [[graft.ops.ScaleOps.writeAggState]]: each micro-batch reduces to one
     * (group, count, exact DECIMAL sum) row per group appended to the state

@@ -734,4 +734,59 @@ class ManifestStoreSpec extends SparkSpec {
     assert(deleted == 30 && remaining == 70, s"($deleted, $remaining)")
     assert(ManifestStore.read(spark, path).where(col("k") <= 30).count() == 0)
   }
+
+  test("restore: time-travel WRITE — old content republished as a new commit, history intact") {
+    val path = tmpDir("mstoreRestore") + "/t"
+    ManifestStore.append(spark, Seq((1L, "a")).toDF("k", "v"), path) // v1
+    ManifestStore.append(spark, Seq((2L, "b")).toDF("k", "v"), path) // v2
+    ManifestStore.merge(spark, Seq((1L, "A"), (3L, "c")).toDF("k", "v"),
+      path, "k") // v3: rewrite + insert
+    assert(ManifestStore.read(spark, path).count() == 3)
+    // restore v1: content exactly as of v1, zero data I/O, NEW version
+    val restored = ManifestStore.restore(spark, path, 1L)
+    assert(restored.version == 4L)
+    val rows = ManifestStore.read(spark, path)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "a")), s"restored content must be v1's: $rows")
+    // history is never rewritten: the in-between versions still resolve
+    assert(ManifestStore.history(spark, path) == Seq(1L, 2L, 3L, 4L))
+    assert(ManifestStore.readVersion(spark, path, 3L).count() == 3)
+    // the table keeps working after a restore (append on top)
+    ManifestStore.append(spark, Seq((9L, "z")).toDF("k", "v"), path)
+    assert(ManifestStore.read(spark, path).count() == 2)
+    // restoring the current version is a no-op
+    assert(ManifestStore.restore(spark, path, 5L).version == 5L)
+    // a restore TARGET with outstanding MOR deletes restores the deletes too
+    val p2 = tmpDir("mstoreRestore2") + "/t"
+    ManifestStore.append(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), p2) // v1
+    ManifestStore.deleteKeysMergeOnRead(spark, p2, "k", Seq(1L).toDF("k")) // v2
+    ManifestStore.compact(spark, p2, 1) // v3 materializes the delete
+    val r2 = ManifestStore.restore(spark, p2, 2L) // back to the MOR state
+    assert(r2.deletes.size == 1)
+    assert(ManifestStore.read(spark, p2).collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("scheduledMaintain: the maintenance daemon compacts drifted layout and vacuums orphans") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = tmpDir("mstoreDaemon")
+    val path = base + "/t"
+    // 6 tiny segments: over the maxSegments=3 budget below
+    (1 to 6).foreach(i => ManifestStore.append(spark,
+      Seq((i.toLong, s"v$i")).toDF("k", "v"), path))
+    // plus an aged orphan segment (a crashed writer's leftovers)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(path, "seg-orphan-crashed"))
+    Thread.sleep(30)
+    val q = graft.streaming.Incremental.scheduledMaintain(spark, path,
+      checkpoint = base + "/ckpt", interval = "1 second",
+      targetSegmentBytes = 1L << 30, maxSegments = 3, graceMs = 10,
+      trigger = Some(Trigger.AvailableNow()))
+    q.awaitTermination(60000)
+    val snap = ManifestStore.current(spark, path).get
+    assert(snap.entries.size < 6, s"daemon must compact: ${snap.entries.size}")
+    assert(ManifestStore.read(spark, path).count() == 6, "content unchanged")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path, "seg-orphan-crashed")),
+      "daemon must vacuum aged orphans")
+  }
 }
