@@ -57,7 +57,11 @@ class ManifestTableProvider extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
     val path = pathOf(options)
-    ManifestStore.current(spark, path).filter(_.segments.nonEmpty)
+    val snap = Option(options.get("versionasof")) match {
+      case Some(v) => ManifestStore.snapshotAt(spark, path, v.toLong)
+      case None => ManifestStore.current(spark, path)
+    }
+    snap.filter(_.segments.nonEmpty)
       .map(s => StructType(s.schema
         .getOrElse(ManifestStore.readAt(spark, path, s).schema)
         .fields.map(_.copy(nullable = true))))
@@ -70,19 +74,26 @@ class ManifestTableProvider extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val path = Option(properties.get("path")).getOrElse(
+    // the DataFrame reader hands options through case-SENSITIVELY
+    // (versionAsOf stays camelCase); normalize before lookup
+    val opts = new CaseInsensitiveStringMap(properties)
+    val path = Option(opts.get("path")).getOrElse(
       throw new IllegalArgumentException(
         "graft-manifest table needs a path option: OPTIONS (path '...')"))
-    val statsCols = Option(properties.get("statscols")).toSeq
+    val statsCols = Option(opts.get("statscols")).toSeq
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
-    new ManifestTable(path, schema, statsCols)
+    val versionAsOf = Option(opts.get("versionasof")).map(_.toLong)
+    new ManifestTable(path, schema, statsCols, versionAsOf)
   }
 }
 
 final class ManifestTable(path: String, declared: StructType,
-    statsCols: Seq[String]) extends Table with SupportsRead with SupportsWrite {
+    statsCols: Seq[String], versionAsOf: Option[Long] = None)
+    extends Table with SupportsRead with SupportsWrite {
 
-  override def name(): String = s"graft-manifest `$path`"
+  override def name(): String = versionAsOf
+    .map(v => s"graft-manifest `$path`@v$v")
+    .getOrElse(s"graft-manifest `$path`")
   override def schema(): StructType = declared
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
@@ -128,12 +139,20 @@ final class ManifestTable(path: String, declared: StructType,
             override def schema: StructType = declared
             override def buildScan(): RDD[Row] = {
               val spark = context.sparkSession
-              val base =
-                if (ManifestStore.current(spark, path).exists(_.segments.nonEmpty))
-                  ManifestRead.readCatalyst(spark, path)
-                else // created but never written: a schema-correct empty table
+              // versionAsOf = planner-integrated time travel as a frozen
+              // read-only view of that snapshot
+              val snap = versionAsOf match {
+                case Some(v) => ManifestStore.snapshotAt(spark, path, v)
+                case None => ManifestStore.current(spark, path)
+              }
+              val base = snap.filter(_.segments.nonEmpty) match {
+                case Some(s) if versionAsOf.isDefined =>
+                  ManifestRead.readCatalystVersion(spark, path, s.version)
+                case Some(_) => ManifestRead.readCatalyst(spark, path)
+                case None => // created but never written: schema-correct empty
                   spark.createDataFrame(
                     spark.sparkContext.emptyRDD[Row], declared)
+              }
               pushedPred.foldLeft(base)(_ where _)
                 .select(declared.fieldNames.map(col).toSeq: _*)
                 .rdd
@@ -143,7 +162,10 @@ final class ManifestTable(path: String, declared: StructType,
       }
     }
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(versionAsOf.isEmpty,
+      "a versionAsOf manifest table is a frozen read-only view — write to " +
+        "the live table (no versionAsOf option), or restore() the version first")
     new WriteBuilder with SupportsTruncate {
       private var overwrite = false
       override def truncate(): WriteBuilder = { overwrite = true; this }
@@ -167,4 +189,5 @@ final class ManifestTable(path: String, declared: StructType,
           }
       }
     }
+  }
 }

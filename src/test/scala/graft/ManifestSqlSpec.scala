@@ -66,6 +66,33 @@ class ManifestSqlSpec extends SparkSpec {
     spark.sql("DROP TABLE msql_p")
   }
 
+  test("versionAsOf: a frozen read-only time-travel view through the same provider") {
+    val dir = tmpDir("msqlAsOf") + "/t"
+    spark.sql("DROP TABLE IF EXISTS msql_v")
+    spark.sql(s"CREATE TABLE msql_v (k BIGINT, v STRING) USING `graft-manifest` " +
+      s"OPTIONS (path '$dir')")
+    spark.sql("INSERT INTO msql_v VALUES (1, 'a')") // v1
+    spark.sql("INSERT INTO msql_v VALUES (2, 'b')") // v2
+    // DataFrame-reader time travel
+    val asOf1 = spark.read.format("graft-manifest")
+      .option("path", dir).option("versionAsOf", "1").load()
+    assert(asOf1.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(spark.sql("SELECT COUNT(*) FROM msql_v").head().getLong(0) == 2L,
+      "the live table is unaffected")
+    // a frozen view refuses writes with a pointed message
+    spark.sql("DROP TABLE IF EXISTS msql_v1")
+    spark.sql(s"CREATE TABLE msql_v1 (k BIGINT, v STRING) USING `graft-manifest` " +
+      s"OPTIONS (path '$dir', versionAsOf '1')")
+    assert(spark.sql("SELECT k FROM msql_v1").as[Long].collect().toSeq == Seq(1L))
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO msql_v1 VALUES (9, 'x')")
+    }
+    assert(e.getMessage.contains("read-only") ||
+      Option(e.getCause).exists(_.getMessage.contains("read-only")),
+      s"expected the frozen-view write refusal, got: ${e.getMessage}")
+    spark.sql("DROP TABLE msql_v"); spark.sql("DROP TABLE msql_v1")
+  }
+
   test("racing SQL INSERTs: CAS serializes both, nothing lost, versions dense") {
     val dir = tmpDir("msqlRace") + "/t"
     spark.sql("DROP TABLE IF EXISTS msql_r")
