@@ -2750,6 +2750,33 @@ object RelationalQueries {
              |MIN(n_name) AS first_name
              |FROM nation WHERE n_nationkey % 2 = 0 AND n_nationkey >= 2
              |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+    ),
+    Q(
+      "sql4_restore",
+      "Time-travel WRITE verb end-to-end (ManifestStore.restore, the " +
+        "Delta RESTORE analog): commit two nation slices as v1/v2, " +
+        "restore v1 (the v2 slice disappears — its entries are simply " +
+        "not republished; zero data I/O, history intact), then append a " +
+        "third slice on top of the restored state and read back through " +
+        "the planner-integrated FileIndex. The oracle replays the " +
+        "surviving set algebra (first slice + post-restore slice) over " +
+        "the raw parquet, so restore's snapshot semantics must agree " +
+        "with declarative set semantics row for row",
+      (s, d) => {
+        import graft.ops.{ManifestRead, ManifestStore}
+        val scratch = java.nio.file.Files
+          .createTempDirectory("graft-sql4-").toString + "/t"
+        val n = nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+        ManifestStore.append(s, n.where(col("n_regionkey") < 2), scratch) // v1
+        ManifestStore.append(s, n.where(col("n_regionkey") >= 2), scratch) // v2
+        ManifestStore.restore(s, scratch, 1L) // v3 = v1's content
+        ManifestStore.append(s, n.where(col("n_regionkey") === 4), scratch) // v4
+        ManifestRead.readCatalyst(s, scratch)
+          .orderBy("n_nationkey")
+      },
+      Some("""SELECT n_nationkey, n_name, n_regionkey FROM nation
+             |WHERE n_regionkey < 2 OR n_regionkey = 4
+             |ORDER BY n_nationkey""".stripMargin)
     )
   )
 }

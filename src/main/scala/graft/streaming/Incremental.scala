@@ -800,6 +800,57 @@ object Incremental {
       }
       .start()
 
+  /** Scheduled change-feed replication — the packaged form of the CDC
+    * lane (primary commits → [[graft.ops.ManifestStore.pollChanges]] →
+    * replica): every `interval` tick polls the primary's manifest-diff
+    * feed from the crash-safe cursor and MERGEs the pending change frame
+    * into the replica table in EVENT ORDER (`seqCol = _commit_version`,
+    * so an insert-then-delete collision inside one poll applies
+    * correctly). At-least-once all the way down: a crash between apply
+    * and cursor advance redelivers the frame, and the merge re-applies
+    * it idempotently (same values re-update; delete-flagged rows cannot
+    * re-insert under the `insertWhen` gate). The replica's schema is the
+    * table's plus the `_change_type`/`_commit_version` provenance
+    * columns — drop them for the data view. A REWRITE on the primary
+    * (compact/cluster/COW delete) propagates [[graft.ops.ManifestStore.changes]]'
+    * loud failure into the query: full-refresh the replica from that
+    * snapshot, reset the cursor past it, restart the daemon — the same
+    * contract as every feed consumer. Replica staleness is measured FLAT
+    * as the primary grows (SCALE.md, artifacts/replica_lag_r11.json).
+    */
+  def scheduledReplica(
+      spark: SparkSession,
+      primaryPath: String,
+      replicaPath: String,
+      cursorPath: String,
+      checkpoint: String,
+      interval: String,
+      key: String,
+      statsCols: Seq[String] = Nil,
+      trigger: Option[Trigger] = None): StreamingQuery =
+    spark.readStream
+      .format("rate").option("rowsPerSecond", 1)
+      .load()
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger.getOrElse(Trigger.ProcessingTime(interval)))
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        if (graft.ops.ManifestStore.current(spark, primaryPath)
+            .exists(_.segments.nonEmpty)) {
+          graft.ops.ManifestStore.pollChanges(spark, primaryPath, cursorPath) {
+            frame =>
+              graft.ops.ManifestStore.merge(spark, frame, replicaPath, key,
+                deleteWhen = Some(col("_change_type") === "delete"),
+                insertWhen = Some(col("_change_type") =!= "delete"),
+                seqCol = Some("_commit_version"),
+                statsCols = statsCols)
+              ()
+          }
+          ()
+        }
+      }
+      .start()
+
   /** Streaming materialized-aggregate maintenance — the stream leg of
     * [[graft.ops.ScaleOps.writeAggState]]: each micro-batch reduces to one
     * (group, count, exact DECIMAL sum) row per group appended to the state

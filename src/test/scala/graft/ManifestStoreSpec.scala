@@ -766,6 +766,35 @@ class ManifestStoreSpec extends SparkSpec {
     assert(ManifestStore.read(spark, p2).collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 
+  test("scheduledReplica: the CDC daemon keeps a replica exact across upserts and MOR deletes") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = tmpDir("mstoreReplica")
+    val primary = base + "/p"; val replica = base + "/r"
+    val cursor = base + "/cursor"
+    def data(path: String) = ManifestStore.read(spark, path)
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    def tick(n: Int): Unit = {
+      val q = graft.streaming.Incremental.scheduledReplica(spark, primary,
+        replica, cursor, checkpoint = base + s"/ckpt$n", interval = "1 second",
+        key = "k", statsCols = Seq("k"), trigger = Some(Trigger.AvailableNow()))
+      q.awaitTermination(60000)
+    }
+    // wave 1: plain inserts
+    ManifestStore.upsert(spark, (1L to 5L).map(i => (i, s"v$i")).toDF("k", "v"),
+      primary, "k", statsCols = Seq("k"))
+    tick(1)
+    assert(data(replica) == data(primary))
+    // wave 2: more inserts + a merge-on-read delete, one poll applies both
+    ManifestStore.upsert(spark, (6L to 8L).map(i => (i, s"v$i")).toDF("k", "v"),
+      primary, "k", statsCols = Seq("k"))
+    ManifestStore.deleteKeysMergeOnRead(spark, primary, "k", Seq(1L, 2L).toDF("k"))
+    tick(2)
+    assert(data(replica) == data(primary))
+    assert(data(replica) == (3L to 8L).map(i => (i, s"v$i")).toSet)
+    // replica rows carry commit provenance
+    assert(ManifestStore.read(spark, replica).columns.contains("_commit_version"))
+  }
+
   test("scheduledMaintain: the maintenance daemon compacts drifted layout and vacuums orphans") {
     import org.apache.spark.sql.streaming.Trigger
     val base = tmpDir("mstoreDaemon")
