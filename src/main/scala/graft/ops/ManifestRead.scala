@@ -84,7 +84,11 @@ object ManifestRead {
         new ParquetFileFormat(), Map.empty)(spark)
       spark.baseRelationToDataFrame(rel)
     }
-    if (snap.deletes.isEmpty) return planEntries(snap.entries)
+    // deletes on an EMPTY table suppress nothing (a merge can empty every
+    // segment while MOR sidecars are still published) — and the grouped
+    // reduce below needs at least one group
+    if (snap.deletes.isEmpty || snap.entries.isEmpty)
+      return planEntries(snap.entries)
     // outstanding merge-on-read deletes: the sequence rule says a delete
     // at seq D suppresses keys only in segments with seq < D, so segments
     // group by their position among the delete seqs and each group

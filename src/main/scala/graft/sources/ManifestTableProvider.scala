@@ -45,7 +45,16 @@ import graft.ops.{ManifestRead, ManifestStore}
   * the CAS commit protocol — racing SQL INSERTs serialize exactly like
   * racing API appenders (losers re-read and re-publish; nothing is lost).
   * The `statscols` option declares min/max/null-count stats columns for
-  * every SQL-committed segment.
+  * every SQL-committed segment; `versionAsOf` plans a frozen read-only
+  * time-travel view.
+  *
+  * Read-path cost note: the V1 shim surfaces the scan as an RDD[Row], so
+  * a catalog-table SELECT pays one InternalRow→Row→InternalRow
+  * conversion at the boundary (the pruning/pushdown still happens inside
+  * the wrapped plan). For bulk analytical reads prefer
+  * [[ManifestRead.registerView]] / [[ManifestRead.readCatalyst]] — the
+  * zero-overhead path into the same FileIndex; this provider's job is
+  * the SQL WRITE lifecycle plus catalog persistence.
   */
 class ManifestTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-manifest"

@@ -200,4 +200,19 @@ class ManifestZeroListingSpec extends SparkSpec {
     assert(planned == 1,
       s"MOR-outstanding read must still prune segments: planned $planned of 4")
   }
+
+  test("readCatalyst on a merge-emptied table with outstanding MOR deletes returns empty, not a crash") {
+    val path = tmpDir("morEmpty") + "/t"
+    ManifestStore.append(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path)
+    ManifestStore.deleteKeysMergeOnRead(spark, path, "k", Seq(1L).toDF("k"))
+    // delete the only remaining visible key via merge: every segment is
+    // touched, the rewritten segment is EMPTY, the sidecar stays published
+    ManifestStore.merge(spark, Seq((2L, "D")).toDF("k", "v"), path, "k",
+      deleteWhen = Some(col("v") === "D"),
+      insertWhen = Some(col("v") =!= "D"))
+    val snap = ManifestStore.current(spark, path).get
+    assert(snap.entries.isEmpty && snap.deletes.nonEmpty,
+      s"fixture wants an emptied table with a live sidecar: $snap")
+    assert(ManifestRead.readCatalyst(spark, path).count() == 0L)
+  }
 }
