@@ -68,9 +68,13 @@ class ManifestStoreModelSpec extends SparkSpec {
         }
       }
 
+    // model state per committed version, so a restore's expected content
+    // is replayable from the model's own history
+    val modelHistory = scala.collection.mutable.Map.empty[Long, Map[Long, String]]
+
     (1 to 30).foreach { _ =>
       step += 1
-      rnd.nextInt(7) match {
+      rnd.nextInt(8) match {
         case 0 => // upsert: first-write-wins, only absent keys land
           val b = freshBatch(1 + rnd.nextInt(3))
           ManifestStore.upsert(spark, b.toDF("k", "v"), path, "k")
@@ -115,7 +119,17 @@ class ManifestStoreModelSpec extends SparkSpec {
             model.size >= 2)
             ManifestStore.cluster(spark, path, axes = Seq("k"),
               segments = 2, statsCols = Seq("k"))
+        case 7 => // restore: time-travel write back to a random recorded version
+          val resolvable = ManifestStore.history(spark, path)
+            .filter(modelHistory.contains)
+          if (resolvable.nonEmpty) {
+            val target = resolvable(rnd.nextInt(resolvable.size))
+            ManifestStore.restore(spark, path, target)
+            model.clear(); model ++= modelHistory(target)
+          }
       }
+      ManifestStore.current(spark, path).foreach(s =>
+        modelHistory(s.version) = model.toMap)
       assert(table() == model.toMap,
         s"store diverged from model at step $step: store=${table()} model=$model")
       // the whole READER surface must agree with the model too
