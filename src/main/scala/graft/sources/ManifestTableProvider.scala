@@ -8,7 +8,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite,
   Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder,
-  SupportsPushDownFilters, V1Scan}
+  SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo,
   SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
@@ -129,8 +129,10 @@ final class ManifestTable(path: String, declared: StructType,
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with SupportsPushDownFilters {
+    new ScanBuilder with SupportsPushDownFilters
+        with SupportsPushDownRequiredColumns {
       private var pushed: Array[Filter] = Array.empty
+      private var required: StructType = declared
 
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
         pushed = filters.filter(f => translate(f).isDefined)
@@ -138,14 +140,20 @@ final class ManifestTable(path: String, declared: StructType,
       }
       override def pushedFilters(): Array[Filter] = pushed
 
+      // column pruning reaches the inner parquet scan: a 2-column SELECT
+      // over a wide table must not read every column through the shim
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+
       override def build(): Scan = new V1Scan {
-        override def readSchema(): StructType = declared
+        override def readSchema(): StructType = required
         override def toV1TableScan[T <: BaseRelation with TableScan](
             context: SQLContext): T = {
           val pushedPred = pushed.flatMap(translate).reduceOption(_ && _)
+          val projected = required
           new BaseRelation with TableScan {
             override def sqlContext: SQLContext = context
-            override def schema: StructType = declared
+            override def schema: StructType = projected
             override def buildScan(): RDD[Row] = {
               val spark = context.sparkSession
               // versionAsOf = planner-integrated time travel as a frozen
@@ -162,8 +170,11 @@ final class ManifestTable(path: String, declared: StructType,
                   spark.createDataFrame(
                     spark.sparkContext.emptyRDD[Row], declared)
               }
+              // filter FIRST (it may reference pruned-away columns), then
+              // project to exactly the required columns (possibly zero —
+              // a COUNT(*) reads no columns at all)
               pushedPred.foldLeft(base)(_ where _)
-                .select(declared.fieldNames.map(col).toSeq: _*)
+                .select(projected.fieldNames.map(col).toSeq: _*)
                 .rdd
             }
           }.asInstanceOf[T]
