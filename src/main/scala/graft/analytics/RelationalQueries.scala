@@ -2777,6 +2777,36 @@ object RelationalQueries {
       Some("""SELECT n_nationkey, n_name, n_regionkey FROM nation
              |WHERE n_regionkey < 2 OR n_regionkey = 4
              |ORDER BY n_nationkey""".stripMargin)
+    ),
+    Q(
+      "sql5_time_travel",
+      "SQL time travel end-to-end (ManifestTableProvider versionAsOf): " +
+        "two INSERT commits build versions 1 and 2, then a SECOND catalog " +
+        "table over the same path frozen at versionAsOf '1' reads exactly " +
+        "the first commit's content through the planner-integrated " +
+        "FileIndex while the live table sees both. The oracle replays the " +
+        "first slice over the raw parquet, so snapshot isolation of the " +
+        "frozen view is hash-checked, not just spec-asserted",
+      (s, d) => {
+        val scratch = java.nio.file.Files
+          .createTempDirectory("graft-sql5-").toString + "/t"
+        region(s, d).select("r_regionkey", "r_name")
+          .createOrReplaceTempView("sql5_region")
+        s.sql("DROP TABLE IF EXISTS sql5_tab")
+        s.sql("DROP TABLE IF EXISTS sql5_v1")
+        s.sql("CREATE TABLE sql5_tab (r_regionkey INT, r_name STRING) " +
+          s"USING `graft-manifest` OPTIONS (path '$scratch')")
+        s.sql("INSERT INTO sql5_tab SELECT r_regionkey, r_name " +
+          "FROM sql5_region WHERE r_regionkey < 3") // v1
+        s.sql("INSERT INTO sql5_tab SELECT r_regionkey, r_name " +
+          "FROM sql5_region WHERE r_regionkey >= 3") // v2
+        s.sql("CREATE TABLE sql5_v1 (r_regionkey INT, r_name STRING) " +
+          s"USING `graft-manifest` OPTIONS (path '$scratch', versionAsOf '1')")
+        s.sql("""SELECT r_regionkey, r_name FROM sql5_v1
+                |ORDER BY r_regionkey""".stripMargin)
+      },
+      Some("""SELECT r_regionkey, r_name FROM region
+             |WHERE r_regionkey < 3 ORDER BY r_regionkey""".stripMargin)
     )
   )
 }
