@@ -313,7 +313,17 @@ object ManifestStore {
         val s = java.nio.file.Paths.get(tmp.toUri.getPath)
         val won =
           try { java.nio.file.Files.createLink(t, s); true }
-          catch { case _: java.io.IOException => false }
+          catch {
+            case _: java.io.IOException => false
+            // a local mount without hard-link support (some FUSE/overlay
+            // configurations): link(2) is structurally unavailable, not
+            // transiently failing — fall back to the marker protocol
+            // (claim files are create-exclusive via O_EXCL on file://, so
+            // exclusivity survives the downgrade) instead of crashing
+            // every commit on such a mount
+            case _: UnsupportedOperationException | _: SecurityException =>
+              return ExclusiveMarker.publish(fs, tmp, target)
+          }
         try java.nio.file.Files.deleteIfExists(s)
         catch { case _: java.io.IOException => () }
         won
@@ -379,7 +389,20 @@ object ManifestStore {
           catch { case _: java.io.IOException => false }
           // a helper may have completed our durable intent before we did —
           // target present means OUR manifest is installed (we own the claim)
-          renamed || fs.exists(target)
+          if (renamed || fs.exists(target)) true
+          else {
+            // transient install failure while we own the slot: ABORT the
+            // intent before reporting the loss. Order matters — delete the
+            // tmp FIRST (after that no helper can install it), re-check the
+            // target (a helper may have completed us just before the
+            // delete), and only then release the claim. Leaving the durable
+            // claim+tmp behind would let a later reader complete this
+            // commit at version N while our retry re-publishes the same
+            // segment at N+1 — the same rows committed twice.
+            quietDelete(fs, tmp)
+            if (fs.exists(target)) true
+            else { quietDelete(fs, claim); false }
+          }
         }
       }
     }
@@ -546,7 +569,9 @@ object ManifestStore {
     */
   private def requireCompatible(spark: SparkSession, path: String,
       snap: Snapshot, df: DataFrame, allowNew: Boolean = false): Unit = {
-    if (snap.segments.isEmpty) return
+    // an EMPTIED table still has its recorded schema — enforce it (only a
+    // schema-less pre-v5 empty snapshot accepts any shape)
+    if (snap.segments.isEmpty && snap.schema.isEmpty) return
     val existing = tableSchema(spark, path, snap)
     val have = existing.fields.map(f => f.name -> f.dataType).toMap
     val incoming = df.schema.fields.map(f => f.name -> f.dataType).toMap
@@ -580,10 +605,24 @@ object ManifestStore {
     * commit) is read THROUGH it: segments written before a column existed
     * null-fill it, and the schema is deterministic instead of resolved
     * from whichever segment's footer Spark samples first.
+    *
+    * An EMPTIED table (every row deleted — a state [[merge]] and
+    * [[rewriteAll]] can legally publish) reads as the schema-correct
+    * empty relation when the snapshot records a schema (every v5 commit
+    * does); only a schema-less pre-v5 empty snapshot still fails, because
+    * there is genuinely nothing to resolve a schema from. Serving the
+    * empty relation instead of throwing is what keeps [[readWhere]] /
+    * [[readForKeys]] / [[merge]] / the CDC replica daemon alive across a
+    * delete-everything commit.
     */
   def readAt(spark: SparkSession, path: String, snap: Snapshot): DataFrame = {
-    require(snap.segments.nonEmpty,
-      s"manifest v${snap.version} at $path lists no segments (empty table has no schema)")
+    if (snap.segments.isEmpty)
+      return snap.schema
+        .map(sch => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch))
+        .getOrElse(throw new IllegalArgumentException(
+          s"manifest v${snap.version} at $path lists no segments and records " +
+            "no schema (pre-v5 empty table) — commit something first"))
     assemble(spark, new Path(path), snap, snap.entries)
   }
 
@@ -946,7 +985,7 @@ object ManifestStore {
       // column would make the vectorized reader refuse those files).
       val schema = {
         val existing =
-          if (base.entries.isEmpty) new StructType()
+          if (base.entries.isEmpty) base.schema.getOrElse(new StructType())
           else tableSchema(spark, path, base)
         val known = existing.fieldNames.toSet
         Some(StructType((existing.fields ++
@@ -1153,6 +1192,39 @@ object ManifestStore {
       statsCols: Seq[String] = Nil): Snapshot =
     rewriteAll(spark, path, df => df.repartition(partitions), statsCols = statsCols)
 
+  /** Replace the ENTIRE table content with `df` as one CAS unit — the
+    * INSERT OVERWRITE / truncate-and-load verb. Unlike [[rewriteAll]]
+    * (whose `make` derives the replacement FROM the current content, so it
+    * requires one), this accepts an absent or EMPTY base: the replacement
+    * segment is staged once — its content is base-independent — and only
+    * the manifest publish retries under the CAS, conditioned on whatever
+    * base version each attempt observes. That closes the SQL provider's
+    * former check-then-act window (read-empty → route to append): a racer
+    * committing between the emptiness check and the append would have
+    * survived an overwrite that should have erased it; here the loser of
+    * the version slot is ALWAYS re-published over, whichever order the two
+    * commits land in. Outstanding merge-on-read deletes are dropped (the
+    * truncation subsumes them); an empty `df` publishes an explicitly
+    * empty table (the SQL TRUNCATE shape), schema still recorded.
+    */
+  def overwrite(spark: SparkSession, df: DataFrame, path: String,
+      statsCols: Seq[String] = Nil): Snapshot = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    val entry = writeSegment(spark, root, df, statsCols)
+    val schema = Some(StructType(df.schema.fields.map(_.copy(nullable = true))))
+    var attempt = 0
+    while (attempt < MaxRetries) {
+      val base = current(spark, path).getOrElse(Snapshot(0L, Nil))
+      val stamped = entry.map(_.copy(seq = base.version + 1)).toSeq
+      if (tryPublish(fs, root, base.version + 1, stamped, schema))
+        return Snapshot(base.version + 1, stamped, schema)
+      attempt += 1 // slot taken: re-read and re-condition, segment stays valid
+    }
+    throw new IllegalStateException(
+      s"ManifestStore.overwrite: lost the publish race $MaxRetries times at $path")
+  }
+
   /** GDPR-style key deletion, rebased onto the manifest protocol: rewrite
     * without the matched keys, atomically. Returns (deleted, remaining).
     */
@@ -1293,7 +1365,13 @@ object ManifestStore {
     // an explicit flat cursor (legacy, or an operator reset/rollback) wins
     val from = legacy.orElse(genVal).getOrElse(0L)
     val to = current(spark, path).map(_.version).getOrElse(0L)
-    if (to <= from) return Nil
+    // every poll pins the cursor in the table's registry so [[vacuum]]
+    // keeps the consumer's unread range resolvable (retention floor)
+    val regName = cursorRegistryName(cursorPath)
+    if (to <= from) {
+      registerCursor(spark, path, regName, from)
+      return Nil
+    }
     apply(changes(spark, path, from, to))
     val nextGen = gens.map(_._1).maxOption.getOrElse(0L) + 1L
     val np = new Path(parent, s"$base.g$nextGen")
@@ -1308,6 +1386,7 @@ object ManifestStore {
     }
     if (legacy.isDefined)
       try fs.delete(cur, false) catch { case _: java.io.IOException => () }
+    registerCursor(spark, path, regName, to)
     ((from + 1) to to)
   }
 
@@ -1456,10 +1535,18 @@ object ManifestStore {
             .select("__seg").distinct().collect().map(_.getString(0)).toSet
         val (touchedE, untouchedE) = base.entries.partition(e => touched(e.name))
         // LOGICAL view: outstanding merge-on-read deletes apply, so a
-        // MOR-deleted key is correctly unmatched (the source row inserts)
+        // MOR-deleted key is correctly unmatched (the source row inserts).
+        // No touched segments (including the emptied-table state, where
+        // base.entries itself is empty) => schema-correct empty relation
+        // built WITHOUT any data read — every source row is an unmatched
+        // insert candidate
         val touchedRows =
-          if (touchedE.isEmpty) readAt(spark, path, base).where(lit(false))
-          else assemble(spark, root, base, touchedE)
+          if (touchedE.nonEmpty) assemble(spark, root, base, touchedE)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            base.schema.getOrElse(
+              if (base.entries.nonEmpty) tableSchema(spark, path, base)
+              else StructType(sourceD.schema.fields.map(_.copy(nullable = true)))))
         // matched keys can only live in touched segments, so every join
         // below runs against the touched slice, never the whole table
         val tk = touchedRows.select(col(key)).distinct().withColumn("__m", lit(1))
@@ -1628,21 +1715,103 @@ object ManifestStore {
       s"ManifestStore.restore: lost the publish race $MaxRetries times at $path")
   }
 
-  /** Reclaim invisible data: segment directories not referenced by the
-    * LATEST manifest (crashed or race-losing writers' orphans, superseded
-    * rewrite inputs), crashed [[cluster]] staging trees, manifest tmp
-    * files, and superseded manifest versions — all only when older than
-    * `graceMs`, which must exceed any plausible in-flight reader's runtime
-    * (their snapshots reference those files). `graceMs` is therefore also
-    * the [[readVersion]] time-travel retention window: versions whose
-    * manifests (and exclusively-referenced segments) age past it stop
-    * resolving. Returns the number of segment directories removed.
+  private val CursorsDirName = "_cursors" // lives under _manifest/
+
+  /** Registered change-feed cursors: name → last-consumed version. These
+    * are [[vacuum]]'s retention FLOOR — a lagging consumer's range stays
+    * resolvable instead of failing later as a read error mid-feed.
+    * [[pollChanges]] registers its cursor automatically on every poll;
+    * [[unregisterCursor]] releases a retired consumer so vacuum can move
+    * on (a dead-but-registered cursor otherwise pins history forever,
+    * which is the intended fail-safe direction).
     */
-  def vacuum(spark: SparkSession, path: String, graceMs: Long): Int = {
+  def cursors(spark: SparkSession, path: String): Map[String, Long] = {
     val root = new Path(path)
     val fs = fsOf(spark, root)
-    val snap = current(spark, path).getOrElse(return 0)
-    val live = snap.segments.toSet ++ snap.deletes.map(_.name)
+    val dir = new Path(root, s"$ManifestDir/$CursorsDirName")
+    if (!fs.exists(dir)) return Map.empty
+    fs.listStatus(dir).toSeq.flatMap { st =>
+      try {
+        val in = fs.open(st.getPath)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+        scala.util.Try(s.toLong).toOption.map(st.getPath.getName -> _)
+      } catch { case _: java.io.IOException => None }
+    }.toMap
+  }
+
+  /** Pin `name`'s consumed-through version in the table's cursor registry
+    * (idempotent overwrite — the value only ever advances under normal
+    * consumption, but an operator rollback may legitimately lower it).
+    */
+  def registerCursor(spark: SparkSession, path: String, name: String,
+      version: Long): Unit = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    val dir = new Path(root, s"$ManifestDir/$CursorsDirName")
+    fs.mkdirs(dir)
+    val out = fs.create(new Path(dir, name), true)
+    try out.write(version.toString.getBytes(Utf8)) finally out.close()
+  }
+
+  /** Drop `name` from the cursor registry, releasing its retention pin. */
+  def unregisterCursor(spark: SparkSession, path: String, name: String): Unit = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    try fs.delete(new Path(root, s"$ManifestDir/$CursorsDirName/$name"), false)
+    catch { case _: java.io.IOException => () }
+  }
+
+  /** The registry name [[pollChanges]] files its cursor under: the cursor
+    * file's base name plus a short digest of its full path (two consumers
+    * may reuse a base name under different directories).
+    */
+  def cursorRegistryName(cursorPath: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(cursorPath.getBytes(Utf8))
+    new Path(cursorPath).getName + "-" +
+      md.take(4).map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  /** Reclaim invisible data: segment directories not referenced by any
+    * RETAINED manifest version (crashed or race-losing writers' orphans,
+    * superseded rewrite inputs), crashed [[cluster]] staging trees,
+    * manifest tmp files, and manifest versions below the retention floor —
+    * all only when older than `graceMs`, which must exceed any plausible
+    * in-flight reader's runtime (their snapshots reference those files).
+    *
+    * The retention floor is the OLDEST of: the newest `minVersionsToKeep`
+    * committed versions, and (when `respectCursors`, the default) the
+    * smallest version a registered change-feed cursor ([[cursors]]) still
+    * needs — so a lagging [[pollChanges]] consumer's unread range stays
+    * resolvable instead of surfacing later as a read error mid-feed, and a
+    * frozen `versionAsOf` view can pin itself by registering a cursor at
+    * its version. Every segment or delete sidecar referenced by ANY
+    * retained version is live; `graceMs` remains the [[readVersion]]
+    * time-travel window for versions below the floor. Returns the number
+    * of segment directories removed.
+    */
+  def vacuum(spark: SparkSession, path: String, graceMs: Long,
+      minVersionsToKeep: Int = 1, respectCursors: Boolean = true): Int = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    val versions = listVersions(fs, root).sorted
+    if (versions.isEmpty) return 0
+    val byCount = versions.takeRight(math.max(1, minVersionsToKeep)).head
+    // changes(cursor, to) resolves snapshots cursor..to, so the floor is
+    // the smallest registered cursor value (version 0 needs no manifest)
+    val byCursor =
+      if (!respectCursors) Long.MaxValue
+      else cursors(spark, path).values.minOption
+        .map(c => math.max(1L, c)).getOrElse(Long.MaxValue)
+    val keepFrom = math.min(byCount, byCursor)
+    // live = everything ANY retained version references — a time-travel
+    // read or lagging consumer of a retained version must keep resolving
+    // its segments and delete sidecars, not just the latest snapshot's
+    val live = versions.filter(_ >= keepFrom).flatMap { v =>
+      val (es, _, ds) = readManifest(fs, manifestPath(root, v))
+      es.map(_.name) ++ ds.map(_.name)
+    }.toSet
     val cutoff = System.currentTimeMillis() - graceMs
     var removed = 0
     fs.listStatus(root).foreach { st =>
@@ -1665,8 +1834,8 @@ object ManifestStore {
         if (name.endsWith(".claim"))
           versionOf(name.stripSuffix(".claim") + ".manifest")
         else None
-      val stale = versionOf(name).exists(_ < snap.version) ||
-        claimV.exists(_ < snap.version) || name.startsWith(".tmp-")
+      val stale = versionOf(name).exists(_ < keepFrom) ||
+        claimV.exists(_ < keepFrom) || name.startsWith(".tmp-")
       if (stale && st.getModificationTime < cutoff) fs.delete(st.getPath, false)
     }
     removed

@@ -70,7 +70,9 @@ class ManifestTableProvider extends TableProvider with DataSourceRegister {
       case Some(v) => ManifestStore.snapshotAt(spark, path, v.toLong)
       case None => ManifestStore.current(spark, path)
     }
-    snap.filter(_.segments.nonEmpty)
+    // an emptied table still serves its recorded schema (v5 records one on
+    // every commit); only a truly uninitialized path needs declared columns
+    snap.filter(s => s.segments.nonEmpty || s.schema.isDefined)
       .map(s => StructType(s.schema
         .getOrElse(ManifestStore.readAt(spark, path, s).schema)
         .fields.map(_.copy(nullable = true))))
@@ -197,9 +199,12 @@ final class ManifestTable(path: String, declared: StructType,
               // INSERT resolves by position; commit under the table's names
               val aligned = data.toDF(declared.fieldNames.toSeq: _*)
               val doOverwrite = overwrite || overwriteArg
-              if (doOverwrite &&
-                ManifestStore.current(spark, path).exists(_.segments.nonEmpty)) {
-                ManifestStore.rewriteAll(spark, path, _ => aligned,
+              if (doOverwrite) {
+                // ONE CAS unit regardless of whether the table looks empty
+                // — the former read-empty→append routing was a
+                // check-then-act: a racer committing in the window survived
+                // an overwrite that should have erased it (ADVICE r12)
+                ManifestStore.overwrite(spark, aligned, path,
                   statsCols = statsCols)
               } else {
                 ManifestStore.append(spark, aligned, path, statsCols = statsCols)

@@ -218,6 +218,79 @@ class ManifestPublisherSpec extends SparkSpec {
       "flat cursor at head => nothing to consume")
   }
 
+  test("ExclusiveMarker: a claim winner whose install fails transiently ABORTS the intent — no duplicate commit at N and N+1") {
+    val dir = tmpDir("pubAbort")
+    // rename fails ONCE for .manifest destinations — the transient install
+    // failure window the round-12 ADVICE describes: without the abort, the
+    // durable claim+tmp would later be completed by a reader at version N
+    // while the committer's retry re-publishes the same segment at N+1
+    val failOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val fs = new org.apache.hadoop.fs.RawLocalFileSystem() {
+      override def rename(src: Path, dst: Path): Boolean =
+        if (dst.getName.endsWith(".manifest") && failOnce.getAndSet(false)) false
+        else super.rename(src, dst)
+    }
+    fs.initialize(new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+    val target = new Path(dir, "v000000000001.manifest")
+    val claim = new Path(dir, "v000000000001.claim")
+    val tmp = new Path(dir, ".tmp-abort")
+    write(fs, tmp, "first-attempt")
+    assert(!Publisher.ExclusiveMarker.publish(fs, tmp, target),
+      "failed install => publish reports the loss")
+    // the intent must be fully aborted: no claim, no tmp, no target — a
+    // later reader's claim-completion can NOT resurrect the first attempt
+    assert(!fs.exists(claim), "claim must be aborted after a failed install")
+    assert(!fs.exists(tmp), "tmp must be aborted after a failed install")
+    assert(!fs.exists(target))
+    // the retry (fresh CAS loop, same slot) re-claims and wins: the slot
+    // was released, not wedged
+    val tmp2 = new Path(dir, ".tmp-retry")
+    write(fs, tmp2, "retry")
+    assert(Publisher.ExclusiveMarker.publish(fs, tmp2, target))
+    assert(readAll(fs, target) == "retry")
+    assert(!fs.exists(tmp2))
+  }
+
+  test("overwrite vs racing appends: the overwrite version holds EXACTLY the overwrite's rows (no check-then-act window)") {
+    val path = tmpDir("pubOvw") + "/t"
+    // the table starts EMPTY (never committed) — exactly the state where
+    // the provider's old routing degraded INSERT OVERWRITE to an append
+    val n = 4
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n + 1)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val appenders = (0 until n).map { i =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          gate.await()
+          ManifestStore.append(spark, Seq((100L + i, s"app$i")).toDF("k", "v"), path)
+        }
+      })
+    }
+    val ovw = pool.submit(new java.util.concurrent.Callable[Long] {
+      def call(): Long = {
+        gate.await()
+        ManifestStore.overwrite(spark,
+          Seq((1L, "ovw"), (2L, "ovw")).toDF("k", "v"), path).version
+      }
+    })
+    gate.countDown()
+    appenders.foreach(_.get())
+    val ovwVersion = ovw.get()
+    pool.shutdown()
+    // the overwrite's OWN version is exactly its rows — whatever racers
+    // committed before it is erased, whatever commits after it survives
+    val atOvw = ManifestStore.readVersion(spark, path, ovwVersion)
+      .select("k").as[Long].collect().toSeq.sorted
+    assert(atOvw == Seq(1L, 2L),
+      s"overwrite version $ovwVersion must hold exactly the overwrite rows, got $atOvw")
+    // final state = overwrite rows + only the appends that landed AFTER it
+    val finalKeys = ManifestStore.read(spark, path)
+      .select("k").as[Long].collect().toSeq.sorted
+    val lateAppends = finalKeys.filter(_ >= 100L)
+    assert(finalKeys == (Seq(1L, 2L) ++ lateAppends).sorted,
+      s"final $finalKeys must be overwrite rows + post-overwrite appends")
+  }
+
   test("GoldWriter.withTableLock: first lock on a table whose parent dir doesn't exist yet acquires immediately") {
     val fresh = tmpDir("pubLock") + "/never/made/table"
     val t0 = System.nanoTime()
