@@ -7,7 +7,8 @@ import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo,
   Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull,
   LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.execution.datasources.{FileIndex,
-  HadoopFsRelation, PartitionDirectory}
+  HadoopFsRelation, PartitionDirectory, PartitioningAwareFileIndex,
+  PartitionSpec}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.unsafe.types.UTF8String
@@ -115,6 +116,49 @@ object ManifestRead {
       .reduce(_ unionByName _)
   }
 
+  /** The manifest index in the shape Spark's NATIVE DSv2 file scans
+    * consume ([[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder]]
+    * takes a `PartitioningAwareFileIndex`, not a bare `FileIndex`): a
+    * catalog-table SELECT planned through this serves COLUMNAR batches
+    * from Spark's vectorized parquet reader with zero InternalRow→Row
+    * conversion — the native twin of [[readCatalystAt]]'s V1 relation.
+    * The listing itself is delegated verbatim to [[ManifestFileIndex]],
+    * so manifest-stats segment skipping applies identically (the v2 file
+    * scan hands its pushed catalyst data filters to `listFiles` exactly
+    * like the v1 planner does); the inherited partition machinery is
+    * pinned empty (segments are not hive-style partitions — their
+    * pruning structure lives in the manifest stats, not the paths).
+    */
+  final class ManifestPartitioningIndex(spark: SparkSession,
+      tablePath: String, snap: Snapshot)
+      extends PartitioningAwareFileIndex(spark, Map.empty, None) {
+    private val inner = new ManifestFileIndex(spark, tablePath, snap)
+    private lazy val all: Seq[FileStatus] =
+      snap.entries.flatMap(inner.statusesOf)
+
+    override def rootPaths: Seq[Path] = inner.rootPaths
+    override def partitionSpec(): PartitionSpec = PartitionSpec.emptySpec
+    override def partitionSchema: StructType = new StructType()
+    override protected def leafFiles
+        : scala.collection.mutable.LinkedHashMap[Path, FileStatus] = {
+      val m = scala.collection.mutable.LinkedHashMap.empty[Path, FileStatus]
+      all.foreach(st => m += st.getPath -> st)
+      m
+    }
+    override protected def leafDirToChildrenFiles
+        : Map[Path, Array[FileStatus]] =
+      all.groupBy(_.getPath.getParent)
+        .map { case (d, fs) => d -> fs.toArray }
+    override def refresh(): Unit = inner.refresh()
+    override def sizeInBytes: Long = inner.sizeInBytes
+    override def inputFiles: Array[String] = inner.inputFiles
+    // the load-bearing override: manifest-stats pruning on the pushed
+    // data filters, not the inherited partition-directory walk
+    override def listFiles(partitionFilters: Seq[Expression],
+        dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+      inner.listFiles(partitionFilters, dataFilters)
+  }
+
   /** Per-column prune state, conjunction-tightened: an Option-ended
     * interval plus an optional IN-list value set (point-set pruning, the
     * readForKeys semantics inside the planner), plus the two null-shape
@@ -133,6 +177,8 @@ object ManifestRead {
     // lazy listStatus each, and only when a query actually keeps them
     private val legacyFiles =
       scala.collection.concurrent.TrieMap.empty[String, Array[FileStatus]]
+    private[ops] def statusesOf(e: ManifestStore.SegmentEntry): Array[FileStatus] =
+      filesOf(e)
     private def filesOf(e: ManifestStore.SegmentEntry): Array[FileStatus] =
       if (e.files.nonEmpty) {
         val segDir = new Path(root, e.name)

@@ -130,7 +130,41 @@ final class ManifestTable(path: String, declared: StructType,
     case _ => None
   }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  /** The NATIVE read path: hand Spark's own `ParquetScanBuilder` the
+    * manifest index ([[ManifestRead.ManifestPartitioningIndex]]) and get
+    * everything the built-in parquet source has — vectorized COLUMNAR
+    * batches, whole-stage codegen, filter/column/aggregate pushdown, and
+    * manifest-stats segment skipping via the index's `listFiles` — with
+    * no InternalRow→Row→InternalRow hop. This is the common path for a
+    * catalog-table SELECT (the reference's dashboard reads its Gold table
+    * with plain SQL, streamlit_frontend.py:913). The [[V1Scan]] shim
+    * below survives for exactly two cases: a snapshot with OUTSTANDING
+    * merge-on-read deletes (the logical view is a union of anti-joins —
+    * not expressible as one file scan; the delete debt already costs the
+    * joins, and [[graft.ops.ManifestStore.maintain]] advises clearing it)
+    * and the `v1shim` option (measurement/debug).
+    */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val spark = SparkSession.active
+    val snap = versionAsOf match {
+      case Some(v) => ManifestStore.snapshotAt(spark, path, v)
+      case None => ManifestStore.current(spark, path)
+    }
+    val forceShim = Option(options.get("v1shim")).exists(_.toBoolean)
+    if (forceShim || snap.exists(_.deletes.nonEmpty)) v1ShimScanBuilder()
+    else {
+      val index = new ManifestRead.ManifestPartitioningIndex(spark, path,
+        snap.getOrElse(ManifestStore.Snapshot(0L, Nil)).copy(deletes = Nil))
+      // dataSchema == table schema, nullable-relaxed: segments written
+      // before an evolved column existed null-fill it in the vectorized
+      // reader only when the data schema doesn't mark it required
+      val relaxed = StructType(declared.fields.map(_.copy(nullable = true)))
+      org.apache.spark.sql.execution.datasources.v2.parquet
+        .ParquetScanBuilder(spark, index, relaxed, relaxed, options)
+    }
+  }
+
+  private def v1ShimScanBuilder(): ScanBuilder =
     new ScanBuilder with SupportsPushDownFilters
         with SupportsPushDownRequiredColumns {
       private var pushed: Array[Filter] = Array.empty

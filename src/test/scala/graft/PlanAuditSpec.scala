@@ -514,4 +514,54 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
       s"count-table joins must be keyed:\n${plan.take(3000)}")
   }
+
+  test("catalog-table SELECT plans the NATIVE columnar parquet scan: no row-conversion shim, pruning and stats-skip intact") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val dir = tmpDir("planNative") + "/t"
+    spark.sql("DROP TABLE IF EXISTS plan_native_t")
+    spark.sql("CREATE TABLE plan_native_t (k BIGINT, v STRING, w STRING) " +
+      s"USING `graft-manifest` OPTIONS (path '$dir', statscols 'k')")
+    spark.sql("INSERT INTO plan_native_t VALUES (1,'a','x'), (2,'b','y')")
+    spark.sql("INSERT INTO plan_native_t VALUES (100,'c','z'), (200,'d','w')")
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: walk(a.executedPlan)
+      case other => p +: (other.children ++ other.subqueries).flatMap(walk)
+    }
+    def batchOf(sql: String): BatchScanExec = {
+      val df = spark.sql(sql)
+      df.collect()
+      val nodes = walk(df.queryExecution.executedPlan)
+      assert(!nodes.exists(_.getClass.getSimpleName.contains("RDDScan")),
+        s"catalog SELECT must not plan an ExternalRDD/row-conversion node:\n" +
+          df.queryExecution.executedPlan)
+      nodes.collectFirst { case b: BatchScanExec => b }.getOrElse(
+        fail(s"no BatchScanExec in:\n${df.queryExecution.executedPlan}"))
+    }
+    def plannedFiles(b: BatchScanExec): Int =
+      b.scan.toBatch.planInputPartitions().map {
+        case fp: FilePartition => fp.files.length
+        case _ => 0
+      }.sum
+    val filtered = batchOf("SELECT k FROM plan_native_t WHERE k >= 100")
+    assert(filtered.scan.getClass.getSimpleName == "ParquetScan",
+      s"native path must plan Spark's own ParquetScan, got ${filtered.scan.getClass}")
+    assert(filtered.supportsColumnar,
+      "the native catalog scan must serve COLUMNAR batches")
+    // column pruning reaches the v2 scan: a 1-column SELECT reads 1 column
+    assert(filtered.scan.readSchema().fieldNames.toSeq == Seq("k"),
+      s"readSchema must prune to the projection: ${filtered.scan.readSchema()}")
+    // manifest-stats skip: k >= 100 plans only the second commit's file(s)
+    val full = batchOf("SELECT k FROM plan_native_t")
+    assert(plannedFiles(filtered) < plannedFiles(full),
+      s"stats pruning lost: ${plannedFiles(filtered)} vs ${plannedFiles(full)} files")
+    // the v1shim measurement/debug escape hatch still plans (and agrees)
+    val shim = spark.read.format("graft-manifest")
+      .option("path", dir).option("v1shim", "true").load()
+      .where(org.apache.spark.sql.functions.col("k") >= 100).select("k")
+    assert(shim.collect().map(_.getLong(0)).sorted.toSeq == Seq(100L, 200L))
+    spark.sql("DROP TABLE plan_native_t")
+  }
 }
