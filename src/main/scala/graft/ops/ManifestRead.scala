@@ -78,10 +78,22 @@ object ManifestRead {
     val schema = StructType(
       snap.schema.getOrElse(ManifestStore.readAt(spark, path, snap).schema)
         .fields.map(_.copy(nullable = true)))
+    // a renamed table's files spell columns PHYSICALLY: plan the relation
+    // under the physical schema and alias to logical at the top — Catalyst
+    // pushes user filters through the alias projection into the scan (and
+    // into the index's listFiles) as physical-named predicates, matching
+    // the stats keys, so segment pruning survives evolution unchanged
+    val mapped = ManifestStore.hasMapping(schema)
+    val planSchema = if (mapped) ManifestStore.physSchema(schema) else schema
+    def toLogical(df: DataFrame): DataFrame =
+      if (!mapped) df
+      else df.select(schema.fields.toSeq.map(f =>
+        org.apache.spark.sql.functions.col(ManifestStore.physicalName(f))
+          .as(f.name, ManifestStore.cleanMeta(f))): _*)
     def planEntries(entries: Seq[ManifestStore.SegmentEntry]): DataFrame = {
       val index = new ManifestFileIndex(spark, path,
         snap.copy(entries = entries, deletes = Nil))
-      val rel = HadoopFsRelation(index, new StructType(), schema, None,
+      val rel = HadoopFsRelation(index, new StructType(), planSchema, None,
         new ParquetFileFormat(), Map.empty)(spark)
       spark.baseRelationToDataFrame(rel)
     }
@@ -89,7 +101,7 @@ object ManifestRead {
     // segment while MOR sidecars are still published) — and the grouped
     // reduce below needs at least one group
     if (snap.deletes.isEmpty || snap.entries.isEmpty)
-      return planEntries(snap.entries)
+      return toLogical(planEntries(snap.entries))
     // outstanding merge-on-read deletes: the sequence rule says a delete
     // at seq D suppresses keys only in segments with seq < D, so segments
     // group by their position among the delete seqs and each group
@@ -100,7 +112,9 @@ object ManifestRead {
     // and broadcast
     val delSeqs = snap.deletes.map(_.seq).distinct.sorted
     val root = new org.apache.hadoop.fs.Path(path)
-    snap.entries.groupBy(e => delSeqs.count(_ > e.seq)).toSeq
+    // sidecar columns are physical, and so is the planned relation here —
+    // the anti-joins run entirely in physical space, logical aliasing last
+    toLogical(snap.entries.groupBy(e => delSeqs.count(_ > e.seq)).toSeq
       .map { case (_, es) =>
         val applicable = snap.deletes.filter(d => es.head.seq < d.seq)
         applicable.groupBy(_.keyCol).foldLeft(planEntries(es)) {
@@ -113,7 +127,7 @@ object ManifestRead {
               Seq(kc), "left_anti")
         }
       }
-      .reduce(_ unionByName _)
+      .reduce(_ unionByName _))
   }
 
   /** The manifest index in the shape Spark's NATIVE DSv2 file scans

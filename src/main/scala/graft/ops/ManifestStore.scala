@@ -538,10 +538,25 @@ object ManifestStore {
     * file list always stamped), or None when `df` is empty — an empty
     * spark parquet write has no schema-bearing files, and an empty commit
     * would be a no-op anyway.
+    *
+    * `tableSchema` (the base snapshot's recorded schema, when the commit
+    * extends an existing table) carries the logical→physical column
+    * mapping: a renamed column is written to disk under its stable
+    * PHYSICAL name, and its stats are computed and keyed physically — so
+    * every segment of the table, whenever committed, spells its columns
+    * the same way. None (a first commit, or a full rewrite re-baselining
+    * the mapping) writes logical names verbatim.
     */
   private def writeSegment(spark: SparkSession, root: Path, df: DataFrame,
-      statsCols: Seq[String]): Option[SegmentEntry] = {
+      statsCols: Seq[String],
+      tableSchema: Option[StructType] = None): Option[SegmentEntry] = {
     if (df.isEmpty) return None
+    val rename = l2p(tableSchema)
+    val pdf =
+      if (rename.isEmpty) df
+      else df.select(df.columns.toSeq.map(c =>
+        rename.get(c).map(p => col(c).as(p)).getOrElse(col(c))): _*)
+    val pStats = statsCols.map(c => rename.getOrElse(c, c))
     val seg = s"seg-${java.util.UUID.randomUUID()}"
     val segPath = new Path(root, seg).toString
     // declared stats columns also get parquet BLOOM FILTERS: manifest
@@ -550,11 +565,11 @@ object ManifestStore {
     // Spark's parquet reader consults them automatically. ~0.1% space for
     // the default bloom size; ranges overlapping across segments (the
     // un-clustered case min/max can't help) is exactly where they pay.
-    val withBlooms = statsCols.foldLeft(df.write) { (w, c) =>
+    val withBlooms = pStats.foldLeft(pdf.write) { (w, c) =>
       w.option(s"parquet.bloom.filter.enabled#$c", "true")
     }
     withBlooms.parquet(segPath)
-    val (stats, rows) = segmentStats(spark, segPath, statsCols)
+    val (stats, rows) = segmentStats(spark, segPath, pStats)
     val files = listSegmentFiles(fsOf(spark, root), new Path(root, seg))
     Some(SegmentEntry(seg, stats, 0L, files, rows))
   }
@@ -585,11 +600,86 @@ object ManifestStore {
         "migrate the table schema.")
   }
 
+  /** A mergeSchema append infers its new columns from data already staged,
+    * so — unlike [[addColumn]], which can mint a fresh physical name — a
+    * new column that collides with the PHYSICAL name of a renamed column
+    * must be refused: older segments already hold a parquet column by that
+    * name containing the OTHER field's values, and the read would stitch
+    * them together.
+    */
+  private def requireNoPhysicalCollision(snap: Snapshot, df: DataFrame): Unit =
+    snap.schema.foreach { sch =>
+      if (hasMapping(sch)) {
+        val logical = sch.fieldNames.toSet
+        val physical = sch.fields.map(physicalName).toSet
+        val bad = df.columns.filterNot(logical).filter(physical)
+        require(bad.isEmpty,
+          s"ManifestStore: new column(s) ${bad.mkString(", ")} collide with " +
+            "the physical name of a renamed column — addColumn() (which mints " +
+            "a distinct physical name) or pick another name")
+      }
+    }
+
   /** The table's authoritative schema at `snap`: the manifest-recorded one
     * when present, else resolved from the segment footers.
     */
   private def tableSchema(spark: SparkSession, path: String, snap: Snapshot): StructType =
     snap.schema.getOrElse(readAt(spark, path, snap).schema)
+
+  // --- schema evolution: stable PHYSICAL column names ------------------------
+  //
+  // Rename and type-widening are METADATA-ONLY commits (Iceberg answers this
+  // with field IDs; the equivalent invariant here is Delta's name-based
+  // column mapping): every byte under the table root — segment parquet
+  // columns, delete-sidecar columns, manifest stats keys, `del` keyCol —
+  // uses the column's PHYSICAL name, assigned at creation and immutable
+  // thereafter. The recorded schema's field NAMES are the logical (user)
+  // names; a field whose physical name diverged carries it in field
+  // metadata under [[PhysicalKey]]. Translation happens at exactly two
+  // seams: [[writeSegment]] renames logical→physical on the way in, and
+  // [[readSegs]] aliases physical→logical on the way out. Tables that never
+  // evolved have identity mappings and take the untouched fast paths.
+  // Type widening records the WIDER logical type in the schema while old
+  // segments keep their narrower parquet type — Spark 4's vectorized reader
+  // promotes (int→long, float→double, int→double) at scan time. Full
+  // rewrites ([[rewriteAll]]/[[overwrite]]/[[cluster]]) write logical names
+  // and record the output's clean schema, so any whole-table maintenance
+  // pass re-baselines the mapping away (and restores the native columnar
+  // SQL read path a mapped table temporarily forgoes).
+
+  val PhysicalKey = "graft.physical"
+
+  /** The on-disk parquet column name for a recorded-schema field. */
+  def physicalName(f: StructField): String =
+    if (f.metadata.contains(PhysicalKey)) f.metadata.getString(PhysicalKey)
+    else f.name
+
+  /** Does any field read/write under a name other than its logical one? */
+  def hasMapping(schema: StructType): Boolean =
+    schema.fields.exists(f => physicalName(f) != f.name)
+
+  /** logical → physical for the fields whose names diverge (empty = identity). */
+  private def l2p(schema: Option[StructType]): Map[String, String] =
+    schema.map(_.fields.iterator.map(f => f.name -> physicalName(f))
+      .filter { case (l, p) => l != p }.toMap).getOrElse(Map.empty)
+
+  /** physical → logical (empty = identity). */
+  private def p2l(schema: Option[StructType]): Map[String, String] =
+    l2p(schema).map(_.swap)
+
+  /** Field metadata with the mapping key removed — logical-view dataframes
+    * must not leak the physical name (a rewrite recording such a schema
+    * would wrongly re-pin old physical names onto fresh logical-named files).
+    */
+  private[ops] def cleanMeta(f: StructField): Metadata =
+    new MetadataBuilder().withMetadata(f.metadata).remove(PhysicalKey).build()
+
+  /** The schema as the parquet files spell it: physical names, logical
+    * (possibly widened) types, nullable, mapping metadata stripped.
+    */
+  private[ops] def physSchema(schema: StructType): StructType =
+    StructType(schema.fields.map(f =>
+      StructField(physicalName(f), f.dataType, nullable = true, cleanMeta(f))))
 
   /** Read the table at its latest snapshot (empty-schema error only for a
     * table that was never initialized with data — commit something first).
@@ -628,10 +718,18 @@ object ManifestStore {
 
   /** Scan `paths` under `snap`'s recorded schema when it has one. RAW:
     * merge-on-read deletes are NOT applied — use [[assemble]] for the
-    * logical table view.
+    * logical table view. A schema with renamed columns reads the files
+    * under their PHYSICAL names and aliases back to the logical ones (the
+    * alias projection is transparent to Catalyst: filters push through it
+    * into the scan as physical-named predicates, which is exactly what the
+    * stats-pruning index keys on).
     */
   private def readSegs(spark: SparkSession, snap: Snapshot,
       paths: Seq[String]): DataFrame = snap.schema match {
+    case Some(sch) if hasMapping(sch) =>
+      spark.read.schema(physSchema(sch)).parquet(paths: _*)
+        .select(sch.fields.toSeq.map(f =>
+          col(physicalName(f)).as(f.name, cleanMeta(f))): _*)
     case Some(sch) => spark.read.schema(sch).parquet(paths: _*)
     case None => spark.read.parquet(paths: _*)
   }
@@ -649,16 +747,21 @@ object ManifestStore {
     def paths(es: Seq[SegmentEntry]) = es.map(e => new Path(root, e.name).toString)
     if (snap.deletes.isEmpty || entries.isEmpty)
       return readSegs(spark, snap, paths(entries))
+    // sidecar files and recorded keyCols carry PHYSICAL names (stable for
+    // the table's lifetime); [[readSegs]] serves the LOGICAL view, so the
+    // anti-join runs under the key's logical alias
+    val rev = p2l(snap.schema)
     val delSeqs = snap.deletes.map(_.seq).distinct.sorted
     entries.groupBy(e => delSeqs.count(_ > e.seq)).toSeq
       .map { case (_, es) =>
         val applicable = snap.deletes.filter(d => es.head.seq < d.seq)
         applicable.groupBy(_.keyCol).foldLeft(readSegs(spark, snap, paths(es))) {
           case (df, (kc, ds)) =>
+            val lkc = rev.getOrElse(kc, kc)
             val keys = ds.map(d => spark.read
-                .parquet(new Path(root, d.name).toString).select(col(kc)))
+                .parquet(new Path(root, d.name).toString).select(col(kc).as(lkc)))
               .reduce(_ unionByName _).distinct()
-            df.join(keys, Seq(kc), "left_anti")
+            df.join(keys, Seq(lkc), "left_anti")
         }
       }
       .reduce(_ unionByName _)
@@ -760,9 +863,12 @@ object ManifestStore {
     * kept; one whose recorded `[min,max]` misses the interval — or whose
     * column is entirely NULL — is skipped.
     */
-  def prunedEntries(snap: Snapshot, bounds: Seq[(String, Any, Any)]): Seq[SegmentEntry] =
+  def prunedEntries(snap: Snapshot, bounds: Seq[(String, Any, Any)]): Seq[SegmentEntry] = {
+    // stats are keyed by PHYSICAL column name; bounds arrive logical
+    val rename = l2p(snap.schema)
+    val pBounds = bounds.map { case (c, lo, hi) => (rename.getOrElse(c, c), lo, hi) }
     snap.entries.filter { e =>
-      bounds.forall { case (c, lo, hi) =>
+      pBounds.forall { case (c, lo, hi) =>
         e.stats.get(c) match {
           case None => true // no stats recorded — cannot prune
           case Some(ColStats(_, None, None, _)) => false // all-NULL column
@@ -773,6 +879,7 @@ object ManifestStore {
         }
       }
     }
+  }
 
   /** Stats-pruned scan: keep only the segments whose manifest min/max
     * overlap EVERY `(col, lo, hi)` closed interval, then apply the exact
@@ -808,8 +915,9 @@ object ManifestStore {
     require(values.nonEmpty, "readForKeys needs at least one value")
     val snap = current(spark, path).getOrElse(
       throw new IllegalStateException(s"no manifest at $path — not a ManifestStore table"))
+    val pKey = l2p(snap.schema).getOrElse(keyCol, keyCol) // stats keyed physically
     val kept = snap.entries.filter { e =>
-      e.stats.get(keyCol) match {
+      e.stats.get(pKey) match {
         case None => true // no stats recorded — cannot prune
         case Some(ColStats(_, None, None, _)) => false // all-NULL column
         case Some(ColStats(typ, mn, mx, _)) => values.exists { v =>
@@ -848,9 +956,13 @@ object ManifestStore {
           val sum = fs.getContentSummary(new Path(root, e.name))
           (sum.getLength, sum.getFileCount)
         }
-      val nulls = e.stats.toSeq.sortBy(_._1)
+      // stats are keyed physically; report them under the logical names
+      val rev = p2l(snap.schema)
+      val nulls = e.stats.toSeq.map { case (c, st) => (rev.getOrElse(c, c), st) }
+        .sortBy(_._1)
         .flatMap { case (c, st) => st.nulls.map(n => s"$c=$n") }.mkString(",")
-      (e.name, bytes, nFiles, e.stats.keys.toSeq.sorted.mkString(","),
+      (e.name, bytes, nFiles,
+        e.stats.keys.toSeq.map(c => rev.getOrElse(c, c)).sorted.mkString(","),
         e.rows, nulls)
     }.toDF("segment", "bytes", "files", "stats_cols", "manifest_rows", "null_counts")
     // PHYSICAL layout view: raw per-file rows — outstanding MOR deletes
@@ -955,13 +1067,154 @@ object ManifestStore {
     * appenders: the segment list only grows, so a CAS loser just re-reads
     * the winner's list and re-publishes with its own segment added.
     */
+  /** Initialize an EMPTY table: publish v1 with zero segments and the
+    * declared schema recorded (the v5 empty-table state [[readAt]] already
+    * serves as a schema-correct empty relation). This is what a catalog
+    * CREATE TABLE maps to — the schema persists in the manifest itself, so
+    * a later `loadTable` resolves it with no data files and no sidecar
+    * metadata store. Fails if the path already holds a manifest (CREATE
+    * semantics — callers wanting idempotence check [[current]] first); the
+    * CAS publish makes two racing CREATEs resolve to exactly one winner.
+    */
+  def createEmpty(spark: SparkSession, path: String,
+      schema: StructType): Snapshot = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    require(current(spark, path).isEmpty,
+      s"createEmpty: a manifest table already exists at $path")
+    val relaxed = StructType(schema.fields.map(_.copy(nullable = true)))
+    if (!tryPublish(fs, root, 1L, Nil, Some(relaxed), Nil))
+      throw new IllegalStateException(
+        s"createEmpty: lost the create race at $path — table already exists")
+    Snapshot(1L, Nil, Some(relaxed), Nil)
+  }
+
+  /** Schema-evolution CAS loop: publish `base` with a transformed recorded
+    * schema and everything else verbatim — a pure-metadata commit (zero
+    * data I/O at ANY table size; this is what makes rename/widen viable on
+    * a 100 TB table). Entries/deletes re-read per attempt, so an evolution
+    * racing a data commit composes instead of clobbering.
+    */
+  private def evolveSchema(spark: SparkSession, path: String, what: String)(
+      f: StructType => StructType): Snapshot = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    var attempt = 0
+    while (attempt < MaxRetries) {
+      val base = current(spark, path).getOrElse(
+        throw new IllegalStateException(s"no manifest at $path — not a ManifestStore table"))
+      val cur = StructType(tableSchema(spark, path, base)
+        .fields.map(_.copy(nullable = true)))
+      val next = f(cur)
+      if (tryPublish(fs, root, base.version + 1, base.entries, Some(next),
+          base.deletes))
+        return Snapshot(base.version + 1, base.entries, Some(next), base.deletes)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"ManifestStore.$what: lost the publish race $MaxRetries times at $path")
+  }
+
+  /** Add a nullable column — metadata-only: existing segments simply lack
+    * the column and null-fill on read. If `name` collides with the
+    * PHYSICAL name of a previously-renamed column (whose old-name data
+    * still lives in old files), a fresh distinct physical name is minted
+    * and recorded in the mapping, so re-using a renamed-away name is safe.
+    */
+  def addColumn(spark: SparkSession, path: String, name: String,
+      dataType: DataType): Snapshot =
+    evolveSchema(spark, path, "addColumn") { cur =>
+      require(!cur.fieldNames.contains(name),
+        s"addColumn: column $name already exists")
+      val taken = cur.fields.map(physicalName).toSet
+      val field =
+        if (!taken(name)) StructField(name, dataType, nullable = true)
+        else {
+          val phys = s"${name}_${java.util.UUID.randomUUID().toString.take(8)}"
+          StructField(name, dataType, nullable = true,
+            new MetadataBuilder().putString(PhysicalKey, phys).build())
+        }
+      StructType(cur.fields :+ field)
+    }
+
+  /** Rename a column — metadata-only: the field keeps its stable PHYSICAL
+    * name (recorded in the mapping), so no segment is rewritten and every
+    * commit before or after the rename reads/writes the same parquet
+    * column. Renaming back to the physical name drops the mapping entry.
+    * Time travel is exact: each version resolves under ITS recorded
+    * logical names. A mapped table reads through [[readSegs]]' alias
+    * projection (SQL scans take the shimmed path) until the next full
+    * rewrite ([[rewriteAll]]/[[compact]]/[[cluster]]) re-baselines the
+    * files to logical names and restores the native columnar scan.
+    */
+  def renameColumn(spark: SparkSession, path: String, from: String,
+      to: String): Snapshot =
+    evolveSchema(spark, path, "renameColumn") { cur =>
+      require(cur.fieldNames.contains(from), s"renameColumn: no column $from")
+      require(!cur.fieldNames.contains(to),
+        s"renameColumn: column $to already exists")
+      StructType(cur.fields.map { f =>
+        if (f.name != from) f
+        else {
+          val phys = physicalName(f)
+          val meta =
+            if (phys == to) // renamed back: identity again, drop the mapping
+              new MetadataBuilder().withMetadata(f.metadata)
+                .remove(PhysicalKey).build()
+            else new MetadataBuilder().withMetadata(f.metadata)
+              .putString(PhysicalKey, phys).build()
+          StructField(to, f.dataType, nullable = true, meta)
+        }
+      })
+    }
+
+  /** The widenings Spark 4's vectorized parquet reader promotes at scan
+    * time (pinned by EvolutionSpec against real narrow-typed files) —
+    * lossless only; long→double is NOT here (it loses precision above
+    * 2^53).
+    */
+  private def widenOk(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (ByteType, ShortType | IntegerType | LongType | DoubleType) => true
+    case (ShortType, IntegerType | LongType | DoubleType) => true
+    case (IntegerType, LongType | DoubleType) => true
+    case (FloatType, DoubleType) => true
+    case _ => false
+  }
+
+  /** Widen a column's type — metadata-only: the recorded schema carries the
+    * WIDER type while old segments keep their narrower parquet encoding;
+    * the vectorized reader promotes per file at scan time (int→long,
+    * int/float→double — verified upcasts, no silent precision loss), and
+    * segments written after the widen carry the wide type natively. Stats
+    * pruning stays conservative across the mix: each segment entry's stats
+    * carry their own type tag, and a fractional bound probed against an
+    * integer-tagged segment truncates in the KEEPING direction.
+    */
+  def widenColumn(spark: SparkSession, path: String, name: String,
+      newType: DataType): Snapshot =
+    evolveSchema(spark, path, "widenColumn") { cur =>
+      val f = cur.fields.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"widenColumn: no column $name"))
+      require(widenOk(f.dataType, newType),
+        s"widenColumn: ${f.dataType.simpleString} → ${newType.simpleString} " +
+          "is not a supported lossless parquet read-promotion " +
+          "(byte/short/int→long, byte/short/int/float→double, and integral " +
+          "upsizes) — rewriteAll to migrate the data instead")
+      StructType(cur.fields.map(x =>
+        if (x.name == name) x.copy(dataType = newType) else x))
+    }
+
   def append(spark: SparkSession, df: DataFrame, path: String,
       statsCols: Seq[String] = Nil, mergeSchema: Boolean = false): Snapshot = {
     val root = new Path(path)
     val fs = fsOf(spark, root)
-    current(spark, path).foreach(requireCompatible(spark, path, _, df, allowNew = mergeSchema))
-    writeSegment(spark, root, df, statsCols) match {
-      case None => current(spark, path).getOrElse(Snapshot(0L, Nil))
+    val base = current(spark, path)
+    base.foreach { s =>
+      requireCompatible(spark, path, s, df, allowNew = mergeSchema)
+      if (mergeSchema) requireNoPhysicalCollision(s, df)
+    }
+    writeSegment(spark, root, df, statsCols, base.flatMap(_.schema)) match {
+      case None => base.getOrElse(Snapshot(0L, Nil))
       case Some(entry) => commitAppend(spark, fs, root, path, entry, df.schema)
     }
   }
@@ -1040,13 +1293,26 @@ object ManifestStore {
     require(checks.nonEmpty, "appendChecked needs at least one check")
     val root = new Path(path)
     val fs = fsOf(spark, root)
-    current(spark, path).foreach(requireCompatible(spark, path, _, df, allowNew = mergeSchema))
-    writeSegment(spark, root, df, statsCols) match {
+    val base = current(spark, path)
+    base.foreach { s =>
+      requireCompatible(spark, path, s, df, allowNew = mergeSchema)
+      if (mergeSchema) requireNoPhysicalCollision(s, df)
+    }
+    writeSegment(spark, root, df, statsCols, base.flatMap(_.schema)) match {
       case None =>
         GatedReport(published = true,
-          current(spark, path).map(_.version).getOrElse(0L), None, Nil)
+          base.map(_.version).getOrElse(0L), None, Nil)
       case Some(entry) =>
-        val staged = spark.read.parquet(new Path(root, entry.name).toString)
+        // checks reference LOGICAL names; a renamed table's staged files
+        // are physical-named — alias back before evaluating
+        val rawStaged = spark.read.parquet(new Path(root, entry.name).toString)
+        val rename = l2p(base.flatMap(_.schema))
+        val staged =
+          if (rename.isEmpty) rawStaged
+          else rawStaged.select(rawStaged.columns.toSeq.map { p =>
+            rename.collectFirst { case (l, pp) if pp == p => col(p).as(l) }
+              .getOrElse(col(p))
+          }: _*)
         val failing = Expectations.run(staged, checks).where(!col("pass"))
           .collect().map(r => (r.getString(0), r.getString(1), r.getLong(3))).toSeq
         if (failing.isEmpty) {
@@ -1132,7 +1398,7 @@ object ManifestStore {
           // batch's, nullable-relaxed) so reads never touch data footers
           val schema = base.schema.orElse(Some(StructType(
             freshC.schema.fields.map(_.copy(nullable = true)))))
-          writeSegment(spark, root, freshC, statsCols) match {
+          writeSegment(spark, root, freshC, statsCols, base.schema) match {
             case Some(entry) if tryPublish(fs, root, base.version + 1,
                 base.entries :+ entry.copy(seq = base.version + 1),
                 schema, base.deletes) =>
@@ -1268,10 +1534,8 @@ object ManifestStore {
         throw new IllegalStateException(
           s"version $v at $path is not resolvable — vacuumed past retention? " +
             "The change feed needs every version in range."))
-    val schema = {
-      val s = snapOf(toInclusive)
-      s.schema.getOrElse(readAt(spark, path, s).schema)
-    }
+    val feedSnap = snapOf(toInclusive)
+    val schema = feedSnap.schema.getOrElse(readAt(spark, path, feedSnap).schema)
     // every per-version frame is null-padded to the feed's OWN schema (the
     // toInclusive one): a range spanning a mergeSchema append reads early
     // versions under their narrower schemas, and a strict union across
@@ -1294,14 +1558,24 @@ object ManifestStore {
       val addedSegs = b.entries.filterNot(e => aNames(e.name))
       val aDels = a.deletes.map(_.name).toSet
       val addedDels = b.deletes.filterNot(d => aDels(d.name))
+      // every frame is read under the FEED snapshot's schema, not the
+      // per-version one: physical names are stable across renames, so the
+      // feed-final mapping reads any in-range segment correctly (renamed
+      // columns alias, widened types promote, later-added columns
+      // null-fill) and a rename/widen commit itself is pure metadata —
+      // zero added segments, an EMPTY change frame, feed uninterrupted
       val inserts =
         if (addedSegs.isEmpty) Nil
         else Seq(padTo(
-          readSegs(spark, b, addedSegs.map(e => new Path(root, e.name).toString)))
+          readSegs(spark, feedSnap, addedSegs.map(e => new Path(root, e.name).toString)))
           .withColumn("_change_type", lit("insert"))
           .withColumn("_commit_version", lit(v0 + 1)))
+      val rev = p2l(feedSnap.schema)
       val deletes = addedDels.map { d =>
-        padTo(spark.read.parquet(new Path(root, d.name).toString))
+        // the sidecar column is physical; surface it under the feed's
+        // logical name
+        padTo(spark.read.parquet(new Path(root, d.name).toString)
+            .select(col(d.keyCol).as(rev.getOrElse(d.keyCol, d.keyCol))))
           .withColumn("_change_type", lit("delete"))
           .withColumn("_commit_version", lit(v0 + 1))
       }
@@ -1410,10 +1684,13 @@ object ManifestStore {
       keys: DataFrame): Snapshot = {
     val root = new Path(path)
     val fs = fsOf(spark, root)
-    val keyVals = keys.select(col(keys.columns.head).as(keyCol)).distinct()
-    if (keyVals.isEmpty)
-      return current(spark, path).getOrElse(
-        throw new IllegalStateException(s"no manifest at $path"))
+    val snap0 = current(spark, path).getOrElse(
+      throw new IllegalStateException(s"no manifest at $path"))
+    // the sidecar column and the recorded keyCol are PHYSICAL (stable even
+    // across later renames, so the CAS retry below never needs re-staging)
+    val pKey = l2p(snap0.schema).getOrElse(keyCol, keyCol)
+    val keyVals = keys.select(col(keys.columns.head).as(pKey)).distinct()
+    if (keyVals.isEmpty) return snap0
     val name = s"del-${java.util.UUID.randomUUID()}"
     keyVals.coalesce(1).write.parquet(new Path(root, name).toString)
     var attempt = 0
@@ -1421,7 +1698,7 @@ object ManifestStore {
       val base = current(spark, path).getOrElse(
         throw new IllegalStateException(s"no manifest at $path"))
       val v = base.version + 1
-      val dels = base.deletes :+ DeleteFile(name, keyCol, v)
+      val dels = base.deletes :+ DeleteFile(name, pKey, v)
       if (tryPublish(fs, root, v, base.entries, base.schema, dels))
         return Snapshot(v, base.entries, base.schema, dels)
       attempt += 1 // CAS lost: the sidecar is still valid, re-stamp and retry
@@ -1510,12 +1787,13 @@ object ManifestStore {
         // (1) manifest-stats prune: segments whose key range misses the
         // source's [min,max] cannot contain a match (conservative: no
         // stats => candidate). One tiny agg for the source range.
+        val pKey = l2p(base.schema).getOrElse(key, key) // stats are keyed physically
         val candidates =
-          if (base.entries.forall(_.stats.get(key).isEmpty)) base.entries
+          if (base.entries.forall(_.stats.get(pKey).isEmpty)) base.entries
           else {
             val r = sourceD.agg(min(col(key)), max(col(key))).head()
             if (r.isNullAt(0)) Seq.empty[SegmentEntry]
-            else prunedEntries(Snapshot(base.version, base.entries),
+            else prunedEntries(Snapshot(base.version, base.entries, base.schema),
               Seq((key, r.get(0), r.get(1))))
           }
         // (2) exact probe: which candidate segments hold a matched key
@@ -1566,7 +1844,7 @@ object ManifestStore {
             .join(sourceD.select(key), Seq(key), "left_anti")
             .select(applied.columns.map(col): _*)
             .unionByName(applied)
-          val entry = writeSegment(spark, root, newData, statsCols)
+          val entry = writeSegment(spark, root, newData, statsCols, base.schema)
             .map(_.copy(seq = base.version + 1))
           val next = untouchedE ++ entry.toSeq
           // outstanding MOR deletes stay published: they still filter the
@@ -1666,9 +1944,12 @@ object ManifestStore {
         }
       try fs.delete(stage, true) catch { case _: java.io.IOException => () }
       require(entries.nonEmpty, s"cluster: staged write produced no segments at $path")
-      // v5: record the schema even when the base predates schema recording
-      val schema = base.schema.orElse(Some(StructType(
-        df.schema.fields.map(_.copy(nullable = true)))))
+      // v5: record the schema even when the base predates schema recording.
+      // The staged tree was written from the LOGICAL view, so the recorded
+      // schema is the logical one — a full rewrite re-baselines any rename
+      // mapping away (the clustered files spell columns logically again)
+      val schema = Some(StructType(
+        df.schema.fields.map(_.copy(nullable = true))))
       if (tryPublish(fs, root, base.version + 1, entries, schema))
         return Snapshot(base.version + 1, entries, schema)
       attempt += 1 // CAS lost: promoted segments are invisible; vacuum reclaims

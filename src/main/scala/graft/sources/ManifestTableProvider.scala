@@ -151,7 +151,12 @@ final class ManifestTable(path: String, declared: StructType,
       case None => ManifestStore.current(spark, path)
     }
     val forceShim = Option(options.get("v1shim")).exists(_.toBoolean)
-    if (forceShim || snap.exists(_.deletes.nonEmpty)) v1ShimScanBuilder()
+    // a renamed (column-mapped) table's files spell columns physically —
+    // the logical alias projection lives in ManifestRead.readCatalyst, so
+    // such tables read through the shim until a full rewrite re-baselines
+    // the mapping (ManifestStore.renameColumn documents the trade)
+    val mapped = snap.flatMap(_.schema).exists(graft.ops.ManifestStore.hasMapping)
+    if (forceShim || mapped || snap.exists(_.deletes.nonEmpty)) v1ShimScanBuilder()
     else {
       val index = new ManifestRead.ManifestPartitioningIndex(spark, path,
         snap.getOrElse(ManifestStore.Snapshot(0L, Nil)).copy(deletes = Nil))
