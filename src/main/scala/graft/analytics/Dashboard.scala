@@ -207,6 +207,25 @@ object Dashboard {
       .orderBy("table", "column")
   }
 
+  /** [[catalog]] over a NAMED v2 catalog namespace (e.g. a
+    * [[graft.sources.ManifestCatalog]] mounted at `spark.sql.catalog.<name>`):
+    * the same (table, column, dtype) listing, resolved through the catalog
+    * plugin API — `SHOW TABLES IN <catalog>.<ns>` + one schema read per
+    * table, each of which is ONE manifest read for manifest tables (the
+    * schema lives in the table format; no metastore round-trips).
+    */
+  def catalog(spark: SparkSession, catalogNamespace: String): DataFrame = {
+    import spark.implicits._
+    spark.sql(s"SHOW TABLES IN $catalogNamespace").collect().toSeq
+      .map(_.getString(1)).sorted
+      .flatMap { t =>
+        spark.table(s"$catalogNamespace.$t").schema.fields
+          .map(f => (t, f.name, f.dataType.simpleString))
+      }
+      .toDF("table", "column", "dtype")
+      .orderBy("table", "column")
+  }
+
   /** Gold preview with date-range + row cap (streamlit_frontend.py:530-545,
     * 2132-2137 P8/O4).
     */

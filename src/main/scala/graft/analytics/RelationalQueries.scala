@@ -2807,6 +2807,53 @@ object RelationalQueries {
       },
       Some("""SELECT r_regionkey, r_name FROM region
              |WHERE r_regionkey < 3 ORDER BY r_regionkey""".stripMargin)
+    ),
+    Q(
+      "sql6_catalog_ddl",
+      "Name-based catalog DDL + metadata-only schema evolution end-to-end " +
+        "(sources/ManifestCatalog, a TableCatalog plugin — the reference's " +
+        "information_schema surface, streamlit_frontend.py:440-444, without " +
+        "per-statement path plumbing): CREATE TABLE in the catalog " +
+        "warehouse, INSERT a slice, then ALTER TABLE RENAME COLUMN and " +
+        "ALTER COLUMN TYPE (both pure-metadata CAS commits over stable " +
+        "physical names — zero data I/O at any table size), INSERT the " +
+        "second slice under the evolved schema, and SELECT back: the read " +
+        "stitches pre-evolution segments (narrow type, old physical name) " +
+        "with post-evolution ones through alias + vectorized-reader type " +
+        "promotion. The oracle replays the final algebra over the raw " +
+        "parquet, so rename/widen-on-read must agree with declarative " +
+        "semantics row for row",
+      (s, d) => {
+        if (s.conf.getOption("spark.sql.catalog.graft_cat").isEmpty) {
+          s.conf.set("spark.sql.catalog.graft_cat",
+            "graft.sources.ManifestCatalog")
+          s.conf.set("spark.sql.catalog.graft_cat.warehouse",
+            java.nio.file.Files.createTempDirectory("graft-sql6-").toString)
+        }
+        nation(s, d).createOrReplaceTempView("sql6_nation")
+        s.sql("DROP TABLE IF EXISTS graft_cat.default.nations")
+        s.sql("CREATE TABLE graft_cat.default.nations (n_nationkey INT, " +
+          "n_name STRING, n_regionkey INT) TBLPROPERTIES ('statscols'='n_nationkey')")
+        s.sql("INSERT INTO graft_cat.default.nations SELECT n_nationkey, " +
+          "n_name, n_regionkey FROM sql6_nation WHERE n_regionkey < 3")
+        s.sql("ALTER TABLE graft_cat.default.nations " +
+          "RENAME COLUMN n_nationkey TO nation_id")
+        s.sql("ALTER TABLE graft_cat.default.nations " +
+          "ALTER COLUMN nation_id TYPE BIGINT")
+        s.sql("INSERT INTO graft_cat.default.nations SELECT " +
+          "CAST(n_nationkey AS BIGINT), n_name, n_regionkey " +
+          "FROM sql6_nation WHERE n_regionkey >= 3")
+        s.sql("""SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n,
+                |CAST(SUM(nation_id) AS BIGINT) AS key_sum,
+                |MIN(n_name) AS first_name
+                |FROM graft_cat.default.nations WHERE nation_id >= 2
+                |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+      },
+      Some("""SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n,
+             |CAST(SUM(CAST(n_nationkey AS BIGINT)) AS BIGINT) AS key_sum,
+             |MIN(n_name) AS first_name
+             |FROM nation WHERE n_nationkey >= 2
+             |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
     )
   )
 }
