@@ -23,6 +23,10 @@ import graft.functions.{ArrayDotProduct, MinHash8, Shingle3, ShingleN, Simhash32
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
+    // SQL row-level DML (DELETE/UPDATE/MERGE) over manifest tables — the
+    // planner strategy claims the analyzed DML nodes when the target is a
+    // ManifestTable and routes them to the engine verbs
+    extensions.injectPlannerStrategy(_ => graft.plans.ManifestDmlStrategy)
     extensions.injectFunction((
       new FunctionIdentifier("array_dot"),
       new ExpressionInfo(

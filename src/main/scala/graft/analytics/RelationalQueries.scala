@@ -2854,6 +2854,114 @@ object RelationalQueries {
              |MIN(n_name) AS first_name
              |FROM nation WHERE n_nationkey >= 2
              |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+    ),
+    Q(
+      "sql7_merge_dml",
+      "SQL MERGE INTO end-to-end (plans/ManifestDmlStrategy routing the " +
+        "analyzed MergeIntoTable onto ManifestStore.merge — the SQL " +
+        "surface of the segment-granular copy-on-write verb; the " +
+        "reference's only SQL write is the ON CONFLICT shape this family " +
+        "covers, cleaner/duckdb_writer.py:141-207): per-customer order " +
+        "stats land as two segments, then ONE statement updates matched " +
+        "keys (SET *), deletes the high-total slice (WHEN MATCHED AND " +
+        "... THEN DELETE), and inserts synthetic new keys gated by WHEN " +
+        "NOT MATCHED. The oracle replays the three-way set algebra " +
+        "(survivor targets + updated matches + inserts) in DuckDB CTEs, " +
+        "so MERGE clause semantics are hash-checked row for row",
+      (s, d) => {
+        import graft.ops.ManifestStore
+        graft.plans.ManifestDml.install(s)
+        val scratch = java.nio.file.Files
+          .createTempDirectory("graft-sql7-").toString + "/t"
+        val stats = orders(s, d)
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_ord"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        ManifestStore.append(s, stats.where(col("o_custkey") % 2 === 0), scratch,
+          statsCols = Seq("o_custkey"))
+        ManifestStore.append(s, stats.where(col("o_custkey") % 2 =!= 0), scratch,
+          statsCols = Seq("o_custkey"))
+        s.sql("DROP TABLE IF EXISTS sql7_tab")
+        s.sql("CREATE TABLE sql7_tab (o_custkey BIGINT, n_ord BIGINT, " +
+          s"total DOUBLE) USING `graft-manifest` " +
+          s"OPTIONS (path '$scratch', statscols 'o_custkey')")
+        stats.createOrReplaceTempView("sql7_stats")
+        s.sql("""MERGE INTO sql7_tab t
+                |USING (
+                |  SELECT o_custkey, n_ord, total * 2 AS total
+                |  FROM sql7_stats WHERE o_custkey % 3 = 0
+                |  UNION ALL
+                |  SELECT o_custkey + 1000000, n_ord, total
+                |  FROM sql7_stats WHERE o_custkey % 5 = 0
+                |) s
+                |ON t.o_custkey = s.o_custkey
+                |WHEN MATCHED AND s.total > 900000.0 THEN DELETE
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED AND s.n_ord >= 2 THEN INSERT *""".stripMargin)
+        s.sql("""SELECT o_custkey, n_ord, total FROM sql7_tab
+                |ORDER BY o_custkey""".stripMargin)
+      },
+      Some("""WITH stats AS (
+             |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_ord,
+             |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |  FROM orders GROUP BY o_custkey
+             |), src AS (
+             |  SELECT o_custkey, n_ord, total * 2 AS total
+             |  FROM stats WHERE o_custkey % 3 = 0
+             |  UNION ALL
+             |  SELECT o_custkey + 1000000, n_ord, total
+             |  FROM stats WHERE o_custkey % 5 = 0
+             |), merged AS (
+             |  SELECT t.* FROM stats t
+             |  WHERE t.o_custkey NOT IN (SELECT o_custkey FROM src)
+             |  UNION ALL
+             |  SELECT s.* FROM src s
+             |  WHERE s.o_custkey IN (SELECT o_custkey FROM stats)
+             |    AND NOT (s.total > 900000.0)
+             |  UNION ALL
+             |  SELECT s.* FROM src s
+             |  WHERE s.o_custkey NOT IN (SELECT o_custkey FROM stats)
+             |    AND s.n_ord >= 2
+             |)
+             |SELECT o_custkey, n_ord, total FROM merged
+             |ORDER BY o_custkey""".stripMargin)
+    ),
+    Q(
+      "sql8_update_delete_dml",
+      "SQL UPDATE and DELETE end-to-end (plans/ManifestDmlStrategy onto " +
+        "ManifestStore.updateWhere/deleteWhere — merge's touched-segment " +
+        "copy-on-write applied to arbitrary predicates: only segments " +
+        "holding a matching row are rewritten, every other entry is " +
+        "republished verbatim): UPDATE with a self-referencing SET over " +
+        "one region, then DELETE over a key residue class, then the " +
+        "read-back. The oracle replays both statements declaratively " +
+        "(CASE projection + negated filter), so in-place edit semantics " +
+        "are hash-checked row for row",
+      (s, d) => {
+        graft.plans.ManifestDml.install(s)
+        val scratch = java.nio.file.Files
+          .createTempDirectory("graft-sql8-").toString + "/t"
+        nation(s, d).createOrReplaceTempView("sql8_nation")
+        s.sql("DROP TABLE IF EXISTS sql8_tab")
+        s.sql("CREATE TABLE sql8_tab (n_nationkey INT, n_name STRING, " +
+          s"n_regionkey INT) USING `graft-manifest` " +
+          s"OPTIONS (path '$scratch', statscols 'n_nationkey')")
+        s.sql("INSERT INTO sql8_tab SELECT n_nationkey, n_name, n_regionkey " +
+          "FROM sql8_nation WHERE n_nationkey % 2 = 0")
+        s.sql("INSERT INTO sql8_tab SELECT n_nationkey, n_name, n_regionkey " +
+          "FROM sql8_nation WHERE n_nationkey % 2 = 1")
+        s.sql("UPDATE sql8_tab SET n_name = concat(n_name, '_EU') " +
+          "WHERE n_regionkey = 3")
+        s.sql("DELETE FROM sql8_tab WHERE n_nationkey % 4 = 1")
+        s.sql("""SELECT n_nationkey, n_name, n_regionkey FROM sql8_tab
+                |ORDER BY n_nationkey""".stripMargin)
+      },
+      Some("""SELECT n_nationkey,
+             |CASE WHEN n_regionkey = 3 THEN n_name || '_EU' ELSE n_name END
+             |  AS n_name,
+             |n_regionkey
+             |FROM nation WHERE NOT (n_nationkey % 4 = 1)
+             |ORDER BY n_nationkey""".stripMargin)
     )
   )
 }

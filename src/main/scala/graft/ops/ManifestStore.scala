@@ -1707,6 +1707,106 @@ object ManifestStore {
       s"ManifestStore.deleteKeysMergeOnRead: lost the publish race $MaxRetries times at $path")
   }
 
+  /** What a predicate DML verb ([[deleteWhere]]/[[updateWhere]]) did:
+    * rows affected, plus the copy-on-write evidence — how many segments
+    * actually held a matching row and were rewritten vs republished
+    * verbatim.
+    */
+  final case class DmlReport(affected: Long, segmentsRewritten: Int,
+      segmentsTotal: Int, version: Long)
+
+  /** Shared copy-on-write core of [[deleteWhere]]/[[updateWhere]] —
+    * [[merge]]'s touched-set discipline applied to an arbitrary predicate:
+    * (1) ONE column-pruned probe finds the segments that hold a matching
+    * row (with no outstanding MOR deletes the probe rides the
+    * planner-integrated manifest scan, so the predicate's pushable
+    * conjuncts prune segments from recorded stats before any file opens;
+    * with deletes outstanding it falls back to the raw scan — a
+    * MOR-suppressed match can then only cause a harmless extra rewrite,
+    * because the rewrite always starts from the assembled LOGICAL view);
+    * (2) only touched segments are rewritten — one new segment carries
+    * their transformed rows, every untouched entry is republished
+    * verbatim (zero data I/O); (3) one CAS publish conditioned on the
+    * base version, [[rewriteAll]]'s crash/race posture. A predicate
+    * matching 0.1% of a 100 TB table rewrites ~0.1% of it. NULL predicate
+    * results act as false (SQL WHERE posture).
+    */
+  private def rewriteWhere(spark: SparkSession, path: String, cond: Column,
+      rewrite: (DataFrame, Column) => DataFrame, statsCols: Seq[String],
+      what: String): DmlReport = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    val matchPred = coalesce(cond, lit(false))
+    var attempt = 0
+    while (attempt < MaxRetries) {
+      val base = current(spark, path).getOrElse(
+        throw new IllegalStateException(s"no manifest at $path — not a ManifestStore table"))
+      if (base.entries.isEmpty) return DmlReport(0L, 0, 0, base.version)
+      val probe =
+        if (base.deletes.isEmpty)
+          ManifestRead.readCatalystVersion(spark, path, base.version)
+        else readSegs(spark, base,
+          base.entries.map(e => new Path(root, e.name).toString))
+      val touched: Set[String] = probe.where(matchPred)
+        .select(regexp_extract(input_file_name(), "/(seg-[^/]+)/[^/]*$", 1)
+          .as("__seg"))
+        .distinct().collect().map(_.getString(0)).toSet
+      val (touchedE, untouchedE) = base.entries.partition(e => touched(e.name))
+      if (touchedE.isEmpty) return DmlReport(0L, 0, base.entries.size, base.version)
+      val touchedRows = assemble(spark, root, base, touchedE).cache()
+      try {
+        val affected = touchedRows.where(matchPred).count()
+        val newData = rewrite(touchedRows, matchPred)
+        // rewritten rows get seq = v+1, past every outstanding delete's
+        // seq — the MOR debt those segments carried is materialized here,
+        // while untouched segments keep being filtered by the sidecars
+        val entry = writeSegment(spark, root, newData, statsCols, base.schema)
+          .map(_.copy(seq = base.version + 1))
+        val next = untouchedE ++ entry.toSeq
+        if (tryPublish(fs, root, base.version + 1, next, base.schema, base.deletes))
+          return DmlReport(affected, touchedE.size, base.entries.size,
+            base.version + 1)
+      } finally touchedRows.unpersist()
+      attempt += 1 // lost the race: recompute against the winner
+    }
+    throw new IllegalStateException(
+      s"ManifestStore.$what: lost the publish race $MaxRetries times at $path")
+  }
+
+  /** DELETE FROM ... WHERE `cond` — arbitrary-predicate deletion with
+    * [[merge]]'s segment-granular copy-on-write cost model (see
+    * [[rewriteWhere]]). Rows where `cond` is TRUE are removed; FALSE and
+    * NULL rows survive. The SQL surface routes `DELETE FROM` here; the
+    * key-batch sibling [[deleteKeysMergeOnRead]] stays the O(batch) GDPR
+    * path when the predicate is a key set.
+    */
+  def deleteWhere(spark: SparkSession, path: String, cond: Column,
+      statsCols: Seq[String] = Nil): DmlReport =
+    rewriteWhere(spark, path, cond, (df, m) => df.where(!m), statsCols,
+      "deleteWhere")
+
+  /** UPDATE ... SET ... WHERE `cond` — matched rows get each `set` column
+    * replaced (value cast to the column's declared type, the SQL
+    * assignment rule), unmatched rows ride through untouched; same
+    * touched-segment copy-on-write cost model as [[deleteWhere]]. `set`
+    * values may reference the row's own columns (`SET v = v + 1`).
+    */
+  def updateWhere(spark: SparkSession, path: String, cond: Column,
+      set: Map[String, Column], statsCols: Seq[String] = Nil): DmlReport = {
+    require(set.nonEmpty, "updateWhere needs at least one SET column")
+    rewriteWhere(spark, path, cond, (df, m) => {
+      val sch = df.schema
+      set.keys.foreach(k => require(sch.fieldNames.contains(k),
+        s"updateWhere: SET column $k is not a table column"))
+      df.select(sch.fields.toSeq.map { f =>
+        set.get(f.name) match {
+          case Some(v) => when(m, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }: _*)
+    }, statsCols, "updateWhere")
+  }
+
   /** MERGE INTO, segment-granular copy-on-write — the missing verb beside
     * [[append]]/[[upsert]]/[[deleteKeys]]. Delta-style single-key
     * semantics: a source row whose `key` exists in the table UPDATES

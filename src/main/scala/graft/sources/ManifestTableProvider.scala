@@ -98,8 +98,8 @@ class ManifestTableProvider extends TableProvider with DataSourceRegister {
   }
 }
 
-final class ManifestTable(path: String, declared: StructType,
-    statsCols: Seq[String], versionAsOf: Option[Long] = None)
+final class ManifestTable(val path: String, declared: StructType,
+    val statsCols: Seq[String], val versionAsOf: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = versionAsOf
