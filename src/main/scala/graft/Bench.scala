@@ -200,7 +200,8 @@ object Bench {
     // the split lets a reader subtract them without re-deriving the set.
     val protocolSet = Set("j12_merge_cdc", "s17_catalyst_manifest_scan",
       "s18_mor_delete_scan", "sql3_manifest_insert", "sql4_restore",
-      "sql5_time_travel")
+      "sql5_time_travel", "sql6_catalog_ddl", "sql7_merge_dml",
+      "sql8_update_delete_dml")
     val protocolTotal = results.filter(r => protocolSet(r._1)).map(_._2.min).sum
     val queryTotal = total - protocolTotal
     // Calibration-normalized headline beside the raw wall (the round-8

@@ -274,7 +274,8 @@ object ManifestStore {
     * FS contract lives in exactly one place — pick with
     * [[Publisher.forScheme]] (the default) or pin via [[publisherOverride]].
     */
-  sealed trait Publisher {
+  trait Publisher { // open: publisherOverride invites deployment-specific
+    // primitives (a conditional-put-capable store) and metering wrappers
     /** Install `tmp` as `target` iff `target` is absent; true = won. A
       * loser must leave `target` exactly as the winner published it.
       */
