@@ -1216,19 +1216,58 @@ object ManifestStore {
     }
     writeSegment(spark, root, df, statsCols, base.flatMap(_.schema)) match {
       case None => base.getOrElse(Snapshot(0L, Nil))
-      case Some(entry) => commitAppend(spark, fs, root, path, entry, df.schema)
+      case Some(entry) => commitAppend(spark, fs, root, path, entry, df.schema,
+        base.flatMap(_.schema))
     }
   }
 
   /** The append CAS loop over an already-staged segment — shared by
     * [[append]] and [[appendChecked]] (whose gate runs between staging
-    * and this publish).
+    * and this publish). `stagedWith` is the schema whose logical→physical
+    * mapping the segment was STAGED under: because the segment's parquet
+    * columns are already on disk, every retry must verify the mapping
+    * still holds against the racer's snapshot — a concurrent rename can
+    * retire a logical name this batch still uses (re-appending it would
+    * silently null-fill the renamed column and misfile the batch's), and
+    * a concurrent addColumn can mint a physical name for a column this
+    * batch staged under its plain name. Both are refused loudly; data
+    * commits racing data commits never trip this (physical names are
+    * stable — only a schema-evolution racer can).
     */
   private def commitAppend(spark: SparkSession, fs: FileSystem, root: Path,
-      path: String, entry: SegmentEntry, dfSchema: StructType): Snapshot = {
+      path: String, entry: SegmentEntry, dfSchema: StructType,
+      stagedWith: Option[StructType]): Snapshot = {
+    val stagedMap = l2p(stagedWith)
     var attempt = 0
     while (attempt < MaxRetries) {
       val base = current(spark, path).getOrElse(Snapshot(0L, Nil))
+      base.schema.foreach { cur =>
+        val curByName = cur.fields
+          .map(f => f.name -> ((physicalName(f), f.dataType))).toMap
+        val raced = dfSchema.fields.map(_.name).filter { c =>
+          val stagedPhys = stagedMap.getOrElse(c, c)
+          val stagedType = dfSchema(c).dataType
+          curByName.get(c) match {
+            // the logical name still exists: its physical must be the one
+            // the segment was staged under (an addColumn race can mint
+            // one), and its type must still READ the staged encoding (a
+            // racing widen is fine — the reader promotes; anything else
+            // is not)
+            case Some((curPhys, curType)) => curPhys != stagedPhys ||
+              (curType != stagedType && !widenOk(stagedType, curType))
+            // the logical name is GONE (renamed away mid-flight): merging
+            // it back as "new" would alias the renamed field's physical —
+            // two logicals over one parquet column
+            case None =>
+              cur.fields.exists(f => physicalName(f) == stagedPhys)
+          }
+        }
+        if (raced.nonEmpty) throw new IllegalStateException(
+          s"ManifestStore.append at $path: schema evolution raced this " +
+            s"commit — column(s) ${raced.mkString(", ")} no longer resolve " +
+            "to the physical name(s) the staged segment was written under. " +
+            "Re-run the append against the current schema.")
+      }
       // EVERY commit records the table schema (v5 discipline): the
       // union schema — table columns first, new ones appended (only
       // mergeSchema admits new ones past requireCompatible) — so reads
@@ -1317,7 +1356,8 @@ object ManifestStore {
         val failing = Expectations.run(staged, checks).where(!col("pass"))
           .collect().map(r => (r.getString(0), r.getString(1), r.getLong(3))).toSeq
         if (failing.isEmpty) {
-          val snap = commitAppend(spark, fs, root, path, entry, df.schema)
+          val snap = commitAppend(spark, fs, root, path, entry, df.schema,
+            base.flatMap(_.schema))
           GatedReport(published = true, snap.version, None, Nil)
         } else {
           val dest = new Path(quarantineDir,

@@ -199,6 +199,64 @@ class EvolutionSpec extends SparkSpec {
       .as[String].collect().forall(_ == "id"))
   }
 
+  test("an append raced by a rename refuses instead of misfiling its staged segment") {
+    val path = t("evo-race")
+    ManifestStore.append(spark, Seq((1L, "a")).toDF("k", "v"), path)
+    // interleave deterministically at the ONE seam every commit passes
+    // through: the appender stages its segment under the old mapping, and
+    // just before its publish wins the slot, a rename commits first —
+    // the retry must REFUSE (logical k is gone; merging it back as "new"
+    // would alias the renamed field's physical parquet column)
+    @volatile var fired = false
+    lazy val delaying: ManifestStore.Publisher = new ManifestStore.Publisher {
+      override def publish(fs: org.apache.hadoop.fs.FileSystem,
+          tmp: org.apache.hadoop.fs.Path,
+          target: org.apache.hadoop.fs.Path): Boolean = {
+        if (!fired) {
+          fired = true
+          ManifestStore.publisherOverride = None
+          try ManifestStore.renameColumn(spark, path, "k", "id")
+          finally ManifestStore.publisherOverride = Some(delaying)
+        }
+        ManifestStore.Publisher.LocalHardLink.publish(fs, tmp, target)
+      }
+    }
+    ManifestStore.publisherOverride = Some(delaying)
+    try {
+      val e = intercept[IllegalStateException] {
+        ManifestStore.append(spark, Seq((2L, "b")).toDF("k", "v"), path)
+      }
+      assert(e.getMessage.contains("schema evolution raced"))
+    } finally ManifestStore.publisherOverride = None
+    // the table is intact under the rename: one row, new logical names
+    assert(ManifestStore.read(spark, path).columns.toSeq == Seq("id", "v"))
+    assert(ManifestStore.read(spark, path).count() == 1)
+    // whereas a raced WIDEN is harmless: the staged narrow encoding reads
+    // under the widened type (the reader promotes) — the commit proceeds
+    val path2 = t("evo-race-widen")
+    ManifestStore.append(spark, Seq((1, "a")).toDF("k", "v"), path2)
+    fired = false
+    lazy val widening: ManifestStore.Publisher = new ManifestStore.Publisher {
+      override def publish(fs: org.apache.hadoop.fs.FileSystem,
+          tmp: org.apache.hadoop.fs.Path,
+          target: org.apache.hadoop.fs.Path): Boolean = {
+        if (!fired) {
+          fired = true
+          ManifestStore.publisherOverride = None
+          try ManifestStore.widenColumn(spark, path2, "k", LongType)
+          finally ManifestStore.publisherOverride = Some(widening)
+        }
+        ManifestStore.Publisher.LocalHardLink.publish(fs, tmp, target)
+      }
+    }
+    ManifestStore.publisherOverride = Some(widening)
+    try ManifestStore.append(spark, Seq((2, "b")).toDF("k", "v"), path2)
+    finally ManifestStore.publisherOverride = None
+    val got = ManifestStore.read(spark, path2)
+    assert(got.schema("k").dataType == LongType)
+    assert(got.select("k").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("appendChecked evaluates expectations under logical names on a renamed table") {
     val path = t("evo-gate")
     val q = tmpDir("evo-gate-q")

@@ -564,4 +564,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(shim.collect().map(_.getLong(0)).sorted.toSeq == Seq(100L, 200L))
     spark.sql("DROP TABLE plan_native_t")
   }
+
+  test("renamed (column-mapped) table: stats pruning and column pruning survive the alias projection") {
+    import org.apache.spark.sql.functions.col
+    import graft.ops.{ManifestRead, ManifestStore}
+    import spark.implicits._
+    val dir = tmpDir("planMapped") + "/t"
+    // one file per segment, so files-planned counts segments exactly
+    ManifestStore.append(spark, Seq((1L, "a", "x"), (2L, "b", "y"))
+      .toDF("k", "v", "w").coalesce(1), dir, statsCols = Seq("k"))
+    ManifestStore.append(spark, Seq((100L, "c", "z"), (200L, "d", "q"))
+      .toDF("k", "v", "w").coalesce(1), dir, statsCols = Seq("k"))
+    ManifestStore.renameColumn(spark, dir, "k", "id")
+    // the logical filter on the RENAMED column pushes through the alias
+    // projection as a physical-named predicate, which is what the
+    // manifest stats are keyed on: only the second segment's file scans
+    val df = ManifestRead.readCatalyst(spark, dir)
+      .where(col("id") >= 100L).select("id")
+    // collect THIS dataframe (a derived Dataset would build its own
+    // QueryExecution and leave the executed plan unpopulated)
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(100L, 200L))
+    val scan = scans(df).head
+    // count enumerated files from the FileScanRDD partitions (the driver's
+    // numFiles metric posts asynchronously on the listener bus)
+    val planned = scan.inputRDDs().head.partitions.map(
+      _.asInstanceOf[org.apache.spark.sql.execution.datasources.FilePartition]
+        .files.length).sum
+    assert(planned == 1,
+      s"stats pruning must survive the rename: $planned files planned")
+    // pushdown + column pruning reach the scan under the PHYSICAL name
+    assert(scan.metadata("PushedFilters").contains("k"),
+      s"physical-named filter must reach the scan: ${scan.metadata("PushedFilters")}")
+    assert(scan.metadata("ReadSchema").contains("k:bigint") &&
+      !scan.metadata("ReadSchema").contains("v"),
+      s"read schema must prune to the one physical column: ${scan.metadata("ReadSchema")}")
+  }
 }
