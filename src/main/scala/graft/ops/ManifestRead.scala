@@ -84,10 +84,12 @@ object ManifestRead {
     // into the index's listFiles) as physical-named predicates, matching
     // the stats keys, so segment pruning survives evolution unchanged
     val mapped = ManifestStore.hasMapping(schema)
-    val planSchema = if (mapped) ManifestStore.physSchema(schema) else schema
+    // visible fields only: a dropped column's data stays on disk, unread
+    val vis = ManifestStore.visible(schema)
+    val planSchema = if (mapped) ManifestStore.physSchema(vis) else schema
     def toLogical(df: DataFrame): DataFrame =
       if (!mapped) df
-      else df.select(schema.fields.toSeq.map(f =>
+      else df.select(vis.fields.toSeq.map(f =>
         org.apache.spark.sql.functions.col(ManifestStore.physicalName(f))
           .as(f.name, ManifestStore.cleanMeta(f))): _*)
     def planEntries(entries: Seq[ManifestStore.SegmentEntry]): DataFrame = {

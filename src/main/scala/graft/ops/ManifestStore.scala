@@ -588,7 +588,7 @@ object ManifestStore {
     // an EMPTIED table still has its recorded schema — enforce it (only a
     // schema-less pre-v5 empty snapshot accepts any shape)
     if (snap.segments.isEmpty && snap.schema.isEmpty) return
-    val existing = tableSchema(spark, path, snap)
+    val existing = visible(tableSchema(spark, path, snap))
     val have = existing.fields.map(f => f.name -> f.dataType).toMap
     val incoming = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val sharedOk = incoming.forall { case (n, t) => have.get(n).forall(_ == t) }
@@ -649,15 +649,33 @@ object ManifestStore {
   // SQL read path a mapped table temporarily forgoes).
 
   val PhysicalKey = "graft.physical"
+  val DroppedKey = "graft.dropped"
 
   /** The on-disk parquet column name for a recorded-schema field. */
   def physicalName(f: StructField): String =
     if (f.metadata.contains(PhysicalKey)) f.metadata.getString(PhysicalKey)
     else f.name
 
-  /** Does any field read/write under a name other than its logical one? */
+  /** A [[dropColumn]] tombstone: the field is invisible to every logical
+    * view, but stays in the recorded schema so its PHYSICAL parquet name
+    * remains reserved — re-adding the dropped logical name mints a fresh
+    * physical instead of resurrecting the dropped data from old files.
+    */
+  def isDropped(f: StructField): Boolean =
+    f.metadata.contains(DroppedKey) && f.metadata.getBoolean(DroppedKey)
+
+  /** The LOGICAL fields — what every read serves and every write must
+    * match; tombstoned (dropped) fields are carried in the recorded
+    * schema but never in a user-facing view.
+    */
+  def visible(schema: StructType): StructType =
+    StructType(schema.fields.filterNot(isDropped))
+
+  /** Does serving the logical view need a projection over the raw scan —
+    * a field reading under another name (rename) or hidden (drop)?
+    */
   def hasMapping(schema: StructType): Boolean =
-    schema.fields.exists(f => physicalName(f) != f.name)
+    schema.fields.exists(f => physicalName(f) != f.name || isDropped(f))
 
   /** logical → physical for the fields whose names diverge (empty = identity). */
   private def l2p(schema: Option[StructType]): Map[String, String] =
@@ -710,7 +728,7 @@ object ManifestStore {
     if (snap.segments.isEmpty)
       return snap.schema
         .map(sch => spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch))
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], visible(sch)))
         .getOrElse(throw new IllegalArgumentException(
           s"manifest v${snap.version} at $path lists no segments and records " +
             "no schema (pre-v5 empty table) — commit something first"))
@@ -728,8 +746,11 @@ object ManifestStore {
   private def readSegs(spark: SparkSession, snap: Snapshot,
       paths: Seq[String]): DataFrame = snap.schema match {
     case Some(sch) if hasMapping(sch) =>
-      spark.read.schema(physSchema(sch)).parquet(paths: _*)
-        .select(sch.fields.toSeq.map(f =>
+      // visible fields only: a dropped column's data stays on disk but is
+      // neither read (absent from the scan schema) nor served
+      val vis = visible(sch)
+      spark.read.schema(physSchema(vis)).parquet(paths: _*)
+        .select(vis.fields.toSeq.map(f =>
           col(physicalName(f)).as(f.name, cleanMeta(f))): _*)
     case Some(sch) => spark.read.schema(sch).parquet(paths: _*)
     case None => spark.read.parquet(paths: _*)
@@ -958,7 +979,8 @@ object ManifestStore {
           (sum.getLength, sum.getFileCount)
         }
       // stats are keyed physically; report them under the logical names
-      val rev = p2l(snap.schema)
+      // (a dropped column's stats keep showing under its physical name)
+      val rev = p2l(snap.schema.map(visible))
       val nulls = e.stats.toSeq.map { case (c, st) => (rev.getOrElse(c, c), st) }
         .sortBy(_._1)
         .flatMap { case (c, st) => st.nulls.map(n => s"$c=$n") }.mkString(",")
@@ -1097,7 +1119,7 @@ object ManifestStore {
     * racing a data commit composes instead of clobbering.
     */
   private def evolveSchema(spark: SparkSession, path: String, what: String)(
-      f: StructType => StructType): Snapshot = {
+      f: (StructType, Snapshot) => StructType): Snapshot = {
     val root = new Path(path)
     val fs = fsOf(spark, root)
     var attempt = 0
@@ -1106,7 +1128,7 @@ object ManifestStore {
         throw new IllegalStateException(s"no manifest at $path — not a ManifestStore table"))
       val cur = StructType(tableSchema(spark, path, base)
         .fields.map(_.copy(nullable = true)))
-      val next = f(cur)
+      val next = f(cur, base)
       if (tryPublish(fs, root, base.version + 1, base.entries, Some(next),
           base.deletes))
         return Snapshot(base.version + 1, base.entries, Some(next), base.deletes)
@@ -1124,7 +1146,7 @@ object ManifestStore {
     */
   def addColumn(spark: SparkSession, path: String, name: String,
       dataType: DataType): Snapshot =
-    evolveSchema(spark, path, "addColumn") { cur =>
+    evolveSchema(spark, path, "addColumn") { (cur, _) =>
       require(!cur.fieldNames.contains(name),
         s"addColumn: column $name already exists")
       val taken = cur.fields.map(physicalName).toSet
@@ -1150,7 +1172,7 @@ object ManifestStore {
     */
   def renameColumn(spark: SparkSession, path: String, from: String,
       to: String): Snapshot =
-    evolveSchema(spark, path, "renameColumn") { cur =>
+    evolveSchema(spark, path, "renameColumn") { (cur, _) =>
       require(cur.fieldNames.contains(from), s"renameColumn: no column $from")
       require(!cur.fieldNames.contains(to),
         s"renameColumn: column $to already exists")
@@ -1167,6 +1189,38 @@ object ManifestStore {
           StructField(to, f.dataType, nullable = true, meta)
         }
       })
+    }
+
+  /** Drop a column — metadata-only: the field becomes a hidden TOMBSTONE
+    * in the recorded schema (renamed to a reserved internal name, flagged
+    * [[DroppedKey]]), so no segment is rewritten, every logical view stops
+    * serving it, and its PHYSICAL parquet name stays reserved — a later
+    * [[addColumn]] re-using the dropped name mints a fresh physical
+    * instead of resurrecting the dropped data from old files. The bytes
+    * are reclaimed lazily by the next full rewrite
+    * ([[rewriteAll]]/[[compact]]/[[cluster]]), which writes only the
+    * visible columns and re-baselines the tombstone away — the GDPR
+    * column-erasure story is drop-now (visibility, one commit) +
+    * compact-later (bytes), mirroring [[deleteKeysMergeOnRead]]'s
+    * row-side split. Refused while an outstanding merge-on-read delete
+    * keys on the column (its anti-join needs the data): materialize the
+    * deletes first.
+    */
+  def dropColumn(spark: SparkSession, path: String, name: String): Snapshot =
+    evolveSchema(spark, path, "dropColumn") { (cur, base) =>
+      val f = cur.fields.find(x => x.name == name && !isDropped(x)).getOrElse(
+        throw new IllegalArgumentException(s"dropColumn: no column $name"))
+      require(visible(cur).fields.length > 1,
+        "dropColumn: cannot drop the table's last visible column")
+      val phys = physicalName(f)
+      require(base.deletes.forall(_.keyCol != phys),
+        s"dropColumn: outstanding merge-on-read delete file(s) key on $name — " +
+          "materialize them first (compact/cluster/deleteKeys), then drop")
+      StructType(cur.fields.map(x =>
+        if (!(x.name == name && !isDropped(x))) x
+        else StructField(s"__graft_dropped_$phys", x.dataType, nullable = true,
+          new MetadataBuilder().putString(PhysicalKey, phys)
+            .putBoolean(DroppedKey, true).build())))
     }
 
   /** The widenings Spark 4's vectorized parquet reader promotes at scan
@@ -1193,7 +1247,7 @@ object ManifestStore {
     */
   def widenColumn(spark: SparkSession, path: String, name: String,
       newType: DataType): Snapshot =
-    evolveSchema(spark, path, "widenColumn") { cur =>
+    evolveSchema(spark, path, "widenColumn") { (cur, _) =>
       val f = cur.fields.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"widenColumn: no column $name"))
       require(widenOk(f.dataType, newType),
@@ -1576,7 +1630,8 @@ object ManifestStore {
           s"version $v at $path is not resolvable — vacuumed past retention? " +
             "The change feed needs every version in range."))
     val feedSnap = snapOf(toInclusive)
-    val schema = feedSnap.schema.getOrElse(readAt(spark, path, feedSnap).schema)
+    val schema = feedSnap.schema.map(visible)
+      .getOrElse(readAt(spark, path, feedSnap).schema)
     // every per-version frame is null-padded to the feed's OWN schema (the
     // toInclusive one): a range spanning a mergeSchema append reads early
     // versions under their narrower schemas, and a strict union across
@@ -1963,8 +2018,8 @@ object ManifestStore {
           if (touchedE.nonEmpty) assemble(spark, root, base, touchedE)
           else spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            base.schema.getOrElse(
-              if (base.entries.nonEmpty) tableSchema(spark, path, base)
+            base.schema.map(visible).getOrElse(
+              if (base.entries.nonEmpty) visible(tableSchema(spark, path, base))
               else StructType(sourceD.schema.fields.map(_.copy(nullable = true)))))
         // matched keys can only live in touched segments, so every join
         // below runs against the touched slice, never the whole table

@@ -154,7 +154,7 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
         throw new NoSuchTableException(ident))
     }
     val schema = StructType(
-      snap.schema
+      snap.schema.map(ManifestStore.visible)
         .getOrElse(ManifestStore.readAt(spark, path, snap).schema)
         .fields.map(_.copy(nullable = true)))
     new ManifestTable(path, schema, statsColsOf(readProps(dir)), versionAsOf)
@@ -199,6 +199,10 @@ class ManifestCatalog extends TableCatalog with SupportsNamespaces {
         require(upd.fieldNames().length == 1,
           "ALTER TABLE ALTER COLUMN TYPE: nested fields are not supported")
         ManifestStore.widenColumn(spark, path, upd.fieldNames()(0), upd.newDataType())
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames().length == 1,
+          "ALTER TABLE DROP COLUMN: nested fields are not supported")
+        ManifestStore.dropColumn(spark, path, del.fieldNames()(0))
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported ALTER TABLE change $other")
     }

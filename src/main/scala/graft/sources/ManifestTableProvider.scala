@@ -73,7 +73,7 @@ class ManifestTableProvider extends TableProvider with DataSourceRegister {
     // an emptied table still serves its recorded schema (v5 records one on
     // every commit); only a truly uninitialized path needs declared columns
     snap.filter(s => s.segments.nonEmpty || s.schema.isDefined)
-      .map(s => StructType(s.schema
+      .map(s => StructType(s.schema.map(ManifestStore.visible)
         .getOrElse(ManifestStore.readAt(spark, path, s).schema)
         .fields.map(_.copy(nullable = true))))
       .getOrElse(throw new IllegalArgumentException(

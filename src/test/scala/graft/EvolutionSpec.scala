@@ -199,6 +199,70 @@ class EvolutionSpec extends SparkSpec {
       .as[String].collect().forall(_ == "id"))
   }
 
+  test("dropColumn hides the column, reserves its physical, rewrite reclaims it") {
+    val path = t("evo-drop")
+    ManifestStore.append(spark,
+      Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "v", "n"), path,
+      statsCols = Seq("k"))
+    val before = ManifestStore.current(spark, path).get
+    ManifestStore.dropColumn(spark, path, "v")
+    val after = ManifestStore.current(spark, path).get
+    // pure metadata: same entries, one version bump, column gone from view
+    assert(after.entries == before.entries)
+    assert(ManifestStore.read(spark, path).columns.toSeq == Seq("k", "n"))
+    assert(ManifestStore.read(spark, path).orderBy("k").collect().toSeq ==
+      Seq(Row(1L, 10), Row(2L, 20)))
+    assert(graft.ops.ManifestRead.readCatalyst(spark, path).columns.toSeq ==
+      Seq("k", "n"))
+    // appends now carry the narrowed shape; the old wide batch is refused
+    ManifestStore.append(spark, Seq((3L, 30)).toDF("k", "n"), path)
+    intercept[IllegalArgumentException] {
+      ManifestStore.append(spark, Seq((9L, "z", 90)).toDF("k", "v", "n"), path)
+    }
+    // re-adding the dropped name mints a fresh physical: old "v" data can
+    // never resurrect (a mergeSchema re-add is refused outright)
+    intercept[IllegalArgumentException] {
+      ManifestStore.append(spark, Seq((8L, 80, "new")).toDF("k", "n", "v"),
+        path, mergeSchema = true)
+    }
+    ManifestStore.addColumn(spark, path, "v", StringType)
+    val vf = ManifestStore.current(spark, path).get.schema.get
+      .fields.find(_.name == "v").get
+    assert(ManifestStore.physicalName(vf) != "v")
+    assert(ManifestStore.read(spark, path).where(col("k") === 1L)
+      .select("v").head().isNullAt(0)) // NOT "a" — the dropped data stays dead
+    // time travel to the pre-drop version still serves the old column
+    assert(ManifestStore.readVersion(spark, path, before.version)
+      .columns.toSeq == Seq("k", "v", "n"))
+    // a full rewrite re-baselines: tombstone gone, visible columns only
+    ManifestStore.compact(spark, path, 1, statsCols = Seq("k"))
+    val rebased = ManifestStore.current(spark, path).get.schema.get
+    assert(!ManifestStore.hasMapping(rebased))
+    assert(rebased.fieldNames.toSeq == Seq("k", "n", "v"))
+    // dropping the MOR-delete key column is refused until materialized
+    val path2 = t("evo-drop-mor")
+    ManifestStore.append(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path2)
+    ManifestStore.deleteKeysMergeOnRead(spark, path2, "k", Seq(2L).toDF("k"))
+    intercept[IllegalArgumentException] {
+      ManifestStore.dropColumn(spark, path2, "k")
+    }
+  }
+
+  test("SQL ALTER TABLE DROP COLUMN routes through the catalog") {
+    if (spark.conf.getOption("spark.sql.catalog.evocat").isEmpty) {
+      spark.conf.set("spark.sql.catalog.evocat", "graft.sources.ManifestCatalog")
+      spark.conf.set("spark.sql.catalog.evocat.warehouse", tmpDir("evo-wh"))
+    }
+    spark.sql("CREATE TABLE evocat.default.d (k BIGINT, v STRING, n INT)")
+    spark.sql("INSERT INTO evocat.default.d VALUES (1, 'a', 10)")
+    spark.sql("ALTER TABLE evocat.default.d DROP COLUMN v")
+    assert(spark.sql("SELECT * FROM evocat.default.d").columns.toSeq ==
+      Seq("k", "n"))
+    assert(spark.sql("SELECT * FROM evocat.default.d").collect().toSeq ==
+      Seq(Row(1L, 10)))
+    spark.sql("DROP TABLE evocat.default.d")
+  }
+
   test("an append raced by a rename refuses instead of misfiling its staged segment") {
     val path = t("evo-race")
     ManifestStore.append(spark, Seq((1L, "a")).toDF("k", "v"), path)
