@@ -2843,6 +2843,11 @@ object RelationalQueries {
         s.sql("INSERT INTO graft_cat.default.nations SELECT " +
           "CAST(n_nationkey AS BIGINT), n_name, n_regionkey " +
           "FROM sql6_nation WHERE n_regionkey >= 3")
+        // add + drop round-trip: both are pure-metadata commits; the
+        // dropped column's physical name is tombstone-reserved and the
+        // final read-back must be unaffected
+        s.sql("ALTER TABLE graft_cat.default.nations ADD COLUMNS (scratch INT)")
+        s.sql("ALTER TABLE graft_cat.default.nations DROP COLUMN scratch")
         s.sql("""SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n,
                 |CAST(SUM(nation_id) AS BIGINT) AS key_sum,
                 |MIN(n_name) AS first_name
