@@ -2753,10 +2753,8 @@ object ExtensionQueries {
         val surv = sp.join(held.where(col("pass")).select("doc_id"), Seq("doc_id"))
         val dd = graft.ext.LangModel.scoreDocs(surv, m, Seq("doc_id", "lang"))
           .withColumn("bpt", expr("CAST(bits AS DOUBLE) / n_tokens"))
-        val rn = graft.ops.ScaleOps.groupedGlobalRowNumber(
-          dd, Seq("lang"), Seq("bpt", "doc_id"))
-        val cnt = rn.groupBy("lang").agg(count(lit(1)).as("nd"))
-        val scored = rn.join(broadcast(cnt), Seq("lang"))
+        val scored = graft.ops.ScaleOps.groupedGlobalRowNumber(
+            dd, Seq("lang"), Seq("bpt", "doc_id"), countCol = Some("nd"))
           .withColumn("tile", expr(
             """CASE WHEN rn <= (nd DIV 3 + 1) * (nd % 3)
               |     THEN (rn - 1) DIV (nd DIV 3 + 1) + 1
@@ -3465,10 +3463,8 @@ object ExtensionQueries {
         val dd = graft.ext.LangModel
           .scoreDocs(sp.where(col("doc_id") % 10 =!= 0), m, Seq("doc_id", "lang"))
           .withColumn("bpt", expr("CAST(bits AS DOUBLE) / n_tokens"))
-        val rn = graft.ops.ScaleOps.groupedGlobalRowNumber(
-          dd, Seq("lang"), Seq("bpt", "doc_id"))
-        val cnt = rn.groupBy("lang").agg(count(lit(1)).as("nd"))
-        rn.join(broadcast(cnt), Seq("lang"))
+        graft.ops.ScaleOps.groupedGlobalRowNumber(
+            dd, Seq("lang"), Seq("bpt", "doc_id"), countCol = Some("nd"))
           .withColumn("tile", expr(
             """CASE WHEN rn <= (nd DIV 3 + 1) * (nd % 3)
               |     THEN (rn - 1) DIV (nd DIV 3 + 1) + 1
@@ -3549,10 +3545,8 @@ object ExtensionQueries {
         val dd = graft.ext.Dsir.score(sp.where(!isTarget), m, Seq("doc_id", "lang"))
           .withColumn("negw", -(col("w_bits").cast("double") / col("n_feats")))
           .withColumn("g", lit(0))
-        val rn = graft.ops.ScaleOps.groupedGlobalRowNumber(
-          dd, Seq("g"), Seq("negw", "doc_id"))
-        val cnt = rn.groupBy("g").agg(count(lit(1)).as("nd"))
-        rn.join(broadcast(cnt), Seq("g"))
+        graft.ops.ScaleOps.groupedGlobalRowNumber(
+            dd, Seq("g"), Seq("negw", "doc_id"), countCol = Some("nd"))
           .selectExpr("lang",
             "CASE WHEN rn * 4 <= nd THEN 'selected' ELSE 'rest' END AS bucket",
             "n_feats", "w_bits")

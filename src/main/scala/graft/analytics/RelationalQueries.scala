@@ -1817,11 +1817,14 @@ object RelationalQueries {
         // measured HIGHER than the recompute (cold-probe CPU 48 vs 36 s);
         // the shared rp cut inside groupedGlobalRowNumber already stops the
         // expensive range sort from running twice
-        val rn = graft.ops.ScaleOps.groupedGlobalRowNumber(
+        // countCol rides the helper's own broadcast offset row (r12): the
+        // old second pass (rescan the checkpoint -> groupBy count ->
+        // broadcast join) was a whole subtree recomputing totals the helper
+        // had already collected to the driver.
+        graft.ops.ScaleOps.groupedGlobalRowNumber(
           lineitem(s, d).select("l_linestatus", "l_extendedprice", "l_orderkey", "l_linenumber"),
-          Seq("l_linestatus"), Seq("l_extendedprice", "l_orderkey", "l_linenumber"))
-        val cnt = rn.groupBy("l_linestatus").agg(count(lit(1)).as("n"))
-        rn.join(broadcast(cnt), Seq("l_linestatus"))
+          Seq("l_linestatus"), Seq("l_extendedprice", "l_orderkey", "l_linenumber"),
+          countCol = Some("n"))
           .withColumn("tile", expr(
             """CASE WHEN rn <= (n DIV 4 + 1) * (n % 4)
               |     THEN (rn - 1) DIV (n DIV 4 + 1) + 1

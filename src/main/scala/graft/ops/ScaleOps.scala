@@ -413,16 +413,21 @@ object ScaleOps {
   /** Exact global row numbers per group WITHOUT a corpus-global window
     * partition: range-partition on (group, order) so the total order is
     * contiguous across Spark partitions, count rows per (partition, group),
-    * broadcast the per-partition offsets back, and add each row's
-    * PARTITION-LOCAL row_number — every window partition in the plan is one
-    * bounded range slice, never a whole group in one task. This is the
+    * broadcast the per-partition rn bases back, and add each row's frozen
+    * in-partition position (monotonically_increasing_id materialized into
+    * the checkpoint) — no task ever sorts a whole group, and (r12) no
+    * second exchange/sort/window runs after the range partitioning: the rn
+    * leg is one broadcast-join projection over the checkpoint. This is the
     * distributed-ranking idiom behind rank functions at 100 TB
     * (percent_rank/cume_dist/ntile are then plain arithmetic over `rn` and
     * the group count — see w14).
     *
     * `orderCols` must totally order rows within a group (no peers) for the
     * result to be deterministic. Output: input columns + `rn` (1-based
-    * within each group, in `orderCols` order).
+    * within each group, in `orderCols` order) + (when `countCol` is set) a
+    * LongType column named `countCol` carrying the group's total row count
+    * — derived from the same driver-side offset table, so callers that need
+    * ntile/percent_rank denominators skip a second full pass + join.
     *
     * `maxOffsetRows` guards the bounded-driver-state contract (the
     * [[graft.ext.Similarity.semDedup]] `maxCellWidth` discipline): the
@@ -435,20 +440,34 @@ object ScaleOps {
     */
   def groupedGlobalRowNumber(df: DataFrame, groupCols: Seq[String],
       orderCols: Seq[String], partitions: Int = 0,
-      maxOffsetRows: Int = 1 << 20): DataFrame = {
+      maxOffsetRows: Int = 1 << 20, countCol: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
+    countCol.foreach(c => require(!df.columns.contains(c),
+      s"groupedGlobalRowNumber: countCol '$c' collides with an input column"))
     val n = if (partitions > 0) partitions else spark.sessionState.conf.numShufflePartitions
     val all = (groupCols ++ orderCols).map(col)
+    // __mid (monotonically_increasing_id = pid << 33 + in-partition index) is
+    // materialized INTO the checkpoint: each row's position in its
+    // partition's sorted order becomes frozen data. Rows of one group inside
+    // a partition are a contiguous run (the in-partition sort leads with the
+    // group columns), so `__mid - min(__mid over the (pid, group) run)` IS
+    // the partition-local 0-based row number — the old formulation paid a
+    // second Exchange + full re-Sort + Window after the checkpoint (the
+    // LogicalRDD hides the range partitioning from Catalyst) to recompute
+    // exactly this value. r12: w14's plan drops from 2 data exchanges + 2
+    // full sorts to 1 of each; the rn leg is now scan -> broadcast join ->
+    // project.
     val rp = df.repartitionByRange(n, all: _*)
       .sortWithinPartitions(all: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(eager = false) // pin partition ids across the two uses
-    // per-(pid, group) counts -> per-(pid, group) starting offset; small:
-    // O(partitions x groups) rows on the driver, broadcast back. The
+      .withColumn("__mid", monotonically_increasing_id())
+      .localCheckpoint(eager = false) // pin partition ids + mids across uses
+    // per-(pid, group) counts + first-run-mid -> per-(pid, group) rn base;
+    // small: O(partitions x groups) rows on the driver, broadcast back. The
     // limit bounds what can ever reach driver memory; the require turns an
     // over-bound cardinality into an actionable error instead of an OOM.
     val counts = rp.groupBy((col("__pid") +: groupCols.map(col)): _*)
-      .agg(count(lit(1)).as("__c"))
+      .agg(count(lit(1)).as("__c"), min(col("__mid")).as("__fm"))
       .limit(maxOffsetRows + 1)
       .collect()
     require(counts.length <= maxOffsetRows,
@@ -458,34 +477,43 @@ object ScaleOps {
         "driver-side offsets. Use a plain per-group window for many small " +
         "groups, or raise maxOffsetRows if the driver can hold the table.")
     val key = (r: org.apache.spark.sql.Row) => groupCols.indices.map(i => r.get(i + 1)).toSeq
+    // per (pid, group): __base such that rn = __base + __mid, i.e. (rows of
+    // this group in earlier partitions) - (first __mid of this run) + 1 —
+    // the partition bases of __mid and __fm cancel. The group's total row
+    // count rides the same broadcast row when countCol asks for it (w14/t20/
+    // t21/x3 all need it; deriving it here kills their second full scan +
+    // aggregation + broadcast join over the checkpoint).
     val offsets = counts
       .groupBy(key).values.toSeq
       .flatMap { rows =>
         val sorted = rows.sortBy(_.getInt(0))
+        val total = sorted.map(_.getLong(groupCols.size + 1)).sum
         var cum = 0L
         sorted.map { r =>
-          val off = cum
+          val base = cum - r.getLong(groupCols.size + 2) + 1L
           cum += r.getLong(groupCols.size + 1)
-          org.apache.spark.sql.Row.fromSeq(r.toSeq.init :+ off)
+          org.apache.spark.sql.Row.fromSeq(
+            r.toSeq.take(groupCols.size + 1) ++
+              (base +: countCol.map(_ => total).toSeq))
         }
       }
     // schema from the INPUT's group-column types, not counts.head: on an
     // empty input `counts` is empty and a head-derived schema would
-    // degenerate to just __off, failing the join with a missing-column
+    // degenerate to just __base, failing the join with a missing-column
     // AnalysisException instead of returning an empty frame
     val offSchema = org.apache.spark.sql.types.StructType(
-      org.apache.spark.sql.types.StructField("__pid",
+      (org.apache.spark.sql.types.StructField("__pid",
         org.apache.spark.sql.types.IntegerType) +:
-        groupCols.map(g => rp.schema(g)) :+
-        org.apache.spark.sql.types.StructField("__off", org.apache.spark.sql.types.LongType))
+        groupCols.map(g => rp.schema(g))) ++
+        (org.apache.spark.sql.types.StructField("__base",
+          org.apache.spark.sql.types.LongType) +:
+          countCol.map(c => org.apache.spark.sql.types.StructField(c,
+            org.apache.spark.sql.types.LongType)).toSeq))
     val offDf = spark.createDataFrame(
       spark.sparkContext.parallelize(offsets, 1), offSchema)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy((col("__pid") +: groupCols.map(col)): _*)
-      .orderBy(orderCols.map(col): _*)
     rp.join(broadcast(offDf), ("__pid" +: groupCols).toSeq)
-      .withColumn("rn", col("__off") + row_number().over(w))
-      .drop("__pid", "__off")
+      .withColumn("rn", col("__base") + col("__mid"))
+      .drop("__pid", "__mid", "__base")
   }
 
   /** Exact EXCLUSIVE global running total of `valueCol` in `orderCols`

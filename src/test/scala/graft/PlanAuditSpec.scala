@@ -506,7 +506,10 @@ class PlanAuditSpec extends SparkSpec {
     val df = Registry.byName("t20_lm_perplexity").fn(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
     val windowSpecs = plan.linesIterator.filter(_.contains("Window ")).toSeq
-    assert(windowSpecs.nonEmpty, "expected the ranking window in the plan")
+    // r12: the ranking leg no longer plans ANY window — rn is frozen
+    // in-partition position arithmetic over the checkpoint (see
+    // ScaleOps.groupedGlobalRowNumber). If a window ever reappears it must
+    // be a __pid range slice, never a whole language or the corpus.
     windowSpecs.foreach(w =>
       assert(w.contains("__pid"),
         s"every t20 window must partition by the range-slice id:\n$w"))
