@@ -27,6 +27,10 @@ object Bench {
       // this for the small-scale fast path (forced SHUFFLE_HASH OOMs at the
       // 100x decade: SCALE.md session-8 notes)
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
+      // cached plans keep AQE re-optimization (coalescing, SMJ->BHJ): the
+      // default false pins a cached join at the full shuffle-partition count
+      // (merge's s2.cache() measured as 32 near-empty tasks per stage at r12)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       // grouped-list aggs are bounded by construction; the 128-key default
       // fallback turns them into full-input sorts (GraftSession rationale)
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (1 << 21).toString)

@@ -20,6 +20,10 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // cached plans keep AQE re-optimization (coalescing, SMJ->BHJ): the
+      // default false pins a cached join at the full shuffle-partition count
+      // (merge's s2.cache() measured as 32 near-empty tasks per stage at r12)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       // legacy NANOS parquet support belongs at session build, not inside a
       // table loader: Tables.events handles both the nanos-as-long and the
       // native MICROS fixture layouts, and a loader silently toggling a

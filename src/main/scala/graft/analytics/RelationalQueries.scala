@@ -2881,10 +2881,17 @@ object RelationalQueries {
         graft.plans.ManifestDml.install(s)
         val scratch = java.nio.file.Files
           .createTempDirectory("graft-sql7-").toString + "/t"
+        // localCheckpoint: the two appends, the MERGE source view (read
+        // twice by the UNION ALL) and the store's own probe/stat passes all
+        // re-derive from `stats` — without the cut each re-reads orders and
+        // re-runs the aggregation (~6 redundant passes measured in r12's
+        // stage probe), noise on top of the commit protocol this entry
+        // exists to measure.
         val stats = orders(s, d)
           .groupBy("o_custkey")
           .agg(count(lit(1)).as("n_ord"),
             sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+          .localCheckpoint(eager = false)
         ManifestStore.append(s, stats.where(col("o_custkey") % 2 === 0), scratch,
           statsCols = Seq("o_custkey"))
         ManifestStore.append(s, stats.where(col("o_custkey") % 2 =!= 0), scratch,

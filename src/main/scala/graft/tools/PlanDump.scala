@@ -24,6 +24,10 @@ object PlanDump {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
+      // cached plans keep AQE re-optimization (coalescing, SMJ->BHJ): the
+      // default false pins a cached join at the full shuffle-partition count
+      // (merge's s2.cache() measured as 32 near-empty tasks per stage at r12)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (1 << 21).toString)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

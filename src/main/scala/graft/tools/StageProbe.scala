@@ -20,6 +20,10 @@ object StageProbe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
+      // cached plans keep AQE re-optimization (coalescing, SMJ->BHJ): the
+      // default false pins a cached join at the full shuffle-partition count
+      // (merge's s2.cache() measured as 32 near-empty tasks per stage at r12)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         sys.env.getOrElse("SPARK_GRAFT_OBJAGG_FALLBACK", (1 << 21).toString))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
