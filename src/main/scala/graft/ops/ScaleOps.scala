@@ -365,14 +365,31 @@ object ScaleOps {
       while (states.nonEmpty) {
         val (small, big) =
           states.partition { case (_, st) => st.rows <= collectThreshold || passes >= maxPasses }
-        small.foreach { case (g, st) =>
-          val rows = pairs
-            .where(col("g") === g && col("v") >= st.lo && col("v") <= st.hi)
-            .orderBy("v").select("v", "w").collect()
-          var cum = st.baseW
-          var i = 0
-          while (cum + rows(i).getLong(1) < st.target) { cum += rows(i).getLong(1); i += 1 }
-          resolved += g -> rows(i).getDouble(0)
+        // ONE batched job for every small group (the quantileOfPairs
+        // discipline, r12): the old per-group where+orderBy+collect loop
+        // paid one range-sample job + one sort job + one full cache scan
+        // PER GROUP (a24 measured ~398 tasks for 5 langs); a grouped
+        // collect_list fetches them all in one pass and the <= threshold
+        // row bound makes the in-executor sort tiny. Struct sort orders by
+        // v first; intra-tie order can't change which v crosses the target.
+        if (small.nonEmpty) {
+          val keys = small.keys.toSeq.sorted
+          val loE = perGroup(keys.map(k => k -> small(k).lo))
+          val hiE = perGroup(keys.map(k => k -> small(k).hi))
+          val got = pairs
+            .where(col("g").isin(keys: _*) && col("v") >= loE && col("v") <= hiE)
+            .groupBy("g")
+            .agg(sort_array(collect_list(struct(col("v"), col("w")))).as("ps"))
+            .collect()
+          got.foreach { r =>
+            val g = r.getString(0)
+            val st = small(g)
+            val ps = r.getSeq[org.apache.spark.sql.Row](1)
+            var cum = st.baseW
+            var i = 0
+            while (cum + ps(i).getLong(1) < st.target) { cum += ps(i).getLong(1); i += 1 }
+            resolved += g -> ps(i).getDouble(0)
+          }
         }
         states = big
         if (states.nonEmpty) {
