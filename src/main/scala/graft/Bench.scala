@@ -35,6 +35,11 @@ object Bench {
       // fallback turns them into full-input sorts (GraftSession rationale)
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (1 << 21).toString)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // measured r12 (guide §2.3): zstd shuffle blocks are ~2.2x smaller
+      // than lz4 on the vector/posting exchanges (n7 42->19 MB) at no
+      // wall-time cost; SPARK_GRAFT_IO_CODEC overrides for re-measurement
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "zstd"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

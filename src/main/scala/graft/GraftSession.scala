@@ -30,6 +30,9 @@ object GraftSession {
       // session-global legacy flag would be a trap for any other NANOS
       // parquet read in the same session
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // zstd shuffle blocks measured ~2x smaller than lz4 on the vector/
+      // posting exchanges at lower cpu (r12 guide-§2.3 measurement)
+      .config("spark.io.compression.codec", "zstd")
       // ObjectHashAggregate (collect_list/collect_set) falls back to
       // SORT-BASED aggregation after just 128 distinct keys by default,
       // which silently turns every per-doc/per-user list aggregation into a

@@ -19,6 +19,9 @@ object RunOne {
       // (merge's s2.cache() measured as 32 near-empty tasks per stage at r12)
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // zstd shuffle blocks measured ~2x smaller than lz4 on the vector/
+      // posting exchanges at lower cpu (r12 guide-§2.3 measurement)
+      .config("spark.io.compression.codec", "zstd")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
