@@ -674,8 +674,9 @@ object ExtensionQueries {
         // Same AQE-exempt fan-out as d2: the shingle projection is CPU-heavy
         // per row, so pin the partition count before materializing it.
         graft.functions.GraftFunctions.register(s)
-        val sh = documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        val shSrc = documents(s, d)
+        val sh = shSrc
+          .repartition(graft.ops.ScaleOps.adaptiveWidth(shSrc), col("doc_id"))
           .localCheckpoint(eager = false)
           .selectExpr("doc_id", "lang", "source", graft.ext.MinHash.splitExpr)
           .selectExpr("doc_id", "lang", "source", s"(${graft.ext.MinHash.shingleExpr}) AS sh")

@@ -605,10 +605,14 @@ object Similarity {
   def minHashCandidates(docs: DataFrame, keep: Seq[String] = Seq("lang"),
       maxBucket: Int = 1000): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
+    // width derives from the input size estimate (r12): fixed
+    // defaultParallelism charged every downstream checkpoint scan ~cores
+    // near-empty tasks at fixture scale; the adaptive width keeps the 100x
+    // fan-out (SCALE.md) and shrinks with the corpus
     val sigs = MinHash
       .signatures(
         docs
-          .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+          .repartition(graft.ops.ScaleOps.adaptiveWidth(docs), col("doc_id"))
           .localCheckpoint(eager = false),
         "doc_id" +: keep)
       .localCheckpoint(eager = true)
@@ -762,7 +766,7 @@ object Similarity {
     // stages launch concurrently under AQE; a lazy checkpoint lets them race
     // and re-run the shingle projection from lineage.
     val sh = docs
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .repartition(graft.ops.ScaleOps.adaptiveWidth(docs), col("doc_id"))
       .localCheckpoint(eager = false)
       .selectExpr(keep :+ MinHash.splitExpr: _*)
       .selectExpr(keep :+ s"(${MinHash.shingleExpr}) AS s3": _*)

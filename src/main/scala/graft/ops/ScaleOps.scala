@@ -427,6 +427,27 @@ object ScaleOps {
     } finally pairs.unpersist(blocking = false)
   }
 
+  /** Scale-adaptive repartition width for CPU-heavy projections over
+    * possibly-unsplittable inputs (the minhash/shingle fan-out): derive the
+    * width from the OPTIMIZER'S SIZE ESTIMATE of the input (for a parquet
+    * scan, its file bytes) instead of pinning defaultParallelism — a fixed
+    * width charges every downstream checkpoint consumer ~cores tasks of
+    * fixed per-task cost regardless of data volume (r12 warm-probe: the d2
+    * signature COMPUTE was 0.6 cpu-s while its 32-task consumers paid
+    * ~80 ms/task of fixed overhead x 6 stages), while a too-narrow width
+    * starves the projection at the 100x decade. `bytesPerPartition` is the
+    * compressed-input slice one task should own (small for md5-grade
+    * per-byte work); the result is clamped to [1, 2x defaultParallelism]
+    * — an unknown size estimate degrades to the old fixed fan-out, never
+    * to 1.
+    */
+  def adaptiveWidth(df: DataFrame, bytesPerPartition: Long = 256L << 10): Int = {
+    val cap = BigInt(df.sparkSession.sparkContext.defaultParallelism) * 2
+    val sz = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val want = sz / bytesPerPartition + 1
+    want.min(cap).max(1).toInt
+  }
+
   /** Exact global row numbers per group WITHOUT a corpus-global window
     * partition: range-partition on (group, order) so the total order is
     * contiguous across Spark partitions, count rows per (partition, group),

@@ -48,6 +48,19 @@ object StageProbe {
         }
       }
     })
+    // SPARK_GRAFT_PROBE_RUNS=2 warms the JVM on run 1 and reports only the
+    // LAST run's stages — cold-JIT cpu otherwise dominates the attribution
+    // (r12: a stage reading 0.5 MB showed 13 cpu-s cold, ~2 warm).
+    val runs = sys.env.getOrElse("SPARK_GRAFT_PROBE_RUNS", "1").toInt
+    (1 until runs).foreach { _ =>
+      val pinned = spark.sparkContext.getPersistentRDDs.keySet
+      graft.analytics.Registry.byName(name).fn(spark, dir).collect()
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!pinned.contains(id)) rdd.unpersist(blocking = false)
+      }
+      Thread.sleep(1000)
+      rows.synchronized(rows.clear())
+    }
     val t0 = System.nanoTime()
     val df = graft.analytics.Registry.byName(name).fn(spark, dir)
     // collect (registered results are small) so the AQE-final executedPlan
