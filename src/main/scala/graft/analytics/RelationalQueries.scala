@@ -1740,9 +1740,16 @@ object RelationalQueries {
         val o = orders(s, d)
         // the keyed tables are small aggregates — coalesce to one partition
         // per segment so the store round-trips don't pay 32 empty tasks per
-        // job (the table-format cost being measured is commits, not tasks)
+        // job (the table-format cost being measured is commits, not tasks).
+        // localCheckpoint (r12): each append re-executes its input (isEmpty
+        // probe + segment write), exceptAll reads target twice and merge
+        // re-reads source for its range/probe/apply passes — without the
+        // cut every one of those re-ran the orders aggregation, noise on
+        // top of the commit protocol this entry measures.
         val target = stats(o.where(col("o_orderkey") % 3 =!= 0)).coalesce(1)
+          .localCheckpoint(eager = false)
         val source = stats(o.where(col("o_orderkey") % 3 === 0)).coalesce(1)
+          .localCheckpoint(eager = false)
         // scratch table under java.io.tmpdir; segments are a few MB of
         // aggregated rows and the dir is OS-reclaimed — the point is that
         // the MERGE physically executes through the manifest protocol
