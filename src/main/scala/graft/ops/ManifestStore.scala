@@ -551,7 +551,6 @@ object ManifestStore {
   private def writeSegment(spark: SparkSession, root: Path, df: DataFrame,
       statsCols: Seq[String],
       tableSchema: Option[StructType] = None): Option[SegmentEntry] = {
-    if (df.isEmpty) return None
     val rename = l2p(tableSchema)
     val pdf0 =
       if (rename.isEmpty) df
@@ -598,8 +597,25 @@ object ManifestStore {
     }.option("parquet.bloom.filter.adaptive.enabled", "true")
       .option("parquet.bloom.filter.max.bytes", maxBloomBytes)
     withBlooms.parquet(segPath)
+    // Emptiness is probed AFTER the write (r12): the old `df.isEmpty`
+    // pre-check was a second full execution of the commit's input per
+    // segment (take(1) on an aggregate materializes every shuffle) — the
+    // common non-empty commit paid its pipeline twice to guard the rare
+    // empty one. An empty write leaves no schema-bearing part files (or
+    // only empty footers, a one-task probe); tear the staged dir down and
+    // return None exactly as before.
+    val fs = fsOf(spark, root)
+    val files = listSegmentFiles(fs, new Path(root, seg))
+    if (files.isEmpty) { // no schema-bearing part files: the commit was empty
+      fs.delete(new Path(root, seg), true)
+      return None
+    }
     val (stats, rows) = segmentStats(spark, segPath, pStats)
-    val files = listSegmentFiles(fsOf(spark, root), new Path(root, seg))
+    if (rows.contains(0L) ||
+      (rows.isEmpty && spark.read.parquet(segPath).isEmpty)) {
+      fs.delete(new Path(root, seg), true)
+      return None
+    }
     Some(SegmentEntry(seg, stats, 0L, files, rows))
   }
 
