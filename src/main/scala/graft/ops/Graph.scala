@@ -179,7 +179,13 @@ object GraphOps {
         .join(contrib, verts("u") === contrib("dst"), "left")
         .select(col("u"),
           expr(s"${base}L + ($dampingPct * coalesce(__contrib, 0L)) div 100").as("pr"))
-      if (i < iterations) r = r.localCheckpoint(true)
+      // lazy (r12): each round's rank table has exactly ONE consumer (the
+      // next round's contrib join), so the cut can materialize inside that
+      // consumer's job instead of paying a dedicated job per iteration —
+      // g1 is serial-job-latency-bound, not compute-bound. The edge list
+      // `e` above stays EAGER: degree + every round read it, and
+      // concurrent AQE stages would race a lazy cut into recomputation.
+      if (i < iterations) r = r.localCheckpoint(eager = false)
     }
     r
   }
