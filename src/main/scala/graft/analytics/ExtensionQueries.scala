@@ -1368,9 +1368,12 @@ object ExtensionQueries {
     ),
     Q(
       "n7_knn_graph",
-      "Corpus k-nearest-neighbor graph (k=3) over sign-LSH buckets — the substrate under graph dedup, SemDeDup-style cluster pruning, and kNN label propagation. Every node is query AND corpus, so the shape matters: a corpus-sized query set must never broadcast (n2's shape would be the bug) — candidate edges come from a bucket SELF-join on the capped band table, both sides shuffling on (band, bkey); exact cosine re-ranks through the k-bounded TopK aggregator (partial agg, no Window). maxBucket=1000 mirrored in the oracle. 100 TB shape: candidate volume <= maxBucket x bands per node, the bucket exchange carries ids + 4-char keys (vectors join in by id after the edge set is distinct), per-group state is k entries",
+      "Corpus k-nearest-neighbor graph (k=3) over sign-LSH buckets — the substrate under graph dedup, SemDeDup-style cluster pruning, and kNN label propagation. Every node is query AND corpus, so the shape matters: a corpus-sized query set must never broadcast (n2's shape would be the bug) — exact cosine scores compute INSIDE the capped band-bucket self-join (one reused (band, bkey) exchange carrying each vector bands times; a multi-band collision scores once via the first-shared-kept-band predicate) and re-rank through the k-bounded TopK aggregator (partial agg straight off the join, no Window, no pair exchange). maxBucket=1000 mirrored in the oracle. 100 TB shape: candidate volume <= maxBucket x bands per node, the pair stream never crosses an exchange, per-group state is k entries",
       (s, d) => {
+        // lazy cut: the oversized-bucket probe materializes it; the graph
+        // job reads the cached blocks instead of re-scanning the parquet
         val prepared = graft.ext.Similarity.prepare(embeddings(s, d), "vec_id", "embedding")
+          .localCheckpoint(eager = false)
         graft.ext.Similarity.knnGraph(prepared, k = 3, maxBucket = 1000)
           .selectExpr("qid", "rank", "id AS vec_id", "score AS cos")
           .orderBy("qid", "rank")
@@ -1379,9 +1382,10 @@ object ExtensionQueries {
     ),
     Q(
       "n8_knn_graph_wide",
-      "The kNN graph at PRODUCTION band width — n7's plan with 8-bit bands (bits=32, 256 buckets/band) instead of 4-bit (16 buckets/band). SCALE.md measured n7's fixed 4-bit key space going quadratic-until-cap (shuffle exp 2.2-2.3 across two decades); this row oracle-gates the mitigation itself: same capped bucket self-join, same SHUFFLE_HASH id-keyed payload joins, same k-bounded TopK re-rank, but the key space scales the expected bucket width down ~16x, so candidate volume — and the graph's recall — trade along the banding curve a deployment tunes (bits ~ log2(n*bands/targetWidth)*bands holds per-node candidates constant, O(n) pair volume at any n). Both parameterizations share one Scala-generated oracle (perBand is the only knob), so the parity is structural",
+      "The kNN graph at PRODUCTION band width — n7's plan with 8-bit bands (bits=32, 256 buckets/band) instead of 4-bit (16 buckets/band). SCALE.md measured n7's fixed 4-bit key space going quadratic-until-cap (shuffle exp 2.2-2.3 across two decades); this row oracle-gates the mitigation itself: same capped score-in-bucket self-join, same k-bounded TopK re-rank, but the key space scales the expected bucket width down ~16x, so candidate volume — and the graph's recall — trade along the banding curve a deployment tunes (bits ~ log2(n*bands/targetWidth)*bands holds per-node candidates constant, O(n) pair volume at any n). Both parameterizations share one Scala-generated oracle (perBand is the only knob), so the parity is structural",
       (s, d) => {
         val prepared = graft.ext.Similarity.prepare(embeddings(s, d), "vec_id", "embedding")
+          .localCheckpoint(eager = false)
         graft.ext.Similarity.knnGraph(prepared, k = 3, bits = 32, bands = 4, maxBucket = 1000)
           .selectExpr("qid", "rank", "id AS vec_id", "score AS cos")
           .orderBy("qid", "rank")

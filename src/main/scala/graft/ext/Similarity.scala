@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
@@ -156,17 +156,27 @@ object Similarity {
     topKByQuery(scored, k)
   }
 
-  /** Sign-LSH signature over the first `bits` dimensions, banded — the bucket
-    * key set for the sub-linear probe path.
+  /** The per-band sign-signature SQL expressions (`band0..band{bands-1}`)
+    * over the first `bits` dimensions — the pre-stack row layout shared by
+    * [[signBands]] (stacked bucket keys) and [[knnGraph]] (which keeps the
+    * flat columns so its bucket self-join can dedup multi-band collisions
+    * with a predicate instead of a distinct exchange).
     */
-  def signBands(prepared: DataFrame, bits: Int = 16, bands: Int = 4): DataFrame = {
+  private def signBandExprs(bits: Int, bands: Int): Seq[String] = {
     val perBand = bits / bands
-    val bandExprs = (0 until bands).map { b =>
+    (0 until bands).map { b =>
       val bitExprs = (b * perBand until (b + 1) * perBand)
         .map(i => s"(CASE WHEN element_at(v, ${i + 1}) >= 0 THEN '1' ELSE '0' END)")
       s"concat(${bitExprs.mkString(", ")}) AS band$b"
     }
-    val withBands = prepared.selectExpr(Seq("id", "v", "nrm") ++ bandExprs: _*)
+  }
+
+  /** Sign-LSH signature over the first `bits` dimensions, banded — the bucket
+    * key set for the sub-linear probe path.
+    */
+  def signBands(prepared: DataFrame, bits: Int = 16, bands: Int = 4): DataFrame = {
+    val withBands = prepared.selectExpr(
+      Seq("id", "v", "nrm") ++ signBandExprs(bits, bands): _*)
     withBands.selectExpr(
       "id", "v", "nrm",
       s"stack($bands, ${(0 until bands).map(b => s"$b, band$b").mkString(", ")}) AS (band, bkey)")
@@ -516,41 +526,96 @@ object Similarity {
   /** Corpus k-nearest-neighbor graph over sign-LSH buckets: every node is
     * simultaneously query and corpus, so this is [[lshTopK]]'s semantics with
     * the broadcast dropped — a corpus-sized "query set" must never broadcast.
-    * Candidate edges come from a bucket SELF-join on the capped band table
-    * (both sides shuffle on the (band, bkey) key; a pair must share some
-    * band), exact cosine re-ranks through the k-bounded [[TopK]] aggregator.
-    * The kNN graph is the substrate under graph dedup (d6's edges at a fixed
+    * Exact cosine scores compute INSIDE the capped bucket self-join (both
+    * legs are one reused (band, bkey) exchange carrying each vector `bands`
+    * times) and re-rank through the k-bounded [[TopK]] aggregator. The kNN
+    * graph is the substrate under graph dedup (d6's edges at a fixed
     * degree), SemDeDup-style cluster pruning, and kNN classification.
     *
     * Scale: candidate volume is bounded by `maxBucket` × `bands` per node —
-    * [[capBuckets]] drops degenerate buckets before the self-join, so a
-    * collapsed signature distribution cannot go quadratic. Vector payloads
-    * join in by id AFTER the (qid, id) edge set is distinct — the bucket
-    * exchange carries ids and 4-char keys, never vectors. State per group is
-    * k entries (partial aggregation, no Window).
+    * oversized buckets (a bounded key set: bands × 2^(bits/bands)) are
+    * dropped as driver-literal filters before the exchange, so a collapsed
+    * signature distribution cannot go quadratic. The candidate-pair stream
+    * itself never crosses an exchange: a multi-band collision scores once
+    * (first-shared-kept-band predicate replaces the old distinct), and the
+    * TopK partial aggregation reduces scored pairs to k rows per node per
+    * partition map-side, straight off the join (r12 shape: pair ids were
+    * distinct-shuffled, then two id-keyed merge joins shuffled pair x vector
+    * payloads — the dominant exchange at band saturation). State per group
+    * is k entries (partial aggregation, no Window).
     */
   def knnGraph(prepared: DataFrame, k: Int,
       bits: Int = 16, bands: Int = 4, maxBucket: Int = 1 << 20): DataFrame = {
     val spark = prepared.sparkSession
     GraftFunctions.register(spark)
-    val cb = capBuckets(
-      signBands(prepared, bits, bands).select("id", "band", "bkey"),
-      Seq("band", "bkey"), maxBucket)
-    val cands = cb.select(col("id").as("qid"), col("band"), col("bkey"))
-      .join(cb, Seq("band", "bkey"))
-      .where(expr("id <> qid"))
-      .select("qid", "id")
-      .distinct()
-    val t = prepared.select(col("id"), col("v"), col("nrm"))
-    val q = t.select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
-    // Both payload joins are corpus x corpus on fine-grained id keys:
-    // SHUFFLE_HASH explicitly — at fixture scale the optimizer would
-    // broadcast the "query" side, which is exactly the plan that cannot
-    // exist at corpus scale (this function's reason to exist).
-    val scored = cands
-      .join(t.hint("merge"), Seq("id"))
-      .join(q.hint("merge"), Seq("qid"))
-      .selectExpr("qid", "id", "array_dot(qv, v) / (qnrm * nrm) AS score")
+    // r13 shape (guide §2.3/§2.4, the §8 "move heavy bytes once" rule in
+    // reverse): the old plan shuffled the distinct (qid, id) pair set, then
+    // paid two id-keyed merge joins whose intermediate — every candidate
+    // pair CARRYING a corpus vector — crossed one more exchange (pair
+    // volume x vector bytes, the dominant shuffle at saturation). Scoring
+    // INSIDE the bucket self-join instead ships each vector `bands` times
+    // through ONE exchange (both join legs are the same subtree, so the
+    // shuffle is planned once and reused) and the candidate-pair stream
+    // never crosses an exchange at all: the k-bounded TopK partial
+    // aggregation reduces it map-side, straight off the join.
+    //
+    // Dedup without the distinct: a pair colliding in several bands must
+    // score once, so each row keeps the flat band keys (+ per-band
+    // kept-bucket flags) and the join accepts a pair only in its FIRST
+    // shared kept band. Oversized-bucket keys are bounded by the band key
+    // space (bands x 2^(bits/bands)), so collecting them to the driver is
+    // the capBuckets broadcast in literal form — same dropped buckets,
+    // zero join.
+    val sig = prepared.selectExpr(
+      Seq("id", "v", "nrm") ++ signBandExprs(bits, bands): _*)
+    val stackAll = s"stack($bands, ${(0 until bands)
+      .map(b => s"$b, band$b").mkString(", ")}) AS (band, bkey)"
+    val oversized = sig
+      .selectExpr(stackAll)
+      .groupBy("band", "bkey").agg(count(lit(1)).as("__n"))
+      .where(col("__n") > maxBucket)
+      .select("band", "bkey")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    val overByBand = oversized.groupBy(_._1).map { case (b, ks) => b -> ks.map(_._2).toSet }
+    def keptExpr(b: Int): Column = overByBand.get(b) match {
+      case None => lit(true)
+      case Some(keys) => !col(s"band$b").isin(keys.toSeq: _*)
+    }
+    val withKept = sig.select(
+      col("id") +: col("v") +: col("nrm") +:
+        ((0 until bands).map(b => col(s"band$b")) ++
+          (0 until bands).map(b => keptExpr(b).as(s"kept$b"))): _*)
+    val stacked = withKept.selectExpr(
+      Seq("id", "v", "nrm") ++
+        (0 until bands).map(b => s"band$b") ++
+        (0 until bands).map(b => s"kept$b") :+
+        s"stack($bands, ${(0 until bands)
+          .map(b => s"$b, band$b, kept$b").mkString(", ")}) AS (band, bkey, bkept)": _*)
+      .where(col("bkept"))
+    // first shared KEPT band of the pair: defined whenever the join matches
+    // (the current band qualifies), and references both sides symmetrically
+    // so the two legs stay column-identical — Catalyst then canonicalizes
+    // them to ONE exchange (the ngramJaccardPairs reuse discipline).
+    val firstShared = "CASE " + (0 until bands).map(b =>
+      s"WHEN x.kept$b AND y.kept$b AND x.band$b = y.band$b THEN $b").mkString(" ") + " END"
+    // merge hint: the self-joined table is corpus-sized (n x bands vector
+    // rows) — broadcasting a leg would ship the corpus's vectors to every
+    // task, the 100 TB bug this function exists to avoid. AQE converts to
+    // shuffled-hash when a per-partition build fits; the hint on one leg
+    // does not break the exchange reuse (the d4/triangleCount precedent).
+    val pairs = stacked.as("x")
+      .join(stacked.as("y").hint("merge"), expr(
+        s"x.band = y.band AND x.bkey = y.bkey AND x.id < y.id AND x.band = ($firstShared)"))
+      .selectExpr("x.id AS a", "y.id AS b",
+        "array_dot(x.v, y.v) / (x.nrm * y.nrm) AS s")
+    // both graph directions from the one scored row (array_dot and the norm
+    // product are bitwise symmetric); explode, not union — a union would
+    // execute the join subtree once per branch
+    val scored = pairs
+      .selectExpr("explode(array(struct(a AS qid, b AS id, s AS score), " +
+        "struct(b AS qid, a AS id, s AS score))) AS e")
+      .selectExpr("e.qid AS qid", "e.id AS id", "e.score AS score")
     topKByQuery(scored, k)
   }
 
