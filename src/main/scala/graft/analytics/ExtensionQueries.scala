@@ -132,6 +132,29 @@ object ExtensionQueries {
       documents(s, d), 0.8, Seq("lang"), maxBucket = 1000,
       broadcastPairBound(s), payloadPairBound(s))
 
+  /** Per-document funnel statistics as SCAN-SIDE projections over the token
+    * array `t` (r13, guide §2.3): the t13/x3 Gopher-style gates need
+    * `ntok`/`nuniq`/`nalpha`/`maxtf` per document, and each is a pure
+    * function of the row's own tokens — computing them via
+    * explode -> groupBy(doc, term) -> groupBy(doc) shipped the corpus's
+    * whole token stream through an exchange to regroup what the scan had
+    * already grouped. Values are bit-identical to the aggregation form:
+    * ntok = sum(tf) = size(t); nuniq = count of distinct terms;
+    * nalpha = sum(length(term) * tf) = total token characters; maxtf = the
+    * longest equal-run of the sorted token array (a doc's max term
+    * frequency). All BIGINT, matching the old sum/count/max output types.
+    */
+  private val funnelStatExprs: Seq[String] = Seq(
+    "CAST(size(t) AS BIGINT) AS ntok",
+    "CAST(size(array_distinct(t)) AS BIGINT) AS nuniq",
+    "aggregate(t, 0L, (acc, x) -> acc + length(x)) AS nalpha",
+    "aggregate(sort_array(t), " +
+      "named_struct('p', CAST(NULL AS STRING), 'r', 0L, 'm', 0L), " +
+      "(acc, x) -> named_struct('p', x, " +
+      "'r', IF(acc.p <=> x, acc.r + 1L, 1L), " +
+      "'m', GREATEST(acc.m, IF(acc.p <=> x, acc.r + 1L, 1L))), " +
+      "acc -> acc.m) AS maxtf")
+
   /** The shared candidate stage of [[verifiedNearDupPairs]] and d14/d16 —
     * delegates to [[graft.ext.Similarity.minHashCandidates]] (signature
     * checkpointing rationale and the bucket-cap guard documented there).
@@ -2344,17 +2367,20 @@ object ExtensionQueries {
     ),
     Q(
       "t13_quality_filter_funnel",
-      "Gopher-style heuristic filter battery: word-count bounds, mean-word-length range, unique-word fraction, top-word dominance — the per-rule drop funnel plus survivors per lang. Every ratio rule is tested in exact integer arithmetic (r >= a/b as r_num*b >= a*r_den) so the hash gate is exact. ONE corpus scan: all four per-doc statistics (token count = sum tf, distinct words = group count, char mass = sum len*tf, dominance = max tf) fall out of the same explode -> two-hash-agg posting pass — no second scan, no join-back, linear in tokens",
+      "Gopher-style heuristic filter battery: word-count bounds, mean-word-length range, unique-word fraction, top-word dominance — the per-rule drop funnel plus survivors per lang. Every ratio rule is tested in exact integer arithmetic (r >= a/b as r_num*b >= a*r_den) so the hash gate is exact. ONE corpus scan, ZERO token exchanges (r13): all four per-doc statistics (token count = size(t), distinct words, char mass, dominance = longest sorted-run) are scan-side array projections — the token stream never crosses a shuffle; only the 5-row per-lang rollup does",
       (s, d) => {
+        // r13 (guide §2.3 aggregate-before-shuffle, taken to its limit): the
+        // four funnel stats are per-document functions of the token array, so
+        // they compute as one scan-side projection — the old explode ->
+        // groupBy(doc, term) -> groupBy(doc) pair shipped the corpus's entire
+        // token stream through an exchange just to regroup what the row
+        // already held. Values are identical: ntok = sum(tf) = size(t),
+        // nuniq = count(distinct terms), nalpha = sum(len(term)*tf) = total
+        // token chars, maxtf = the longest equal-run of the sorted array.
         documents(s, d)
-          .selectExpr("doc_id", "lang", "explode(split(lower(text), ' ')) AS term")
-          .groupBy("doc_id", "lang", "term").agg(count(lit(1)).as("tf"))
-          .groupBy("doc_id", "lang")
-          .agg(
-            sum(col("tf")).as("ntok"),
-            count(lit(1)).as("nuniq"),
-            sum(length(col("term")) * col("tf")).as("nalpha"),
-            max(col("tf")).as("maxtf"))
+          .selectExpr("doc_id", "lang", "split(lower(text), ' ') AS t")
+          .where(col("t").isNotNull) // explode() dropped null-array docs
+          .selectExpr(Seq("doc_id", "lang") ++ funnelStatExprs: _*)
           .withColumn("f_wc", expr("ntok < 30 OR ntok > 80"))
           .withColumn("f_mwl", expr("nalpha * 10 < ntok * 42 OR nalpha > ntok * 10"))
           .withColumn("f_uniq", expr("nuniq * 5 < ntok * 2"))
@@ -2744,18 +2770,20 @@ object ExtensionQueries {
         val sp = documents(s, d)
           .selectExpr("doc_id", "lang", graft.ext.MinHash.splitExpr)
           .localCheckpoint(eager = false) // funnel + LM train + scoring share it
-        val stats = sp.selectExpr("doc_id", "lang", "explode(t) AS term")
-          .groupBy("doc_id", "lang", "term").agg(count(lit(1)).as("tf"))
-          .groupBy("doc_id", "lang")
-          .agg(sum(col("tf")).as("ntok"), count(lit(1)).as("nuniq"),
-            sum(length(col("term")) * col("tf")).as("nalpha"), max(col("tf")).as("maxtf"))
+        // r13: the funnel stats are per-row projections over the held slice
+        // (funnelStatExprs — same values as the old explode/groupBy pair with
+        // zero exchanges), and the survivor set is a FILTER of the stats
+        // frame instead of a join back onto sp (the stats row still carries
+        // t) — the old plan shipped the token stream through a posting
+        // exchange and then paid a doc_id join to re-attach the tokens.
+        val held = sp.where(col("doc_id") % 10 =!= 0)
+          .selectExpr(Seq("doc_id", "lang", "t") ++ funnelStatExprs: _*)
           .withColumn("pass", expr(
             "NOT ((ntok < 30 OR ntok > 80) OR (nalpha * 10 < ntok * 42 OR nalpha > ntok * 10) " +
               "OR (nuniq * 5 < ntok * 2) OR (maxtf * 8 > ntok))"))
-        val held = stats.where(col("doc_id") % 10 =!= 0)
         val m = graft.ext.LangModel.train(
           sp.where(col("doc_id") % 10 === 0).select("t"))
-        val surv = sp.join(held.where(col("pass")).select("doc_id"), Seq("doc_id"))
+        val surv = held.where(col("pass")).select("doc_id", "lang", "t")
         val dd = graft.ext.LangModel.scoreDocs(surv, m, Seq("doc_id", "lang"))
           .withColumn("bpt", expr("CAST(bits AS DOUBLE) / n_tokens"))
         val scored = graft.ops.ScaleOps.groupedGlobalRowNumber(
