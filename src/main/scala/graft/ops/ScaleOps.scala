@@ -482,7 +482,6 @@ object ScaleOps {
     val spark = df.sparkSession
     countCol.foreach(c => require(!df.columns.contains(c),
       s"groupedGlobalRowNumber: countCol '$c' collides with an input column"))
-    val n = if (partitions > 0) partitions else spark.sessionState.conf.numShufflePartitions
     val all = (groupCols ++ orderCols).map(col)
     // __mid (monotonically_increasing_id = pid << 33 + in-partition index) is
     // materialized INTO the checkpoint: each row's position in its
@@ -495,7 +494,21 @@ object ScaleOps {
     // exactly this value. r12: w14's plan drops from 2 data exchanges + 2
     // full sorts to 1 of each; the rn leg is now scan -> broadcast join ->
     // project.
-    val rp = df.repartitionByRange(n, all: _*)
+    // r13 (guide §2.2): partitions <= 0 (the default) leaves the range
+    // exchange's width to AQE coalescing instead of pinning the session
+    // shuffle-partition count — measured at sf0.1, the pinned 32-way
+    // exchange charged BOTH checkpoint consumers (counts leg + rn leg)
+    // ~100 ms/task of near-zero-CPU fixed overhead on near-empty
+    // partitions (t20: 2 x 32 tasks, 8.5 s run / 2.8 s cpu), while AQE had
+    // already coalesced every neighboring stage. Scale-adaptive by
+    // construction: the width follows shuffle bytes (parallelismFirst
+    // keeps a CPU-heavy sort spread at low byte volume, w14's shape), so a
+    // corpus-scale input still fans out. Coalescing only merges ADJACENT
+    // range partitions, so the cross-partition order the offset math needs
+    // is preserved. An explicit `partitions` pins the width as before.
+    val rp0 = if (partitions > 0) df.repartitionByRange(partitions, all: _*)
+      else df.repartitionByRange(all: _*)
+    val rp = rp0
       .sortWithinPartitions(all: _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__mid", monotonically_increasing_id())
@@ -572,9 +585,13 @@ object ScaleOps {
   def globalRunningTotal(df: DataFrame, orderCols: Seq[String],
       valueCol: String, partitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
-    val n = if (partitions > 0) partitions else spark.sessionState.conf.numShufflePartitions
     val all = orderCols.map(col)
-    val rp = df.repartitionByRange(n, all: _*)
+    // AQE-coalescible width by default — the groupedGlobalRowNumber r13
+    // rationale; adjacent-merge coalescing preserves the range order the
+    // exclusive offsets depend on.
+    val rp0 = if (partitions > 0) df.repartitionByRange(partitions, all: _*)
+      else df.repartitionByRange(all: _*)
+    val rp = rp0
       .sortWithinPartitions(all: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(eager = false) // pin partition ids across the two uses
