@@ -497,28 +497,44 @@ object ManifestStore {
       s"ManifestStore statsCols: ${f.name} has non-orderable type ${t.simpleString}")
   }
 
-  /** One column-pruned aggregation over the just-written segment (reads
-    * ONLY `statsCols`; the files are hot — this is the entire extra cost
-    * of stats-bearing commits): per-column min/max/null-count plus the
-    * segment row count, all in the SAME Aggregate.
+  /** Min/max/null-count/row-count aggregate columns for the segment-stats
+    * observation (r13): the same per-column aggregates [[segmentStatsOf]]
+    * decodes, attached to the WRITE itself via `Dataset.observe` — the
+    * write job's tasks fold them as rows stream to parquet, so a
+    * stats-bearing commit costs ONE Spark job instead of two (the old
+    * post-write `spark.read.parquet(segPath).agg(...)` re-read every
+    * segment it had just written; across the serial commit protocol that
+    * was a whole job per commit). Values are identical by construction:
+    * the identical aggregate expressions over the identical rows, computed
+    * before the parquet round-trip instead of after it (min/max/count are
+    * deterministic and insensitive to partitioning).
     */
-  private def segmentStats(spark: SparkSession, segPath: String,
-      statsCols: Seq[String]): (Map[String, ColStats], Option[Long]) = {
-    if (statsCols.isEmpty) return (Map.empty, None)
-    val df = spark.read.parquet(segPath)
-    val fields = statsCols.map(c => df.schema.fields.find(_.name == c).getOrElse(
+  private def statsAggs(schema: StructType, statsCols: Seq[String]): Seq[Column] = {
+    val fields = statsCols.map(c => schema.fields.find(_.name == c).getOrElse(
       throw new IllegalArgumentException(s"statsCols: no column $c in segment schema")))
     val typed = fields.map(statsTyp)
-    val aggs = count(lit(1)).as("rows") +:
+    count(lit(1)).as("rows") +:
       typed.zipWithIndex.flatMap { case ((_, c), i) =>
         Seq(min(c).cast(StringType).as(s"mn_$i"), max(c).cast(StringType).as(s"mx_$i"),
           count(col(statsCols(i))).as(s"nn_$i")) }
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
-    val rows = row.getLong(0)
+  }
+
+  /** Decode an observed [[statsAggs]] metric map into the manifest's
+    * per-column stats map + the segment row count. `statsCols` empty keeps
+    * the historical contract: no stats, `rows = None` (the observation
+    * still carried the row count for the emptiness check, but the manifest
+    * entry stays byte-identical to the pre-observation format).
+    */
+  private def segmentStatsOf(metrics: Map[String, Any],
+      statsCols: Seq[String], schema: StructType): (Map[String, ColStats], Option[Long]) = {
+    if (statsCols.isEmpty) return (Map.empty, None)
+    val typed = statsCols.map(c => statsTyp(schema.fields.find(_.name == c).get))
+    val rows = metrics("rows").asInstanceOf[Long]
     val stats = statsCols.zipWithIndex.map { case (name, i) =>
       name -> ColStats(typed(i)._1,
-        Option(row.getString(3 * i + 1)), Option(row.getString(3 * i + 2)),
-        Some(rows - row.getLong(3 * i + 3)))
+        Option(metrics(s"mn_$i")).map(_.toString),
+        Option(metrics(s"mx_$i")).map(_.toString),
+        Some(rows - metrics(s"nn_$i").asInstanceOf[Long]))
     }.toMap
     (stats, Some(rows))
   }
@@ -592,30 +608,35 @@ object ManifestStore {
     // degrades gracefully, it never lies). graft.bloom.maxBytes overrides
     // for tables whose per-file key cardinality is measured higher.
     val maxBloomBytes = spark.conf.get("graft.bloom.maxBytes", (1 << 17).toString)
-    val withBlooms = pStats.foldLeft(pdf.write) { (w, c) =>
+    // Stats fold into the write job itself (r13, guide §1.2/§5 job-count):
+    // observe() attaches the statsAggs aggregates to the write's own tasks,
+    // so the old dedicated post-write stats job (a full re-read of the
+    // just-written segment, one extra Spark job per commit across the whole
+    // serial protocol) disappears. The observed row count also replaces the
+    // read-back emptiness probe for statless commits.
+    val obs = org.apache.spark.sql.Observation(s"segstats-$seg")
+    val aggs = statsAggs(pdf.schema, pStats)
+    val observed = pdf.observe(obs, aggs.head, aggs.tail: _*)
+    val withBlooms = pStats.foldLeft(observed.write) { (w, c) =>
       w.option(s"parquet.bloom.filter.enabled#$c", "true")
     }.option("parquet.bloom.filter.adaptive.enabled", "true")
       .option("parquet.bloom.filter.max.bytes", maxBloomBytes)
     withBlooms.parquet(segPath)
+    val metrics = obs.get
     // Emptiness is probed AFTER the write (r12): the old `df.isEmpty`
     // pre-check was a second full execution of the commit's input per
     // segment (take(1) on an aggregate materializes every shuffle) — the
     // common non-empty commit paid its pipeline twice to guard the rare
     // empty one. An empty write leaves no schema-bearing part files (or
-    // only empty footers, a one-task probe); tear the staged dir down and
-    // return None exactly as before.
+    // only empty footers); tear the staged dir down and return None
+    // exactly as before — the observed count now answers it for free.
     val fs = fsOf(spark, root)
     val files = listSegmentFiles(fs, new Path(root, seg))
-    if (files.isEmpty) { // no schema-bearing part files: the commit was empty
+    if (files.isEmpty || metrics("rows").asInstanceOf[Long] == 0L) {
       fs.delete(new Path(root, seg), true)
       return None
     }
-    val (stats, rows) = segmentStats(spark, segPath, pStats)
-    if (rows.contains(0L) ||
-      (rows.isEmpty && spark.read.parquet(segPath).isEmpty)) {
-      fs.delete(new Path(root, seg), true)
-      return None
-    }
+    val (stats, rows) = segmentStatsOf(metrics, pStats, pdf.schema)
     Some(SegmentEntry(seg, stats, 0L, files, rows))
   }
 
