@@ -145,10 +145,12 @@ object GraphOps {
     * them in the output can union them in at the damping floor).
     *
     * Scale shape: each iteration is ONE shuffle — contributions equi-join
-    * rank onto the edge list's src (both sides hash-partition on src), the
-    * receive side partial-aggregates `sum(contrib)` on dst before its
-    * exchange. Iterations are a bounded driver loop (the Pregel shape);
-    * lineage is cut per round like [[connectedComponents]].
+    * rank onto the degree-annotated edge list's src (both sides
+    * hash-partition on src; the out-degree was joined onto the edge
+    * checkpoint ONCE up front, not re-aggregated per round), the receive
+    * side partial-aggregates `sum(contrib)` on dst before its exchange.
+    * Iterations are a bounded driver loop (the Pregel shape); lineage is
+    * cut per round like [[connectedComponents]].
     */
   def pageRankInt(
       edges: DataFrame,
@@ -161,13 +163,24 @@ object GraphOps {
     // re-reads it, and edge DERIVATION is often the expensive part (a
     // co-occurrence self-join, an LSH candidate pipeline) — without the cut,
     // each of the `iterations` plans would recompute it from scratch
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
-    val deg = e.groupBy("src").agg(count(lit(1)).as("__d"))
+    val e0 = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    // r13 (guide §2.4): the out-degree rides each edge row of the working
+    // checkpoint and the vertex table is its own small cut — the old loop
+    // recomputed `deg` from the raw edge blocks inside EVERY round's 3-way
+    // join (one aggregation + one extra join + one edge-block re-read per
+    // iteration). The degree join runs once, here.
+    val deg = e0.groupBy("src").agg(count(lit(1)).as("__d"))
+      .localCheckpoint(eager = false) // verts + every round's update read it
+    val e = e0.join(deg, "src").select(col("src"), col("dst"), col("__d"))
+      .localCheckpoint(true)
+    // the raw edge blocks are dead once the degree-annotated copy exists
+    e0.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(false))
     val verts = deg.select(col("src").as("u"))
     var r = verts.withColumn("pr", lit(1000000L))
     for (i <- 1 to iterations) {
       val contrib = e
-        .join(deg, "src")
         .join(r.withColumnRenamed("u", "__ru"), e("src") === col("__ru"))
         .select(col("dst"), expr("pr div __d").as("__c"))
         .groupBy("dst")
