@@ -230,6 +230,7 @@ object GraphOps {
     */
   def triangleCount(und: DataFrame, broadcastEdgeBound: Long = 1L << 21): Long = {
     val e = und.select(col("a"), col("b")).localCheckpoint(true)
+    val m = e.count() // routes the closure AND sizes the wedge fan-out
     val deg = e.selectExpr("a AS v").union(e.selectExpr("b AS v"))
       .groupBy("v").agg(count(lit(1)).as("d"))
     val o = e
@@ -240,13 +241,22 @@ object GraphOps {
         "CASE WHEN struct(da, a) < struct(db, b) THEN b ELSE a END AS dst",
         "CASE WHEN struct(da, a) < struct(db, b) THEN db ELSE da END AS dd")
       .localCheckpoint(true) // read three times: two wedge sides + closure
+    // r13 negative result, kept for the record: widening the wedge join's
+    // exchange (AQE coalesces the byte-tiny oriented edge list to ~one
+    // partition while the join OUTPUT is O(m^1.5)) cut wall 3.6 -> 2.3 s at
+    // sf0.1 but inflated task CPU 1.1 -> ~12 s — 32 concurrent tasks
+    // probing the same ~600k-entry broadcast relation thrash the shared
+    // cache, so the same enumeration costs 10x the cycles. The single-task
+    // codegen'd SMJ inner loop is the cheapest total-work plan at this
+    // volume; at a true corpus scale the exchange is byte-large enough
+    // that AQE widens it on its own.
     val wedges = o.as("x")
       .join(o.as("y").hint("merge"),
         expr("x.src = y.src AND struct(x.dd, x.dst) < struct(y.dd, y.dst)"))
       .select(col("x.dst").as("src"), col("y.dst").as("dst"))
     val closure = o.select("src", "dst")
     val closed =
-      if (e.count() <= broadcastEdgeBound)
+      if (m <= broadcastEdgeBound)
         wedges.join(broadcast(closure), Seq("src", "dst"), "left_semi")
       else wedges.join(closure, Seq("src", "dst"), "left_semi")
     closed.count()
