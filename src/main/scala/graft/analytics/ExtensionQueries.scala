@@ -1100,9 +1100,19 @@ object ExtensionQueries {
       "Cross-source duplication matrix (the dump-overlap analysis CommonCrawl pipelines run before mixing snapshots): for each source pair, the distinct 5-grams both emit and the Jaccard overlap of their gram vocabularies — the number that decides whether a new dump adds content or re-crawls the old one. Inverted shape end to end: distinct (source, gram) postings -> gram self-join (SHUFFLE_HASH, never a corpus-sized broadcast) -> per-pair counts; per-source vocabulary sizes broadcast in for the ratio (|sources| rows — dumps are tens, a deployment constant). 100 TB shape: per-gram fan-out is capped at |sources| choose 2 BY THE DISTINCT (a gram appears once per source it lives in), so pair volume is O(distinct postings x source-multiplicity), never corpus x corpus; the Jaccard division is one double op both engines compute from the same exact BIGINTs",
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
+        // r13 (guide §2.3 narrower types): grams hash to 8-BYTE IDS at set
+        // build — the d17/ngramJaccardPairs discipline — so the distinct
+        // exchange, the self-join exchange and every gram comparison move
+        // fixed-width longs instead of ~35-char 5-gram strings (measured:
+        // the join stage was d15's top CPU at 2.5 s). array_distinct
+        // pre-dedups per row before the explode (same distinct set, fewer
+        // exploded rows). A 64-bit collision would merge two grams
+        // corpus-wide (~1e-6 at 1e7 distinct grams) — the standard
+        // shingle-hashing trade, oracle-gated at all three SFs.
         val grams = documents(s, d)
           .selectExpr("source", graft.ext.MinHash.splitExpr)
-          .selectExpr("source", "explode(shinglen(t, 5)) AS gram")
+          .selectExpr("source",
+            "explode(array_distinct(transform(shinglen(t, 5), x -> xxhash64(x)))) AS gram")
           .distinct()
           .localCheckpoint(eager = false) // feeds both join sides + the counts
         val counts = grams.groupBy("source").agg(count(lit(1)).as("n"))

@@ -248,13 +248,20 @@ object RelationalQueries {
         // (l_orderkey, l_linenumber) is not unique in the fixture — the
         // tiebreak must be a total order or "first" is engine-dependent
         // (SURVEY §7.4 determinism hazard).
-        val w = Window
-          .partitionBy("l_orderkey")
-          .orderBy("l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice")
+        // r13 (guide §2.3 aggregate-before-shuffle): keep-first is an argmin
+        // — min(struct(order keys..., payload)) per key through a partial-
+        // aggregating hash agg (d1's argmax discipline), not a row_number
+        // window: the map side reduces each partition to one row per key
+        // BEFORE the exchange and nothing ever sorts the full table.
+        // Identical rows: struct comparison IS the window's lexicographic
+        // (l_linenumber, l_partkey, l_suppkey, l_extendedprice) order, with
+        // l_quantity appended so even a hypothetical tie stays deterministic.
         lineitem(s, d)
-          .withColumn("rn", row_number().over(w))
-          .where(col("rn") === 1)
-          .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+          .groupBy("l_orderkey")
+          .agg(min(struct(col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+            col("l_extendedprice"), col("l_quantity"))).as("__f"))
+          .select(col("l_orderkey"), col("__f.l_linenumber"), col("__f.l_partkey"),
+            col("__f.l_quantity"))
           .orderBy("l_orderkey")
       },
       Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM (
