@@ -1458,7 +1458,11 @@ object ExtensionQueries {
       "n9_ann_hamming",
       "Binary-quantization ANN: the signs of all 64 dims pack into two BIGINT words (16 bytes/vector — 16x smaller than the f32 array; Similarity.signWords), and top-5 neighbors per query rank by exact Hamming distance bit_count(w XOR qw), ties by vec_id — the cheapest member of the ANN family and the standard first-pass filter of binary-quantized vector serving (survivors re-rank on full vectors via n1's path). Distances are exact small integers, so both engines agree bitwise with no float anywhere. 100 TB shape: signature build and distance are scan-side integer codegen over the 16-byte signature table (the full vectors never load), queries broadcast, and ranking funnels through the k-bounded TopK aggregator — k rows per query per partition cross the exchange, no Window",
       (s, d) => {
+        // lazy cut: the corpus and query legs both derive signatures from
+        // it — one scan + one norm projection instead of two (n15's
+        // discipline)
         val prepared = graft.ext.Similarity.prepare(embeddings(s, d), "vec_id", "embedding")
+          .localCheckpoint(eager = false)
         graft.ext.Similarity
           .hammingTopK(prepared, prepared.where(col("id") < 10), k = 5)
           .selectExpr("qid", "rank", "id AS vec_id", "hamming")

@@ -259,7 +259,14 @@ object Similarity {
     val model = new KMeans()
       .setK(nlist).setSeed(seed).setFeaturesCol("__fv").setPredictionCol("cell")
       // coarse quantization needs rough cells, not converged clustering —
-      // few iterations is standard IVF practice and caps training cost
+      // few iterations is standard IVF practice and caps training cost.
+      // r13: random init instead of the k-means|| default — the parallel
+      // init alone runs several distributed sampling rounds (measured as
+      // most of n3's job count), and a coarse quantizer whose cells are
+      // refined by Lloyd rounds anyway doesn't need a seeded-approximation
+      // init (FAISS trains IVF lists from a random subsample for the same
+      // reason). Deterministic under the fixed seed as before.
+      .setInitMode("random")
       .setMaxIter(5)
       .fit(trainSet)
     val assigned = model.transform(featurized).drop("__fv")
