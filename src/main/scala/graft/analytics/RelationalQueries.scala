@@ -933,68 +933,37 @@ object RelationalQueries {
         "foreign events inside each user's windows. Spark has no native " +
         "range-join operator — a raw `ts BETWEEN s AND e` predicate plans as " +
         "BroadcastNestedLoopJoin (O(n*m) compares, the classic 100 TB " +
-        "killer). The scale shape (r13): quantize time into fixed 1h " +
-        "buckets and COUNT instead of enumerating — events in buckets " +
-        "strictly inside an interval are provably in [s, e], so those legs " +
-        "sum pre-aggregated per-bucket counts (calendar-bounded table, " +
-        "broadcasts at any SF); only the two endpoint buckets refine " +
-        "event-by-event with the exact BETWEEN, and the same-user " +
-        "exclusion subtracts the user's own in-window events via an " +
-        "(user, day) equi-join. Pair rows never materialize. " +
+        "killer). The scale shape: quantize time into fixed 1h buckets, " +
+        "explode each interval to the buckets it spans (replication = " +
+        "len/bucket + 1, bounded because the windows are intraday), tag each " +
+        "probe event with its single bucket, equi-join on the bucket key " +
+        "(shuffles, partial-agg-friendly) and refine with the exact BETWEEN " +
+        "predicate. An event's bucket is unique, so no pair dedup is needed. " +
         "Plan-pinned BNLJ-free (PlanAuditSpec)",
       (s, d) => {
-        // r13 (guide §2.3 "shuffle counts, not rows"): the bucket equi-join
-        // used to ENUMERATE every (interval, event) overlap pair before
-        // counting it — join output = the answer's pair volume (measured:
-        // 0.8 cpu-s in one task at sf0.1; O(overlaps) rows at any scale).
-        // An event in a bucket STRICTLY between the interval's endpoint
-        // buckets is inside [s, e] by construction, so whole-bucket COUNTS
-        // stand in for those events (the bucket-count table is bounded by
-        // the calendar — hours in the data's time range — and broadcasts at
-        // any corpus size); only the two EDGE buckets refine event-by-event
-        // with the exact BETWEEN, and the same-user exclusion becomes a
-        // subtraction of the user's own in-window events (an equi-join on
-        // (user, day) — fan-out 1 per event). Three count legs union into
-        // ONE partial-aggregating sum per user: pair rows never exist.
-        // Null keys: a null ev_user never matched `ev_user <> iv_user` and
-        // a null iv_user never received a match — both filter out up front.
-        val ev = events(s, d)
-          .where(col("user_id").isNotNull)
-          .select(col("user_id").as("ev_user"), col("ts"),
-            expr("unix_micros(ts) div 3600000000").as("bkt"),
-            date_trunc("day", col("ts")).as("day"))
+        // r13 negative result, kept for the record: decomposing this into
+        // per-bucket COUNT legs (whole-bucket counts for strictly-interior
+        // buckets + exact endpoint refine + own-event subtraction, unioned
+        // into one partial-agg) removed the pair enumeration but measured
+        // WORSE at the sf1 decade (2.7 -> 4.6 s probe, 13 cpu-s: three
+        // event-stream sort/exchange legs replace one). In this data family
+        // temporal density is constant, so overlap-pair volume scales
+        // LINEARLY and enumerating pairs through one codegen'd equi-join is
+        // the cheapest total work; the count decomposition only wins when
+        // per-bucket density grows with the corpus.
+        val ev = events(s, d).select(col("user_id").as("ev_user"), col("ts"))
         val iv = events(s, d)
-          .where(col("user_id").isNotNull)
           .groupBy(col("user_id").as("iv_user"), date_trunc("day", col("ts")).as("day"))
           .agg(min("ts").as("s_ts"), max("ts").as("e_ts"))
-          .withColumn("bs", expr("unix_micros(s_ts) div 3600000000"))
-          .withColumn("be", expr("unix_micros(e_ts) div 3600000000"))
-          .localCheckpoint(eager = false) // three count legs read it
-        val bktCnt = ev.groupBy("bkt").agg(count(lit(1)).as("__c"))
-        // whole buckets strictly inside the interval: count rides the join
-        val full = iv
-          .select(col("iv_user"), explode(expr(
-            "CASE WHEN be - 1 >= bs + 1 THEN sequence(bs + 1, be - 1) ELSE array() END")).as("bkt"))
-          .join(broadcast(bktCnt), Seq("bkt"))
-          .select(col("iv_user"), col("__c").as("delta"))
-        // endpoint buckets: exact per-event refine (array_distinct dedups
-        // the single-bucket interval)
-        val edge = iv
-          .select(col("iv_user"), col("s_ts"), col("e_ts"),
-            explode(array_distinct(array(col("bs"), col("be")))).as("bkt"))
-          .join(ev, Seq("bkt"))
-          .where(col("ts") >= col("s_ts") && col("ts") <= col("e_ts"))
-          .select(col("iv_user"), lit(1L).as("delta"))
-        // the user's own in-window events, subtracted (the <> exclusion)
-        val own = ev
-          .join(iv, col("ev_user") === col("iv_user") && ev("day") === iv("day"))
-          .where(col("ts") >= col("s_ts") && col("ts") <= col("e_ts"))
-          .select(col("iv_user"), lit(-1L).as("delta"))
-        full.unionByName(edge).unionByName(own)
+          .withColumn("bkt", explode(sequence(
+            expr("unix_micros(s_ts) div 3600000000"),
+            expr("unix_micros(e_ts) div 3600000000"))))
+        ev.withColumn("bkt", expr("unix_micros(ts) div 3600000000"))
+          .join(iv, Seq("bkt"))
+          .where(col("ts") >= col("s_ts") && col("ts") <= col("e_ts") &&
+            col("ev_user") =!= col("iv_user"))
           .groupBy(col("iv_user").as("user_id"))
-          .agg(sum("delta").cast("long").as("n_overlap"))
-          .where(col("n_overlap") > 0) // a user with zero foreign overlaps
-                                       // never appeared in the pair join
+          .agg(count(lit(1)).as("n_overlap"))
           .orderBy("user_id")
       },
       Some("""WITH iv AS (
