@@ -1047,7 +1047,8 @@ object ExtensionQueries {
         // shape)
         val (_, cands0) = nearDupCandidates(s, d)
         val cands = cands0.localCheckpoint(eager = false)
-        val small = cands.count() <= broadcastPairBound(s)
+        val nPairs = cands.count()
+        val small = nPairs <= broadcastPairBound(s)
         val candIds = cands.select(col("id_a").as("doc_id"))
           .union(cands.select(col("id_b").as("doc_id")))
         val txt0 = documents(s, d).select(col("doc_id"), col("lang"), col("text"),
@@ -1060,9 +1061,22 @@ object ExtensionQueries {
         // verified set and every verified distance are unchanged; a rejected
         // pair returns -1 and fails the lev >= 0 guard. The oracle runs the
         // unbanded form — the hash gate proves the equivalence.
-        val v = cands
+        // DP width from the KNOWN pair count (r13): the DP's input is
+        // byte-tiny (AQE coalesced it to ONE task at the sf1 decade —
+        // measured 4.0 cpu-s serial) but its per-row cost is O(mx/5 * len),
+        // so byte-based coalescing mis-sizes it. ~256 DPs per task; the
+        // exchange carries candidate-bounded text pairs (the payload-verify
+        // discipline), and the clamp keeps corpus-scale widths at the
+        // cluster's parallelism. Skipped when the pair set is one task's
+        // worth anyway.
+        val dpWidth = math.max(1L,
+          math.min(s.sparkContext.defaultParallelism.toLong * 2, nPairs / 256)).toInt
+        val paired = cands
           .join(txt.as("a"), col("id_a") === col("a.doc_id"))
           .join(txt.as("b"), col("id_b") === col("b.doc_id"))
+        val spread = if (dpWidth > 1)
+          paired.repartition(dpWidth, col("id_a"), col("id_b")) else paired
+        val v = spread
           .select(col("a.lang").as("lang"),
             expr("levenshtein(a.text, b.text, CAST(FLOOR(greatest(a.len, b.len) / 5) AS INT))")
               .cast("long").as("lev"),
