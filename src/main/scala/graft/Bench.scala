@@ -40,6 +40,14 @@ object Bench {
       // wall-time cost; SPARK_GRAFT_IO_CODEC overrides for re-measurement
       .config("spark.io.compression.codec",
         sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "zstd"))
+      // AQE coalescing's 1 MiB minimum partition floor under-parallelizes
+      // CPU-dense work at low byte volume (r13 guide-§2.2 measurement: the
+      // w14 range sort coalesced to ~6 partitions and wall rose 25% while
+      // byte volume was 6.6 MB; at 256 KiB the sort spreads and both wall
+      // AND cpu beat the pinned-width plan). Production-safe: at corpus
+      // scale the advisory target dominates and the floor is irrelevant.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION", "256k"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -298,8 +298,15 @@ object GraphOps {
     val dt = und.schema("a").dataType
     val out = parent.keys.toSeq.map(v =>
       org.apache.spark.sql.Row(v, minOfRoot(find(v))))
+    // LocalRelation, not parallelize (r13): the driver-path label table is
+    // tiny, and an RDD-backed frame spread it over defaultParallelism
+    // near-empty partitions — every downstream join paid ~cores tasks of
+    // pure scheduling (p20's final join measured 32 tasks / 2.7 s run /
+    // 0.3 s cpu with zero IO). A local collection keeps it a broadcastable
+    // LocalRelation with no job at all.
+    import scala.jdk.CollectionConverters._
     spark.createDataFrame(
-      spark.sparkContext.parallelize(out),
+      out.asJava,
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("id", dt),
         org.apache.spark.sql.types.StructField("label", dt))))

@@ -33,6 +33,14 @@ object PlanDump {
       // zstd shuffle blocks measured ~2x smaller than lz4 on the vector/
       // posting exchanges at lower cpu (r12 guide-§2.3 measurement)
       .config("spark.io.compression.codec", "zstd")
+      // AQE coalescing's 1 MiB minimum partition floor under-parallelizes
+      // CPU-dense work at low byte volume (r13 guide-§2.2 measurement: the
+      // w14 range sort coalesced to ~6 partitions and wall rose 25% while
+      // byte volume was 6.6 MB; at 256 KiB the sort spreads and both wall
+      // AND cpu beat the pinned-width plan). Production-safe: at corpus
+      // scale the advisory target dominates and the floor is irrelevant.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION", "256k"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -30,6 +30,8 @@ object StageProbe {
       // zstd shuffle blocks measured ~2x smaller than lz4 on the vector/
       // posting exchanges at lower cpu (r12 guide-§2.3 measurement)
       .config("spark.io.compression.codec", "zstd")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION", "256k"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
